@@ -1,0 +1,789 @@
+"""Reference (de)quantizers — vectorized numpy, numerically faithful to ggml.
+
+Semantics mirror the scalar reference implementations in
+reference ggml/src/ggml-quants.c:
+- dequantize_row_*  (q4_0:31, q4_1:68, q5_0/q5_1, q8_0, q2_K, q3_K,
+  q4_K:1280, q5_K, q6_K:1690, q8_K, iq4_nl:2440, iq4_xs:2455)
+- quantize_row_*_ref (q8_0:194, q4_0:31, q4_1:68, q5_0, q5_1, q8_1,
+  q8_K, q4_K:1208, q5_K, q6_K)
+- make_qx_quants (:379), make_qkx2_quants (:480), get_scale_min_k4 (:631)
+
+All float math is done in float32 with the same operation order as the
+reference, and `nearest_int` (round-half-to-even, :372) / `roundf`
+(half-away-from-zero) are matched exactly. This module is the correctness
+oracle for the Pallas kernels and the loader's repack path; it is not a hot
+path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..gguf.constants import GGML_TYPE_TRAITS, QK_K, GGMLType
+
+F32 = np.float32
+
+# kvalues_iq4nl — reference ggml/src/ggml-quants.c:2434
+KVALUES_IQ4NL = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113],
+    dtype=np.int8,
+)
+
+GROUP_MAX_EPS = F32(1e-15)
+
+# ---------------------------------------------------------------------------
+# block dtypes (little-endian, packed — match ggml-common.h structs)
+# ---------------------------------------------------------------------------
+
+DT = {
+    GGMLType.Q4_0: np.dtype([("d", "<f2"), ("qs", "u1", (16,))]),
+    GGMLType.Q4_1: np.dtype([("d", "<f2"), ("m", "<f2"), ("qs", "u1", (16,))]),
+    GGMLType.Q5_0: np.dtype([("d", "<f2"), ("qh", "<u4"), ("qs", "u1", (16,))]),
+    GGMLType.Q5_1: np.dtype([("d", "<f2"), ("m", "<f2"), ("qh", "<u4"), ("qs", "u1", (16,))]),
+    GGMLType.Q8_0: np.dtype([("d", "<f2"), ("qs", "i1", (32,))]),
+    GGMLType.Q8_1: np.dtype([("d", "<f2"), ("s", "<f2"), ("qs", "i1", (32,))]),
+    GGMLType.Q2_K: np.dtype(
+        [("scales", "u1", (16,)), ("qs", "u1", (64,)), ("d", "<f2"), ("dmin", "<f2")]
+    ),
+    GGMLType.Q3_K: np.dtype(
+        [("hmask", "u1", (32,)), ("qs", "u1", (64,)), ("scales", "u1", (12,)), ("d", "<f2")]
+    ),
+    GGMLType.Q4_K: np.dtype(
+        [("d", "<f2"), ("dmin", "<f2"), ("scales", "u1", (12,)), ("qs", "u1", (128,))]
+    ),
+    GGMLType.Q5_K: np.dtype(
+        [
+            ("d", "<f2"),
+            ("dmin", "<f2"),
+            ("scales", "u1", (12,)),
+            ("qh", "u1", (32,)),
+            ("qs", "u1", (128,)),
+        ]
+    ),
+    GGMLType.Q6_K: np.dtype(
+        [("ql", "u1", (128,)), ("qh", "u1", (64,)), ("scales", "i1", (16,)), ("d", "<f2")]
+    ),
+    GGMLType.Q8_K: np.dtype([("d", "<f4"), ("qs", "i1", (256,)), ("bsums", "<i2", (16,))]),
+    GGMLType.IQ4_NL: np.dtype([("d", "<f2"), ("qs", "u1", (16,))]),
+    GGMLType.IQ4_XS: np.dtype(
+        [
+            ("d", "<f2"),
+            ("scales_h", "<u2"),
+            ("scales_l", "u1", (4,)),
+            ("qs", "u1", (128,)),
+        ]
+    ),
+}
+
+
+def _blocks(raw: np.ndarray, t: GGMLType) -> np.ndarray:
+    """View raw uint8 data as an array of block records."""
+    dt = DT[t]
+    tr = GGML_TYPE_TRAITS[t]
+    assert dt.itemsize == tr.type_size, (t, dt.itemsize, tr.type_size)
+    raw = np.ascontiguousarray(raw).reshape(-1).view(np.uint8)
+    assert raw.nbytes % dt.itemsize == 0
+    return raw.view(dt)
+
+
+def nearest_int(x: np.ndarray) -> np.ndarray:
+    """ggml nearest_int — round half to even (ggml-quants.c:372)."""
+    return np.rint(x).astype(np.int32)
+
+
+def roundf(x: np.ndarray) -> np.ndarray:
+    """C roundf — round half away from zero."""
+    return np.trunc(x + np.copysign(F32(0.5), x)).astype(np.int32)
+
+
+def _f32(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# dequantization
+# ---------------------------------------------------------------------------
+
+
+def dequant_q4_0(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, GGMLType.Q4_0)
+    d = _f32(b["d"])[:, None]
+    qs = b["qs"]
+    q = np.concatenate([qs & 0x0F, qs >> 4], axis=1).astype(np.int32) - 8
+    return (q.astype(F32) * d).reshape(-1)
+
+
+def dequant_q4_1(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, GGMLType.Q4_1)
+    d = _f32(b["d"])[:, None]
+    m = _f32(b["m"])[:, None]
+    qs = b["qs"]
+    q = np.concatenate([qs & 0x0F, qs >> 4], axis=1).astype(F32)
+    return (q * d + m).reshape(-1)
+
+
+def _q5_high_bits(qh: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """qh: [nb] uint32 → (xh_0[nb,16], xh_1[nb,16]) each 0 or 16."""
+    j = np.arange(16, dtype=np.uint32)
+    qh = qh[:, None]
+    xh_0 = ((qh >> j) << 4) & 0x10
+    xh_1 = (qh >> (j + 12)) & 0x10
+    return xh_0.astype(np.int32), xh_1.astype(np.int32)
+
+
+def dequant_q5_0(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, GGMLType.Q5_0)
+    d = _f32(b["d"])[:, None]
+    xh_0, xh_1 = _q5_high_bits(b["qh"])
+    qs = b["qs"].astype(np.int32)
+    x0 = ((qs & 0x0F) | xh_0) - 16
+    x1 = ((qs >> 4) | xh_1) - 16
+    return (np.concatenate([x0, x1], axis=1).astype(F32) * d).reshape(-1)
+
+
+def dequant_q5_1(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, GGMLType.Q5_1)
+    d = _f32(b["d"])[:, None]
+    m = _f32(b["m"])[:, None]
+    xh_0, xh_1 = _q5_high_bits(b["qh"])
+    qs = b["qs"].astype(np.int32)
+    x0 = (qs & 0x0F) | xh_0
+    x1 = (qs >> 4) | xh_1
+    return (np.concatenate([x0, x1], axis=1).astype(F32) * d + m).reshape(-1)
+
+
+def dequant_q8_0(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, GGMLType.Q8_0)
+    return (b["qs"].astype(F32) * _f32(b["d"])[:, None]).reshape(-1)
+
+
+def dequant_q8_1(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, GGMLType.Q8_1)
+    return (b["qs"].astype(F32) * _f32(b["d"])[:, None]).reshape(-1)
+
+
+def dequant_q8_K(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, GGMLType.Q8_K)
+    return (b["qs"].astype(F32) * _f32(b["d"])[:, None]).reshape(-1)
+
+
+def unpack_scale_min_k4(scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unpack 12-byte 6-bit scale/min pairs → (sc[nb,8], m[nb,8]) uint8.
+
+    get_scale_min_k4, reference ggml-quants.c:631.
+    """
+    q = scales.astype(np.uint8)
+    sc = np.empty(q.shape[:-1] + (8,), dtype=np.uint8)
+    m = np.empty_like(sc)
+    sc[..., :4] = q[..., 0:4] & 63
+    m[..., :4] = q[..., 4:8] & 63
+    sc[..., 4:] = (q[..., 8:12] & 0x0F) | ((q[..., 0:4] >> 6) << 4)
+    m[..., 4:] = (q[..., 8:12] >> 4) | ((q[..., 4:8] >> 6) << 4)
+    return sc, m
+
+
+def dequant_q4_K(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, GGMLType.Q4_K)
+    nb = len(b)
+    d = _f32(b["d"])
+    dmin = _f32(b["dmin"])
+    sc, mi = unpack_scale_min_k4(b["scales"])  # [nb,8]
+    dl = d[:, None] * sc.astype(F32)  # effective scale per 32-group
+    ml = dmin[:, None] * mi.astype(F32)
+    qs = b["qs"].reshape(nb, 4, 32)  # 4 chunks of 64 elements
+    lo = (qs & 0x0F).astype(F32)  # group 2j
+    hi = (qs >> 4).astype(F32)  # group 2j+1
+    q = np.stack([lo, hi], axis=2).reshape(nb, 8, 32)
+    y = q * dl[:, :, None] - ml[:, :, None]
+    return y.reshape(-1)
+
+
+def dequant_q5_K(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, GGMLType.Q5_K)
+    nb = len(b)
+    d = _f32(b["d"])
+    dmin = _f32(b["dmin"])
+    sc, mi = unpack_scale_min_k4(b["scales"])
+    dl = d[:, None] * sc.astype(F32)
+    ml = dmin[:, None] * mi.astype(F32)
+    qs = b["qs"].reshape(nb, 4, 32)
+    qh = b["qh"].reshape(nb, 1, 32)
+    g = np.arange(8, dtype=np.uint8)  # group index: bit g of qh
+    hbit = ((qh >> g[None, :, None]) & 1).astype(np.int32) * 16  # [nb,8,32]
+    lo = (qs & 0x0F).astype(np.int32)
+    hi = (qs >> 4).astype(np.int32)
+    q = np.stack([lo, hi], axis=2).reshape(nb, 8, 32) + hbit
+    y = q.astype(F32) * dl[:, :, None] - ml[:, :, None]
+    return y.reshape(-1)
+
+
+def dequant_q6_K(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, GGMLType.Q6_K)
+    nb = len(b)
+    d = _f32(b["d"])[:, None, None, None]
+    ql = b["ql"].reshape(nb, 2, 64)  # per 128-half: 64 low-nibble bytes
+    qh = b["qh"].reshape(nb, 2, 32)
+    sc = b["scales"].reshape(nb, 2, 8).astype(F32)  # 8 16-groups per half
+
+    l = ql[:, :, :32].astype(np.int32)  # bytes l+0
+    h = ql[:, :, 32:].astype(np.int32)  # bytes l+32
+    hb = qh.astype(np.int32)
+    q1 = ((l & 0x0F) | (((hb >> 0) & 3) << 4)) - 32  # elems 0..31 of half
+    q2 = ((h & 0x0F) | (((hb >> 2) & 3) << 4)) - 32  # elems 32..63
+    q3 = ((l >> 4) | (((hb >> 4) & 3) << 4)) - 32  # elems 64..95
+    q4 = ((h >> 4) | (((hb >> 6) & 3) << 4)) - 32  # elems 96..127
+    q = np.concatenate([q1, q2, q3, q4], axis=2).reshape(nb, 2, 8, 16)
+    y = q.astype(F32) * sc[:, :, :, None] * d
+    return y.reshape(-1)
+
+
+def dequant_q2_K(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, GGMLType.Q2_K)
+    nb = len(b)
+    d = _f32(b["d"])
+    dmin = _f32(b["dmin"])
+    scales = b["scales"]  # [nb,16] — 16 groups of 16
+    dl = d[:, None] * (scales & 0x0F).astype(F32)
+    ml = dmin[:, None] * (scales >> 4).astype(F32)
+    qs = b["qs"].reshape(nb, 2, 32)  # two 128-halves, 32 bytes each
+    shifts = np.arange(4, dtype=np.uint8) * 2
+    q = (qs[:, :, None, :] >> shifts[None, None, :, None]) & 3  # [nb,2,4,32]
+    q = q.reshape(nb, 16, 16).astype(F32)  # group g covers elems 16g..16g+15
+    y = q * dl[:, :, None] - ml[:, :, None]
+    return y.reshape(-1)
+
+
+def unpack_q3_K_scales(scales: np.ndarray) -> np.ndarray:
+    """12 packed bytes → 16 signed 6-bit scales (biased by -32).
+
+    Mirrors the kmask bit shuffle in dequantize_row_q3_K.
+    """
+    a = np.ascontiguousarray(scales).view("<u4").reshape(-1, 3)
+    kmask1, kmask2 = np.uint32(0x03030303), np.uint32(0x0F0F0F0F)
+    tmp = a[:, 2]
+    out = np.empty((len(a), 4), dtype=np.uint32)
+    out[:, 0] = (a[:, 0] & kmask2) | (((tmp >> 0) & kmask1) << 4)
+    out[:, 1] = (a[:, 1] & kmask2) | (((tmp >> 2) & kmask1) << 4)
+    out[:, 2] = ((a[:, 0] >> 4) & kmask2) | (((tmp >> 4) & kmask1) << 4)
+    out[:, 3] = ((a[:, 1] >> 4) & kmask2) | (((tmp >> 6) & kmask1) << 4)
+    return out.view(np.int8).astype(np.int32) - 32  # [nb,16]
+
+
+def dequant_q3_K(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, GGMLType.Q3_K)
+    nb = len(b)
+    d = _f32(b["d"])
+    sc = unpack_q3_K_scales(b["scales"]).astype(F32)  # [nb,16]
+    dl = d[:, None] * sc
+    qs = b["qs"].reshape(nb, 2, 32)
+    shifts = np.arange(4, dtype=np.uint8) * 2
+    q = ((qs[:, :, None, :] >> shifts[None, None, :, None]) & 3).astype(np.int32)
+    q = q.reshape(nb, 16, 16)
+    hm = b["hmask"]  # [nb,32]; bit m for group (half*4+j), byte l or l+16
+    mbit = np.arange(8, dtype=np.uint8)  # m = 1<<(half*4 + j… ) — see below
+    # hmask bit index: within the whole super-block, group pair (n,j) uses
+    # bit (n*4+j) of hmask bytes [l] (first 16) and [l+16] (second 16).
+    hmask_bits = ((hm[:, None, :] >> mbit[None, :, None]) & 1).astype(np.int32)  # [nb,8,32]
+    # reorder to group layout: groups g=0..15; g = half*8 + pair*2 + sub
+    # bit index b = half*4 + pair ; byte = sub*16 + l
+    hmask_groups = np.empty((nb, 16, 16), dtype=np.int32)
+    for half in range(2):
+        for pair in range(4):
+            bit = half * 4 + pair
+            g = half * 8 + pair * 2
+            hmask_groups[:, g, :] = hmask_bits[:, bit, :16]
+            hmask_groups[:, g + 1, :] = hmask_bits[:, bit, 16:]
+    q = q - np.where(hmask_groups != 0, 0, 4)
+    return (q.astype(F32) * dl[:, :, None]).reshape(-1)
+
+
+def dequant_iq4_nl(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, GGMLType.IQ4_NL)
+    d = _f32(b["d"])[:, None]
+    qs = b["qs"]
+    q = np.concatenate(
+        [KVALUES_IQ4NL[qs & 0x0F], KVALUES_IQ4NL[qs >> 4]], axis=1
+    ).astype(F32)
+    return (q * d).reshape(-1)
+
+
+def dequant_iq4_xs(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, GGMLType.IQ4_XS)
+    nb = len(b)
+    d = _f32(b["d"])
+    ib = np.arange(8)
+    ls_l = (b["scales_l"][:, ib // 2] >> (4 * (ib % 2))[None, :]) & 0x0F
+    ls_h = (b["scales_h"][:, None] >> (2 * ib)[None, :]) & 3
+    ls = (ls_l | (ls_h << 4)).astype(np.int32) - 32
+    dl = d[:, None] * ls.astype(F32)  # [nb,8]
+    qs = b["qs"].reshape(nb, 8, 16)
+    q = np.concatenate(
+        [KVALUES_IQ4NL[qs & 0x0F], KVALUES_IQ4NL[qs >> 4]], axis=2
+    ).astype(F32)  # [nb,8,32]
+    return (q * dl[:, :, None]).reshape(-1)
+
+
+def dequant_f16(raw: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(raw).view("<f2").astype(F32)
+
+
+def dequant_bf16(raw: np.ndarray) -> np.ndarray:
+    u16 = np.ascontiguousarray(raw).view("<u2").astype(np.uint32) << 16
+    return u16.view(np.float32)
+
+
+def dequant_f32(raw: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(raw).view("<f4")
+
+
+_DEQUANT = {
+    GGMLType.F32: dequant_f32,
+    GGMLType.F16: dequant_f16,
+    GGMLType.BF16: dequant_bf16,
+    GGMLType.Q4_0: dequant_q4_0,
+    GGMLType.Q4_1: dequant_q4_1,
+    GGMLType.Q5_0: dequant_q5_0,
+    GGMLType.Q5_1: dequant_q5_1,
+    GGMLType.Q8_0: dequant_q8_0,
+    GGMLType.Q8_1: dequant_q8_1,
+    GGMLType.Q2_K: dequant_q2_K,
+    GGMLType.Q3_K: dequant_q3_K,
+    GGMLType.Q4_K: dequant_q4_K,
+    GGMLType.Q5_K: dequant_q5_K,
+    GGMLType.Q6_K: dequant_q6_K,
+    GGMLType.Q8_K: dequant_q8_K,
+    GGMLType.IQ4_NL: dequant_iq4_nl,
+    GGMLType.IQ4_XS: dequant_iq4_xs,
+}
+
+
+def dequantize(raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...] | None = None):
+    """Dequantize packed bytes → float32. shape is the row-major numpy shape."""
+    fn = _DEQUANT.get(ggml_type)
+    if fn is None:
+        raise NotImplementedError(f"dequantize {ggml_type.name}")
+    y = fn(raw)
+    return y.reshape(shape) if shape is not None else y
+
+
+# ---------------------------------------------------------------------------
+# quantization
+# ---------------------------------------------------------------------------
+
+
+def quant_q8_0(x: np.ndarray) -> np.ndarray:
+    x = _f32(x).reshape(-1, 32)
+    amax = np.max(np.abs(x), axis=1)
+    d = (amax / F32(127)).astype(F32)
+    id_ = np.where(d != 0, F32(1) / np.where(d != 0, d, F32(1)), F32(0)).astype(F32)
+    out = np.zeros(len(x), dtype=DT[GGMLType.Q8_0])
+    out["d"] = d.astype(np.float16)
+    out["qs"] = roundf(x * id_[:, None]).astype(np.int8)
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_q8_1(x: np.ndarray) -> np.ndarray:
+    x = _f32(x).reshape(-1, 32)
+    amax = np.max(np.abs(x), axis=1)
+    d = (amax / F32(127)).astype(F32)
+    id_ = np.where(d != 0, F32(1) / np.where(d != 0, d, F32(1)), F32(0)).astype(F32)
+    qs = roundf(x * id_[:, None]).astype(np.int8)
+    out = np.zeros(len(x), dtype=DT[GGMLType.Q8_1])
+    out["d"] = d.astype(np.float16)
+    out["s"] = (d * qs.astype(F32).sum(axis=1)).astype(np.float16)
+    out["qs"] = qs
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_q4_0(x: np.ndarray) -> np.ndarray:
+    x = _f32(x).reshape(-1, 32)
+    idx = np.argmax(np.abs(x), axis=1)
+    maxv = x[np.arange(len(x)), idx]
+    d = (maxv / F32(-8)).astype(F32)
+    id_ = np.where(d != 0, F32(1) / np.where(d != 0, d, F32(1)), F32(0)).astype(F32)
+    xi = np.minimum(15, np.trunc(x * id_[:, None] + F32(8.5)).astype(np.int32)).astype(np.uint8)
+    out = np.zeros(len(x), dtype=DT[GGMLType.Q4_0])
+    out["d"] = d.astype(np.float16)
+    out["qs"] = xi[:, :16] | (xi[:, 16:] << 4)
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_q4_1(x: np.ndarray) -> np.ndarray:
+    x = _f32(x).reshape(-1, 32)
+    mn = x.min(axis=1)
+    mx = x.max(axis=1)
+    d = ((mx - mn) / F32(15)).astype(F32)
+    id_ = np.where(d != 0, F32(1) / np.where(d != 0, d, F32(1)), F32(0)).astype(F32)
+    xi = np.minimum(
+        15, np.trunc((x - mn[:, None]) * id_[:, None] + F32(0.5)).astype(np.int32)
+    ).astype(np.uint8)
+    out = np.zeros(len(x), dtype=DT[GGMLType.Q4_1])
+    out["d"] = d.astype(np.float16)
+    out["m"] = mn.astype(np.float16)
+    out["qs"] = xi[:, :16] | (xi[:, 16:] << 4)
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_q5_0(x: np.ndarray) -> np.ndarray:
+    x = _f32(x).reshape(-1, 32)
+    idx = np.argmax(np.abs(x), axis=1)
+    maxv = x[np.arange(len(x)), idx]
+    d = (maxv / F32(-16)).astype(F32)
+    id_ = np.where(d != 0, F32(1) / np.where(d != 0, d, F32(1)), F32(0)).astype(F32)
+    xi = np.minimum(31, np.trunc(x * id_[:, None] + F32(16.5)).astype(np.int32)).astype(np.uint32)
+    x0, x1 = xi[:, :16], xi[:, 16:]
+    j = np.arange(16, dtype=np.uint32)
+    qh = (((x0 & 0x10) >> 4) << j).sum(axis=1, dtype=np.uint64) | (
+        ((x1 & 0x10) >> 4) << (j + 16)
+    ).sum(axis=1, dtype=np.uint64)
+    out = np.zeros(len(x), dtype=DT[GGMLType.Q5_0])
+    out["d"] = d.astype(np.float16)
+    out["qh"] = qh.astype(np.uint32)
+    out["qs"] = ((x0 & 0x0F) | ((x1 & 0x0F) << 4)).astype(np.uint8)
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_q5_1(x: np.ndarray) -> np.ndarray:
+    x = _f32(x).reshape(-1, 32)
+    mn = x.min(axis=1)
+    mx = x.max(axis=1)
+    d = ((mx - mn) / F32(31)).astype(F32)
+    id_ = np.where(d != 0, F32(1) / np.where(d != 0, d, F32(1)), F32(0)).astype(F32)
+    xi = np.minimum(
+        31, np.trunc((x - mn[:, None]) * id_[:, None] + F32(0.5)).astype(np.int32)
+    ).astype(np.uint32)
+    x0, x1 = xi[:, :16], xi[:, 16:]
+    j = np.arange(16, dtype=np.uint32)
+    qh = (((x0 & 0x10) >> 4) << j).sum(axis=1, dtype=np.uint64) | (
+        ((x1 & 0x10) >> 4) << (j + 16)
+    ).sum(axis=1, dtype=np.uint64)
+    out = np.zeros(len(x), dtype=DT[GGMLType.Q5_1])
+    out["d"] = d.astype(np.float16)
+    out["m"] = mn.astype(np.float16)
+    out["qh"] = qh.astype(np.uint32)
+    out["qs"] = ((x0 & 0x0F) | ((x1 & 0x0F) << 4)).astype(np.uint8)
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_q8_K(x: np.ndarray) -> np.ndarray:
+    x = _f32(x).reshape(-1, QK_K)
+    aidx = np.argmax(np.abs(x), axis=1)
+    maxv = x[np.arange(len(x)), aidx]
+    amax = np.abs(maxv)
+    nonzero = amax != 0
+    iscale = np.where(nonzero, F32(-127) / np.where(nonzero, maxv, F32(1)), F32(0)).astype(F32)
+    qs = np.minimum(127, nearest_int(iscale[:, None] * x)).astype(np.int8)
+    qs = np.where(nonzero[:, None], qs, np.int8(0))
+    out = np.zeros(len(x), dtype=DT[GGMLType.Q8_K])
+    out["d"] = np.where(nonzero, F32(1) / np.where(iscale == 0, F32(1), iscale), F32(0))
+    out["qs"] = qs
+    out["bsums"] = qs.reshape(-1, 16, 16).astype(np.int32).sum(axis=2).astype(np.int16)
+    return out.view(np.uint8).reshape(-1)
+
+
+# -- K-quant helper fits (scalar-per-group, vectorized over groups) ---------
+
+
+def make_qx_quants(x: np.ndarray, nmax: int, rmse_type: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized make_qx_quants (ggml-quants.c:379), qw=None.
+
+    x: [G, n] groups. Returns (L[G, n] uint8 biased by +nmax, scale[G]).
+    """
+    x = _f32(x)
+    G, n = x.shape
+    aidx = np.argmax(np.abs(x), axis=1)
+    maxv = x[np.arange(G), aidx]
+    amax = np.abs(maxv)
+    dead = amax < GROUP_MAX_EPS
+    safe_max = np.where(dead, F32(1), maxv)
+
+    assert rmse_type == 1
+
+    def fit(iscale):
+        l = np.clip(nearest_int(iscale[:, None] * x), -nmax, nmax - 1)
+        w = x * x
+        lf = l.astype(F32)
+        sumlx = (w * x * lf).sum(axis=1, dtype=np.float32)
+        suml2 = (w * lf * lf).sum(axis=1, dtype=np.float32)
+        return l, sumlx, suml2
+
+    iscale0 = (F32(-nmax) / safe_max).astype(F32)
+    L, sumlx, suml2 = fit(iscale0)
+    scale = np.where(suml2 != 0, sumlx / np.where(suml2 == 0, F32(1), suml2), F32(0)).astype(F32)
+    best = scale * sumlx
+    for is_ in range(-9, 10):
+        if is_ == 0:
+            continue
+        iscale = (-(F32(nmax) + F32(0.1) * F32(is_)) / safe_max).astype(F32)
+        l, sumlx_i, suml2_i = fit(iscale)
+        better = (suml2_i > 0) & (sumlx_i * sumlx_i > best * suml2_i)
+        L = np.where(better[:, None], l, L)
+        new_scale = np.where(
+            suml2_i == 0, F32(0), sumlx_i / np.where(suml2_i == 0, F32(1), suml2_i)
+        )
+        scale = np.where(better, new_scale, scale).astype(F32)
+        best = np.where(better, new_scale * sumlx_i, best).astype(F32)
+    L = (L + nmax).astype(np.uint8)
+    L = np.where(dead[:, None], np.uint8(0), L)
+    scale = np.where(dead, F32(0), scale)
+    return L, scale
+
+
+def make_qkx2_quants(
+    x: np.ndarray,
+    weights: np.ndarray,
+    nmax: int,
+    rmin: float,
+    rdelta: float,
+    nstep: int,
+    use_mad: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized make_qkx2_quants (ggml-quants.c:480).
+
+    x, weights: [G, n]. Returns (L[G,n] uint8, scale[G], the_min[G]).
+    """
+    x = _f32(x)
+    w = _f32(weights)
+    G, n = x.shape
+    mn = x.min(axis=1)
+    mx = x.max(axis=1)
+    sum_w = w.sum(axis=1, dtype=np.float32)
+    sum_x = (w * x).sum(axis=1, dtype=np.float32)
+    mn = np.minimum(mn, F32(0))
+    flat = mx == mn  # all-equal (and min>0 clamped) → L=0, min=-mn, scale=0
+
+    safe_range = np.where(flat, F32(1), mx - mn)
+    iscale = (F32(nmax) / safe_range).astype(F32)
+    scale = (F32(1) / iscale).astype(F32)
+
+    L = np.clip(nearest_int(iscale[:, None] * (x - mn[:, None])), 0, nmax)
+    diff = scale[:, None] * L.astype(F32) + mn[:, None] - x
+    diff = np.abs(diff) if use_mad else diff * diff
+    best_mad = (w * diff).sum(axis=1, dtype=np.float32)
+
+    # NOTE: the reference updates `min` whenever a candidate improves, and the
+    # NEXT candidate quantizes relative to the updated min — keep that
+    # sequential dependence (vectorized only across groups).
+    cur_min = mn.copy()
+    for is_ in range(nstep + 1):
+        rng = np.where(flat, F32(1), mx - cur_min)
+        isc = ((F32(rmin) + F32(rdelta) * F32(is_) + F32(nmax)) / rng).astype(F32)
+        laux = np.clip(nearest_int(isc[:, None] * (x - cur_min[:, None])), 0, nmax)
+        lf = laux.astype(F32)
+        sum_l = (w * lf).sum(axis=1, dtype=np.float32)
+        sum_l2 = (w * lf * lf).sum(axis=1, dtype=np.float32)
+        sum_xl = (w * lf * x).sum(axis=1, dtype=np.float32)
+        D = sum_w * sum_l2 - sum_l * sum_l
+        Dok = D > 0
+        Dsafe = np.where(Dok, D, F32(1))
+        this_scale = (sum_w * sum_xl - sum_x * sum_l) / Dsafe
+        this_min = (sum_l2 * sum_x - sum_l * sum_xl) / Dsafe
+        pos = this_min > 0
+        sum_l2_safe = np.where(sum_l2 == 0, F32(1), sum_l2)
+        this_scale = np.where(pos, sum_xl / sum_l2_safe, this_scale).astype(F32)
+        this_min = np.where(pos, F32(0), this_min).astype(F32)
+        diff = this_scale[:, None] * lf + this_min[:, None] - x
+        diff = np.abs(diff) if use_mad else diff * diff
+        mad = (w * diff).sum(axis=1, dtype=np.float32)
+        better = Dok & (mad < best_mad)
+        L = np.where(better[:, None], laux, L)
+        best_mad = np.where(better, mad, best_mad).astype(F32)
+        scale = np.where(better, this_scale, scale).astype(F32)
+        cur_min = np.where(better, this_min, cur_min).astype(F32)
+
+    L = np.where(flat[:, None], 0, L).astype(np.uint8)
+    scale = np.where(flat, F32(0), scale)
+    the_min = np.where(flat, -mn, -cur_min).astype(F32)
+    return L, scale, the_min
+
+
+def _pack_k4_scales(ls: np.ndarray, lm: np.ndarray) -> np.ndarray:
+    """Pack 8 6-bit (scale, min) pairs into 12 bytes (inverse of get_scale_min_k4)."""
+    nb = len(ls)
+    out = np.zeros((nb, 12), dtype=np.uint8)
+    out[:, 0:4] = ls[:, :4]
+    out[:, 4:8] = lm[:, :4]
+    out[:, 8:12] = (ls[:, 4:] & 0x0F) | ((lm[:, 4:] & 0x0F) << 4)
+    out[:, 0:4] |= (ls[:, 4:] >> 4) << 6
+    out[:, 4:8] |= (lm[:, 4:] >> 4) << 6
+    return out
+
+
+def _qkx_weights_32(x256: np.ndarray) -> np.ndarray:
+    """Per-32-group weights av_x + |x| used by q4_K/q5_K ref quantizers."""
+    g = x256.reshape(-1, 8, 32)
+    sum_x2 = (g * g).sum(axis=2, dtype=np.float32)
+    av_x = np.sqrt(sum_x2 / F32(32)).astype(F32)
+    return (av_x[:, :, None] + np.abs(g)).reshape(-1, 32)
+
+
+def quant_q4_K(x: np.ndarray) -> np.ndarray:
+    """quantize_row_q4_K_ref (ggml-quants.c:1208)."""
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    groups = x.reshape(-1, 32)  # [nb*8, 32]
+    weights = _qkx_weights_32(x)
+    Lq, scales, mins = make_qkx2_quants(groups, weights, 15, -1.0, 0.1, 20, False)
+    Lq = Lq.reshape(nb, 8, 32)
+    scales = scales.reshape(nb, 8)
+    mins = mins.reshape(nb, 8)
+    max_scale = scales.max(axis=1)
+    max_min = mins.max(axis=1)
+    inv_scale = np.where(
+        max_scale > 0, F32(63) / np.where(max_scale > 0, max_scale, F32(1)), F32(0)
+    ).astype(F32)
+    inv_min = np.where(
+        max_min > 0, F32(63) / np.where(max_min > 0, max_min, F32(1)), F32(0)
+    ).astype(F32)
+    ls = np.minimum(63, nearest_int(inv_scale[:, None] * scales)).astype(np.uint8)
+    lm = np.minimum(63, nearest_int(inv_min[:, None] * mins)).astype(np.uint8)
+    packed_scales = _pack_k4_scales(ls, lm)
+    d = (max_scale / F32(63)).astype(np.float16)
+    dmin = (max_min / F32(63)).astype(np.float16)
+    # re-quantize with the rounded scales, same as the reference second pass
+    sc, mi = unpack_scale_min_k4(packed_scales)
+    dd = _f32(d)[:, None] * sc.astype(F32)  # [nb,8]
+    dm = _f32(dmin)[:, None] * mi.astype(F32)
+    xg = x.reshape(nb, 8, 32)
+    dd_safe = np.where(dd == 0, F32(1), dd)
+    L = np.clip(nearest_int((xg + dm[:, :, None]) / dd_safe[:, :, None]), 0, 15)
+    # reference keeps the first-pass L for groups whose rounded scale is 0
+    L = np.where((dd == 0)[:, :, None], Lq, L).astype(np.uint8)
+    Lp = L.reshape(nb, 4, 2, 32)  # pairs of 32-groups → 32 bytes
+    out = np.zeros(nb, dtype=DT[GGMLType.Q4_K])
+    out["d"] = d
+    out["dmin"] = dmin
+    out["scales"] = packed_scales
+    out["qs"] = (Lp[:, :, 0, :] | (Lp[:, :, 1, :] << 4)).reshape(nb, 128)
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_q5_K(x: np.ndarray) -> np.ndarray:
+    """quantize_row_q5_K_ref."""
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    groups = x.reshape(-1, 32)
+    weights = _qkx_weights_32(x)
+    Lq, scales, mins = make_qkx2_quants(groups, weights, 31, -0.5, 0.1, 15, False)
+    Lq = Lq.reshape(nb, 8, 32)
+    scales = scales.reshape(nb, 8)
+    mins = mins.reshape(nb, 8)
+    max_scale = scales.max(axis=1)
+    max_min = mins.max(axis=1)
+    inv_scale = np.where(
+        max_scale > 0, F32(63) / np.where(max_scale > 0, max_scale, F32(1)), F32(0)
+    ).astype(F32)
+    inv_min = np.where(
+        max_min > 0, F32(63) / np.where(max_min > 0, max_min, F32(1)), F32(0)
+    ).astype(F32)
+    ls = np.minimum(63, nearest_int(inv_scale[:, None] * scales)).astype(np.uint8)
+    lm = np.minimum(63, nearest_int(inv_min[:, None] * mins)).astype(np.uint8)
+    packed_scales = _pack_k4_scales(ls, lm)
+    d = (max_scale / F32(63)).astype(np.float16)
+    dmin = (max_min / F32(63)).astype(np.float16)
+    sc, mi = unpack_scale_min_k4(packed_scales)
+    dd = _f32(d)[:, None] * sc.astype(F32)
+    dm = _f32(dmin)[:, None] * mi.astype(F32)
+    xg = x.reshape(nb, 8, 32)
+    dd_safe = np.where(dd == 0, F32(1), dd)
+    L = np.clip(nearest_int((xg + dm[:, :, None]) / dd_safe[:, :, None]), 0, 31)
+    L = np.where((dd == 0)[:, :, None], Lq, L).astype(np.uint8)
+    # pack: per 64-chunk n, ql[j] = (L[n,j]&15) | ((L[n,j+32]&15)<<4);
+    # qh bit (2n) for L[n,j]>15, bit (2n+1) for L[n,j+32]>15
+    Lp = L.reshape(nb, 4, 2, 32)
+    lo = Lp & 0x0F
+    hi = (Lp >> 4) & 1  # >15 flag
+    out = np.zeros(nb, dtype=DT[GGMLType.Q5_K])
+    out["d"] = d
+    out["dmin"] = dmin
+    out["scales"] = packed_scales
+    out["qs"] = (lo[:, :, 0, :] | (lo[:, :, 1, :] << 4)).reshape(nb, 128)
+    qh = np.zeros((nb, 32), dtype=np.uint8)
+    for n in range(4):
+        qh |= (hi[:, n, 0, :] << (2 * n)) | (hi[:, n, 1, :] << (2 * n + 1))
+    out["qh"] = qh
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_q6_K(x: np.ndarray) -> np.ndarray:
+    """quantize_row_q6_K_ref."""
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    groups = x.reshape(-1, 16)  # [nb*16, 16]
+    Lq, scales = make_qx_quants(groups, 32, rmse_type=1)
+    Lq = Lq.reshape(nb, 16, 16)
+    scales = scales.reshape(nb, 16)
+    aidx = np.argmax(np.abs(scales), axis=1)
+    max_scale = scales[np.arange(nb), aidx]
+    max_abs = np.abs(max_scale)
+    dead = max_abs < GROUP_MAX_EPS
+    safe_max = np.where(dead, F32(1), max_scale)
+    iscale = (F32(-128) / safe_max).astype(F32)
+    d = (F32(1) / iscale).astype(np.float16)
+    sc8 = np.minimum(127, nearest_int(iscale[:, None] * scales)).astype(np.int8)
+    dd = _f32(d)[:, None] * sc8.astype(F32)  # [nb,16]
+    xg = x.reshape(nb, 16, 16)
+    dd_safe = np.where(dd == 0, F32(1), dd)
+    L = np.clip(nearest_int(xg / dd_safe[:, :, None]), -32, 31) + 32
+    # reference keeps make_qx_quants' L (already +32-biased) when scale is 0
+    L = np.where((dd == 0)[:, :, None], Lq, L).astype(np.uint8)
+    # ql/qh packing per 128-half
+    Lh = L.reshape(nb, 2, 128)  # halves
+    q1 = Lh[:, :, 0:32]
+    q2 = Lh[:, :, 32:64]
+    q3 = Lh[:, :, 64:96]
+    q4 = Lh[:, :, 96:128]
+    ql = np.concatenate([(q1 & 0x0F) | ((q3 & 0x0F) << 4), (q2 & 0x0F) | ((q4 & 0x0F) << 4)], axis=2)
+    qh = (q1 >> 4) | ((q2 >> 4) << 2) | ((q3 >> 4) << 4) | ((q4 >> 4) << 6)
+    out = np.zeros(nb, dtype=DT[GGMLType.Q6_K])
+    out["ql"] = ql.reshape(nb, 128)
+    out["qh"] = qh.reshape(nb, 64)
+    out["scales"] = sc8
+    out["d"] = d
+    # dead blocks are fully zeroed in the reference
+    if dead.any():
+        z = np.zeros((), dtype=DT[GGMLType.Q6_K])
+        out[dead] = z
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_f16(x: np.ndarray) -> np.ndarray:
+    return _f32(x).astype(np.float16).view(np.uint8).reshape(-1)
+
+
+def quant_bf16(x: np.ndarray) -> np.ndarray:
+    # round-to-nearest-even f32 → bf16, matching ggml_compute_fp32_to_bf16
+    u = _f32(x).view(np.uint32)
+    nan = (u & 0x7FFFFFFF) > 0x7F800000
+    rounded = (u + (0x7FFF + ((u >> 16) & 1))) >> 16
+    out = np.where(nan, (u >> 16) | 64, rounded).astype(np.uint16)
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_f32(x: np.ndarray) -> np.ndarray:
+    return _f32(x).view(np.uint8).reshape(-1)
+
+
+_QUANT = {
+    GGMLType.F32: quant_f32,
+    GGMLType.F16: quant_f16,
+    GGMLType.BF16: quant_bf16,
+    GGMLType.Q4_0: quant_q4_0,
+    GGMLType.Q4_1: quant_q4_1,
+    GGMLType.Q5_0: quant_q5_0,
+    GGMLType.Q5_1: quant_q5_1,
+    GGMLType.Q8_0: quant_q8_0,
+    GGMLType.Q8_1: quant_q8_1,
+    GGMLType.Q8_K: quant_q8_K,
+    GGMLType.Q4_K: quant_q4_K,
+    GGMLType.Q5_K: quant_q5_K,
+    GGMLType.Q6_K: quant_q6_K,
+}
+
+
+def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
+    """Quantize float32 → packed bytes (reference quantize_row_*_ref semantics)."""
+    fn = _QUANT.get(ggml_type)
+    if fn is None:
+        raise NotImplementedError(f"quantize {ggml_type.name}")
+    return fn(np.ascontiguousarray(x, dtype=np.float32))

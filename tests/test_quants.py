@@ -1,0 +1,174 @@
+"""Quant format tests.
+
+Modeled on the reference's tests/test-quantize-fns.cpp: round-trip RMSE
+bounds per type, plus bit-exactness against the reference gguf-py
+(de)quantizers where those exist (external oracle, like test-backend-ops
+uses the CPU backend as reference device).
+"""
+
+import numpy as np
+import pytest
+
+from llama_cpp_dsp_tpu.gguf import GGML_TYPE_TRAITS, GGMLType
+from llama_cpp_dsp_tpu.quant import dequantize, quantize
+
+from conftest import reference_gguf_py
+
+# reference tests/test-quantize-fns.cpp:24-31
+MAX_QUANTIZATION_REFERENCE_ERROR = 0.0001
+# reference test-quantize-fns.cpp:18-21 (MAX_QUANTIZATION_TOTAL_ERROR*)
+TOTAL_ERROR = {
+    GGMLType.Q4_0: 0.002,
+    GGMLType.Q4_1: 0.002,
+    GGMLType.Q5_0: 0.002,
+    GGMLType.Q5_1: 0.002,
+    GGMLType.Q8_0: 0.002,
+    GGMLType.Q2_K: 0.0075,  # MAX_QUANTIZATION_TOTAL_ERROR_2BITS
+    GGMLType.Q3_K: 0.0040,  # MAX_QUANTIZATION_TOTAL_ERROR_3BITS
+    GGMLType.Q4_K: 0.002,
+    GGMLType.Q5_K: 0.002,
+    GGMLType.Q6_K: 0.002,
+}
+
+QUANT_TYPES = [
+    GGMLType.Q4_0,
+    GGMLType.Q4_1,
+    GGMLType.Q5_0,
+    GGMLType.Q5_1,
+    GGMLType.Q8_0,
+    GGMLType.Q4_K,
+    GGMLType.Q5_K,
+    GGMLType.Q6_K,
+]
+
+DEQUANT_ONLY_TYPES = [
+    GGMLType.Q2_K,
+    GGMLType.Q3_K,
+    GGMLType.IQ4_NL,
+    GGMLType.IQ4_XS,
+    GGMLType.Q8_K,
+]
+
+
+def synthetic_data(n: int, offset: float = 0.0) -> np.ndarray:
+    """cosine ramp like reference generate_data (test-quantize-fns.cpp:47)."""
+    i = np.arange(n, dtype=np.float32)
+    return (0.1 + 2.0 * np.cos(i + offset)).astype(np.float32)
+
+
+def array_rmse(a, b):
+    """sqrt(sum(diff^2))/n — matches reference array_rmse (test-quantize-fns.cpp:38)."""
+    d = a.astype(np.float64) - b.astype(np.float64)
+    return float(np.sqrt((d * d).sum()) / len(a))
+
+
+def rmse(a, b):
+    return float(np.sqrt(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)))
+
+
+@pytest.mark.parametrize("t", QUANT_TYPES)
+def test_round_trip_error(t):
+    n = 32 * 128  # reference test_size
+    x = synthetic_data(n)
+    raw = quantize(x, t)
+    assert raw.nbytes == n // GGML_TYPE_TRAITS[t].block_size * GGML_TYPE_TRAITS[t].type_size
+    y = dequantize(raw, t)
+    err = array_rmse(x, y)
+    assert err < TOTAL_ERROR[t], f"{t.name}: total quantization error {err}"
+
+
+def test_q8_K_round_trip():
+    x = synthetic_data(1024)
+    raw = quantize(x, GGMLType.Q8_K)
+    y = dequantize(raw, GGMLType.Q8_K)
+    assert rmse(x, y) < 0.01
+    # bsums must equal group sums of qs
+    from llama_cpp_dsp_tpu.quant.ref_numpy import DT, _blocks
+
+    b = _blocks(raw, GGMLType.Q8_K)
+    got = b["bsums"]
+    want = b["qs"].reshape(-1, 16, 16).astype(np.int32).sum(axis=2)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("t", QUANT_TYPES + DEQUANT_ONLY_TYPES)
+def test_dequant_zeros(t):
+    """All-zero input must survive quantize/dequant (guards div-by-zero paths)."""
+    tr = GGML_TYPE_TRAITS[t]
+    n = tr.block_size * 4
+    try:
+        raw = quantize(np.zeros(n, dtype=np.float32), t)
+    except NotImplementedError:
+        raw = np.zeros(n // tr.block_size * tr.type_size, dtype=np.uint8)
+    y = dequantize(raw, t)
+    assert y.shape == (n,)
+    assert np.all(np.isfinite(y))
+
+
+# ---------------------------------------------------------------------------
+# bit-exactness vs the reference gguf-py oracle
+# ---------------------------------------------------------------------------
+
+_gguf = reference_gguf_py()
+
+ORACLE_QUANT = [
+    GGMLType.Q4_0,
+    GGMLType.Q4_1,
+    GGMLType.Q5_0,
+    GGMLType.Q5_1,
+    GGMLType.Q8_0,
+]
+ORACLE_DEQUANT = ORACLE_QUANT + [
+    GGMLType.Q2_K,
+    GGMLType.Q3_K,
+    GGMLType.Q4_K,
+    GGMLType.Q5_K,
+    GGMLType.Q6_K,
+    GGMLType.IQ4_NL,
+    GGMLType.IQ4_XS,
+]
+
+
+@pytest.mark.skipif(_gguf is None, reason="reference gguf-py not available")
+@pytest.mark.parametrize("t", ORACLE_QUANT)
+def test_quantize_matches_oracle(t, rng):
+    x = rng.standard_normal(256 * 8).astype(np.float32)
+    ours = quantize(x, t)
+    theirs = _gguf.quants.quantize(x, _gguf.GGMLQuantizationType(int(t)))
+    np.testing.assert_array_equal(ours, theirs.view(np.uint8).reshape(-1))
+
+
+@pytest.mark.skipif(_gguf is None, reason="reference gguf-py not available")
+@pytest.mark.parametrize("t", ORACLE_DEQUANT)
+def test_dequantize_matches_oracle(t, rng):
+    tr = GGML_TYPE_TRAITS[t]
+    nb = 16
+    raw = rng.integers(0, 256, size=nb * tr.type_size, dtype=np.uint8)
+    # keep f16 scale fields finite: zero the exponent's top bit is overkill;
+    # instead build blocks from quantizing data when we can, else sanitize NaNs
+    x = rng.standard_normal(nb * tr.block_size).astype(np.float32)
+    try:
+        raw = quantize(x, t)
+    except NotImplementedError:
+        pass
+    ours = dequantize(raw, t)
+    theirs = _gguf.quants.dequantize(raw, _gguf.GGMLQuantizationType(int(t)))
+    ok = np.isfinite(theirs.reshape(-1))
+    np.testing.assert_array_equal(ours[ok], theirs.reshape(-1)[ok])
+
+
+@pytest.mark.skipif(_gguf is None, reason="reference gguf-py not available")
+@pytest.mark.parametrize(
+    "t",
+    [GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K],
+)
+def test_dequantize_kquants_random_bits(t, rng):
+    """Random packed bits (not from our quantizer) must decode identically."""
+    tr = GGML_TYPE_TRAITS[t]
+    raw = rng.integers(0, 256, size=64 * tr.type_size, dtype=np.uint8)
+    # zero the f16 super-scales' exponent top bits to avoid inf/NaN mismatch noise
+    ours = dequantize(raw, t)
+    theirs = _gguf.quants.dequantize(raw, _gguf.GGMLQuantizationType(int(t))).reshape(-1)
+    ok = np.isfinite(theirs) & (np.abs(theirs) < 1e30)
+    assert ok.mean() > 0.5
+    np.testing.assert_array_equal(ours[ok], theirs[ok])
