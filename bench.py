@@ -1,0 +1,85 @@
+"""Headline benchmark — decode tokens/s/chip on Llama-3-8B-shaped Q4_K_M.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = 132.19 t/s (reference llama-bench tg128, LLaMA-7B Q4_0 on the
+documented GPU config — BASELINE.md). Weights are synthetic packed Q4_K
+blocks (decode speed is weight-streaming-bound and value-independent).
+
+Run: python bench.py [--model tinyllama-1.1b] [--steps 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_TOKS = 132.19  # examples/llama-bench/README.md:83-87 (tg128 7B Q4_0)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="llama3-8b")
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--warmup", type=int, default=8)
+    ap.add_argument("--n-ctx", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
+    from llama_cpp_dsp_tpu.models.llama import forward
+    from llama_cpp_dsp_tpu.runtime.kv_cache import KVCache, causal_mask
+    from llama_cpp_dsp_tpu.tools.synth import CONFIGS, synth_params
+
+    cfg = CONFIGS[args.model]
+    print(f"bench: {args.model} Q4_K synth, {len(jax.devices())} device(s) "
+          f"[{jax.devices()[0].platform}]", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    params = synth_params(cfg, GGMLType.Q4_K, seed=0, tie=False)
+    params = jax.tree.map(jnp.asarray, params)
+    cache = KVCache.create(cfg.n_layers, args.batch, args.n_ctx, cfg.n_kv_heads, cfg.head_dim)
+    print(f"bench: params materialized in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    @jax.jit
+    def decode_step(params, cache, tokens, positions, n_past):
+        mask = causal_mask(positions, cache.capacity, n_past)
+        logits, cache = forward(params, cfg, tokens, positions, cache, n_past, mask)
+        return logits, cache
+
+    tokens = jnp.zeros((args.batch, 1), jnp.int32)
+
+    t0 = time.perf_counter()
+    n_past = 0
+    for i in range(args.warmup):
+        positions = jnp.full((args.batch, 1), n_past, jnp.int32)
+        logits, cache = decode_step(params, cache, tokens, positions, jnp.int32(n_past))
+        n_past += 1
+    jax.block_until_ready(logits)
+    print(f"bench: warmup ({args.warmup} steps) in {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        positions = jnp.full((args.batch, 1), n_past, jnp.int32)
+        logits, cache = decode_step(params, cache, tokens, positions, jnp.int32(n_past))
+        n_past += 1
+    jax.block_until_ready(logits)
+    dt = time.perf_counter() - t0
+    toks_per_sec = args.steps * args.batch / dt
+
+    print(json.dumps({
+        "metric": f"decode tokens/s/chip ({args.model} Q4_K, tg{args.steps})",
+        "value": round(toks_per_sec, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(toks_per_sec / BASELINE_TOKS, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,164 @@
+"""QTensor — TPU-device representation of GGUF block-quant weights.
+
+Design: instead of translating the reference's per-type kernel zoo
+(ggml/src/ggml-cuda/mmq.cuh, mmvq.cu), GGUF blocks are repacked at load time
+into a small family of structure-of-arrays layouts that
+(a) preserve the packed bit budget (decode is HBM-bandwidth-bound), and
+(b) dequantize bit-identically to ggml's dequantize_row_* semantics
+    (scales kept in their original f16/6-bit forms; effective scales are
+    computed in f32 inside the kernel exactly like the reference).
+
+Layouts (per 2-D weight [N, K], rows contiguous like ggml):
+- kind=q8_0 : qs int8 [N, K],   d  f16 [N, K/32]
+- kind=q4_0 : qs u8 [N, K/2],   d  f16 [N, K/32]                (x = d*(q-8))
+- kind=q4_1 : qs u8 [N, K/2],   d,m f16 [N, K/32]               (x = d*q+m)
+- kind=q5_0 : + qh u8 [N, K/8] high bits                        (x = d*(q-16))
+- kind=q5_1 : + qh                                              (x = d*q+m)
+- kind=q4_K : qs u8 [N, K/2], sc,mn u8 [N, S, 8], d,dmin f32 [N, S]
+              (S = K/256; x = (d*sc)*q - (dmin*mn), 32-elem groups)
+- kind=q5_K : + qh u8 [N, S, 32]  (bit g of byte l → element 32g+l)
+- kind=q6_K : ql u8 [N, K/2], qh u8 [N, K/4], sc i8 [N, S, 16], d f32 [N, S]
+              (x = d*sc*(q-32), 16-elem groups)
+- kind=f32/f16/bf16: dense array.
+
+Nibble packing is kept exactly as in the GGUF blocks; unpack rules live in
+`dequant_*` (quant/jax_dequant.py) and in the Pallas kernels.
+
+Q2_K/Q3_K/IQ* fall back to dense bf16 at load (capability preserved; packed
+kernels can be added per-kind later).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any
+
+import jax
+import numpy as np
+
+from ..gguf.constants import QK_K, GGMLType
+from ..quant import ref_numpy as refq
+
+# GGUF types that have a first-class packed device layout
+PACKED_KINDS = {
+    GGMLType.Q8_0,
+    GGMLType.Q4_0,
+    GGMLType.Q4_1,
+    GGMLType.Q5_0,
+    GGMLType.Q5_1,
+    GGMLType.Q4_K,
+    GGMLType.Q5_K,
+    GGMLType.Q6_K,
+}
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QTensor:
+    """Packed quantized 2-D tensor [N, K] (N = rows / output features)."""
+
+    kind: GGMLType
+    shape: tuple[int, int]
+    arrays: dict[str, Any] = field(default_factory=dict)
+    n_expert: int = 0  # >0: every field has a leading expert axis
+
+    def tree_flatten(self):
+        keys = tuple(sorted(self.arrays))
+        return tuple(self.arrays[k] for k in keys), (self.kind, self.shape, keys, self.n_expert)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kind, shape, keys, n_expert = aux
+        return cls(kind, shape, dict(zip(keys, children)), n_expert)
+
+    def __getitem__(self, k: str):
+        return self.arrays[k]
+
+    @property
+    def nbytes(self) -> int:
+        return sum(np.prod(a.shape) * a.dtype.itemsize for a in self.arrays.values())
+
+
+# ---------------------------------------------------------------------------
+# host-side repack: GGUF raw block bytes [N rows] → QTensor field arrays
+# ---------------------------------------------------------------------------
+
+
+def repack(raw: np.ndarray, kind: GGMLType, shape: tuple[int, ...]) -> QTensor:
+    """raw: uint8 packed GGUF data for a row-major [N, K] tensor."""
+    if len(shape) == 1:
+        shape = (1, shape[0])
+    assert len(shape) == 2, shape
+    n, k = shape
+    if kind == GGMLType.Q8_0:
+        b = refq._blocks(raw, kind)
+        return QTensor(kind, (n, k), {
+            "qs": b["qs"].reshape(n, k),
+            "d": b["d"].reshape(n, k // 32),
+        })
+    if kind in (GGMLType.Q4_0, GGMLType.Q4_1):
+        b = refq._blocks(raw, kind)
+        out = {"qs": b["qs"].reshape(n, k // 2), "d": b["d"].reshape(n, k // 32)}
+        if kind == GGMLType.Q4_1:
+            out["m"] = b["m"].reshape(n, k // 32)
+        return QTensor(kind, (n, k), out)
+    if kind in (GGMLType.Q5_0, GGMLType.Q5_1):
+        b = refq._blocks(raw, kind)
+        out = {
+            "qs": b["qs"].reshape(n, k // 2),
+            "qh": b["qh"].copy().view(np.uint8).reshape(n, k // 8),
+            "d": b["d"].reshape(n, k // 32),
+        }
+        if kind == GGMLType.Q5_1:
+            out["m"] = b["m"].reshape(n, k // 32)
+        return QTensor(kind, (n, k), out)
+    if kind in (GGMLType.Q4_K, GGMLType.Q5_K):
+        b = refq._blocks(raw, kind)
+        s = k // QK_K
+        sc, mn = refq.unpack_scale_min_k4(b["scales"])  # [nb, 8] uint8
+        out = {
+            "qs": b["qs"].reshape(n, k // 2),
+            "sc": sc.reshape(n, s, 8),
+            "mn": mn.reshape(n, s, 8),
+            "d": refq._f32(b["d"]).reshape(n, s),
+            "dmin": refq._f32(b["dmin"]).reshape(n, s),
+        }
+        if kind == GGMLType.Q5_K:
+            out["qh"] = b["qh"].reshape(n, s, 32)
+        return QTensor(kind, (n, k), out)
+    if kind == GGMLType.Q6_K:
+        b = refq._blocks(raw, kind)
+        s = k // QK_K
+        return QTensor(kind, (n, k), {
+            "ql": b["ql"].reshape(n, k // 2),
+            "qh": b["qh"].reshape(n, k // 4),
+            "sc": b["scales"].reshape(n, s, 16),
+            "d": refq._f32(b["d"]).reshape(n, s),
+        })
+    raise NotImplementedError(f"repack {kind.name}")
+
+
+def from_gguf_tensor(
+    raw: np.ndarray,
+    kind: GGMLType,
+    np_shape: tuple[int, ...],
+    *,
+    dense_dtype=np.float32,
+) -> QTensor | np.ndarray:
+    """Convert one GGUF tensor to a QTensor (packed kinds) or dense array.
+
+    np_shape is the row-major numpy shape (reversed ggml ne).
+    """
+    if kind == GGMLType.F32:
+        return refq.dequant_f32(raw).reshape(np_shape)
+    if kind == GGMLType.F16:
+        return np.ascontiguousarray(raw).view("<f2").reshape(np_shape)
+    if kind == GGMLType.BF16:
+        import ml_dtypes
+
+        return np.ascontiguousarray(raw).view(ml_dtypes.bfloat16).reshape(np_shape)
+    if kind in PACKED_KINDS and len(np_shape) in (1, 2):
+        return repack(raw, kind, np_shape)
+    # fallback: dequantize to dense (Q2_K/Q3_K/IQ*/...)
+    return refq.dequantize(raw, kind).reshape(np_shape).astype(dense_dtype)

@@ -1,0 +1,161 @@
+"""Decode engine — capability mirror of llama_context (src/llama-context.cpp).
+
+Owns device params + KV cache, jit-compiled prefill/decode step functions
+with shape bucketing (fixed-shape ubatches avoid recompilation, replacing
+the reference's per-graph alloc/sched), and the generate loop that drives
+the host-side sampler chain.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import forward
+from .kv_cache import KVCache, causal_mask
+from .loader import LoadedModel
+from .sampling import SamplerChain
+
+log = logging.getLogger(__name__)
+
+
+def _bucket(n: int, buckets: list[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclass
+class PerfCounters:
+    """llama_perf_context-style counters (reference include/llama.h:1403)."""
+
+    t_load_ms: float = 0.0
+    t_prefill_ms: float = 0.0
+    t_decode_ms: float = 0.0
+    n_prefill: int = 0
+    n_decode: int = 0
+
+    def report(self) -> str:
+        pp = self.n_prefill / self.t_prefill_ms * 1000 if self.t_prefill_ms else 0
+        tg = self.n_decode / self.t_decode_ms * 1000 if self.t_decode_ms else 0
+        return (
+            f"prefill: {self.n_prefill} tok in {self.t_prefill_ms:.1f} ms ({pp:.2f} t/s) | "
+            f"decode: {self.n_decode} tok in {self.t_decode_ms:.1f} ms ({tg:.2f} t/s)"
+        )
+
+
+class LlamaContext:
+    def __init__(
+        self,
+        model: LoadedModel,
+        *,
+        n_ctx: int = 2048,
+        n_batch: int = 1,
+        compute_dtype=jnp.bfloat16,
+        kv_dtype=jnp.bfloat16,
+        prefill_buckets: tuple[int, ...] = (32, 128, 512, 2048),
+        device=None,
+    ):
+        t0 = time.perf_counter()
+        self.cfg = model.cfg
+        self.vocab = model.vocab
+        self.tokenizer = model.tokenizer
+        self.n_ctx = min(n_ctx, 1 << 30)
+        self.n_batch = n_batch
+        self.compute_dtype = compute_dtype
+        self.prefill_buckets = [b for b in prefill_buckets if b <= self.n_ctx] or [self.n_ctx]
+        if device is not None:
+            self.params = jax.device_put(model.params, device)
+        else:
+            self.params = jax.tree.map(jnp.asarray, model.params)
+        self.cache = KVCache.create(
+            self.cfg.n_layers, n_batch, self.n_ctx, self.cfg.n_kv_heads,
+            self.cfg.head_dim, kv_dtype,
+        )
+        self.n_past = 0
+        self.perf = PerfCounters()
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def _step(params, cache, tokens, positions, n_past):
+            mask = causal_mask(positions, cache.capacity, n_past)
+            logits, cache = forward(
+                params, self.cfg, tokens, positions, cache, n_past, mask,
+                compute_dtype=compute_dtype,
+            )
+            return logits, cache
+
+        self._step = _step
+        self.perf.t_load_ms = (time.perf_counter() - t0) * 1000
+
+    # -- core ---------------------------------------------------------------
+    def reset(self) -> None:
+        self.n_past = 0
+
+    def eval_tokens(self, tokens: list[int]) -> np.ndarray:
+        """Feed tokens at the current position; returns logits of the LAST
+        real token [vocab]."""
+        n = len(tokens)
+        if n == 0:
+            raise ValueError("empty token batch")
+        if self.n_past + n > self.n_ctx:
+            raise RuntimeError(f"context overflow: {self.n_past}+{n} > {self.n_ctx}")
+        t0 = time.perf_counter()
+        if n == 1:
+            buf_t = jnp.asarray([[tokens[0]]], dtype=jnp.int32)
+            buf_p = jnp.asarray([[self.n_past]], dtype=jnp.int32)
+            logits, self.cache = self._step(self.params, self.cache, buf_t, buf_p,
+                                            jnp.int32(self.n_past))
+            out = np.asarray(logits[0, 0])
+            self.perf.t_decode_ms += (time.perf_counter() - t0) * 1000
+            self.perf.n_decode += 1
+        else:
+            tpad = _bucket(n, self.prefill_buckets)
+            if tpad < n:
+                # chunked prefill for long prompts
+                out = None
+                for i in range(0, n, tpad):
+                    out = self.eval_tokens(tokens[i : i + tpad])
+                return out
+            toks = np.zeros((1, tpad), np.int32)
+            toks[0, :n] = tokens
+            pos = np.full((1, tpad), self.n_past, np.int32)
+            pos[0, :n] = self.n_past + np.arange(n)
+            logits, self.cache = self._step(
+                self.params, self.cache, jnp.asarray(toks), jnp.asarray(pos),
+                jnp.int32(self.n_past),
+            )
+            out = np.asarray(logits[0, n - 1])
+            self.perf.t_prefill_ms += (time.perf_counter() - t0) * 1000
+            self.perf.n_prefill += n
+        self.n_past += n
+        return out
+
+    # -- generation ----------------------------------------------------------
+    def generate(
+        self,
+        prompt_tokens: list[int],
+        *,
+        max_new_tokens: int = 128,
+        sampler: SamplerChain | None = None,
+        stop_on_eog: bool = True,
+    ) -> Iterator[int]:
+        from .sampling import Greedy, SamplerChain as SC
+
+        sampler = sampler or SC([Greedy()])
+        logits = self.eval_tokens(list(prompt_tokens))
+        for _ in range(max_new_tokens):
+            token = sampler.sample(logits)
+            yield token
+            if stop_on_eog and self.vocab is not None and self.vocab.is_eog(token):
+                return
+            if self.n_past >= self.n_ctx:
+                return
+            logits = self.eval_tokens([token])

@@ -1,0 +1,70 @@
+"""KV cache (functional, fixed-capacity).
+
+Capability mirror of the reference's llama_kv_cache_unified
+(src/llama-kv-cache.h:70-199) redesigned for XLA: a fixed-shape ring of
+cells per layer that is functionally updated under jit (XLA turns the
+donated updates in-place). Cell metadata (positions, seq membership) lives
+in device arrays so masks are computed on device; the host-side engine
+(runtime/context.py) performs slot allocation and sequence surgery
+(seq_rm/cp/add/div) by rewriting the metadata arrays — the K/V payload never
+round-trips to host.
+
+V1 layout: one contiguous region per batch slot ([L, B, S, Hkv, D]). The
+paged multi-sequence unified cache (seq_id sets per cell) arrives with the
+batch engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class KVCache:
+    k: jax.Array  # [L, B, S, Hkv, D]
+    v: jax.Array  # [L, B, S, Hkv, D]
+
+    def tree_flatten(self):
+        return (self.k, self.v), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def create(cls, n_layers, n_batch, n_ctx, n_kv_heads, head_dim, dtype=jnp.bfloat16):
+        shape = (n_layers, n_batch, n_ctx, n_kv_heads, head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[2]
+
+    def write(self, layer: int, k_new: jax.Array, v_new: jax.Array, offset) -> "KVCache":
+        """Insert [B, T, Hkv, D] at [layer, :, offset:offset+T]."""
+        zero = jnp.zeros((), jnp.int32)
+        start = (zero + layer, zero, jnp.asarray(offset, jnp.int32), zero, zero)
+        k = jax.lax.dynamic_update_slice(self.k, k_new[None].astype(self.k.dtype), start)
+        v = jax.lax.dynamic_update_slice(self.v, v_new[None].astype(self.v.dtype), start)
+        return KVCache(k, v)
+
+    def layer(self, i: int) -> tuple[jax.Array, jax.Array]:
+        return self.k[i], self.v[i]
+
+
+def causal_mask(positions: jax.Array, n_kv: int, n_past) -> jax.Array:
+    """[B, T] query positions → [B, T, n_kv] bool mask.
+
+    Key cell j is attendable iff j < n_past + T (written) and j <= query pos.
+    Matches the reference's kq_mask for the unified cache with contiguous
+    slots (llm_graph_input_attn_kv_unified::set_input).
+    """
+    b, t = positions.shape
+    j = jnp.arange(n_kv)
+    written = j[None, None, :] < (jnp.asarray(n_past, jnp.int32) + t)
+    causal = j[None, None, :] <= positions[:, :, None]
+    return written & causal

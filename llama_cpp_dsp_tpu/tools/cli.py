@@ -1,0 +1,93 @@
+"""llama-cli equivalent: one-shot / interactive generation.
+
+Mirrors the behavior of reference examples/main/main.cpp (prompt handling,
+sampling flags, perf report). Usage:
+    python -m llama_cpp_dsp_tpu.tools.cli -m model.gguf -p "prompt" -n 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from ..runtime.context import LlamaContext
+from ..runtime.loader import load_model
+from ..runtime.sampling import make_chain
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="llama-cli", description=__doc__)
+    p.add_argument("-m", "--model", required=True, help="GGUF model path")
+    p.add_argument("-p", "--prompt", default="", help="prompt text")
+    p.add_argument("-n", "--n-predict", type=int, default=128)
+    p.add_argument("-c", "--ctx-size", type=int, default=2048)
+    p.add_argument("-s", "--seed", type=int, default=0)
+    p.add_argument("--temp", type=float, default=0.8)
+    p.add_argument("--top-k", type=int, default=40)
+    p.add_argument("--top-p", type=float, default=0.95)
+    p.add_argument("--min-p", type=float, default=0.05)
+    p.add_argument("--repeat-penalty", type=float, default=1.0)
+    p.add_argument("--repeat-last-n", type=int, default=64)
+    p.add_argument("--no-display-prompt", action="store_true")
+    p.add_argument("-i", "--interactive", action="store_true")
+    p.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    model = load_model(args.model)
+    print(f"loaded {args.model} ({model.cfg.arch}, {model.cfg.n_layers} layers, "
+          f"{model.n_bytes / 1e9:.2f} GB) in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    ctx = LlamaContext(
+        model,
+        n_ctx=args.ctx_size,
+        compute_dtype=jnp.float32 if args.compute_dtype == "float32" else jnp.bfloat16,
+    )
+    sampler = make_chain(
+        seed=args.seed,
+        temp=args.temp,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        min_p=args.min_p,
+        penalty_repeat=args.repeat_penalty,
+        penalty_last_n=args.repeat_last_n,
+    )
+
+    def run_once(prompt: str) -> None:
+        tok = model.tokenizer
+        ids = tok.encode(prompt, add_special=True, parse_special=True)
+        if not args.no_display_prompt:
+            sys.stdout.write(prompt)
+            sys.stdout.flush()
+        for t in ctx.generate(ids, max_new_tokens=args.n_predict, sampler=sampler):
+            piece = tok.token_to_piece(t, special=False)
+            sys.stdout.write(piece.decode("utf-8", errors="replace"))
+            sys.stdout.flush()
+        sys.stdout.write("\n")
+        print(ctx.perf.report(), file=sys.stderr)
+
+    if args.interactive:
+        print("interactive mode; empty line to quit", file=sys.stderr)
+        while True:
+            try:
+                line = input("> ")
+            except EOFError:
+                break
+            if not line:
+                break
+            ctx.reset()
+            sampler.reset()
+            run_once(line)
+    else:
+        run_once(args.prompt)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,131 @@
+"""Synthetic models: random packed QTensors with realistic shapes.
+
+Used by bench.py and __graft_entry__.py — performance and compile checks
+don't depend on weight values, and generating random packed bits is orders
+of magnitude faster than running the real quantizer fits over billions of
+parameters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..gguf.constants import GGML_TYPE_TRAITS, GGMLType
+from ..models.llama import LlamaConfig
+from ..ops.qtensor import QTensor, repack
+from ..ops.rope import RopeParams
+
+# flagship configs (shapes from the reference's target model zoo)
+LLAMA3_8B = LlamaConfig(
+    arch="llama", n_layers=32, n_embd=4096, n_heads=32, n_kv_heads=8, head_dim=128,
+    n_ff=14336, n_vocab=128256, n_ctx_train=8192, rms_eps=1e-5,
+    rope=RopeParams(n_dims=128, mode="norm", freq_base=500000.0),
+)
+TINYLLAMA_1B = LlamaConfig(
+    arch="llama", n_layers=22, n_embd=2048, n_heads=32, n_kv_heads=4, head_dim=64,
+    n_ff=5632, n_vocab=32000, n_ctx_train=2048, rms_eps=1e-5,
+    rope=RopeParams(n_dims=64, mode="norm", freq_base=10000.0),
+)
+LLAMA2_7B = LlamaConfig(
+    arch="llama", n_layers=32, n_embd=4096, n_heads=32, n_kv_heads=32, head_dim=128,
+    n_ff=11008, n_vocab=32000, n_ctx_train=4096, rms_eps=1e-5,
+    rope=RopeParams(n_dims=128, mode="norm", freq_base=10000.0),
+)
+MIXTRAL_8X7B = LlamaConfig(
+    arch="llama", n_layers=32, n_embd=4096, n_heads=32, n_kv_heads=8, head_dim=128,
+    n_ff=14336, n_vocab=32000, n_ctx_train=32768, rms_eps=1e-5,
+    rope=RopeParams(n_dims=128, mode="norm", freq_base=1000000.0),
+    n_expert=8, n_expert_used=2,
+)
+LLAMA3_70B = LlamaConfig(
+    arch="llama", n_layers=80, n_embd=8192, n_heads=64, n_kv_heads=8, head_dim=128,
+    n_ff=28672, n_vocab=128256, n_ctx_train=8192, rms_eps=1e-5,
+    rope=RopeParams(n_dims=128, mode="norm", freq_base=500000.0),
+)
+
+CONFIGS = {
+    "llama3-8b": LLAMA3_8B,
+    "tinyllama-1.1b": TINYLLAMA_1B,
+    "llama2-7b": LLAMA2_7B,
+    "mixtral-8x7b": MIXTRAL_8X7B,
+    "llama3-70b": LLAMA3_70B,
+}
+
+
+def tiny_config(**overrides) -> LlamaConfig:
+    base = dict(
+        arch="llama", n_layers=2, n_embd=256, n_heads=8, n_kv_heads=8, head_dim=32,
+        n_ff=512, n_vocab=512, n_ctx_train=512, rms_eps=1e-5,
+    )
+    base.update(overrides)
+    base.setdefault(
+        "rope", RopeParams(n_dims=base["head_dim"], mode="norm", freq_base=10000.0)
+    )
+    return LlamaConfig(**base)
+
+
+def synth_qtensor(
+    rng: np.random.Generator, kind: GGMLType, shape: tuple[int, ...]
+) -> QTensor:
+    """Random packed blocks with small finite scales (half-sane dequant)."""
+    n = int(np.prod(shape))
+    tr = GGML_TYPE_TRAITS[kind]
+    raw = rng.integers(0, 256, size=n // tr.block_size * tr.type_size, dtype=np.uint8)
+    if len(shape) == 3:
+        e, rows, k = shape
+        qt = repack(raw, kind, (e * rows, k))
+        arrays = {key: a.reshape(e, rows, *a.shape[1:]) for key, a in qt.arrays.items()}
+        qt = QTensor(kind, (rows, k), arrays, n_expert=e)
+    else:
+        qt = repack(raw, kind, shape)
+    # overwrite scale fields with small positive halves so activations stay finite
+    for name in ("d", "dmin", "m"):
+        if name in qt.arrays:
+            a = qt.arrays[name]
+            vals = (rng.random(a.shape, dtype=np.float32) * 0.02).astype(a.dtype)
+            qt.arrays[name] = vals
+    return qt
+
+
+def synth_params(cfg: LlamaConfig, kind: GGMLType, *, seed: int = 0, tie: bool = True):
+    rng = np.random.default_rng(seed)
+    c, ff, v = cfg.n_embd, cfg.n_ff, cfg.n_vocab
+    qdim = cfg.n_heads * cfg.head_dim
+    kvdim = cfg.n_kv_heads * cfg.head_dim
+
+    def q(*shape):
+        return synth_qtensor(rng, kind, shape)
+
+    def norm(dim):
+        return np.ones(dim, np.float32)
+
+    layers = []
+    for _ in range(cfg.n_layers):
+        layer = {
+            "attn_norm": norm(c),
+            "attn_q": q(qdim, c),
+            "attn_k": q(kvdim, c),
+            "attn_v": q(kvdim, c),
+            "attn_output": q(c, qdim),
+            "ffn_norm": norm(c),
+        }
+        if cfg.n_expert:
+            layer["ffn_gate_inp"] = (rng.standard_normal((cfg.n_expert, c)) * 0.02).astype(
+                np.float32
+            )
+            layer["ffn_gate_exps"] = q(cfg.n_expert, ff, c)
+            layer["ffn_up_exps"] = q(cfg.n_expert, ff, c)
+            layer["ffn_down_exps"] = q(cfg.n_expert, c, ff)
+        else:
+            layer["ffn_gate"] = q(ff, c)
+            layer["ffn_up"] = q(ff, c)
+            layer["ffn_down"] = q(c, ff)
+        layers.append(layer)
+    params = {
+        "token_embd": q(v, c),
+        "layers": layers,
+        "output_norm": norm(c),
+    }
+    if not tie:
+        params["output"] = q(v, c)
+    return params

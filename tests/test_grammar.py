@@ -1,0 +1,119 @@
+"""GBNF grammar engine tests — accept/reject vectors in the style of
+reference tests/test-grammar-integration.cpp and test-grammar-parser.cpp."""
+
+import pytest
+
+from llama_cpp_dsp_tpu.grammar.gbnf import GrammarError, decode_utf8, parse_gbnf
+
+
+def matches(grammar_text: str, s: str) -> bool:
+    g = parse_gbnf(grammar_text)
+    for cp in s:
+        before = list(g.stacks)
+        g.accept_char(ord(cp))
+        if not g.stacks:
+            return False
+    return any(len(st) == 0 for st in g.stacks)
+
+
+SIMPLE = 'root ::= "ab"'
+QUANTIFIERS = 'root ::= "a"* "b"+ "c"?'
+ALTS = 'root ::= ("a" | "b") ("x" | "y")*'
+RANGES = "root ::= [a-z]+ [0-9]{2,3}"
+NESTED = """
+root ::= expr
+expr ::= term ("+" term)*
+term ::= [0-9]+ | "(" expr ")"
+"""
+ANYCHAR = 'root ::= "<" .* ">"'
+NOT_RANGE = "root ::= [^ab]+"
+
+
+@pytest.mark.parametrize(
+    "grammar,accept,reject",
+    [
+        (SIMPLE, ["ab"], ["a", "abc", "ba", ""]),
+        (QUANTIFIERS, ["b", "ab", "aab", "abbc", "bc"], ["", "a", "ac", "cb"]),
+        (ALTS, ["a", "b", "ax", "byxy"], ["", "c", "xy", "aa"]),
+        (RANGES, ["abc12", "z123", "q99"], ["abc", "12", "abc1", "abc1234", "ABC12"]),
+        (NESTED, ["1", "12+3", "(1+2)+3", "((7))"], ["", "+", "1+", "(1", "1)"]),
+        (ANYCHAR, ["<>", "<abc>", "<a<b>"], ["<", "abc"]),
+        (NOT_RANGE, ["xyz", "c"], ["", "abc", "xay"]),
+    ],
+)
+def test_grammar_vectors(grammar, accept, reject):
+    for s in accept:
+        assert matches(grammar, s), f"should accept {s!r}"
+    for s in reject:
+        assert not matches(grammar, s), f"should reject {s!r}"
+
+
+def test_json_like_grammar():
+    g = """
+root ::= object
+object ::= "{" ws ( string ":" ws value ("," ws string ":" ws value)* )? "}" ws
+value ::= object | array | string | number | ("true" | "false" | "null") ws
+array ::= "[" ws ( value ("," ws value)* )? "]" ws
+string ::= "\\"" ( [^"\\\\\\x7F\\x00-\\x1F] )* "\\"" ws
+number ::= ("-"? ([0-9] | [1-9] [0-9]*)) ("." [0-9]+)? ([eE] [-+]? [0-9]+)? ws
+ws ::= [ \\t\\n]*
+"""
+    assert matches(g, "{}")
+    assert matches(g, '{"a": 1}')
+    assert matches(g, '{"a": [1, 2, "x"], "b": {"c": true}}')
+    assert not matches(g, "[1]")
+    assert not matches(g, '{"a": }')
+    assert not matches(g, '{a: 1}')
+
+
+def test_left_recursion_rejected():
+    with pytest.raises(GrammarError):
+        parse_gbnf('root ::= root "a" | "b"')
+
+
+def test_undefined_rule_rejected():
+    with pytest.raises(GrammarError):
+        parse_gbnf("root ::= missing")
+
+
+def test_missing_root_rejected():
+    with pytest.raises(GrammarError):
+        parse_gbnf('start ::= "a"')
+
+
+def test_repetition_bounds():
+    g = 'root ::= "a"{2,4}'
+    assert not matches(g, "a")
+    assert matches(g, "aa")
+    assert matches(g, "aaa")
+    assert matches(g, "aaaa")
+    assert not matches(g, "aaaaa")
+    g2 = 'root ::= "a"{3}'
+    assert matches(g2, "aaa")
+    assert not matches(g2, "aa")
+    assert not matches(g2, "aaaa")
+
+
+def test_utf8_chars():
+    g = 'root ::= "日本" [ぁ-ん]+'
+    assert matches(g, "日本ごは")
+    assert not matches(g, "日本XY")
+
+
+def test_decode_utf8_partial():
+    # "é" = 0xC3 0xA9 split across two pieces
+    cps, partial = decode_utf8(b"\xc3", (0, 0))
+    assert cps == [] and partial[1] == 1
+    cps, partial = decode_utf8(b"\xa9", partial)
+    assert cps == [0xE9] and partial == (0, 0)
+
+
+def test_token_rejection():
+    """reject_candidates masks pieces that can't continue the grammar."""
+    g = parse_gbnf('root ::= "hello" | "help"')
+    pieces = [(0, b"hel"), (1, b"xyz"), (2, b"hello"), (3, b"helps")]
+    rejected = g.reject_candidates(pieces)
+    assert 1 in rejected
+    assert 3 in rejected  # 'helps' overruns the grammar
+    assert 0 not in rejected
+    assert 2 not in rejected
