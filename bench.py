@@ -27,6 +27,9 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
+    from llama_cpp_dsp_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
     import jax
     import jax.numpy as jnp
 

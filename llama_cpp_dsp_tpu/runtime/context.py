@@ -40,6 +40,7 @@ class PerfCounters:
     t_load_ms: float = 0.0
     t_prefill_ms: float = 0.0
     t_decode_ms: float = 0.0
+    t_compile_ms: float = 0.0  # first-eval-per-shape (XLA compile) time
     n_prefill: int = 0
     n_decode: int = 0
 
@@ -48,7 +49,8 @@ class PerfCounters:
         tg = self.n_decode / self.t_decode_ms * 1000 if self.t_decode_ms else 0
         return (
             f"prefill: {self.n_prefill} tok in {self.t_prefill_ms:.1f} ms ({pp:.2f} t/s) | "
-            f"decode: {self.n_decode} tok in {self.t_decode_ms:.1f} ms ({tg:.2f} t/s)"
+            f"decode: {self.n_decode} tok in {self.t_decode_ms:.1f} ms ({tg:.2f} t/s) | "
+            f"compile: {self.t_compile_ms:.1f} ms"
         )
 
 
@@ -93,6 +95,7 @@ class LlamaContext:
             return logits, cache
 
         self._step = _step
+        self._seen_shapes: set[int] = set()
         self.perf.t_load_ms = (time.perf_counter() - t0) * 1000
 
     # -- core ---------------------------------------------------------------
@@ -109,13 +112,19 @@ class LlamaContext:
             raise RuntimeError(f"context overflow: {self.n_past}+{n} > {self.n_ctx}")
         t0 = time.perf_counter()
         if n == 1:
+            first = 1 not in self._seen_shapes
+            self._seen_shapes.add(1)
             buf_t = jnp.asarray([[tokens[0]]], dtype=jnp.int32)
             buf_p = jnp.asarray([[self.n_past]], dtype=jnp.int32)
             logits, self.cache = self._step(self.params, self.cache, buf_t, buf_p,
                                             jnp.int32(self.n_past))
             out = np.asarray(logits[0, 0])
-            self.perf.t_decode_ms += (time.perf_counter() - t0) * 1000
-            self.perf.n_decode += 1
+            dt = (time.perf_counter() - t0) * 1000
+            if first:
+                self.perf.t_compile_ms += dt
+            else:
+                self.perf.t_decode_ms += dt
+                self.perf.n_decode += 1
         else:
             tpad = _bucket(n, self.prefill_buckets)
             if tpad < n:
@@ -124,6 +133,8 @@ class LlamaContext:
                 for i in range(0, n, tpad):
                     out = self.eval_tokens(tokens[i : i + tpad])
                 return out
+            first = tpad not in self._seen_shapes
+            self._seen_shapes.add(tpad)
             toks = np.zeros((1, tpad), np.int32)
             toks[0, :n] = tokens
             pos = np.full((1, tpad), self.n_past, np.int32)
@@ -133,8 +144,12 @@ class LlamaContext:
                 jnp.int32(self.n_past),
             )
             out = np.asarray(logits[0, n - 1])
-            self.perf.t_prefill_ms += (time.perf_counter() - t0) * 1000
-            self.perf.n_prefill += n
+            dt = (time.perf_counter() - t0) * 1000
+            if first:
+                self.perf.t_compile_ms += dt
+            else:
+                self.perf.t_prefill_ms += dt
+                self.perf.n_prefill += n
         self.n_past += n
         return out
 

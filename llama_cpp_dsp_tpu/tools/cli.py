@@ -8,6 +8,7 @@ sampling flags, perf report). Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -37,10 +38,20 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
+    from ..utils.jax_setup import setup_jax
+
+    setup_jax()
     import jax.numpy as jnp
 
+    if not os.path.exists(args.model):
+        print(f"error: model file not found: {args.model}", file=sys.stderr)
+        return 1
     t0 = time.perf_counter()
-    model = load_model(args.model)
+    try:
+        model = load_model(args.model)
+    except Exception as e:
+        print(f"error: failed to load model: {e}", file=sys.stderr)
+        return 1
     print(f"loaded {args.model} ({model.cfg.arch}, {model.cfg.n_layers} layers, "
           f"{model.n_bytes / 1e9:.2f} GB) in {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
@@ -62,6 +73,12 @@ def main(argv=None) -> int:
     def run_once(prompt: str) -> None:
         tok = model.tokenizer
         ids = tok.encode(prompt, add_special=True, parse_special=True)
+        if len(ids) >= ctx.n_ctx:
+            print(
+                f"error: prompt is {len(ids)} tokens but context size is {ctx.n_ctx}",
+                file=sys.stderr,
+            )
+            return
         if not args.no_display_prompt:
             sys.stdout.write(prompt)
             sys.stdout.flush()
