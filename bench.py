@@ -25,6 +25,7 @@ def main() -> int:
     ap.add_argument("--warmup", type=int, default=8)
     ap.add_argument("--n-ctx", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--no-fused", action="store_true", help="disable Pallas kernels")
     args = ap.parse_args()
 
     from llama_cpp_dsp_tpu.utils.jax_setup import setup_jax
@@ -44,6 +45,21 @@ def main() -> int:
 
     t0 = time.perf_counter()
     params = synth_params(cfg, GGMLType.Q4_K, seed=0, tie=False)
+    if not args.no_fused:
+        from llama_cpp_dsp_tpu.ops.pallas.layouts import to_kernel_layout
+        from llama_cpp_dsp_tpu.ops.pallas.qmm import SUPPORTED_KINDS
+        from llama_cpp_dsp_tpu.ops.qtensor import QTensor
+
+        def conv(leaf):
+            if isinstance(leaf, QTensor) and leaf.kind in SUPPORTED_KINDS and not leaf.n_expert:
+                return to_kernel_layout(leaf)
+            return leaf
+
+        params["layers"] = [
+            {k: conv(v) for k, v in layer.items()} for layer in params["layers"]
+        ]
+        if params.get("output") is not None:
+            params["output"] = conv(params["output"])
     params = jax.tree.map(jnp.asarray, params)
     cache = KVCache.create(cfg.n_layers, args.batch, args.n_ctx, cfg.n_kv_heads, cfg.head_dim)
     print(f"bench: params materialized in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
@@ -56,13 +72,16 @@ def main() -> int:
 
     tokens = jnp.zeros((args.batch, 1), jnp.int32)
 
+    import numpy as np
+
     t0 = time.perf_counter()
     n_past = 0
     for i in range(args.warmup):
         positions = jnp.full((args.batch, 1), n_past, jnp.int32)
         logits, cache = decode_step(params, cache, tokens, positions, jnp.int32(n_past))
         n_past += 1
-    jax.block_until_ready(logits)
+    float(np.asarray(logits[0, 0, 0]))  # force execution (block_until_ready can
+    # return early through remote-relay PJRT backends)
     print(f"bench: warmup ({args.warmup} steps) in {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
 
@@ -71,7 +90,7 @@ def main() -> int:
         positions = jnp.full((args.batch, 1), n_past, jnp.int32)
         logits, cache = decode_step(params, cache, tokens, positions, jnp.int32(n_past))
         n_past += 1
-    jax.block_until_ready(logits)
+    float(np.asarray(logits[0, 0, 0]))  # forces the whole chained sequence
     dt = time.perf_counter() - t0
     toks_per_sec = args.steps * args.batch / dt
 

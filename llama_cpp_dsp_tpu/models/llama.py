@@ -187,11 +187,16 @@ def decode_layer(
     n_past,  # traced int scalar: write offset into the cache
     mask: jax.Array | None,
     compute_dtype,
+    tap=None,  # optional callable(name, activation) — imatrix/eval-callback
 ):
     b, t, c = x.shape
     h, hkv, d = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     attn_in = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+    if tap is not None:
+        tap(f"blk.{layer_idx}.attn_q.weight", attn_in)
+        tap(f"blk.{layer_idx}.attn_k.weight", attn_in)
+        tap(f"blk.{layer_idx}.attn_v.weight", attn_in)
     q = qmm(attn_in, layer["attn_q"], compute_dtype=compute_dtype)
     k = qmm(attn_in, layer["attn_k"], compute_dtype=compute_dtype)
     v = qmm(attn_in, layer["attn_v"], compute_dtype=compute_dtype)
@@ -217,13 +222,26 @@ def decode_layer(
 
     scale = 1.0 / (d**0.5)
     attn = attention(q, k_all, v_all, mask, scale).astype(compute_dtype)
+    if tap is not None:
+        tap(f"blk.{layer_idx}.attn_output.weight", attn)
     attn = qmm(attn, layer["attn_output"], compute_dtype=compute_dtype)
     x = x + attn
 
     ffn_in = rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
+    if tap is not None:
+        tap(f"blk.{layer_idx}.ffn_gate.weight", ffn_in)
+        tap(f"blk.{layer_idx}.ffn_up.weight", ffn_in)
     if cfg.n_expert > 0:
         ffn = ffn_moe(ffn_in, layer, cfg, compute_dtype)
     else:
+        if tap is not None:
+            gate = qmm(ffn_in, layer["ffn_gate"], compute_dtype=compute_dtype)
+            up = qmm(ffn_in, layer["ffn_up"], compute_dtype=compute_dtype)
+            h_act = (silu(gate) * up).astype(compute_dtype)
+            tap(f"blk.{layer_idx}.ffn_down.weight", h_act)
+            ffn = qmm(h_act, layer["ffn_down"], compute_dtype=compute_dtype)
+            x = x + ffn
+            return x, cache
         ffn = ffn_swiglu(ffn_in, layer, compute_dtype)
     x = x + ffn
     return x, cache
@@ -239,16 +257,19 @@ def forward(
     mask: jax.Array | None = None,  # [B, T, S] bool
     *,
     compute_dtype=jnp.bfloat16,
+    tap=None,
 ):
     """Returns (logits [B, T, n_vocab] f32, updated cache)."""
     x = take_rows(params["token_embd"], tokens, dtype=compute_dtype)
     for i, layer in enumerate(params["layers"]):
         x, cache = decode_layer(
-            x, layer, cfg, positions, cache, i, n_past, mask, compute_dtype
+            x, layer, cfg, positions, cache, i, n_past, mask, compute_dtype, tap
         )
     x = rms_norm(x, params["output_norm"], cfg.rms_eps)
     out_w = params.get("output")
     if out_w is None:
         out_w = params["token_embd"]
+    if tap is not None:
+        tap("output.weight", x)
     logits = qmm(x, out_w, compute_dtype=compute_dtype)
     return logits.astype(jnp.float32), cache

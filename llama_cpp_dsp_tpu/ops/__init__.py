@@ -21,10 +21,14 @@ Weight = QTensor | jax.Array
 def qmm(x: jax.Array, w: Weight, *, compute_dtype=jnp.bfloat16) -> jax.Array:
     """y = x @ W^T — ggml_mul_mat semantics (W is [N, K] row-major).
 
-    XLA path: dequantize W to compute_dtype and contract on the MXU with f32
-    accumulation. The Pallas fused path (ops/pallas) overrides this for the
-    packed kinds on TPU.
+    KernelWeights → fused Pallas dequant-matmul (packed weights streamed
+    from HBM); QTensor → XLA dequantize-then-contract; dense → plain MXU.
     """
+    from .pallas.layouts import KernelWeights
+    from .pallas.qmm import qmm_fused
+
+    if isinstance(w, KernelWeights):
+        return qmm_fused(x, w)
     if isinstance(w, QTensor):
         wmat = dequant(w, compute_dtype)
     else:

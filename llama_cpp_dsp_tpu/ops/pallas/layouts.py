@@ -1,0 +1,222 @@
+"""Kernel-side layouts for packed quant tensors.
+
+Two transforms make the Pallas kernels layout-clean on TPU:
+
+1. **Plane split** — nibble/bit unpacking yields lane-contiguous elements:
+   activations are split into matching planes (cheap reshapes of x) and the
+   dot is computed per plane (Σ_k w_k·x_k is permutation-invariant when w
+   and x are permuted together).
+
+2. **Tile-transpose** — per K-tile, plane positions are reordered from
+   [G, group] to [group, G] so that the per-32(16)-element scales broadcast
+   with a lane-tile repeat (`pltpu.repeat`), the only repeat Mosaic lowers
+   natively; element-order repeats/reshapes are unsupported shape casts.
+   With the transposed order, position p uses scale s[p mod G] — exactly
+   `pltpu.repeat(s, group)`.
+
+The K-tile width is fixed at layout time (KernelWeights.tile_k) and the
+runtime x preparation applies the identical permutation.
+
+Field summary (W [N, K] row-major; P = K/2 plane positions for 4/5-bit):
+- q8_0: qs i8 [N, K] (tile-transposed, group 32), s f32 [N, K/32]
+- q4_0/q4_1: qs u8 [N, P] (planes split at 16, transposed, group 16),
+  s (and m for q4_1) f32 [N, K/32]
+- q4_K/q5_K: qs u8 [N, P] (planes split at 32, transposed, group 32),
+  slo/shi/mlo/mhi f32 [N, K/64]; q5_K adds hlo/hhi bit-planes packed so
+  bit r of byte b is position r·(P_tile/8)+b (unpack = repeat + lane-shift)
+- q6_K: qla/qlb u8 [N, K/4] (quarter planes, transposed, group 16),
+  qh u8 [N, K/4] (same order), s1..s4 f32 [N, K/64]
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ...gguf.constants import GGMLType
+from ..qtensor import QTensor
+
+
+@jax.tree_util.register_pytree_node_class
+class KernelWeights:
+    """Plane-split, tile-transposed arrays consumed by the Pallas kernels."""
+
+    def __init__(self, kind: GGMLType, shape: tuple[int, int], arrays: dict, tile_k: int):
+        self.kind = kind
+        self.shape = shape
+        self.arrays = arrays
+        self.tile_k = tile_k
+
+    def tree_flatten(self):
+        keys = tuple(sorted(self.arrays))
+        return tuple(self.arrays[k] for k in keys), (self.kind, self.shape, keys, self.tile_k)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kind, shape, keys, tile_k = aux
+        return cls(kind, shape, dict(zip(keys, children)), tile_k)
+
+    @property
+    def nbytes(self) -> int:
+        return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in self.arrays.values())
+
+
+def default_tile_k(k: int, kind: GGMLType, want: int = 2048) -> int:
+    mult = 256 if kind in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K) else 32
+    t = min(want, k)
+    t = t // mult * mult
+    while t > mult and k % t:
+        t -= mult
+    return max(t, mult)
+
+
+def _tile_transpose_np(a: np.ndarray, tile_p: int, group: int) -> np.ndarray:
+    """[N, P_total] → per tile_p chunk, reorder [G, group] → [group, G]."""
+    n, p_total = a.shape
+    g = tile_p // group
+    return (
+        a.reshape(n, p_total // tile_p, g, group)
+        .transpose(0, 1, 3, 2)
+        .reshape(n, p_total)
+        .copy()
+    )
+
+
+def tile_transpose_x(x, tile_p: int, group: int):
+    """Runtime (jax) version of the same permutation for activations."""
+    import jax.numpy as jnp  # noqa: F401
+
+    shp = x.shape[:-1]
+    p_total = x.shape[-1]
+    g = tile_p // group
+    return (
+        x.reshape(*shp, p_total // tile_p, g, group)
+        .swapaxes(-1, -2)
+        .reshape(*shp, p_total)
+    )
+
+
+def _pack_bits_transposed(bits: np.ndarray, tile_p: int) -> np.ndarray:
+    """bits [N, P_total] (already in transposed position order) → packed
+    [N, P_total/8]: within each tile, bit r of byte b = position r*(P/8)+b."""
+    n, p_total = bits.shape
+    pb = tile_p // 8
+    b = bits.reshape(n, p_total // tile_p, 8, pb).astype(np.uint8)
+    out = np.zeros((n, p_total // tile_p, pb), dtype=np.uint8)
+    for r in range(8):
+        out |= b[:, :, r, :] << r
+    return out.reshape(n, p_total // 8)
+
+
+
+def _as_tiles(a: np.ndarray, nk: int) -> np.ndarray:
+    """[N, G_total] → [nk, N, G_total/nk] — narrow fields are blocked with a
+    leading k-tile axis so every Pallas block keeps its full (lane) width."""
+    n, g_total = a.shape
+    gt = g_total // nk
+    return np.ascontiguousarray(a.reshape(n, nk, gt).transpose(1, 0, 2))
+
+
+def to_kernel_layout(qt: QTensor, tile_k: int | None = None) -> KernelWeights:
+    n, k = qt.shape
+    kind = qt.kind
+    tile_k = tile_k or default_tile_k(k, kind)
+
+    nk = k // tile_k
+    if kind == GGMLType.Q8_0:
+        qs = _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_k, 32)
+        s = _as_tiles(qt["d"].astype(np.float32), nk)
+        return KernelWeights(kind, (n, k), {"qs": qs, "s": s}, tile_k)
+
+    if kind in (GGMLType.Q4_0, GGMLType.Q4_1):
+        tile_p = tile_k // 2
+        qs = _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_p, 16)
+        out = {"qs": qs, "s": _as_tiles(qt["d"].astype(np.float32), nk)}
+        if kind == GGMLType.Q4_1:
+            out["m"] = _as_tiles(qt["m"].astype(np.float32), nk)
+        return KernelWeights(kind, (n, k), out, tile_k)
+
+    if kind in (GGMLType.Q4_K, GGMLType.Q5_K):
+        tile_p = tile_k // 2
+        s_groups = qt["d"][:, :, None] * qt["sc"].astype(np.float32)  # [N,S,8]
+        m_groups = qt["dmin"][:, :, None] * qt["mn"].astype(np.float32)
+        out = {
+            "qs": _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_p, 32),
+            "slo": _as_tiles(np.ascontiguousarray(s_groups[:, :, 0::2].reshape(n, -1)), nk),
+            "shi": _as_tiles(np.ascontiguousarray(s_groups[:, :, 1::2].reshape(n, -1)), nk),
+            "mlo": _as_tiles(np.ascontiguousarray(m_groups[:, :, 0::2].reshape(n, -1)), nk),
+            "mhi": _as_tiles(np.ascontiguousarray(m_groups[:, :, 1::2].reshape(n, -1)), nk),
+        }
+        if kind == GGMLType.Q5_K:
+            qh = qt["qh"]  # [N, S, 32]; bit g of byte l → element 32g+l
+            g8 = np.arange(8)
+            bits = (qh[:, :, None, :] >> g8[None, None, :, None]) & 1  # [N,S,8,32]
+            lo_bits = bits[:, :, 0::2, :].reshape(n, -1)  # plane order [N, K/2]
+            hi_bits = bits[:, :, 1::2, :].reshape(n, -1)
+            lo_t = _tile_transpose_np(lo_bits.astype(np.uint8), tile_p, 32)
+            hi_t = _tile_transpose_np(hi_bits.astype(np.uint8), tile_p, 32)
+            out["hlo"] = _as_tiles(_pack_bits_transposed(lo_t, tile_p), nk)
+            out["hhi"] = _as_tiles(_pack_bits_transposed(hi_t, tile_p), nk)
+        return KernelWeights(kind, (n, k), out, tile_k)
+
+    if kind == GGMLType.Q6_K:
+        tile_p = tile_k // 4
+        ql = qt["ql"].reshape(n, -1, 2, 32)  # [N, K/128, {a,b}, 32]
+        qla = np.ascontiguousarray(ql[:, :, 0, :].reshape(n, k // 4))
+        qlb = np.ascontiguousarray(ql[:, :, 1, :].reshape(n, k // 4))
+        s_groups = qt["d"][:, :, None] * qt["sc"].astype(np.float32)  # [N,S,16]
+        sh = s_groups.reshape(n, k // 128, 8)
+        out = {
+            "qla": _tile_transpose_np(qla, tile_p, 16),
+            "qlb": _tile_transpose_np(qlb, tile_p, 16),
+            # qh bytes follow the qla/qlb byte positions (one byte per 4 elems,
+            # aligned with the 32-byte plane chunks) but gate 16-groups: the
+            # shifts differ per half-chunk, so split qh into per-plane 2-bit
+            # fields at load instead:
+        }
+        qh = qt["qh"]  # [N, K/4]
+        h1 = (qh & 3).astype(np.uint8)
+        h2 = ((qh >> 2) & 3).astype(np.uint8)
+        h3 = ((qh >> 4) & 3).astype(np.uint8)
+        h4 = ((qh >> 6) & 3).astype(np.uint8)
+        # repack two plane-high-fields per byte: plane a (q1,q3) and b (q2,q4)
+        out["qha"] = _tile_transpose_np(np.ascontiguousarray(h1 | (h3 << 4)), tile_p, 16)
+        out["qhb"] = _tile_transpose_np(np.ascontiguousarray(h2 | (h4 << 4)), tile_p, 16)
+        for i, idx in enumerate([(0, 1), (2, 3), (4, 5), (6, 7)]):
+            plane_s = np.ascontiguousarray(sh[:, :, list(idx)].reshape(n, -1))
+            out[f"s{i+1}"] = _as_tiles(plane_s, nk)
+        return KernelWeights(kind, (n, k), out, tile_k)
+
+    raise NotImplementedError(f"kernel layout for {kind.name}")
+
+
+# -- activation plane splits + tile transpose (jax) ---------------------------
+
+
+def prepare_x(x, kind: GGMLType, tile_k: int):
+    """Split x into format planes and apply the tile-transpose permutation."""
+    import jax.numpy as jnp
+
+    xb = x.astype(jnp.bfloat16)
+    shp = x.shape[:-1]
+    k = x.shape[-1]
+    if kind == GGMLType.Q8_0:
+        return (tile_transpose_x(xb, tile_k, 32),)
+    if kind in (GGMLType.Q4_0, GGMLType.Q4_1):
+        xr = xb.reshape(*shp, k // 32, 32)
+        lo = xr[..., :16].reshape(*shp, k // 2)
+        hi = xr[..., 16:].reshape(*shp, k // 2)
+        tp = tile_k // 2
+        return (tile_transpose_x(lo, tp, 16), tile_transpose_x(hi, tp, 16))
+    if kind in (GGMLType.Q4_K, GGMLType.Q5_K):
+        xr = xb.reshape(*shp, k // 64, 64)
+        lo = xr[..., :32].reshape(*shp, k // 2)
+        hi = xr[..., 32:].reshape(*shp, k // 2)
+        tp = tile_k // 2
+        return (tile_transpose_x(lo, tp, 32), tile_transpose_x(hi, tp, 32))
+    if kind == GGMLType.Q6_K:
+        xr = xb.reshape(*shp, k // 128, 4, 32)
+        quarters = [xr[..., i, :].reshape(*shp, k // 4) for i in range(4)]
+        tp = tile_k // 4
+        return tuple(tile_transpose_x(q, tp, 16) for q in quarters)
+    raise NotImplementedError(kind)

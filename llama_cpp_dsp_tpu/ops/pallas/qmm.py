@@ -1,0 +1,293 @@
+"""Fused dequant-matmul Pallas kernels (role of reference MMQ/MMVQ,
+ggml/src/ggml-cuda/mmq.cuh + mmvq.cu).
+
+y[B, N] = x[B, K] @ dequant(W)^T with W kept packed in HBM. One kernel
+template serves decode (B≤8 GEMV-ish) and prefill (B up to the tile size):
+grid (b, n, k); packed fields stream HBM→VMEM via the BlockSpec pipeline;
+nibbles unpack on the VPU into plane-ordered elements (see layouts.py);
+per-group f32 scales expand along lanes; the scaled bf16 tiles contract on
+the MXU with f32 accumulation in a scratch tile; K-quant mins fold into a
+separate small f32 GEMM against per-group activation sums.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...gguf.constants import GGMLType
+from .layouts import KernelWeights, prepare_x
+
+F32 = jnp.float32
+BF16 = jnp.bfloat16
+
+
+def _expand(s, factor: int):
+    """[TN, G] → [TN, G*factor] via lane-tile repeat: position p → s[p mod G].
+
+    The tile-transposed layouts (layouts.py) are arranged so this IS the
+    correct per-group broadcast; Mosaic lowers `pltpu.repeat` natively
+    (element-order repeats/reshapes are unsupported shape casts).
+    """
+    if _interpret_mode():
+        return jnp.concatenate([s] * factor, axis=-1)
+    return pltpu.repeat(s, factor, 1)
+
+
+def _unpack_bits(packed):
+    """[TN, P/8] → [TN, P] of 0/1 int32; bit r of byte b is position
+    r*(P/8)+b (see layouts._pack_bits_transposed)."""
+    rep = _expand(packed, 8).astype(jnp.int32)
+    pb = packed.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, rep.shape, rep.ndim - 1)
+    return (rep >> (lane // pb)) & 1
+
+
+import jax as _jax  # noqa: E402
+
+
+def _interpret_mode() -> bool:
+    return _jax.devices()[0].platform != "tpu"
+
+
+def _u8f32(v):
+    """uint8 → f32 via int32 (Mosaic lacks the direct cast)."""
+    return v.astype(jnp.int32).astype(F32)
+
+
+def _dot_xt_w(x, w):
+    """x [TB, TK] · w [TN, TK] → [TB, TN] (contract K, f32 accum)."""
+    return jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=F32
+    )
+
+
+# -- kernel bodies (one per kind family) -------------------------------------
+
+
+def _body_q8_0(acc, x, qs, s):
+    w = (qs.astype(jnp.int32).astype(F32) * _expand(s, 32)).astype(BF16)
+    acc[...] += _dot_xt_w(x, w)
+
+
+def _nibbles_i32(qs):
+    q = qs.astype(jnp.int32)
+    return q & 0x0F, (q >> 4) & 0x0F
+
+
+def _body_q4_0(acc, x_lo, x_hi, qs, s):
+    sf = _expand(s, 16)
+    lo, hi = _nibbles_i32(qs)
+    w_lo = ((lo.astype(F32) - 8.0) * sf).astype(BF16)
+    w_hi = ((hi.astype(F32) - 8.0) * sf).astype(BF16)
+    acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
+
+
+def _body_q4_1(acc, x_lo, x_hi, qs, s, m):
+    sf = _expand(s, 16)
+    mf = _expand(m, 16)
+    lo, hi = _nibbles_i32(qs)
+    w_lo = (lo.astype(F32) * sf + mf).astype(BF16)
+    w_hi = (hi.astype(F32) * sf + mf).astype(BF16)
+    acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
+
+
+def _body_q4_K(acc, x_lo, x_hi, qs, slo, shi, mlo, mhi):
+    lo, hi = _nibbles_i32(qs)
+    w_lo = (lo.astype(F32) * _expand(slo, 32) - _expand(mlo, 32)).astype(BF16)
+    w_hi = (hi.astype(F32) * _expand(shi, 32) - _expand(mhi, 32)).astype(BF16)
+    acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
+
+
+def _body_q5_K(acc, x_lo, x_hi, qs, slo, shi, mlo, mhi, hlo, hhi):
+    blo = _unpack_bits(hlo)
+    bhi = _unpack_bits(hhi)
+    lo, hi = _nibbles_i32(qs)
+    w_lo = (
+        (lo + blo * 16).astype(F32) * _expand(slo, 32) - _expand(mlo, 32)
+    ).astype(BF16)
+    w_hi = (
+        (hi + bhi * 16).astype(F32) * _expand(shi, 32) - _expand(mhi, 32)
+    ).astype(BF16)
+    acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
+
+
+def _body_q6_K(acc, x1, x2, x3, x4, a, b, ha, hb, s1, s2, s3, s4):
+    a = a.astype(jnp.int32)
+    b = b.astype(jnp.int32)
+    ha = ha.astype(jnp.int32)
+    hb = hb.astype(jnp.int32)
+    q1 = ((a & 0x0F) | ((ha & 3) << 4)) - 32
+    q2 = ((b & 0x0F) | ((hb & 3) << 4)) - 32
+    q3 = (((a >> 4) & 0x0F) | (((ha >> 4) & 3) << 4)) - 32
+    q4 = (((b >> 4) & 0x0F) | (((hb >> 4) & 3) << 4)) - 32
+    acc[...] += _dot_xt_w(x1, (q1.astype(F32) * _expand(s1, 16)).astype(BF16))
+    acc[...] += _dot_xt_w(x2, (q2.astype(F32) * _expand(s2, 16)).astype(BF16))
+    acc[...] += _dot_xt_w(x3, (q3.astype(F32) * _expand(s3, 16)).astype(BF16))
+    acc[...] += _dot_xt_w(x4, (q4.astype(F32) * _expand(s4, 16)).astype(BF16))
+
+
+_BODIES = {
+    GGMLType.Q8_0: _body_q8_0,
+    GGMLType.Q4_0: _body_q4_0,
+    GGMLType.Q4_1: _body_q4_1,
+    GGMLType.Q4_K: _body_q4_K,
+    GGMLType.Q5_K: _body_q5_K,
+    GGMLType.Q6_K: _body_q6_K,
+}
+
+# per-kind (x-input specs, weight-field order, K-divisor per field)
+_X_FIELDS = {
+    GGMLType.Q8_0: ("x",),
+    GGMLType.Q4_0: ("x_lo", "x_hi"),
+    GGMLType.Q4_1: ("x_lo", "x_hi"),
+    GGMLType.Q4_K: ("x_lo", "x_hi"),
+    GGMLType.Q5_K: ("x_lo", "x_hi"),
+    GGMLType.Q6_K: ("x1", "x2", "x3", "x4"),
+}
+_W_FIELDS = {
+    GGMLType.Q8_0: ("qs", "s"),
+    GGMLType.Q4_0: ("qs", "s"),
+    GGMLType.Q4_1: ("qs", "s", "m"),
+    GGMLType.Q4_K: ("qs", "slo", "shi", "mlo", "mhi"),
+    GGMLType.Q5_K: ("qs", "slo", "shi", "mlo", "mhi", "hlo", "hhi"),
+    GGMLType.Q6_K: ("qla", "qlb", "qha", "qhb", "s1", "s2", "s3", "s4"),
+}
+# divisor of K for each x field's last dim
+_X_DIV = {"x": 1, "x_lo": 2, "x_hi": 2, "xg": 32, "x1": 4, "x2": 4, "x3": 4, "x4": 4}
+
+
+def _kernel(kind, nk, *refs):
+    """Generic kernel: refs = (*x_refs, *w_refs, out_ref, acc_ref)."""
+    out_ref = refs[-2]
+    acc = refs[-1]
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    vals = [r[0] if r.ndim == 3 else r[...] for r in refs[:-2]]
+    body = _BODIES[kind]
+    body(acc, *vals)
+
+    @pl.when(k_idx == nk - 1)
+    def _():
+        out_ref[...] = acc[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "n", "k", "tile_b", "tile_n", "tile_k")
+)
+def _qmm_call(x_fields, w_fields, *, kind, n, k, tile_b, tile_n, tile_k):
+    b = x_fields[0].shape[0]
+    nb, nn, nk = b // tile_b, n // tile_n, k // tile_k
+    x_names = _X_FIELDS[kind]
+
+    in_specs = []
+    for name in x_names:
+        div = _X_DIV[name]
+        in_specs.append(
+            pl.BlockSpec(
+                (tile_b, tile_k // div),
+                lambda bi, ni, ki: (bi, ki),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    for name, arr in zip(_W_FIELDS[kind], w_fields):
+        if arr.ndim == 3:  # [nk, N, gt] narrow field: full-width lane blocks
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, tile_n, arr.shape[2]),
+                    lambda bi, ni, ki: (ki, ni, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        else:
+            in_specs.append(
+                pl.BlockSpec(
+                    (tile_n, arr.shape[1] // nk),
+                    lambda bi, ni, ki: (ni, ki),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+
+    out_spec = pl.BlockSpec(
+        (tile_b, tile_n), lambda bi, ni, ki: (bi, ni), memory_space=pltpu.VMEM
+    )
+    flops = 2 * b * n * k
+    bytes_accessed = sum(a.size * a.dtype.itemsize for a in w_fields) + x_fields[0].nbytes
+
+    interpret = _interpret_mode()
+    y = pl.pallas_call(
+        functools.partial(_kernel, kind, nk),
+        grid=(nb, nn, nk),
+        interpret=interpret,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n), F32),
+        scratch_shapes=[pltpu.VMEM((tile_b, tile_n), F32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=int(bytes_accessed), transcendentals=0
+        ),
+    )(*x_fields, *w_fields)
+    return y
+
+
+def qmm_fused(
+    x: jax.Array,  # [..., K]
+    kw: KernelWeights,
+    *,
+    tile_b: int = 0,
+    tile_n: int = 0,
+    tile_k: int = 0,
+) -> jax.Array:
+    """Fused y = x @ dequant(W)^T. Pads B to the tile, pads/validates N, K."""
+    n, k = kw.shape
+    lead = x.shape[:-1]
+    b_real = 1
+    for d in lead:
+        b_real *= d
+    x2 = x.reshape(b_real, k)
+
+    if tile_b == 0:
+        tile_b = 8 if b_real <= 8 else min(256, _round_up(b_real, 8))
+    if tile_n == 0:
+        tile_n = 256 if n % 256 == 0 else _largest_tile(n, 256)
+    # K tiling is baked into the layout's position permutation
+    tile_k = kw.tile_k
+
+    b_pad = _round_up(b_real, tile_b)
+    if b_pad != b_real:
+        x2 = jnp.pad(x2, ((0, b_pad - b_real), (0, 0)))
+
+    x_fields = prepare_x(x2, kw.kind, tile_k)
+    w_fields = tuple(kw.arrays[name] for name in _W_FIELDS[kw.kind])
+    y = _qmm_call(
+        x_fields, w_fields, kind=kw.kind, n=n, k=k,
+        tile_b=tile_b, tile_n=tile_n, tile_k=tile_k,
+    )
+    return y[:b_real].reshape(*lead, n)
+
+
+_KQ = {GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K}
+
+SUPPORTED_KINDS = frozenset(_BODIES)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _largest_tile(total: int, want: int, mult: int = 1) -> int:
+    t = min(want, total)
+    while t > mult and total % t:
+        t -= mult
+    return max(t, mult)

@@ -787,3 +787,192 @@ def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
     if fn is None:
         raise NotImplementedError(f"quantize {ggml_type.name}")
     return fn(np.ascontiguousarray(x, dtype=np.float32))
+
+
+# ---------------------------------------------------------------------------
+# imatrix-weighted quantization (reference quantize_row_*_impl with
+# quant_weights; weights w_j = qw_j * sqrt(sigma2 + x_j^2))
+# ---------------------------------------------------------------------------
+
+
+def _weighted_weights(x_rows: np.ndarray, qw: np.ndarray, sigma2: np.ndarray) -> np.ndarray:
+    return qw * np.sqrt(sigma2[:, None] + x_rows * x_rows).astype(F32)
+
+
+def make_qx_quants_weighted(x: np.ndarray, w: np.ndarray, nmax: int):
+    """make_qx_quants with explicit weights (qw branch)."""
+    x = _f32(x)
+    G, n = x.shape
+    aidx = np.argmax(np.abs(x), axis=1)
+    maxv = x[np.arange(G), aidx]
+    amax = np.abs(maxv)
+    dead = amax < GROUP_MAX_EPS
+    safe_max = np.where(dead, F32(1), maxv)
+
+    def fit(iscale):
+        l = np.clip(nearest_int(iscale[:, None] * x), -nmax, nmax - 1)
+        lf = l.astype(F32)
+        sumlx = (w * x * lf).sum(axis=1, dtype=np.float32)
+        suml2 = (w * lf * lf).sum(axis=1, dtype=np.float32)
+        return l, sumlx, suml2
+
+    iscale0 = (F32(-nmax) / safe_max).astype(F32)
+    L, sumlx, suml2 = fit(iscale0)
+    scale = np.where(suml2 != 0, sumlx / np.where(suml2 == 0, F32(1), suml2), F32(0)).astype(F32)
+    best = scale * sumlx
+    for is_ in range(-9, 10):
+        if is_ == 0:
+            continue
+        iscale = (-(F32(nmax) + F32(0.1) * F32(is_)) / safe_max).astype(F32)
+        l, sumlx_i, suml2_i = fit(iscale)
+        better = (suml2_i > 0) & (sumlx_i * sumlx_i > best * suml2_i)
+        L = np.where(better[:, None], l, L)
+        new_scale = np.where(
+            suml2_i == 0, F32(0), sumlx_i / np.where(suml2_i == 0, F32(1), suml2_i)
+        )
+        scale = np.where(better, new_scale, scale).astype(F32)
+        best = np.where(better, new_scale * sumlx_i, best).astype(F32)
+    L = (L + nmax).astype(np.uint8)
+    L = np.where(dead[:, None], np.uint8(nmax), L)
+    scale = np.where(dead, F32(0), scale)
+    return L, scale
+
+
+def quant_q4_0_weighted(x: np.ndarray, qw: np.ndarray, n_per_row: int) -> np.ndarray:
+    """quantize_row_q4_0_impl with quant_weights (ggml-quants.c)."""
+    x = _f32(x).reshape(-1, n_per_row)
+    rows, _ = x.shape
+    sigma2 = (x * x).sum(axis=1, dtype=np.float32) / F32(n_per_row)
+    xg = x.reshape(-1, 32)
+    qwg = np.broadcast_to(qw.reshape(1, -1), x.shape).reshape(-1, 32)
+    sig = np.repeat(sigma2, n_per_row // 32)
+    w = qwg * np.sqrt(sig[:, None] + xg * xg).astype(F32)
+    L, d = make_qx_quants_weighted(xg, w, 8)
+    out = np.zeros(len(xg), dtype=DT[GGMLType.Q4_0])
+    out["d"] = d.astype(np.float16)
+    out["qs"] = L[:, :16] | (L[:, 16:] << 4)
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_q6_K_weighted(x: np.ndarray, qw: np.ndarray, n_per_row: int) -> np.ndarray:
+    """quantize_row_q6_K_impl with quant_weights: make_qx_quants(…, qw)."""
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    groups = x.reshape(-1, 16)
+    qwg = np.broadcast_to(qw.reshape(1, -1), (nb * QK_K // n_per_row * n_per_row // QK_K, QK_K)) \
+        if False else np.tile(qw.reshape(-1, QK_K), (nb * QK_K // qw.size, 1))
+    wg = qwg.reshape(-1, 16).astype(F32)
+    Lq, scales = make_qx_quants_weighted(groups, wg, 32)
+    scales = scales.reshape(nb, 16)
+    aidx = np.argmax(np.abs(scales), axis=1)
+    max_scale = scales[np.arange(nb), aidx]
+    max_abs = np.abs(max_scale)
+    dead = max_abs < GROUP_MAX_EPS
+    safe_max = np.where(dead, F32(1), max_scale)
+    iscale = (F32(-128) / safe_max).astype(F32)
+    d = (F32(1) / iscale).astype(np.float16)
+    sc8 = np.minimum(127, nearest_int(iscale[:, None] * scales)).astype(np.int8)
+    dd = _f32(d)[:, None] * sc8.astype(F32)
+    xg = x.reshape(nb, 16, 16)
+    dd_safe = np.where(dd == 0, F32(1), dd)
+    L = np.clip(nearest_int(xg / dd_safe[:, :, None]), -32, 31) + 32
+    L = np.where((dd == 0)[:, :, None], Lq.reshape(nb, 16, 16), L).astype(np.uint8)
+    Lh = L.reshape(nb, 2, 128)
+    q1, q2, q3, q4 = Lh[:, :, 0:32], Lh[:, :, 32:64], Lh[:, :, 64:96], Lh[:, :, 96:128]
+    ql = np.concatenate(
+        [(q1 & 0x0F) | ((q3 & 0x0F) << 4), (q2 & 0x0F) | ((q4 & 0x0F) << 4)], axis=2
+    )
+    qh = (q1 >> 4) | ((q2 >> 4) << 2) | ((q3 >> 4) << 4) | ((q4 >> 4) << 6)
+    out = np.zeros(nb, dtype=DT[GGMLType.Q6_K])
+    out["ql"] = ql.reshape(nb, 128)
+    out["qh"] = qh.reshape(nb, 64)
+    out["scales"] = sc8
+    out["d"] = d
+    if dead.any():
+        out[dead] = np.zeros((), dtype=DT[GGMLType.Q6_K])
+    return out.view(np.uint8).reshape(-1)
+
+
+def quantize_weighted(
+    x: np.ndarray, ggml_type: GGMLType, qw: np.ndarray | None, n_per_row: int
+) -> np.ndarray:
+    """Quantize with optional imatrix importance weights (per-row-position).
+
+    Weighted paths implemented for Q4_0 and Q6_K faithfully; Q4_K/Q5_K use
+    the unweighted reference fit with imatrix-derived weights substituted in
+    make_qkx2 (the reference uses make_qkx3/make_qp_quants — a close but not
+    bit-identical fit). Other types fall back to the unweighted reference.
+    """
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    if qw is None:
+        return quantize(x, ggml_type)
+    qw = np.ascontiguousarray(qw, dtype=np.float32)
+    if ggml_type == GGMLType.Q4_0:
+        return quant_q4_0_weighted(x, qw, n_per_row)
+    if ggml_type == GGMLType.Q6_K:
+        return quant_q6_K_weighted(x, qw, n_per_row)
+    if ggml_type in (GGMLType.Q4_K, GGMLType.Q5_K):
+        nmax = 15 if ggml_type == GGMLType.Q4_K else 31
+        rows = x.reshape(-1, n_per_row)
+        sigma2 = F32(2) * (rows * rows).sum(axis=1, dtype=np.float32) / F32(QK_K)
+        xg = x.reshape(-1, 32)
+        qwg = np.tile(qw.reshape(-1), rows.shape[0])[: xg.size].reshape(-1, 32)
+        sig = np.repeat(sigma2, n_per_row // 32)
+        weights = qwg * np.sqrt(sig[:, None] + xg * xg).astype(F32)
+        # reuse the reference packing path with substituted weights
+        return _quant_k4_with_weights(x, weights, ggml_type, nmax)
+    return quantize(x, ggml_type)
+
+
+def _quant_k4_with_weights(x, weights, ggml_type, nmax):
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    groups = x.reshape(-1, 32)
+    if ggml_type == GGMLType.Q4_K:
+        Lq, scales, mins = make_qkx2_quants(groups, weights, 15, -0.9, 0.05, 36, False)
+    else:
+        Lq, scales, mins = make_qkx2_quants(groups, weights, 31, -0.9, 0.05, 36, False)
+    Lq = Lq.reshape(nb, 8, 32)
+    scales = scales.reshape(nb, 8)
+    mins = mins.reshape(nb, 8)
+    max_scale = scales.max(axis=1)
+    max_min = mins.max(axis=1)
+    inv_scale = np.where(
+        max_scale > 0, F32(63) / np.where(max_scale > 0, max_scale, F32(1)), F32(0)
+    ).astype(F32)
+    inv_min = np.where(
+        max_min > 0, F32(63) / np.where(max_min > 0, max_min, F32(1)), F32(0)
+    ).astype(F32)
+    ls = np.minimum(63, nearest_int(inv_scale[:, None] * scales)).astype(np.uint8)
+    lm = np.minimum(63, nearest_int(inv_min[:, None] * mins)).astype(np.uint8)
+    packed_scales = _pack_k4_scales(ls, lm)
+    d = (max_scale / F32(63)).astype(np.float16)
+    dmin = (max_min / F32(63)).astype(np.float16)
+    sc, mi = unpack_scale_min_k4(packed_scales)
+    dd = _f32(d)[:, None] * sc.astype(F32)
+    dm = _f32(dmin)[:, None] * mi.astype(F32)
+    xg = x.reshape(nb, 8, 32)
+    dd_safe = np.where(dd == 0, F32(1), dd)
+    L = np.clip(nearest_int((xg + dm[:, :, None]) / dd_safe[:, :, None]), 0, nmax)
+    L = np.where((dd == 0)[:, :, None], Lq, L).astype(np.uint8)
+    if ggml_type == GGMLType.Q4_K:
+        Lp = L.reshape(nb, 4, 2, 32)
+        out = np.zeros(nb, dtype=DT[GGMLType.Q4_K])
+        out["d"] = d
+        out["dmin"] = dmin
+        out["scales"] = packed_scales
+        out["qs"] = (Lp[:, :, 0, :] | (Lp[:, :, 1, :] << 4)).reshape(nb, 128)
+        return out.view(np.uint8).reshape(-1)
+    Lp = L.reshape(nb, 4, 2, 32)
+    lo = Lp & 0x0F
+    hi = (Lp >> 4) & 1
+    out = np.zeros(nb, dtype=DT[GGMLType.Q5_K])
+    out["d"] = d
+    out["dmin"] = dmin
+    out["scales"] = packed_scales
+    out["qs"] = (lo[:, :, 0, :] | (lo[:, :, 1, :] << 4)).reshape(nb, 128)
+    qh = np.zeros((nb, 32), dtype=np.uint8)
+    for c in range(4):
+        qh |= (hi[:, c, 0, :] << (2 * c)) | (hi[:, c, 1, :] << (2 * c + 1))
+    out["qh"] = qh
+    return out.view(np.uint8).reshape(-1)

@@ -33,6 +33,34 @@ def _bucket(n: int, buckets: list[int]) -> int:
     return buckets[-1]
 
 
+def _convert_to_kernel_weights(model: LoadedModel) -> LoadedModel:
+    """Swap matmul QTensors for fused-kernel layouts (token_embd stays a
+    QTensor: it feeds the packed row-gather; expert tensors stay on the XLA
+    path for now)."""
+    import dataclasses
+
+    from ..ops.pallas.layouts import to_kernel_layout
+    from ..ops.pallas.qmm import SUPPORTED_KINDS
+    from ..ops.qtensor import QTensor
+
+    def conv(leaf):
+        if (
+            isinstance(leaf, QTensor)
+            and leaf.kind in SUPPORTED_KINDS
+            and leaf.n_expert == 0
+        ):
+            return to_kernel_layout(leaf)
+        return leaf
+
+    params = dict(model.params)
+    params["layers"] = [
+        {k: conv(v) for k, v in layer.items()} for layer in params["layers"]
+    ]
+    if "output" in params and params["output"] is not None:
+        params["output"] = conv(params["output"])
+    return dataclasses.replace(model, params=params)
+
+
 @dataclass
 class PerfCounters:
     """llama_perf_context-style counters (reference include/llama.h:1403)."""
@@ -65,8 +93,13 @@ class LlamaContext:
         kv_dtype=jnp.bfloat16,
         prefill_buckets: tuple[int, ...] = (32, 128, 512, 2048),
         device=None,
+        use_pallas: bool | None = None,
     ):
         t0 = time.perf_counter()
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        if use_pallas:
+            model = _convert_to_kernel_weights(model)
         self.cfg = model.cfg
         self.vocab = model.vocab
         self.tokenizer = model.tokenizer

@@ -1,0 +1,70 @@
+"""Fused Pallas dequant-matmul vs the XLA dequant path (test-backend-ops
+style: per-op NMSE tolerance against the reference device)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from llama_cpp_dsp_tpu.gguf import GGMLType
+from llama_cpp_dsp_tpu.ops.qtensor import from_gguf_tensor
+from llama_cpp_dsp_tpu.ops.pallas.layouts import to_kernel_layout
+from llama_cpp_dsp_tpu.ops.pallas.qmm import qmm_fused
+from llama_cpp_dsp_tpu.quant import quantize
+from llama_cpp_dsp_tpu.quant.jax_dequant import dequant
+
+KINDS = [
+    GGMLType.Q8_0,
+    GGMLType.Q4_0,
+    GGMLType.Q4_1,
+    GGMLType.Q4_K,
+    GGMLType.Q5_K,
+    GGMLType.Q6_K,
+]
+
+
+def nmse(got, want):
+    d = got.astype(np.float64) - want.astype(np.float64)
+    denom = (want.astype(np.float64) ** 2).mean() + 1e-12
+    return float((d * d).mean() / denom)
+
+
+@pytest.mark.parametrize("kind", KINDS)
+@pytest.mark.parametrize("b", [1, 5])
+def test_qmm_fused_matches_xla(kind, b, rng):
+    n, k = 256, 512
+    w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    raw = quantize(w, kind)
+    qt = from_gguf_tensor(raw, kind, (n, k))
+    kw = to_kernel_layout(qt)
+    x = rng.standard_normal((b, k)).astype(np.float32)
+
+    # exact f32 reference; 5e-4 NMSE matches reference test-backend-ops
+    # MUL_MAT tolerance (tests/test-backend-ops.cpp:333)
+    wd = np.asarray(dequant(qt, jnp.float32))
+    want = x @ wd.T
+    got = np.asarray(qmm_fused(jnp.asarray(x), kw, tile_b=8, tile_n=128, tile_k=256))
+    assert got.shape == (b, n)
+    err = nmse(got, want)
+    assert err < 5e-4, f"{kind.name}: NMSE {err}"
+    # and the fused path must be no worse than the XLA bf16 dequant path
+    xla = np.asarray(
+        jnp.einsum(
+            "bk,nk->bn",
+            jnp.asarray(x, jnp.bfloat16),
+            jnp.asarray(dequant(qt, jnp.bfloat16)),
+            preferred_element_type=jnp.float32,
+        )
+    )
+    assert err < 4 * max(nmse(xla, want), 1e-7), f"{kind.name}: fused {err} vs xla {nmse(xla, want)}"
+
+
+def test_qmm_3d_input(rng):
+    n, k = 128, 256
+    w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    qt = from_gguf_tensor(quantize(w, GGMLType.Q8_0), GGMLType.Q8_0, (n, k))
+    kw = to_kernel_layout(qt)
+    x = rng.standard_normal((2, 3, k)).astype(np.float32)
+    y = np.asarray(qmm_fused(jnp.asarray(x), kw, tile_b=8, tile_n=128, tile_k=256))
+    assert y.shape == (2, 3, n)
+    want = x.reshape(6, k) @ np.asarray(dequant(qt, jnp.float32)).T
+    assert nmse(y, want.reshape(2, 3, n)) < 1e-4
