@@ -11,6 +11,7 @@ Run: python bench.py [--model tinyllama-1.1b] [--steps 64]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -26,6 +27,8 @@ def main() -> int:
     ap.add_argument("--n-ctx", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--no-fused", action="store_true", help="disable Pallas kernels")
+    ap.add_argument("--scan", action="store_true",
+                    help="run decode steps inside one on-device loop")
     args = ap.parse_args()
 
     from llama_cpp_dsp_tpu.utils.jax_setup import setup_jax
@@ -70,28 +73,54 @@ def main() -> int:
         logits, cache = forward(params, cfg, tokens, positions, cache, n_past, mask)
         return logits, cache
 
+    @functools.partial(jax.jit, static_argnames=("steps",), donate_argnums=(1,))
+    def decode_scan(params, cache, tokens, n_past0, steps):
+        """steps decode iterations in one dispatch (greedy-feedback chained):
+        isolates on-chip throughput from host/relay per-step latency."""
+
+        def body(i, carry):
+            cache, toks, n_past = carry
+            positions = jnp.broadcast_to(n_past[None, None], toks.shape).astype(jnp.int32)
+            mask = causal_mask(positions, cache.capacity, n_past)
+            logits, cache = forward(params, cfg, toks, positions, cache, n_past, mask)
+            nxt = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+            return cache, nxt, n_past + 1
+
+        cache, toks, _ = jax.lax.fori_loop(0, steps, body, (cache, tokens, n_past0))
+        return cache, toks
+
     tokens = jnp.zeros((args.batch, 1), jnp.int32)
 
     import numpy as np
 
     t0 = time.perf_counter()
     n_past = 0
-    for i in range(args.warmup):
-        positions = jnp.full((args.batch, 1), n_past, jnp.int32)
-        logits, cache = decode_step(params, cache, tokens, positions, jnp.int32(n_past))
-        n_past += 1
-    float(np.asarray(logits[0, 0, 0]))  # force execution (block_until_ready can
-    # return early through remote-relay PJRT backends)
-    print(f"bench: warmup ({args.warmup} steps) in {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr)
+    if not args.scan:  # scan mode compiles its own program on the first call
+        for i in range(args.warmup):
+            positions = jnp.full((args.batch, 1), n_past, jnp.int32)
+            logits, cache = decode_step(params, cache, tokens, positions, jnp.int32(n_past))
+            n_past += 1
+        float(np.asarray(logits[0, 0, 0]))  # force execution (block_until_ready
+        # can return early through remote-relay PJRT backends)
+        print(f"bench: warmup ({args.warmup} steps) in {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
 
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        positions = jnp.full((args.batch, 1), n_past, jnp.int32)
-        logits, cache = decode_step(params, cache, tokens, positions, jnp.int32(n_past))
-        n_past += 1
-    float(np.asarray(logits[0, 0, 0]))  # forces the whole chained sequence
-    dt = time.perf_counter() - t0
+    if args.scan:
+        cache, toks = decode_scan(params, cache, tokens, jnp.int32(n_past), args.steps)
+        int(np.asarray(toks[0, 0]))  # compile + warm
+        t0 = time.perf_counter()
+        cache, toks = decode_scan(params, cache, toks, jnp.int32(n_past + args.steps),
+                                  args.steps)
+        int(np.asarray(toks[0, 0]))
+        dt = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            positions = jnp.full((args.batch, 1), n_past, jnp.int32)
+            logits, cache = decode_step(params, cache, tokens, positions, jnp.int32(n_past))
+            n_past += 1
+        float(np.asarray(logits[0, 0, 0]))  # forces the whole chained sequence
+        dt = time.perf_counter() - t0
     toks_per_sec = args.steps * args.batch / dt
 
     print(json.dumps({

@@ -1,0 +1,340 @@
+"""Continuous-batching engine.
+
+Capability mirror of the reference server's slot machinery
+(examples/server/server.cpp:2847 update_slots + src/llama-batch.cpp):
+N fixed slots share one batched KV cache; prompt processing is chunked
+(bucketed shapes, one slot at a time, written into the slot's cache region);
+all generating slots decode together in a single [B, 1] step per iteration;
+sampling/stop handling is host-side per slot.
+
+The ggml_backend_sched + per-graph allocation of the reference dissolve
+into two jitted programs (prefill, batched-decode) over fixed shapes.
+"""
+
+from __future__ import annotations
+
+import enum
+import logging
+import queue
+import threading
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import forward
+from .kv_cache import KVCache
+from .loader import LoadedModel
+from .sampling import SamplerChain, make_chain
+
+log = logging.getLogger(__name__)
+
+
+class SlotState(enum.Enum):
+    FREE = "free"
+    PROMPT = "prompt"
+    GENERATING = "generating"
+
+
+@dataclass
+class Request:
+    rid: int
+    prompt_tokens: list[int]
+    max_new_tokens: int = 128
+    sampler: SamplerChain | None = None
+    stop_tokens: set[int] = field(default_factory=set)
+    stop_strings: list[str] = field(default_factory=list)
+    stream_cb: Callable[[int, dict], None] | None = None  # (rid, event)
+    echo: bool = False
+    # filled by the engine
+    result_tokens: list[int] = field(default_factory=list)
+    done: threading.Event = field(default_factory=threading.Event)
+    error: str | None = None
+    stop_reason: str = ""
+    t_start: float = 0.0
+    t_first_token: float = 0.0
+    t_end: float = 0.0
+
+    @property
+    def n_prompt(self) -> int:
+        return len(self.prompt_tokens)
+
+
+@dataclass
+class _Slot:
+    idx: int
+    state: SlotState = SlotState.FREE
+    req: Request | None = None
+    n_past: int = 0
+    prompt_pos: int = 0  # tokens of the prompt already processed
+    last_token: int = -1
+    generated: int = 0
+    decoded_text_len: int = 0
+
+
+class Engine:
+    """Owns device state; drive with submit() + run loop (or step() manually)."""
+
+    def __init__(
+        self,
+        model: LoadedModel,
+        *,
+        n_slots: int = 4,
+        n_ctx_per_slot: int = 1024,
+        compute_dtype=jnp.bfloat16,
+        kv_dtype=jnp.bfloat16,
+        prefill_buckets: tuple[int, ...] = (32, 128, 512),
+        use_pallas: bool | None = None,
+    ):
+        from .context import _convert_to_kernel_weights
+
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        if use_pallas:
+            model = _convert_to_kernel_weights(model)
+        self.model = model
+        self.cfg = model.cfg
+        self.vocab = model.vocab
+        self.tokenizer = model.tokenizer
+        self.n_slots = n_slots
+        self.n_ctx = n_ctx_per_slot
+        self.prefill_buckets = [b for b in prefill_buckets if b <= n_ctx_per_slot] or [
+            n_ctx_per_slot
+        ]
+        self.params = jax.tree.map(jnp.asarray, model.params)
+        cfg = self.cfg
+        self.cache = KVCache.create(
+            cfg.n_layers, n_slots, n_ctx_per_slot, cfg.n_kv_heads, cfg.head_dim, kv_dtype
+        )
+        self.compute_dtype = compute_dtype
+        self.slots = [_Slot(i) for i in range(n_slots)]
+        self.queue: queue.Queue[Request] = queue.Queue()
+        self._rid = 0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        # metrics (reference server.cpp /metrics)
+        self.metrics = {
+            "prompt_tokens_total": 0,
+            "tokens_predicted_total": 0,
+            "n_requests": 0,
+            "n_errors": 0,
+            "deferred": 0,
+        }
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def _prefill(params, cache, tokens, positions, slot, n_past):
+            """Single-slot chunked prefill: tokens [1, T] written into the
+            slot's cache rows; returns last-token logits."""
+            mask = _slot_mask(positions, cache.capacity, n_past)
+            sl = jnp.asarray(slot, jnp.int32)
+            sub = KVCache(
+                jax.lax.dynamic_slice_in_dim(cache.k, sl, 1, axis=1),
+                jax.lax.dynamic_slice_in_dim(cache.v, sl, 1, axis=1),
+            )
+            logits, sub = forward(
+                params, self.cfg, tokens, positions, sub, n_past, mask,
+                compute_dtype=self.compute_dtype,
+            )
+            k = jax.lax.dynamic_update_slice_in_dim(cache.k, sub.k, sl, axis=1)
+            v = jax.lax.dynamic_update_slice_in_dim(cache.v, sub.v, sl, axis=1)
+            return logits, KVCache(k, v)
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def _decode(params, cache, tokens, positions, active):
+            """Batched one-token decode for all slots; `active` masks unused
+            slots. tokens/positions [B, 1]; per-slot KV writes at positions."""
+            mask = _slot_mask(positions, cache.capacity, None)
+            mask = mask & active[:, None, None]
+            logits, cache = forward(
+                params, self.cfg, tokens, positions, cache,
+                positions[:, 0], mask, compute_dtype=self.compute_dtype,
+            )
+            return logits, cache
+
+        self._prefill_fn = _prefill
+        self._decode_fn = _decode
+
+    # -- request API --------------------------------------------------------
+    def submit(self, req: Request) -> Request:
+        with self._lock:
+            self._rid += 1
+            req.rid = self._rid
+        req.t_start = time.perf_counter()
+        self.metrics["n_requests"] += 1
+        self.queue.put(req)
+        return req
+
+    def generate_sync(self, prompt_tokens: list[int], **kw) -> Request:
+        req = Request(0, list(prompt_tokens), **kw)
+        self.submit(req)
+        if self._thread is None:
+            while not req.done.is_set():
+                self.step()
+        else:
+            req.done.wait()
+        return req
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            if not self.step():
+                try:
+                    req = self.queue.get(timeout=0.05)
+                    self.queue.put(req)  # step() will pick it up
+                except queue.Empty:
+                    pass
+
+    # -- engine core ----------------------------------------------------------
+    def _assign_slots(self) -> None:
+        for slot in self.slots:
+            if slot.state != SlotState.FREE:
+                continue
+            try:
+                req = self.queue.get_nowait()
+            except queue.Empty:
+                return
+            if req.n_prompt >= self.n_ctx:
+                req.error = f"prompt ({req.n_prompt} tokens) exceeds slot context {self.n_ctx}"
+                self.metrics["n_errors"] += 1
+                req.done.set()
+                continue
+            slot.state = SlotState.PROMPT
+            slot.req = req
+            slot.n_past = 0
+            slot.prompt_pos = 0
+            slot.generated = 0
+            slot.decoded_text_len = 0
+            if req.sampler is None:
+                req.sampler = make_chain(temp=0.0)
+            log.info("slot %d: rid=%d prompt=%d tokens", slot.idx, req.rid, req.n_prompt)
+
+    def step(self) -> bool:
+        """One engine iteration. Returns True if any work was done."""
+        self._assign_slots()
+        worked = False
+
+        # 1. prompt processing — one chunk per iteration per slot
+        for slot in self.slots:
+            if slot.state != SlotState.PROMPT:
+                continue
+            req = slot.req
+            remaining = req.prompt_tokens[slot.prompt_pos :]
+            bucket = self._bucket(len(remaining))
+            chunk = remaining[:bucket]
+            logits = self._prefill_slot(slot, chunk)
+            slot.prompt_pos += len(chunk)
+            slot.n_past += len(chunk)
+            self.metrics["prompt_tokens_total"] += len(chunk)
+            worked = True
+            if slot.prompt_pos >= req.n_prompt:
+                token = req.sampler.sample(logits)
+                req.t_first_token = time.perf_counter()
+                slot.state = SlotState.GENERATING
+                self._emit_token(slot, token)
+
+        # 2. batched decode for all generating slots
+        gen = [s for s in self.slots if s.state == SlotState.GENERATING]
+        if gen:
+            tokens = np.zeros((self.n_slots, 1), np.int32)
+            positions = np.zeros((self.n_slots, 1), np.int32)
+            active = np.zeros(self.n_slots, bool)
+            for s in gen:
+                tokens[s.idx, 0] = s.last_token
+                positions[s.idx, 0] = s.n_past
+                active[s.idx] = True
+            logits, self.cache = self._decode_fn(
+                self.params, self.cache, jnp.asarray(tokens), jnp.asarray(positions),
+                jnp.asarray(active),
+            )
+            logits_np = np.asarray(logits)
+            for s in gen:
+                s.n_past += 1
+                token = s.req.sampler.sample(logits_np[s.idx, 0])
+                self._emit_token(s, token)
+            worked = True
+        return worked
+
+    def _bucket(self, n: int) -> int:
+        for b in self.prefill_buckets:
+            if n <= b:
+                return b
+        return self.prefill_buckets[-1]
+
+    def _prefill_slot(self, slot: _Slot, chunk: list[int]) -> np.ndarray:
+        n = len(chunk)
+        tpad = self._bucket(n)
+        toks = np.zeros((1, tpad), np.int32)
+        toks[0, :n] = chunk
+        pos = np.full((1, tpad), slot.n_past, np.int32)
+        pos[0, :n] = slot.n_past + np.arange(n)
+        logits, self.cache = self._prefill_fn(
+            self.params, self.cache, jnp.asarray(toks), jnp.asarray(pos),
+            jnp.int32(slot.idx), jnp.int32(slot.n_past),
+        )
+        return np.asarray(logits[0, n - 1])
+
+    def _emit_token(self, slot: _Slot, token: int) -> None:
+        req = slot.req
+        slot.last_token = token
+        req.result_tokens.append(token)
+        slot.generated += 1
+        self.metrics["tokens_predicted_total"] += 1
+
+        finished = None
+        if self.vocab is not None and self.vocab.is_eog(token):
+            finished = "stop"
+        elif token in req.stop_tokens:
+            finished = "stop"
+        elif slot.generated >= req.max_new_tokens:
+            finished = "length"
+        elif slot.n_past + 1 >= self.n_ctx:
+            finished = "length"
+
+        piece = ""
+        if self.tokenizer is not None:
+            text = self.tokenizer.decode(req.result_tokens)
+            piece = text[slot.decoded_text_len :]
+            for stop in req.stop_strings:
+                if stop in text:
+                    cut = text.index(stop)
+                    piece = text[slot.decoded_text_len : cut]
+                    finished = "stop"
+                    break
+            if not finished:
+                slot.decoded_text_len = len(text)
+        if req.stream_cb is not None and (piece or finished):
+            req.stream_cb(req.rid, {"token": token, "piece": piece, "finished": finished})
+
+        if finished:
+            req.stop_reason = finished
+            req.t_end = time.perf_counter()
+            slot.state = SlotState.FREE
+            slot.req = None
+            req.done.set()
+
+    @property
+    def n_busy_slots(self) -> int:
+        return sum(1 for s in self.slots if s.state != SlotState.FREE)
+
+
+def _slot_mask(positions, capacity: int, n_past):
+    """[B, T] positions → [B, T, S] causal mask over each slot's own rows.
+
+    j <= pos suffices: slot rows are always written contiguously from 0, so
+    rows at j <= pos always belong to the slot's current sequence."""
+    j = jnp.arange(capacity)
+    return j[None, None, :] <= positions[:, :, None]

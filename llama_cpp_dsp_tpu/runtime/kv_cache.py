@@ -45,9 +45,20 @@ class KVCache:
         return self.k.shape[2]
 
     def write(self, layer: int, k_new: jax.Array, v_new: jax.Array, offset) -> "KVCache":
-        """Insert [B, T, Hkv, D] at [layer, :, offset:offset+T]."""
+        """Insert [B, T, Hkv, D] at [layer, :, offset:offset+T].
+
+        `offset` may be a scalar (same offset for the whole batch — prefill /
+        single-sequence decode) or an int32 [B] vector (per-slot offsets for
+        batched continuous decode, T must be 1)."""
+        off = jnp.asarray(offset, jnp.int32)
+        if off.ndim == 1:
+            b = k_new.shape[0]
+            bi = jnp.arange(b)
+            k = self.k.at[layer, bi, off].set(k_new[:, 0].astype(self.k.dtype))
+            v = self.v.at[layer, bi, off].set(v_new[:, 0].astype(self.v.dtype))
+            return KVCache(k, v)
         zero = jnp.zeros((), jnp.int32)
-        start = (zero + layer, zero, jnp.asarray(offset, jnp.int32), zero, zero)
+        start = (zero + layer, zero, off, zero, zero)
         k = jax.lax.dynamic_update_slice(self.k, k_new[None].astype(self.k.dtype), start)
         v = jax.lax.dynamic_update_slice(self.v, v_new[None].astype(self.v.dtype), start)
         return KVCache(k, v)

@@ -1,0 +1,310 @@
+"""OpenAI-compatible HTTP server with continuous batching.
+
+Capability mirror of reference examples/server/server.cpp: /v1/completions,
+/v1/chat/completions (streaming SSE + blocking), /tokenize, /detokenize,
+/health, /props, /slots, /metrics (Prometheus text), API-key auth. Requests
+queue into the Engine (slot-based continuous batching); an inference thread
+drives the batched decode loop, mirroring the reference's queue_tasks /
+update_slots split (server.cpp:1543, 2847).
+
+Run: python -m llama_cpp_dsp_tpu.serve.server -m model.gguf --port 8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+import sys
+import time
+import uuid
+
+from aiohttp import web
+
+from ..runtime.engine import Engine, Request
+from ..runtime.sampling import make_chain
+
+log = logging.getLogger("server")
+
+
+def _sampler_from(body: dict, seed_default: int = 0):
+    return make_chain(
+        seed=int(body.get("seed", seed_default) or seed_default),
+        temp=float(body.get("temperature", 0.8)),
+        top_k=int(body.get("top_k", 40)),
+        top_p=float(body.get("top_p", 0.95)),
+        min_p=float(body.get("min_p", 0.05)),
+        penalty_repeat=float(body.get("repeat_penalty", 1.0)),
+        penalty_freq=float(body.get("frequency_penalty", 0.0)),
+        penalty_present=float(body.get("presence_penalty", 0.0)),
+    )
+
+
+class Server:
+    def __init__(self, engine: Engine, *, model_name: str = "model", api_key: str | None = None):
+        self.engine = engine
+        self.model_name = model_name
+        self.api_key = api_key
+        self.t_start = time.time()
+
+    # -- auth -----------------------------------------------------------------
+    def _check_auth(self, request: web.Request) -> bool:
+        if not self.api_key:
+            return True
+        auth = request.headers.get("Authorization", "")
+        return auth == f"Bearer {self.api_key}"
+
+    def _deny(self) -> web.Response:
+        return web.json_response({"error": {"message": "invalid api key",
+                                            "type": "authentication_error"}}, status=401)
+
+    # -- endpoints ------------------------------------------------------------
+    async def health(self, request: web.Request) -> web.Response:
+        return web.json_response({"status": "ok"})
+
+    async def props(self, request: web.Request) -> web.Response:
+        cfg = self.engine.cfg
+        return web.json_response({
+            "model": self.model_name,
+            "n_ctx": self.engine.n_ctx,
+            "n_slots": self.engine.n_slots,
+            "arch": cfg.arch,
+            "n_params_layers": cfg.n_layers,
+            "chat_template": self.engine.vocab.chat_template or "",
+        })
+
+    async def models(self, request: web.Request) -> web.Response:
+        return web.json_response({
+            "object": "list",
+            "data": [{"id": self.model_name, "object": "model", "created": int(self.t_start),
+                      "owned_by": "llama_cpp_dsp_tpu"}],
+        })
+
+    async def slots(self, request: web.Request) -> web.Response:
+        return web.json_response([
+            {
+                "id": s.idx,
+                "state": s.state.value,
+                "n_past": s.n_past,
+                "rid": s.req.rid if s.req else None,
+            }
+            for s in self.engine.slots
+        ])
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        m = self.engine.metrics
+        lines = [
+            "# TYPE llamacpp:prompt_tokens_total counter",
+            f"llamacpp:prompt_tokens_total {m['prompt_tokens_total']}",
+            "# TYPE llamacpp:tokens_predicted_total counter",
+            f"llamacpp:tokens_predicted_total {m['tokens_predicted_total']}",
+            "# TYPE llamacpp:requests_total counter",
+            f"llamacpp:requests_total {m['n_requests']}",
+            "# TYPE llamacpp:errors_total counter",
+            f"llamacpp:errors_total {m['n_errors']}",
+            "# TYPE llamacpp:kv_cache_usage_ratio gauge",
+            f"llamacpp:kv_cache_usage_ratio {self.engine.n_busy_slots / self.engine.n_slots}",
+        ]
+        return web.Response(text="\n".join(lines) + "\n", content_type="text/plain")
+
+    async def tokenize(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        ids = self.engine.tokenizer.encode(
+            body.get("content", ""),
+            add_special=bool(body.get("add_special", False)),
+            parse_special=bool(body.get("with_pieces", False)) or True,
+        )
+        return web.json_response({"tokens": ids})
+
+    async def detokenize(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        text = self.engine.tokenizer.decode([int(t) for t in body.get("tokens", [])])
+        return web.json_response({"content": text})
+
+    # -- completion core --------------------------------------------------------
+    def _make_request(self, prompt_ids, body, stream_q: asyncio.Queue | None,
+                      loop) -> Request:
+        stop = body.get("stop") or []
+        if isinstance(stop, str):
+            stop = [stop]
+        max_tokens = int(body.get("max_tokens") or body.get("n_predict") or 128)
+
+        cb = None
+        if stream_q is not None:
+            def cb(rid, ev):
+                loop.call_soon_threadsafe(stream_q.put_nowait, ev)
+
+        return Request(
+            0,
+            list(prompt_ids),
+            max_new_tokens=max_tokens,
+            sampler=_sampler_from(body),
+            stop_strings=list(stop),
+            stream_cb=cb,
+        )
+
+    async def completions(self, request: web.Request) -> web.StreamResponse:
+        if not self._check_auth(request):
+            return self._deny()
+        body = await request.json()
+        prompt = body.get("prompt", "")
+        if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+            ids = [int(t) for t in prompt]
+        else:
+            if isinstance(prompt, list):
+                prompt = "".join(prompt)
+            ids = self.engine.tokenizer.encode(prompt, add_special=True, parse_special=True)
+        return await self._run(request, body, ids, chat=False)
+
+    async def chat_completions(self, request: web.Request) -> web.StreamResponse:
+        if not self._check_auth(request):
+            return self._deny()
+        body = await request.json()
+        from ..serve.chat import apply_chat_template
+
+        text = apply_chat_template(
+            self.engine.vocab.chat_template, body.get("messages", []),
+            add_generation_prompt=True, bos_token="", eos_token="",
+        )
+        ids = self.engine.tokenizer.encode(text, add_special=True, parse_special=True)
+        return await self._run(request, body, ids, chat=True)
+
+    async def _run(self, request, body, ids, *, chat: bool) -> web.StreamResponse:
+        loop = asyncio.get_running_loop()
+        stream = bool(body.get("stream", False))
+        rid = f"chatcmpl-{uuid.uuid4().hex[:12]}" if chat else f"cmpl-{uuid.uuid4().hex[:12]}"
+        created = int(time.time())
+        obj = "chat.completion" if chat else "text_completion"
+
+        if stream:
+            q: asyncio.Queue = asyncio.Queue()
+            req = self._make_request(ids, body, q, loop)
+            self.engine.submit(req)
+            resp = web.StreamResponse(headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+            })
+            await resp.prepare(request)
+            while True:
+                ev = await q.get()
+                if chat:
+                    delta = {"content": ev["piece"]} if ev["piece"] else {}
+                    chunk = {
+                        "id": rid, "object": "chat.completion.chunk", "created": created,
+                        "model": self.model_name,
+                        "choices": [{"index": 0, "delta": delta,
+                                     "finish_reason": ev["finished"]}],
+                    }
+                else:
+                    chunk = {
+                        "id": rid, "object": obj, "created": created,
+                        "model": self.model_name,
+                        "choices": [{"index": 0, "text": ev["piece"],
+                                     "finish_reason": ev["finished"]}],
+                    }
+                await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                if ev["finished"]:
+                    break
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+
+        req = self._make_request(ids, body, None, loop)
+        self.engine.submit(req)
+        await loop.run_in_executor(None, req.done.wait)
+        if req.error:
+            return web.json_response({"error": {"message": req.error,
+                                                "type": "invalid_request_error"}}, status=400)
+        text = self.engine.tokenizer.decode(req.result_tokens)
+        usage = {
+            "prompt_tokens": req.n_prompt,
+            "completion_tokens": len(req.result_tokens),
+            "total_tokens": req.n_prompt + len(req.result_tokens),
+        }
+        timings = {
+            "prompt_ms": round((req.t_first_token - req.t_start) * 1000, 2),
+            "predicted_ms": round((req.t_end - req.t_first_token) * 1000, 2),
+        }
+        if chat:
+            payload = {
+                "id": rid, "object": "chat.completion", "created": created,
+                "model": self.model_name,
+                "choices": [{"index": 0,
+                             "message": {"role": "assistant", "content": text},
+                             "finish_reason": req.stop_reason}],
+                "usage": usage, "timings": timings,
+            }
+        else:
+            payload = {
+                "id": rid, "object": obj, "created": created, "model": self.model_name,
+                "choices": [{"index": 0, "text": text, "finish_reason": req.stop_reason}],
+                "usage": usage, "timings": timings,
+            }
+        return web.json_response(payload)
+
+    # -- app ------------------------------------------------------------------
+    def make_app(self) -> web.Application:
+        @web.middleware
+        async def error_middleware(request, handler):
+            try:
+                return await handler(request)
+            except json.JSONDecodeError:
+                return web.json_response(
+                    {"error": {"message": "invalid JSON body",
+                               "type": "invalid_request_error"}},
+                    status=400,
+                )
+            except web.HTTPException:
+                raise
+            except Exception as e:  # pragma: no cover — defensive
+                log.exception("handler error")
+                return web.json_response(
+                    {"error": {"message": str(e), "type": "server_error"}}, status=500
+                )
+
+        app = web.Application(middlewares=[error_middleware])
+        app.router.add_get("/health", self.health)
+        app.router.add_get("/props", self.props)
+        app.router.add_get("/v1/models", self.models)
+        app.router.add_get("/slots", self.slots)
+        app.router.add_get("/metrics", self.metrics)
+        app.router.add_post("/tokenize", self.tokenize)
+        app.router.add_post("/detokenize", self.detokenize)
+        app.router.add_post("/completion", self.completions)
+        app.router.add_post("/completions", self.completions)
+        app.router.add_post("/v1/completions", self.completions)
+        app.router.add_post("/v1/chat/completions", self.chat_completions)
+        return app
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="llama-server", description=__doc__)
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
+    ap.add_argument("-np", "--parallel", type=int, default=4, help="number of slots")
+    ap.add_argument("--api-key", default=None)
+    ap.add_argument("--alias", default=None, help="model name served")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    from ..utils.jax_setup import setup_jax
+
+    setup_jax()
+    from ..runtime.loader import load_model
+
+    model = load_model(args.model)
+    engine = Engine(model, n_slots=args.parallel,
+                    n_ctx_per_slot=args.ctx_size // max(args.parallel, 1)
+                    if False else args.ctx_size)
+    engine.start()
+    server = Server(engine, model_name=args.alias or args.model, api_key=args.api_key)
+    print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
+    web.run_app(server.make_app(), host=args.host, port=args.port, print=None)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

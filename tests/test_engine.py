@@ -1,0 +1,91 @@
+"""Continuous-batching engine tests on the tiny model."""
+
+import numpy as np
+import pytest
+
+from llama_cpp_dsp_tpu.runtime.engine import Engine, Request
+from llama_cpp_dsp_tpu.runtime.loader import load_model
+from llama_cpp_dsp_tpu.runtime.sampling import Greedy, SamplerChain
+
+from model_builder import build_tiny_llama
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny.gguf"
+    build_tiny_llama(str(path), qtype=8)  # Q8_0
+    model = load_model(str(path))
+    return Engine(model, n_slots=2, n_ctx_per_slot=64, prefill_buckets=(16,),
+                  use_pallas=False)
+
+
+def greedy():
+    return SamplerChain([Greedy()])
+
+
+def test_single_request(engine):
+    req = engine.generate_sync([3, 5, 7], max_new_tokens=6, sampler=greedy())
+    assert req.done.is_set()
+    assert 1 <= len(req.result_tokens) <= 6
+    assert req.stop_reason in ("stop", "length")
+
+
+def test_matches_context_decode(engine, tmp_path):
+    """Engine output must equal the single-sequence LlamaContext output."""
+    from llama_cpp_dsp_tpu.runtime.context import LlamaContext
+
+    prompt = [2, 4, 6, 8, 10]
+    req = engine.generate_sync(prompt, max_new_tokens=8, sampler=greedy())
+
+    ctx = LlamaContext(engine.model, n_ctx=64, prefill_buckets=(16,), use_pallas=False)
+    want = list(ctx.generate(prompt, max_new_tokens=8))
+    assert req.result_tokens == want
+
+
+def test_concurrent_requests_isolated(engine):
+    """Two interleaved sequences must produce the same tokens as when run
+    alone (slot isolation through the batched cache)."""
+    p1 = [1, 2, 3]
+    p2 = [9, 8, 7, 6]
+    solo1 = engine.generate_sync(p1, max_new_tokens=5, sampler=greedy()).result_tokens
+    solo2 = engine.generate_sync(p2, max_new_tokens=5, sampler=greedy()).result_tokens
+
+    r1 = Request(0, p1, max_new_tokens=5, sampler=greedy())
+    r2 = Request(0, p2, max_new_tokens=5, sampler=greedy())
+    engine.submit(r1)
+    engine.submit(r2)
+    while not (r1.done.is_set() and r2.done.is_set()):
+        engine.step()
+    assert r1.result_tokens == solo1
+    assert r2.result_tokens == solo2
+
+
+def test_stream_callback(engine):
+    events = []
+    req = Request(
+        0, [5, 5, 5], max_new_tokens=4, sampler=greedy(),
+        stream_cb=lambda rid, ev: events.append(ev),
+    )
+    engine.submit(req)
+    while not req.done.is_set():
+        engine.step()
+    assert events
+    assert events[-1]["finished"] in ("stop", "length")
+
+
+def test_prompt_too_long(engine):
+    req = Request(0, list(range(100)), max_new_tokens=4, sampler=greedy())
+    engine.submit(req)
+    for _ in range(4):
+        engine.step()
+    assert req.done.is_set()
+    assert req.error is not None
+
+
+def test_slot_reuse_no_leakage(engine):
+    """A short sequence after a long one must not see stale KV rows."""
+    long_req = engine.generate_sync(list(range(1, 30)), max_new_tokens=4,
+                                    sampler=greedy())
+    short_solo = engine.generate_sync([4, 2], max_new_tokens=5, sampler=greedy())
+    short_again = engine.generate_sync([4, 2], max_new_tokens=5, sampler=greedy())
+    assert short_solo.result_tokens == short_again.result_tokens

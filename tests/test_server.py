@@ -1,0 +1,164 @@
+"""Server E2E tests — mirror of examples/server/tests/unit: real HTTP
+requests against the app with a tiny model behind the engine."""
+
+import asyncio
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from llama_cpp_dsp_tpu.runtime.engine import Engine
+from llama_cpp_dsp_tpu.runtime.loader import load_model
+from llama_cpp_dsp_tpu.serve.server import Server
+
+from model_builder import build_tiny_llama
+
+
+@pytest.fixture(scope="module")
+def server_setup(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny_server.gguf"
+    build_tiny_llama(str(path), qtype=8)
+    model = load_model(str(path))
+    engine = Engine(model, n_slots=2, n_ctx_per_slot=64, prefill_buckets=(16,),
+                    use_pallas=False)
+    engine.start()
+    server = Server(engine, model_name="tiny", api_key="secret")
+    yield server
+    engine.stop()
+
+
+def _run(server, coro_fn):
+    async def inner():
+        app = server.make_app()
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            return await coro_fn(client)
+        finally:
+            await client.close()
+
+    return asyncio.new_event_loop().run_until_complete(inner())
+
+
+AUTH = {"Authorization": "Bearer secret"}
+
+
+def test_health_props_models(server_setup):
+    async def go(client):
+        r = await client.get("/health")
+        assert (await r.json())["status"] == "ok"
+        r = await client.get("/props")
+        props = await r.json()
+        assert props["n_slots"] == 2
+        r = await client.get("/v1/models")
+        assert (await r.json())["data"][0]["id"] == "tiny"
+
+    _run(server_setup, go)
+
+
+def test_auth_required(server_setup):
+    async def go(client):
+        r = await client.post("/v1/completions", json={"prompt": "x"})
+        assert r.status == 401
+        r = await client.post("/v1/completions",
+                              json={"prompt": "x", "max_tokens": 2, "temperature": 0},
+                              headers=AUTH)
+        assert r.status == 200
+
+    _run(server_setup, go)
+
+
+def test_completion(server_setup):
+    async def go(client):
+        r = await client.post(
+            "/v1/completions",
+            json={"prompt": [3, 5, 7], "max_tokens": 4, "temperature": 0},
+            headers=AUTH,
+        )
+        assert r.status == 200
+        body = await r.json()
+        assert body["object"] == "text_completion"
+        assert body["usage"]["prompt_tokens"] == 3
+        assert body["usage"]["completion_tokens"] >= 1
+        assert body["choices"][0]["finish_reason"] in ("stop", "length")
+
+    _run(server_setup, go)
+
+
+def test_chat_completion(server_setup):
+    async def go(client):
+        r = await client.post(
+            "/v1/chat/completions",
+            json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 4,
+                "temperature": 0,
+            },
+            headers=AUTH,
+        )
+        assert r.status == 200
+        body = await r.json()
+        assert body["object"] == "chat.completion"
+        assert body["choices"][0]["message"]["role"] == "assistant"
+
+    _run(server_setup, go)
+
+
+def test_streaming(server_setup):
+    async def go(client):
+        r = await client.post(
+            "/v1/completions",
+            json={"prompt": [4, 5], "max_tokens": 4, "temperature": 0, "stream": True},
+            headers=AUTH,
+        )
+        assert r.status == 200
+        chunks = []
+        async for line in r.content:
+            line = line.decode().strip()
+            if line.startswith("data: ") and line != "data: [DONE]":
+                chunks.append(json.loads(line[6:]))
+            if line == "data: [DONE]":
+                break
+        assert chunks
+        assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+    _run(server_setup, go)
+
+
+def test_tokenize_round_trip(server_setup):
+    async def go(client):
+        r = await client.post("/tokenize", json={"content": "hello"})
+        toks = (await r.json())["tokens"]
+        assert toks
+        r = await client.post("/detokenize", json={"tokens": toks})
+        assert "content" in (await r.json())
+
+    _run(server_setup, go)
+
+
+def test_metrics_and_slots(server_setup):
+    async def go(client):
+        r = await client.get("/metrics")
+        text = await r.text()
+        assert "llamacpp:tokens_predicted_total" in text
+        r = await client.get("/slots")
+        slots = await r.json()
+        assert len(slots) == 2
+
+    _run(server_setup, go)
+
+
+def test_parallel_requests(server_setup):
+    async def go(client):
+        async def one(p):
+            r = await client.post(
+                "/v1/completions",
+                json={"prompt": p, "max_tokens": 3, "temperature": 0},
+                headers=AUTH,
+            )
+            return await r.json()
+
+        results = await asyncio.gather(one([1, 2]), one([8, 9]), one([3, 3, 3]))
+        assert all(r["usage"]["completion_tokens"] >= 1 for r in results)
+
+    _run(server_setup, go)
