@@ -135,6 +135,35 @@ class LlamaContext:
     def reset(self) -> None:
         self.n_past = 0
 
+    def eval_tokens_all(self, tokens: list[int]) -> np.ndarray:
+        """Feed tokens; returns logits for EVERY position [n, vocab]
+        (the speculative verifier needs n_draft+1 logits)."""
+        n = len(tokens)
+        if self.n_past + n > self.n_ctx:
+            raise RuntimeError(f"context overflow: {self.n_past}+{n} > {self.n_ctx}")
+        tpad = _bucket(n, self.prefill_buckets)
+        if tpad < n:
+            outs = [self.eval_tokens_all(tokens[i : i + tpad]) for i in range(0, n, tpad)]
+            return np.concatenate(outs, axis=0)
+        toks = np.zeros((1, tpad), np.int32)
+        toks[0, :n] = tokens
+        pos = np.full((1, tpad), self.n_past, np.int32)
+        pos[0, :n] = self.n_past + np.arange(n)
+        logits, self.cache = self._step(
+            self.params, self.cache, jnp.asarray(toks), jnp.asarray(pos),
+            jnp.int32(self.n_past),
+        )
+        out = np.asarray(logits[0, :n])
+        self.n_past += n
+        return out
+
+    def rollback_to(self, n_past: int) -> None:
+        """Drop cache entries beyond n_past (rejected draft tokens). Rows are
+        overwritten before becoming attendable, so only the counter moves —
+        the transactional guard of the reference's kv commit/restore."""
+        assert 0 <= n_past <= self.n_past
+        self.n_past = n_past
+
     def eval_tokens(self, tokens: list[int]) -> np.ndarray:
         """Feed tokens at the current position; returns logits of the LAST
         real token [vocab]."""
