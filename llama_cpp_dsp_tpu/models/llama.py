@@ -24,6 +24,11 @@ from ..ops.rope import RopeParams, apply_rope
 
 @dataclass(frozen=True)
 class LlamaConfig:
+    """Generic decoder config — the union of the per-arch hparams consumed by
+    the reference's 68 llm_build_* graph builders (src/llama-model.cpp).
+    Defaults reproduce the plain llama graph; registry.py sets the flags
+    per architecture."""
+
     arch: str
     n_layers: int
     n_embd: int
@@ -40,70 +45,91 @@ class LlamaConfig:
     attn_bias: bool = False
     qk_norm: bool = False  # qwen3/olmo2-style q/k rms norm
     tie_embeddings: bool = False
+    # --- arch-zoo flags (defaults = plain llama) ---
+    norm_type: str = "rms"  # "rms" | "ln"
+    parallel_residual: bool = False  # gptneox/phi2/gptj: attn+ffn from same input
+    pos_embd_type: str = "rope"  # "rope" | "learned" | "alibi" | "none"
+    act: str = "silu"  # "silu" | "gelu" | "relu2"
+    gated_ffn: bool = True  # False: up → act → down (gpt2-style)
+    embd_scale: float = 1.0  # gemma: sqrt(n_embd); minicpm: scale_emb
+    residual_scale: float = 1.0  # granite/minicpm depth scale
+    logit_scale: float = 1.0  # command-r / granite
+    attn_scale: float = 0.0  # 0 → 1/sqrt(head_dim)
+    attn_logit_softcap: float = 0.0  # gemma2: 50.0
+    final_logit_softcap: float = 0.0  # gemma2: 30.0
+    post_norms: bool = False  # gemma2/3 sandwich attn_post_norm/ffn_post_norm
+    norm_after: bool = False  # olmo2: norm applied to sublayer OUTPUT only
+    swa_window: int = 0  # sliding-window size (0 = full attention)
+    swa_pattern: int = 1  # every Nth layer is full attention (gemma3: 6)
+    rope_local_base: float = 0.0  # gemma3: separate freq base for SWA layers
+    max_alibi_bias: float = 8.0
+    moe_norm_weights: bool = True  # renormalize top-k router weights (mixtral)
+    moe_shared_expert: bool = False  # qwen2moe/deepseek-style always-on expert
+    moe_gate_shexp: bool = False  # qwen2moe: sigmoid-gated shared expert
+    expert_gating: str = "softmax"  # "softmax" | "sigmoid"
+    moe_scale: float = 1.0  # granitemoe/deepseek routed scale
+    embd_norm: bool = False  # bloom token_embd_norm after embedding
+    rope_on_full_layers: bool = True  # cohere2: full-attn layers skip rope
 
     @property
     def n_embd_head(self) -> int:
         return self.head_dim
 
+    def is_swa_layer(self, il: int) -> bool:
+        """Layer uses sliding-window attention (gemma2 alternates, gemma3 5:1,
+        reference hparams.is_swa src/llama-hparams.cpp)."""
+        return self.swa_window > 0 and (il + 1) % max(self.swa_pattern, 1) != 0
+
     @classmethod
     def from_gguf_kv(cls, kv: dict[str, Any]) -> "LlamaConfig":
-        arch = str(kv[Keys.General.ARCHITECTURE])
+        from .registry import config_from_gguf
 
-        def key(template: str):
-            return template.format(arch=arch)
+        return config_from_gguf(kv)
 
-        def get(template: str, default=None):
-            return kv.get(key(template), default)
-
-        n_embd = int(get(Keys.LLM.EMBEDDING_LENGTH))
-        n_heads = int(get(Keys.LLM.ATTN_HEAD_COUNT))
-        n_kv_heads = int(get(Keys.LLM.ATTN_HEAD_COUNT_KV, n_heads))
-        head_dim = int(get(Keys.LLM.ATTN_KEY_LENGTH, n_embd // n_heads))
-        n_vocab = int(get(Keys.LLM.VOCAB_SIZE, 0)) or len(kv.get(Keys.Tokenizer.LIST, []))
-        rope_dims = int(get(Keys.LLM.ROPE_DIMENSION_COUNT, head_dim))
-        rope_mode = "neox" if arch in _NEOX_ROPE_ARCHS else "norm"
-        scaling_type = get(Keys.LLM.ROPE_SCALING_TYPE, "none")
-        freq_scale = 1.0
-        ext_factor = 0.0
-        factor = float(get(Keys.LLM.ROPE_SCALING_FACTOR, 1.0) or 1.0)
-        if scaling_type == "linear" and factor:
-            freq_scale = 1.0 / factor
-        elif scaling_type == "yarn" and factor:
-            freq_scale = 1.0 / factor
-            ext_factor = 1.0
-        rope = RopeParams(
-            n_dims=rope_dims,
-            mode=rope_mode,
-            freq_base=float(get(Keys.LLM.ROPE_FREQ_BASE, 10000.0)),
-            freq_scale=freq_scale,
-            ext_factor=ext_factor,
-            n_ctx_orig=int(get(Keys.LLM.ROPE_SCALING_ORIG_CTX, 0) or 0),
-        )
-        return cls(
-            arch=arch,
-            n_layers=int(get(Keys.LLM.BLOCK_COUNT)),
-            n_embd=n_embd,
-            n_heads=n_heads,
-            n_kv_heads=n_kv_heads,
-            head_dim=head_dim,
-            n_ff=int(get(Keys.LLM.FEED_FORWARD_LENGTH)),
-            n_vocab=n_vocab,
-            n_ctx_train=int(get(Keys.LLM.CONTEXT_LENGTH, 2048)),
-            rms_eps=float(get(Keys.LLM.ATTN_LAYERNORM_RMS_EPS, 1e-5)),
-            rope=rope,
-            n_expert=int(get(Keys.LLM.EXPERT_COUNT, 0) or 0),
-            n_expert_used=int(get(Keys.LLM.EXPERT_USED_COUNT, 0) or 0),
-            attn_bias=arch in _ATTN_BIAS_ARCHS,
-            qk_norm=arch in _QK_NORM_ARCHS,
-        )
-
-
-_NEOX_ROPE_ARCHS = {"qwen2", "qwen2moe", "qwen3", "qwen3moe", "stablelm", "phi2", "phi3",
-                    "gptneox", "olmo", "olmo2", "gemma", "gemma2", "gemma3", "starcoder2"}
-_ATTN_BIAS_ARCHS = {"qwen2", "qwen2moe", "qwen", "phi2", "starcoder2"}
-_QK_NORM_ARCHS = {"qwen3", "qwen3moe", "olmo2"}
 
 Params = dict[str, Any]
+
+
+def norm(x: jax.Array, tree: Params, name: str, cfg: LlamaConfig) -> jax.Array:
+    """Dispatch rms_norm / layer_norm by config; picks up `<name>_bias`.
+    A missing weight means non-parametric norm (reference llm_build_olmo
+    passes NULL weight to build_norm)."""
+    from ..ops import layer_norm
+
+    w = tree.get(name)
+    if cfg.norm_type == "ln":
+        return layer_norm(x, w, tree.get(name + "_bias"), cfg.rms_eps)
+    return rms_norm(x, w, cfg.rms_eps)
+
+
+def activate(x: jax.Array, act: str) -> jax.Array:
+    from ..ops import gelu
+
+    if act == "silu":
+        return silu(x)
+    if act == "gelu":
+        return gelu(x)
+    if act == "relu2":
+        xf = jnp.maximum(x.astype(jnp.float32), 0.0)
+        return (xf * xf).astype(x.dtype)
+    raise ValueError(act)
+
+
+def softcap(x: jax.Array, cap: float) -> jax.Array:
+    """gemma2 logit soft-capping: cap * tanh(x / cap)."""
+    return jnp.tanh(x / cap) * cap
+
+
+def alibi_slopes(n_heads: int, max_bias: float) -> jax.Array:
+    """Per-head ALiBi slopes — reference ggml_soft_max_ext slope computation
+    (ggml/src/ggml-cpu/ops.cpp soft_max: m0^(h+1) / m1^(2(h-n0)+1))."""
+    import math
+
+    n0 = 2 ** math.floor(math.log2(n_heads))
+    m0 = 2.0 ** (-(max_bias) / n0)
+    m1 = 2.0 ** (-(max_bias / 2.0) / n0)
+    slopes = [m0 ** (h + 1) if h < n0 else m1 ** (2 * (h - n0) + 1) for h in range(n_heads)]
+    return jnp.asarray(slopes, jnp.float32)
 
 
 def _mask_value(dtype) -> float:
@@ -116,6 +142,9 @@ def attention(
     v: jax.Array,  # [B, S, Hkv, D]
     mask: jax.Array | None,  # [B, T, S] bool (True = attend) or additive f32
     scale: float,
+    *,
+    logit_softcap: float = 0.0,
+    head_bias: jax.Array | None = None,  # [B, H, T, S] additive f32 (ALiBi)
 ) -> jax.Array:
     """Masked multi-head attention, f32 softmax/accumulation like the
     reference's non-flash path (llama-graph.cpp:1211-1230, KQ in f32)."""
@@ -126,6 +155,10 @@ def attention(
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     scores = jnp.einsum("bthrd,bshd->bhrts", qf, kf) * scale  # [B,Hkv,rep,T,S]
+    if logit_softcap:
+        scores = softcap(scores, logit_softcap)
+    if head_bias is not None:
+        scores = scores + head_bias.reshape(b, hkv, rep, t, head_bias.shape[-1])
     if mask is not None:
         if mask.dtype == jnp.bool_:
             bias = jnp.where(mask, 0.0, _mask_value(jnp.float32))
@@ -137,21 +170,54 @@ def attention(
     return out.reshape(b, t, h * d)
 
 
-def ffn_swiglu(x: jax.Array, layer: Params, compute_dtype) -> jax.Array:
-    gate = qmm(x, layer["ffn_gate"], compute_dtype=compute_dtype)
-    up = qmm(x, layer["ffn_up"], compute_dtype=compute_dtype)
-    h = (silu(gate) * up).astype(compute_dtype)
-    return qmm(h, layer["ffn_down"], compute_dtype=compute_dtype)
+def _mm(x, tree: Params, name: str, compute_dtype):
+    """qmm + optional `<name>_bias`."""
+    y = qmm(x, tree[name], compute_dtype=compute_dtype)
+    b = tree.get(name + "_bias")
+    if b is not None:
+        y = y + b
+    return y
 
 
-def ffn_moe(x: jax.Array, layer: Params, cfg: LlamaConfig, compute_dtype) -> jax.Array:
-    """MoE FFN — reference build_moe_ffn (src/llama-graph.cpp): softmax router,
-    top-k experts, MUL_MAT_ID expert matmuls, weighted sum."""
-    b, t, e = x.shape[0], x.shape[1], cfg.n_expert
+def ffn_dense(x: jax.Array, layer: Params, cfg: LlamaConfig, compute_dtype,
+              tap=None, suffix: str = "", layer_idx: int = 0) -> jax.Array:
+    """Dense FFN — reference build_ffn (src/llama-graph.cpp): gated
+    (SwiGLU/GeGLU) or plain up→act→down, with optional biases."""
+    gate_key, up_key, down_key = (f"ffn_gate{suffix}", f"ffn_up{suffix}", f"ffn_down{suffix}")
+    if cfg.gated_ffn and gate_key in layer:
+        if tap is not None:
+            tap(f"blk.{layer_idx}.{gate_key}.weight", x)
+            tap(f"blk.{layer_idx}.{up_key}.weight", x)
+        gate = _mm(x, layer, gate_key, compute_dtype)
+        up = _mm(x, layer, up_key, compute_dtype)
+        h = (activate(gate, cfg.act) * up).astype(compute_dtype)
+    else:
+        if tap is not None:
+            tap(f"blk.{layer_idx}.{up_key}.weight", x)
+        up = _mm(x, layer, up_key, compute_dtype)
+        h = activate(up, cfg.act).astype(compute_dtype)
+    if tap is not None:
+        tap(f"blk.{layer_idx}.{down_key}.weight", h)
+    return _mm(h, layer, down_key, compute_dtype)
+
+
+def ffn_moe(x: jax.Array, layer: Params, cfg: LlamaConfig, compute_dtype,
+            tap=None, layer_idx: int = 0) -> jax.Array:
+    """MoE FFN — reference build_moe_ffn (src/llama-graph.cpp): router
+    (softmax or sigmoid), top-k experts, MUL_MAT_ID expert matmuls, weighted
+    sum, optional always-on shared expert (qwen2moe/deepseek2)."""
+    e = cfg.n_expert
+    if tap is not None:
+        tap(f"blk.{layer_idx}.ffn_gate_inp.weight", x)
     logits = qmm(x, layer["ffn_gate_inp"], compute_dtype=compute_dtype)  # [B,T,E]
-    probs = softmax_f32(logits)
+    if cfg.expert_gating == "sigmoid":
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    else:
+        probs = softmax_f32(logits)
     weights, sel = jax.lax.top_k(probs, cfg.n_expert_used)  # [B,T,U]
-    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)  # norm like mixtral
+    if cfg.moe_norm_weights:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    weights = weights * cfg.moe_scale
     # dense-gather formulation: one-hot dispatch (fine for small E; the
     # sharded expert-parallel path lives in parallel/)
     gate_w, up_w, down_w = layer["ffn_gate_exps"], layer["ffn_up_exps"], layer["ffn_down_exps"]
@@ -159,12 +225,18 @@ def ffn_moe(x: jax.Array, layer: Params, cfg: LlamaConfig, compute_dtype) -> jax
     def expert_ffn(eid):
         g = qmm(x, _expert_slice(gate_w, eid), compute_dtype=compute_dtype)
         u = qmm(x, _expert_slice(up_w, eid), compute_dtype=compute_dtype)
-        return qmm((silu(g) * u).astype(compute_dtype), _expert_slice(down_w, eid),
-                   compute_dtype=compute_dtype)
+        return qmm((activate(g, cfg.act) * u).astype(compute_dtype),
+                   _expert_slice(down_w, eid), compute_dtype=compute_dtype)
 
     outs = jnp.stack([expert_ffn(eid) for eid in range(e)], axis=2)  # [B,T,E,D]
     onehot = jax.nn.one_hot(sel, e, dtype=jnp.float32) * weights[..., None]  # [B,T,U,E]
     mix = jnp.einsum("btue,bted->btd", onehot, outs.astype(jnp.float32))
+    if cfg.moe_shared_expert:
+        sh = ffn_dense(x, layer, cfg, compute_dtype, tap, "_shexp", layer_idx)
+        if cfg.moe_gate_shexp:
+            g = qmm(x, layer["ffn_gate_inp_shexp"], compute_dtype=compute_dtype)
+            sh = sh * jax.nn.sigmoid(g.astype(jnp.float32)).astype(sh.dtype)
+        mix = mix + sh.astype(jnp.float32)
     return mix.astype(x.dtype)
 
 
@@ -175,6 +247,86 @@ def _expert_slice(w, eid: int):
         # 3-D expert weights are stored as a leading expert axis on each field
         return QTensor(w.kind, w.shape, {k: a[eid] for k, a in w.arrays.items()})
     return w[eid]
+
+
+def _layer_rope(cfg: LlamaConfig, layer_idx: int) -> RopeParams:
+    """gemma3-style per-layer rope: SWA layers use the local freq base with
+    no long-context scaling (reference llm_build_gemma3 rope_freq switch)."""
+    if cfg.rope_local_base and cfg.is_swa_layer(layer_idx):
+        import dataclasses
+
+        return dataclasses.replace(
+            cfg.rope, freq_base=cfg.rope_local_base, freq_scale=1.0, ext_factor=0.0
+        )
+    return cfg.rope
+
+
+def self_attention(
+    x: jax.Array,  # normed input [B, T, C]
+    layer: Params,
+    cfg: LlamaConfig,
+    positions: jax.Array,
+    cache,
+    layer_idx: int,
+    n_past,
+    mask: jax.Array | None,
+    compute_dtype,
+    tap=None,
+):
+    """QKV → rope → cached attention → output proj. Returns (out, cache)."""
+    b, t, _ = x.shape
+    h, hkv, d = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    if tap is not None:
+        tap(f"blk.{layer_idx}.attn_q.weight", x)
+        tap(f"blk.{layer_idx}.attn_k.weight", x)
+        tap(f"blk.{layer_idx}.attn_v.weight", x)
+    q = _mm(x, layer, "attn_q", compute_dtype)
+    k = _mm(x, layer, "attn_k", compute_dtype)
+    v = _mm(x, layer, "attn_v", compute_dtype)
+    q = q.reshape(b, t, h, d)
+    k = k.reshape(b, t, hkv, d)
+    v = v.reshape(b, t, hkv, d)
+    if cfg.qk_norm:
+        q = rms_norm(q, layer["attn_q_norm"], cfg.rms_eps)
+        k = rms_norm(k, layer["attn_k_norm"], cfg.rms_eps)
+    use_rope = cfg.pos_embd_type == "rope" and (
+        cfg.rope_on_full_layers or cfg.is_swa_layer(layer_idx)
+    )
+    if use_rope:
+        rp = _layer_rope(cfg, layer_idx)
+        ff = layer.get("rope_freqs")
+        q = apply_rope(q, positions, rp, ff)
+        k = apply_rope(k, positions, rp, ff)
+
+    if cache is not None:
+        cache = cache.write(layer_idx, k, v, n_past)
+        k_all, v_all = cache.layer(layer_idx)
+    else:
+        k_all, v_all = k.astype(compute_dtype), v.astype(compute_dtype)
+
+    s = k_all.shape[1]
+    if cfg.is_swa_layer(layer_idx) and mask is not None and mask.dtype == jnp.bool_:
+        # sliding window: only attend to keys within swa_window of the query
+        # (reference llama_kv_cache SWA masking, src/llama-graph.h:262-265)
+        j = jnp.arange(s)
+        mask = mask & (j[None, None, :] > positions[:, :, None] - cfg.swa_window)
+
+    head_bias = None
+    if cfg.pos_embd_type == "alibi":
+        slopes = alibi_slopes(h, cfg.max_alibi_bias)  # [H]
+        j = jnp.arange(s, dtype=jnp.float32)
+        dist = positions.astype(jnp.float32)[:, :, None] - j[None, None, :]  # [B,T,S]
+        head_bias = -slopes[None, :, None, None] * dist[:, None, :, :]
+
+    scale = cfg.attn_scale if cfg.attn_scale else 1.0 / (d**0.5)
+    attn = attention(
+        q, k_all, v_all, mask, scale,
+        logit_softcap=cfg.attn_logit_softcap, head_bias=head_bias,
+    ).astype(compute_dtype)
+    if tap is not None:
+        tap(f"blk.{layer_idx}.attn_output.weight", attn)
+    return _mm(attn, layer, "attn_output", compute_dtype), cache
 
 
 def decode_layer(
@@ -189,61 +341,36 @@ def decode_layer(
     compute_dtype,
     tap=None,  # optional callable(name, activation) — imatrix/eval-callback
 ):
-    b, t, c = x.shape
-    h, hkv, d = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    attn_in = x if cfg.norm_after else norm(x, layer, "attn_norm", cfg)
+    attn, cache = self_attention(
+        attn_in, layer, cfg, positions, cache, layer_idx, n_past, mask,
+        compute_dtype, tap,
+    )
+    if cfg.post_norms:
+        attn = norm(attn, layer, "attn_post_norm", cfg)
+    if cfg.norm_after:
+        attn = norm(attn, layer, "attn_norm", cfg)
 
-    attn_in = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-    if tap is not None:
-        tap(f"blk.{layer_idx}.attn_q.weight", attn_in)
-        tap(f"blk.{layer_idx}.attn_k.weight", attn_in)
-        tap(f"blk.{layer_idx}.attn_v.weight", attn_in)
-    q = qmm(attn_in, layer["attn_q"], compute_dtype=compute_dtype)
-    k = qmm(attn_in, layer["attn_k"], compute_dtype=compute_dtype)
-    v = qmm(attn_in, layer["attn_v"], compute_dtype=compute_dtype)
-    if cfg.attn_bias:
-        q = q + layer["attn_q_bias"]
-        k = k + layer["attn_k_bias"]
-        v = v + layer["attn_v_bias"]
-    q = q.reshape(b, t, h, d)
-    k = k.reshape(b, t, hkv, d)
-    v = v.reshape(b, t, hkv, d)
-    if cfg.qk_norm:
-        q = rms_norm(q, layer["attn_q_norm"], cfg.rms_eps)
-        k = rms_norm(k, layer["attn_k_norm"], cfg.rms_eps)
-    ff = layer.get("rope_freqs")
-    q = apply_rope(q, positions, cfg.rope, ff)
-    k = apply_rope(k, positions, cfg.rope, ff)
+    def ffn_fn(ffn_in):
+        if cfg.n_expert > 0:
+            return ffn_moe(ffn_in, layer, cfg, compute_dtype, tap, layer_idx)
+        return ffn_dense(ffn_in, layer, cfg, compute_dtype, tap, "", layer_idx)
 
-    if cache is not None:
-        cache = cache.write(layer_idx, k, v, n_past)
-        k_all, v_all = cache.layer(layer_idx)
-    else:
-        k_all, v_all = k.astype(compute_dtype), v.astype(compute_dtype)
+    if cfg.parallel_residual:
+        # gptneox/phi2/command-r: attn and ffn both branch off the same input
+        # (reference llm_build_gptneox par_res path / llm_build_command_r)
+        ffn_in = norm(x, layer, "ffn_norm", cfg) if "ffn_norm" in layer else attn_in
+        ffn = ffn_fn(ffn_in)
+        return x + (attn + ffn) * cfg.residual_scale, cache
 
-    scale = 1.0 / (d**0.5)
-    attn = attention(q, k_all, v_all, mask, scale).astype(compute_dtype)
-    if tap is not None:
-        tap(f"blk.{layer_idx}.attn_output.weight", attn)
-    attn = qmm(attn, layer["attn_output"], compute_dtype=compute_dtype)
-    x = x + attn
-
-    ffn_in = rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
-    if tap is not None:
-        tap(f"blk.{layer_idx}.ffn_gate.weight", ffn_in)
-        tap(f"blk.{layer_idx}.ffn_up.weight", ffn_in)
-    if cfg.n_expert > 0:
-        ffn = ffn_moe(ffn_in, layer, cfg, compute_dtype)
-    else:
-        if tap is not None:
-            gate = qmm(ffn_in, layer["ffn_gate"], compute_dtype=compute_dtype)
-            up = qmm(ffn_in, layer["ffn_up"], compute_dtype=compute_dtype)
-            h_act = (silu(gate) * up).astype(compute_dtype)
-            tap(f"blk.{layer_idx}.ffn_down.weight", h_act)
-            ffn = qmm(h_act, layer["ffn_down"], compute_dtype=compute_dtype)
-            x = x + ffn
-            return x, cache
-        ffn = ffn_swiglu(ffn_in, layer, compute_dtype)
-    x = x + ffn
+    x = x + attn * cfg.residual_scale
+    ffn_in = x if cfg.norm_after else norm(x, layer, "ffn_norm", cfg)
+    ffn = ffn_fn(ffn_in)
+    if cfg.post_norms:
+        ffn = norm(ffn, layer, "ffn_post_norm", cfg)
+    if cfg.norm_after:
+        ffn = norm(ffn, layer, "ffn_norm", cfg)
+    x = x + ffn * cfg.residual_scale
     return x, cache
 
 
@@ -261,15 +388,28 @@ def forward(
 ):
     """Returns (logits [B, T, n_vocab] f32, updated cache)."""
     x = take_rows(params["token_embd"], tokens, dtype=compute_dtype)
+    if cfg.embd_scale != 1.0:
+        x = x * jnp.asarray(cfg.embd_scale, compute_dtype)
+    if cfg.pos_embd_type == "learned":
+        x = x + take_rows(params["pos_embd"], positions, dtype=compute_dtype)
+    if cfg.embd_norm:
+        x = norm(x, params, "token_embd_norm", cfg)
     for i, layer in enumerate(params["layers"]):
         x, cache = decode_layer(
             x, layer, cfg, positions, cache, i, n_past, mask, compute_dtype, tap
         )
-    x = rms_norm(x, params["output_norm"], cfg.rms_eps)
+    x = norm(x, params, "output_norm", cfg)
     out_w = params.get("output")
     if out_w is None:
         out_w = params["token_embd"]
     if tap is not None:
         tap("output.weight", x)
     logits = qmm(x, out_w, compute_dtype=compute_dtype)
-    return logits.astype(jnp.float32), cache
+    if "output_bias" in params:
+        logits = logits + params["output_bias"]
+    logits = logits.astype(jnp.float32)
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
+    if cfg.final_logit_softcap:
+        logits = softcap(logits, cfg.final_logit_softcap)
+    return logits, cache

@@ -1,0 +1,407 @@
+"""Architecture registry.
+
+Capability mirror of the reference arch registry + per-arch graph builders
+(src/llama-arch.cpp LLM_ARCH_NAMES / src/llama-model.cpp llm_build_*): each
+entry maps GGUF metadata onto the generic decoder's feature flags
+(models/llama.py LlamaConfig) instead of hand-writing 68 separate graph
+functions — the TPU-native design expresses arch differences as data, and
+XLA specializes the single traced graph per config.
+
+Arch-specific notes cite the reference builder they reproduce.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from ..gguf.constants import Keys
+from ..ops.rope import RopeParams
+from .llama import LlamaConfig
+
+
+@dataclass(frozen=True)
+class ArchSpec:
+    name: str
+    # overrides(get) -> dict of LlamaConfig field overrides; `get` reads
+    # "{arch}.*"-templated GGUF keys with a default.
+    overrides: Callable[[Callable], dict] | None = None
+    fused_qkv: bool = False  # GGUF may carry blk.N.attn_qkv.weight
+    fused_gate_up: bool = False  # blk.N.ffn_up.weight holds [2*n_ff, C]
+    builder: str = "decoder"  # "decoder" | "mamba" | "deepseek2" | "encoder"
+
+
+ARCHS: dict[str, ArchSpec] = {}
+
+
+def register(spec: ArchSpec) -> ArchSpec:
+    ARCHS[spec.name] = spec
+    return spec
+
+
+def _llama(get):
+    return {}
+
+
+def _granite(get):
+    # reference llm_build_granite: 4 scalar scales from GGUF
+    return {
+        "embd_scale": float(get("{arch}.embedding_scale", 1.0)),
+        "residual_scale": float(get("{arch}.residual_scale", 1.0)),
+        "logit_scale_div": float(get("{arch}.logit_scale", 0.0)),
+        "attn_scale": float(get("{arch}.attention.scale", 0.0)),
+    }
+
+
+def _minicpm(get):
+    return {
+        "embd_scale": float(get("{arch}.embedding_scale", 12.0)),
+        "residual_scale": float(get("{arch}.residual_scale", 1.0)),
+        "logit_scale_div": float(get("{arch}.logit_scale", 0.0)),
+    }
+
+
+def _qwen2moe(get):
+    # llm_build_qwen2moe: top-k softmax router WITHOUT renorm, plus a
+    # sigmoid-gated always-on shared expert
+    return {
+        "moe_norm_weights": False,
+        "moe_shared_expert": True,
+        "moe_gate_shexp": True,
+    }
+
+
+def _gemma(get):
+    return {
+        "act": "gelu",
+        "tie_embeddings": True,
+        "embd_scale_sqrt_embd": True,
+    }
+
+
+def _gemma2(get):
+    return {
+        **_gemma(get),
+        "post_norms": True,
+        "attn_logit_softcap": float(get("{arch}.attn_logit_softcapping", 50.0)),
+        "final_logit_softcap": float(get("{arch}.final_logit_softcapping", 30.0)),
+        "swa_window": int(get(Keys.LLM.SLIDING_WINDOW, 4096) or 0),
+        "swa_pattern": 2,
+    }
+
+
+def _gemma3(get):
+    return {
+        **_gemma(get),
+        "post_norms": True,
+        "qk_norm": True,
+        "swa_window": int(get(Keys.LLM.SLIDING_WINDOW, 1024) or 0),
+        "swa_pattern": 6,
+        "rope_local_base": 10000.0,
+    }
+
+
+def _phi2(get):
+    return {
+        "norm_type": "ln",
+        "parallel_residual": True,
+        "act": "gelu",
+        "gated_ffn": False,
+        "tie_embeddings": False,
+    }
+
+
+def _gpt2(get):
+    return {
+        "norm_type": "ln",
+        "pos_embd_type": "learned",
+        "act": "gelu",
+        "gated_ffn": False,
+        "tie_embeddings": True,
+    }
+
+
+def _gptneox(get):
+    return {
+        "norm_type": "ln",
+        "act": "gelu",
+        "gated_ffn": False,
+        "parallel_residual": bool(get("{arch}.use_parallel_residual", True)),
+    }
+
+
+def _starcoder(get):
+    return {
+        "norm_type": "ln",
+        "pos_embd_type": "learned",
+        "act": "gelu",
+        "gated_ffn": False,
+    }
+
+
+def _starcoder2(get):
+    return {"norm_type": "ln", "act": "gelu", "gated_ffn": False}
+
+
+def _stablelm(get):
+    return {"norm_type": "ln"}
+
+
+def _olmo(get):
+    # llm_build_olmo: non-parametric layer norm (NULL weight/bias)
+    return {"norm_type": "ln"}
+
+
+def _olmo2(get):
+    return {"norm_after": True, "qk_norm": True}
+
+
+def _olmoe(get):
+    return {"qk_norm": True}
+
+
+def _command_r(get):
+    return {
+        "norm_type": "ln",
+        "parallel_residual": True,
+        "logit_scale": float(get("{arch}.logit_scale", 1.0)),
+    }
+
+
+def _cohere2(get):
+    return {
+        **_command_r(get),
+        "swa_window": int(get(Keys.LLM.SLIDING_WINDOW, 4096) or 0),
+        "swa_pattern": 4,
+        "rope_on_full_layers": False,
+    }
+
+
+def _bloom(get):
+    return {
+        "norm_type": "ln",
+        "pos_embd_type": "alibi",
+        "act": "gelu",
+        "gated_ffn": False,
+        "embd_norm": True,
+        "tie_embeddings": True,
+    }
+
+
+def _mpt(get):
+    return {
+        "norm_type": "ln",
+        "pos_embd_type": "alibi",
+        "act": "gelu",
+        "gated_ffn": False,
+        "max_alibi_bias": float(get("{arch}.attention.max_alibi_bias", 8.0)),
+        "tie_embeddings": True,
+    }
+
+
+def _falcon(get):
+    return {
+        "norm_type": "ln",
+        "parallel_residual": True,
+        "act": "gelu",
+        "gated_ffn": False,
+        "tie_embeddings": True,
+    }
+
+
+def _nemotron(get):
+    return {"norm_type": "ln", "act": "relu2", "gated_ffn": False}
+
+
+def _dbrx(get):
+    return {"norm_type": "ln"}
+
+
+def _chatglm(get):
+    return {}
+
+
+def _orion(get):
+    return {"norm_type": "ln"}
+
+
+def _deepseek(get):
+    # llm_build_deepseek: leading dense layers, routed scale, shared experts
+    return {
+        "moe_shared_expert": True,
+        "moe_norm_weights": False,
+        "moe_scale": float(get("{arch}.expert_weights_scale", 1.0)),
+    }
+
+
+# name → spec; coverage of the reference arch table (src/llama-arch.h:11-80).
+# Families sharing a graph are registered with the same overrides.
+for _spec in [
+    ArchSpec("llama", _llama),
+    ArchSpec("llama4", _deepseek),  # MoE llama w/ shared expert (approx.)
+    ArchSpec("mistral", _llama),
+    ArchSpec("mixtral", _llama),
+    ArchSpec("deci", _llama),
+    ArchSpec("baichuan", _llama),
+    ArchSpec("xverse", _llama),
+    ArchSpec("yi", _llama),
+    ArchSpec("internlm2", _llama),
+    ArchSpec("exaone", _llama),
+    ArchSpec("refact", _llama),
+    ArchSpec("granite", _granite),
+    ArchSpec("granitemoe", _granite),
+    ArchSpec("minicpm", _minicpm),
+    ArchSpec("qwen", _llama, fused_qkv=True),
+    ArchSpec("qwen2", _llama),
+    ArchSpec("qwen2moe", _qwen2moe),
+    ArchSpec("qwen3", _llama),
+    ArchSpec("qwen3moe", _llama),
+    ArchSpec("gemma", _gemma),
+    ArchSpec("gemma2", _gemma2),
+    ArchSpec("gemma3", _gemma3),
+    ArchSpec("phi2", _phi2, fused_qkv=True),
+    ArchSpec("phi3", _llama, fused_qkv=True, fused_gate_up=True),
+    ArchSpec("phimoe", _llama, fused_qkv=True),
+    ArchSpec("gpt2", _gpt2, fused_qkv=True),
+    ArchSpec("gptneox", _gptneox, fused_qkv=True),
+    ArchSpec("gptj", _phi2),
+    ArchSpec("starcoder", _starcoder, fused_qkv=True),
+    ArchSpec("starcoder2", _starcoder2),
+    ArchSpec("stablelm", _stablelm),
+    ArchSpec("olmo", _olmo),
+    ArchSpec("olmo2", _olmo2),
+    ArchSpec("olmoe", _olmoe),
+    ArchSpec("command-r", _command_r),
+    ArchSpec("cohere2", _cohere2),
+    ArchSpec("bloom", _bloom, fused_qkv=True),
+    ArchSpec("mpt", _mpt, fused_qkv=True),
+    ArchSpec("falcon", _falcon, fused_qkv=True),
+    ArchSpec("nemotron", _nemotron),
+    ArchSpec("dbrx", _dbrx, fused_qkv=True),
+    ArchSpec("chatglm", _chatglm, fused_qkv=True, fused_gate_up=True),
+    ArchSpec("glm4", _chatglm, fused_gate_up=True),
+    ArchSpec("orion", _orion),
+    ArchSpec("plamo", _llama),
+    ArchSpec("codeshell", _starcoder, fused_qkv=True),
+    ArchSpec("jais", _gpt2, fused_qkv=True),
+    ArchSpec("arctic", _llama),
+    ArchSpec("deepseek", _deepseek),
+    ArchSpec("deepseek2", _deepseek, builder="deepseek2"),
+    ArchSpec("mamba", None, builder="mamba"),
+    ArchSpec("bert", _llama, builder="encoder"),
+    ArchSpec("nomic-bert", _llama, builder="encoder"),
+    ArchSpec("jina-bert-v2", _llama, builder="encoder"),
+]:
+    register(_spec)
+
+_NEOX_ROPE_ARCHS = {
+    "qwen", "qwen2", "qwen2moe", "qwen2vl", "qwen3", "qwen3moe", "stablelm",
+    "phi2", "phi3", "phimoe", "gptneox", "gptj", "olmo", "olmo2", "olmoe",
+    "gemma", "gemma2", "gemma3", "starcoder2", "falcon", "dbrx", "nemotron",
+    "chatglm", "glm4", "deepseek2", "plamo", "arctic", "exaone",
+}
+
+
+def arch_spec(arch: str) -> ArchSpec:
+    return ARCHS.get(arch, ArchSpec(arch, _llama))
+
+
+def synth_config(arch: str, **dims) -> LlamaConfig:
+    """Tiny config for `arch` with the registry's flags applied — for tests
+    and benches that don't have a GGUF file."""
+    spec = arch_spec(arch)
+
+    def get(template: str, default=None):
+        return default
+
+    over = dict(spec.overrides(get)) if spec.overrides else {}
+    base = dict(
+        arch=arch, n_layers=2, n_embd=128, n_heads=4, n_kv_heads=2, head_dim=32,
+        n_ff=256, n_vocab=256, n_ctx_train=512, rms_eps=1e-5,
+    )
+    if over.pop("embd_scale_sqrt_embd", False):
+        over["embd_scale"] = math.sqrt(dims.get("n_embd", base["n_embd"]))
+    logit_div = over.pop("logit_scale_div", 0.0)
+    if logit_div:
+        over["logit_scale"] = 1.0 / logit_div
+    base.update(over)
+    base.update(dims)
+    if arch in _NEOX_ROPE_ARCHS:
+        mode = "neox"
+    else:
+        mode = "norm"
+    base.setdefault(
+        "rope", RopeParams(n_dims=base["head_dim"], mode=mode, freq_base=10000.0)
+    )
+    # keep SWA windows tiny-model friendly
+    if base.get("swa_window"):
+        base["swa_window"] = min(base["swa_window"], 8)
+    return LlamaConfig(**base)
+
+
+def config_from_gguf(kv: dict[str, Any]) -> LlamaConfig:
+    """GGUF metadata → LlamaConfig. Common hparams mirror the reference's
+    llama_model::load_hparams (src/llama-model.cpp:395+); per-arch flag
+    overrides come from the registry."""
+    arch = str(kv[Keys.General.ARCHITECTURE])
+    spec = arch_spec(arch)
+
+    def get(template: str, default=None):
+        return kv.get(template.format(arch=arch), default)
+
+    n_embd = int(get(Keys.LLM.EMBEDDING_LENGTH))
+    n_heads = int(get(Keys.LLM.ATTN_HEAD_COUNT))
+    n_kv_heads = int(get(Keys.LLM.ATTN_HEAD_COUNT_KV, n_heads) or n_heads)
+    head_dim = int(get(Keys.LLM.ATTN_KEY_LENGTH, n_embd // n_heads))
+    n_vocab = int(get(Keys.LLM.VOCAB_SIZE, 0)) or len(kv.get(Keys.Tokenizer.LIST, []))
+
+    over = dict(spec.overrides(get)) if spec.overrides else {}
+
+    rope_dims = int(get(Keys.LLM.ROPE_DIMENSION_COUNT, head_dim))
+    rope_mode = "neox" if arch in _NEOX_ROPE_ARCHS else "norm"
+    scaling_type = get(Keys.LLM.ROPE_SCALING_TYPE, "none")
+    freq_scale = 1.0
+    ext_factor = 0.0
+    factor = float(get(Keys.LLM.ROPE_SCALING_FACTOR, 1.0) or 1.0)
+    if scaling_type == "linear" and factor:
+        freq_scale = 1.0 / factor
+    elif scaling_type == "yarn" and factor:
+        freq_scale = 1.0 / factor
+        ext_factor = 1.0
+    rope = RopeParams(
+        n_dims=rope_dims,
+        mode=rope_mode,
+        freq_base=float(get(Keys.LLM.ROPE_FREQ_BASE, 10000.0)),
+        freq_scale=freq_scale,
+        ext_factor=ext_factor,
+        n_ctx_orig=int(get(Keys.LLM.ROPE_SCALING_ORIG_CTX, 0) or 0),
+    )
+
+    # post-process registry pseudo-fields
+    if over.pop("embd_scale_sqrt_embd", False):
+        over["embd_scale"] = math.sqrt(n_embd)
+    logit_div = over.pop("logit_scale_div", 0.0)
+    if logit_div:
+        over["logit_scale"] = 1.0 / logit_div
+
+    eps = get(Keys.LLM.ATTN_LAYERNORM_RMS_EPS)
+    if eps is None:
+        eps = get(Keys.LLM.ATTN_LAYERNORM_EPS, 1e-5)
+
+    return LlamaConfig(
+        arch=arch,
+        n_layers=int(get(Keys.LLM.BLOCK_COUNT)),
+        n_embd=n_embd,
+        n_heads=n_heads,
+        n_kv_heads=n_kv_heads,
+        head_dim=head_dim,
+        n_ff=int(get(Keys.LLM.FEED_FORWARD_LENGTH)),
+        n_vocab=n_vocab,
+        n_ctx_train=int(get(Keys.LLM.CONTEXT_LENGTH, 2048)),
+        rms_eps=float(eps),
+        rope=rope,
+        n_expert=int(get(Keys.LLM.EXPERT_COUNT, 0) or 0),
+        n_expert_used=int(get(Keys.LLM.EXPERT_USED_COUNT, 0) or 0),
+        **over,
+    )

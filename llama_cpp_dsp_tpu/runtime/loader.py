@@ -23,34 +23,58 @@ from ..tokenizer import Tokenizer, Vocab
 
 log = logging.getLogger(__name__)
 
-# per-layer tensor suffixes → param keys (subset of reference llama-arch.cpp
-# LLM_TENSOR_NAMES relevant to the llama family)
+# per-layer tensor suffixes → param keys (reference llama-arch.cpp
+# LLM_TENSOR_NAMES; the union across the registered archs)
 _LAYER_TENSORS = {
     "attn_norm.weight": "attn_norm",
+    "attn_norm.bias": "attn_norm_bias",
+    "attn_norm_2.weight": "ffn_norm",  # falcon parallel-residual second norm
+    "attn_norm_2.bias": "ffn_norm_bias",
     "attn_q.weight": "attn_q",
     "attn_k.weight": "attn_k",
     "attn_v.weight": "attn_v",
     "attn_output.weight": "attn_output",
+    "attn_output.bias": "attn_output_bias",
     "attn_q.bias": "attn_q_bias",
     "attn_k.bias": "attn_k_bias",
     "attn_v.bias": "attn_v_bias",
+    "attn_qkv.weight": "attn_qkv",
+    "attn_qkv.bias": "attn_qkv_bias",
     "attn_q_norm.weight": "attn_q_norm",
     "attn_k_norm.weight": "attn_k_norm",
+    "attn_post_norm.weight": "attn_post_norm",
+    "post_attention_norm.weight": "attn_post_norm",
     "ffn_norm.weight": "ffn_norm",
+    "ffn_norm.bias": "ffn_norm_bias",
+    "ffn_post_norm.weight": "ffn_post_norm",
+    "post_ffw_norm.weight": "ffn_post_norm",
     "ffn_gate.weight": "ffn_gate",
+    "ffn_gate.bias": "ffn_gate_bias",
     "ffn_up.weight": "ffn_up",
+    "ffn_up.bias": "ffn_up_bias",
     "ffn_down.weight": "ffn_down",
+    "ffn_down.bias": "ffn_down_bias",
     "ffn_gate_inp.weight": "ffn_gate_inp",
     "ffn_gate_exps.weight": "ffn_gate_exps",
     "ffn_up_exps.weight": "ffn_up_exps",
     "ffn_down_exps.weight": "ffn_down_exps",
+    "ffn_gate_inp_shexp.weight": "ffn_gate_inp_shexp",
+    "ffn_gate_shexp.weight": "ffn_gate_shexp",
+    "ffn_up_shexp.weight": "ffn_up_shexp",
+    "ffn_down_shexp.weight": "ffn_down_shexp",
 }
 
 _GLOBAL_TENSORS = {
     "token_embd.weight": "token_embd",
+    "token_embd_norm.weight": "token_embd_norm",
+    "token_embd_norm.bias": "token_embd_norm_bias",
+    "position_embd.weight": "pos_embd",
     "output_norm.weight": "output_norm",
+    "output_norm.bias": "output_norm_bias",
     "output.weight": "output",
+    "output.bias": "output_bias",
     "rope_freqs.weight": "rope_freqs",
+    "rope_factors_long.weight": "rope_freqs",  # phi3 long factors
 }
 
 
@@ -95,9 +119,50 @@ def _iter_leaves(tree):
         yield tree
 
 
+def _row_slice(w, start: int, stop: int):
+    """Rows [start:stop) of a weight — QTensor fields are row-major on axis 0."""
+    if isinstance(w, QTensor):
+        return QTensor(
+            w.kind, (stop - start, w.shape[1]),
+            {k: a[start:stop] for k, a in w.arrays.items()},
+        )
+    return w[start:stop]
+
+
+def _split_fused(params: dict[str, Any], cfg: LlamaConfig, spec) -> None:
+    """Split fused attn_qkv / gate-up ffn_up tensors into the canonical keys.
+
+    The reference keeps fused tensors and takes views at graph-build time
+    (e.g. llm_build_phi3 wqkv views, LLM_FFN_SWIGLU split); splitting once at
+    load is the XLA-idiomatic equivalent (no runtime cost, static shapes).
+    """
+    qdim = cfg.n_heads * cfg.head_dim
+    kvdim = cfg.n_kv_heads * cfg.head_dim
+    for layer in params["layers"]:
+        qkv = layer.pop("attn_qkv", None)
+        if qkv is not None:
+            layer["attn_q"] = _row_slice(qkv, 0, qdim)
+            layer["attn_k"] = _row_slice(qkv, qdim, qdim + kvdim)
+            layer["attn_v"] = _row_slice(qkv, qdim + kvdim, qdim + 2 * kvdim)
+        qkv_b = layer.pop("attn_qkv_bias", None)
+        if qkv_b is not None:
+            layer["attn_q_bias"] = qkv_b[0:qdim]
+            layer["attn_k_bias"] = qkv_b[qdim : qdim + kvdim]
+            layer["attn_v_bias"] = qkv_b[qdim + kvdim : qdim + 2 * kvdim]
+        if spec.fused_gate_up and "ffn_gate" not in layer and "ffn_up" in layer:
+            up = layer.pop("ffn_up")
+            n2 = up.shape[0] if not isinstance(up, QTensor) else up.shape[0]
+            ff = n2 // 2
+            layer["ffn_gate"] = _row_slice(up, 0, ff)
+            layer["ffn_up"] = _row_slice(up, ff, 2 * ff)
+
+
 def load_model(path: str, *, with_tokenizer: bool = True) -> LoadedModel:
+    from ..models.registry import arch_spec
+
     gm = GGUFModel.load(path)
     cfg = LlamaConfig.from_gguf_kv(gm.kv)
+    spec = arch_spec(cfg.arch)
     params: dict[str, Any] = {"layers": [{} for _ in range(cfg.n_layers)]}
 
     for name, info in gm.tensors.items():
@@ -115,6 +180,8 @@ def load_model(path: str, *, with_tokenizer: bool = True) -> LoadedModel:
             params["layers"][int(idx)][key] = _convert(raw, info.ggml_type, info.np_shape)
             continue
         log.warning("unmapped tensor %s", name)
+
+    _split_fused(params, cfg, spec)
 
     # share rope_freqs into each layer (same array, no copy)
     ff = params.pop("rope_freqs", None)

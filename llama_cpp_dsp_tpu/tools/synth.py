@@ -88,16 +88,23 @@ def synth_qtensor(
 
 
 def synth_params(cfg: LlamaConfig, kind: GGMLType, *, seed: int = 0, tie: bool = True):
+    """Random parameters honoring every arch flag in `cfg` (biases, post
+    norms, shared experts, learned positions, …) so any registered arch can
+    be synthesized for tests and benches."""
     rng = np.random.default_rng(seed)
     c, ff, v = cfg.n_embd, cfg.n_ff, cfg.n_vocab
     qdim = cfg.n_heads * cfg.head_dim
     kvdim = cfg.n_kv_heads * cfg.head_dim
+    ln = cfg.norm_type == "ln"
 
     def q(*shape):
         return synth_qtensor(rng, kind, shape)
 
     def norm(dim):
         return np.ones(dim, np.float32)
+
+    def bias(dim):
+        return (rng.standard_normal(dim) * 0.01).astype(np.float32)
 
     layers = []
     for _ in range(cfg.n_layers):
@@ -107,8 +114,23 @@ def synth_params(cfg: LlamaConfig, kind: GGMLType, *, seed: int = 0, tie: bool =
             "attn_k": q(kvdim, c),
             "attn_v": q(kvdim, c),
             "attn_output": q(c, qdim),
-            "ffn_norm": norm(c),
         }
+        if ln:
+            layer["attn_norm_bias"] = bias(c)
+        if cfg.attn_bias:
+            layer["attn_q_bias"] = bias(qdim)
+            layer["attn_k_bias"] = bias(kvdim)
+            layer["attn_v_bias"] = bias(kvdim)
+        if cfg.qk_norm:
+            layer["attn_q_norm"] = norm(cfg.head_dim)
+            layer["attn_k_norm"] = norm(cfg.head_dim)
+        if cfg.post_norms:
+            layer["attn_post_norm"] = norm(c)
+            layer["ffn_post_norm"] = norm(c)
+        if not (cfg.parallel_residual and cfg.arch in ("phi2", "command-r", "cohere2")):
+            layer["ffn_norm"] = norm(c)
+            if ln:
+                layer["ffn_norm_bias"] = bias(c)
         if cfg.n_expert:
             layer["ffn_gate_inp"] = (rng.standard_normal((cfg.n_expert, c)) * 0.02).astype(
                 np.float32
@@ -116,16 +138,38 @@ def synth_params(cfg: LlamaConfig, kind: GGMLType, *, seed: int = 0, tie: bool =
             layer["ffn_gate_exps"] = q(cfg.n_expert, ff, c)
             layer["ffn_up_exps"] = q(cfg.n_expert, ff, c)
             layer["ffn_down_exps"] = q(cfg.n_expert, c, ff)
+            if cfg.moe_shared_expert:
+                layer["ffn_gate_shexp"] = q(ff, c)
+                layer["ffn_up_shexp"] = q(ff, c)
+                layer["ffn_down_shexp"] = q(c, ff)
+                if cfg.moe_gate_shexp:
+                    layer["ffn_gate_inp_shexp"] = (
+                        rng.standard_normal((1, c)) * 0.02
+                    ).astype(np.float32)
         else:
-            layer["ffn_gate"] = q(ff, c)
+            if cfg.gated_ffn:
+                layer["ffn_gate"] = q(ff, c)
             layer["ffn_up"] = q(ff, c)
             layer["ffn_down"] = q(c, ff)
+            if ln:
+                layer["ffn_up_bias"] = bias(ff)
+                layer["ffn_down_bias"] = bias(c)
         layers.append(layer)
     params = {
         "token_embd": q(v, c),
         "layers": layers,
         "output_norm": norm(c),
     }
-    if not tie:
+    if ln:
+        params["output_norm_bias"] = bias(c)
+    if cfg.pos_embd_type == "learned":
+        params["pos_embd"] = (rng.standard_normal((cfg.n_ctx_train, c)) * 0.02).astype(
+            np.float32
+        )
+    if cfg.embd_norm:
+        params["token_embd_norm"] = norm(c)
+        if ln:
+            params["token_embd_norm_bias"] = bias(c)
+    if not (tie or cfg.tie_embeddings):
         params["output"] = q(v, c)
     return params

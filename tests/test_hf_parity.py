@@ -1,0 +1,265 @@
+"""Logit parity vs HuggingFace transformers on tiny random models.
+
+This is the semantic oracle for the arch zoo: the reference validates its
+graphs against upstream implementations via perplexity/CI on real models
+(ci/run.sh); here we check exact graph semantics directly — our f32 forward
+must match the HF reference implementation of each family to ~1e-3.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from llama_cpp_dsp_tpu.models.llama import LlamaConfig, forward
+from llama_cpp_dsp_tpu.ops.rope import RopeParams
+
+
+def _t2n(t):
+    return t.detach().cpu().numpy().astype(np.float32)
+
+
+def _run_ours(cfg, params, tokens):
+    n = tokens.shape[1]
+    positions = np.arange(n, dtype=np.int32).reshape(1, n)
+    mask = np.tril(np.ones((1, n, n), bool))
+    logits, _ = forward(
+        params, cfg, jnp.asarray(tokens), jnp.asarray(positions),
+        mask=mask, compute_dtype=jnp.float32,
+    )
+    return np.asarray(logits)[0]
+
+
+def _run_hf(model, tokens):
+    with torch.no_grad():
+        out = model(torch.tensor(tokens, dtype=torch.long))
+    return _t2n(out.logits[0])
+
+
+def _layer_common(hfl, prefix=""):
+    return {}
+
+
+def test_llama_parity():
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        attention_bias=False, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+
+    cfg = LlamaConfig(
+        arch="llama", n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+        head_dim=16, n_ff=128, n_vocab=128, n_ctx_train=64, rms_eps=1e-6,
+        rope=RopeParams(n_dims=16, mode="neox", freq_base=10000.0),
+    )
+    layers = []
+    for hl in model.model.layers:
+        layers.append({
+            "attn_norm": _t2n(hl.input_layernorm.weight),
+            "attn_q": _t2n(hl.self_attn.q_proj.weight),
+            "attn_k": _t2n(hl.self_attn.k_proj.weight),
+            "attn_v": _t2n(hl.self_attn.v_proj.weight),
+            "attn_output": _t2n(hl.self_attn.o_proj.weight),
+            "ffn_norm": _t2n(hl.post_attention_layernorm.weight),
+            "ffn_gate": _t2n(hl.mlp.gate_proj.weight),
+            "ffn_up": _t2n(hl.mlp.up_proj.weight),
+            "ffn_down": _t2n(hl.mlp.down_proj.weight),
+        })
+    params = {
+        "token_embd": _t2n(model.model.embed_tokens.weight),
+        "layers": layers,
+        "output_norm": _t2n(model.model.norm.weight),
+        "output": _t2n(model.lm_head.weight),
+    }
+    tokens = np.array([[1, 5, 9, 20, 33, 47, 2, 17]], np.int32)
+    ours = _run_ours(cfg, params, tokens)
+    theirs = _run_hf(model, tokens)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-3)
+
+
+def test_gpt2_parity():
+    hf_cfg = transformers.GPT2Config(
+        vocab_size=128, n_positions=64, n_embd=64, n_layer=2, n_head=4,
+        activation_function="gelu_new",
+    )
+    torch.manual_seed(1)
+    model = transformers.GPT2LMHeadModel(hf_cfg).eval()
+
+    cfg = LlamaConfig(
+        arch="gpt2", n_layers=2, n_embd=64, n_heads=4, n_kv_heads=4,
+        head_dim=16, n_ff=256, n_vocab=128, n_ctx_train=64, rms_eps=1e-5,
+        norm_type="ln", pos_embd_type="learned", act="gelu", gated_ffn=False,
+        tie_embeddings=True,
+    )
+    layers = []
+    for hl in model.transformer.h:
+        w_qkv = _t2n(hl.attn.c_attn.weight).T  # Conv1D stores [in, out]
+        b_qkv = _t2n(hl.attn.c_attn.bias)
+        layers.append({
+            "attn_norm": _t2n(hl.ln_1.weight),
+            "attn_norm_bias": _t2n(hl.ln_1.bias),
+            "attn_q": w_qkv[0:64], "attn_q_bias": b_qkv[0:64],
+            "attn_k": w_qkv[64:128], "attn_k_bias": b_qkv[64:128],
+            "attn_v": w_qkv[128:192], "attn_v_bias": b_qkv[128:192],
+            "attn_output": _t2n(hl.attn.c_proj.weight).T,
+            "attn_output_bias": _t2n(hl.attn.c_proj.bias),
+            "ffn_norm": _t2n(hl.ln_2.weight),
+            "ffn_norm_bias": _t2n(hl.ln_2.bias),
+            "ffn_up": _t2n(hl.mlp.c_fc.weight).T,
+            "ffn_up_bias": _t2n(hl.mlp.c_fc.bias),
+            "ffn_down": _t2n(hl.mlp.c_proj.weight).T,
+            "ffn_down_bias": _t2n(hl.mlp.c_proj.bias),
+        })
+    params = {
+        "token_embd": _t2n(model.transformer.wte.weight),
+        "pos_embd": _t2n(model.transformer.wpe.weight),
+        "layers": layers,
+        "output_norm": _t2n(model.transformer.ln_f.weight),
+        "output_norm_bias": _t2n(model.transformer.ln_f.bias),
+    }
+    tokens = np.array([[3, 14, 15, 92, 65, 35]], np.int32)
+    ours = _run_ours(cfg, params, tokens)
+    theirs = _run_hf(model, tokens)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-3)
+
+
+def test_qwen2_parity():
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(2)
+    model = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+
+    cfg = LlamaConfig(
+        arch="qwen2", n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+        head_dim=16, n_ff=128, n_vocab=128, n_ctx_train=64, rms_eps=1e-6,
+        rope=RopeParams(n_dims=16, mode="neox", freq_base=10000.0),
+        attn_bias=True,
+    )
+    layers = []
+    for hl in model.model.layers:
+        layers.append({
+            "attn_norm": _t2n(hl.input_layernorm.weight),
+            "attn_q": _t2n(hl.self_attn.q_proj.weight),
+            "attn_q_bias": _t2n(hl.self_attn.q_proj.bias),
+            "attn_k": _t2n(hl.self_attn.k_proj.weight),
+            "attn_k_bias": _t2n(hl.self_attn.k_proj.bias),
+            "attn_v": _t2n(hl.self_attn.v_proj.weight),
+            "attn_v_bias": _t2n(hl.self_attn.v_proj.bias),
+            "attn_output": _t2n(hl.self_attn.o_proj.weight),
+            "ffn_norm": _t2n(hl.post_attention_layernorm.weight),
+            "ffn_gate": _t2n(hl.mlp.gate_proj.weight),
+            "ffn_up": _t2n(hl.mlp.up_proj.weight),
+            "ffn_down": _t2n(hl.mlp.down_proj.weight),
+        })
+    params = {
+        "token_embd": _t2n(model.model.embed_tokens.weight),
+        "layers": layers,
+        "output_norm": _t2n(model.model.norm.weight),
+        "output": _t2n(model.lm_head.weight),
+    }
+    tokens = np.array([[7, 42, 11, 99, 3]], np.int32)
+    ours = _run_ours(cfg, params, tokens)
+    theirs = _run_hf(model, tokens)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-3)
+
+
+def test_gemma2_parity():
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, rms_norm_eps=1e-6,
+        rope_theta=10000.0, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, query_pre_attn_scalar=16,
+        sliding_window=4096, attention_bias=False,
+    )
+    torch.manual_seed(3)
+    model = transformers.Gemma2ForCausalLM(hf_cfg).eval()
+
+    cfg = LlamaConfig(
+        arch="gemma2", n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+        head_dim=16, n_ff=128, n_vocab=128, n_ctx_train=64, rms_eps=1e-6,
+        rope=RopeParams(n_dims=16, mode="neox", freq_base=10000.0),
+        act="gelu", post_norms=True, attn_logit_softcap=50.0,
+        final_logit_softcap=30.0, embd_scale=float(np.sqrt(64.0)),
+        tie_embeddings=True, swa_window=4096, swa_pattern=2,
+    )
+
+    def gw(t):  # gemma stores w, applies (1 + w) — bake the +1 like the converter
+        return _t2n(t) + 1.0
+
+    layers = []
+    for hl in model.model.layers:
+        layers.append({
+            "attn_norm": gw(hl.input_layernorm.weight),
+            "attn_q": _t2n(hl.self_attn.q_proj.weight),
+            "attn_k": _t2n(hl.self_attn.k_proj.weight),
+            "attn_v": _t2n(hl.self_attn.v_proj.weight),
+            "attn_output": _t2n(hl.self_attn.o_proj.weight),
+            "attn_post_norm": gw(hl.post_attention_layernorm.weight),
+            "ffn_norm": gw(hl.pre_feedforward_layernorm.weight),
+            "ffn_post_norm": gw(hl.post_feedforward_layernorm.weight),
+            "ffn_gate": _t2n(hl.mlp.gate_proj.weight),
+            "ffn_up": _t2n(hl.mlp.up_proj.weight),
+            "ffn_down": _t2n(hl.mlp.down_proj.weight),
+        })
+    params = {
+        "token_embd": _t2n(model.model.embed_tokens.weight),
+        "layers": layers,
+        "output_norm": gw(model.model.norm.weight),
+    }
+    tokens = np.array([[2, 9, 77, 31, 8, 55]], np.int32)
+    ours = _run_ours(cfg, params, tokens)
+    theirs = _run_hf(model, tokens)
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=3e-3)
+
+
+def test_mixtral_parity():
+    hf_cfg = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        num_local_experts=4, num_experts_per_tok=2, tie_word_embeddings=False,
+    )
+    torch.manual_seed(4)
+    model = transformers.MixtralForCausalLM(hf_cfg).eval()
+
+    cfg = LlamaConfig(
+        arch="mixtral", n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+        head_dim=16, n_ff=128, n_vocab=128, n_ctx_train=64, rms_eps=1e-6,
+        rope=RopeParams(n_dims=16, mode="neox", freq_base=10000.0),
+        n_expert=4, n_expert_used=2,
+    )
+    layers = []
+    for hl in model.model.layers:
+        moe = hl.block_sparse_moe
+        layers.append({
+            "attn_norm": _t2n(hl.input_layernorm.weight),
+            "attn_q": _t2n(hl.self_attn.q_proj.weight),
+            "attn_k": _t2n(hl.self_attn.k_proj.weight),
+            "attn_v": _t2n(hl.self_attn.v_proj.weight),
+            "attn_output": _t2n(hl.self_attn.o_proj.weight),
+            "ffn_norm": _t2n(hl.post_attention_layernorm.weight),
+            "ffn_gate_inp": _t2n(moe.gate.weight),
+            "ffn_gate_exps": np.stack([_t2n(e.w1.weight) for e in moe.experts]),
+            "ffn_down_exps": np.stack([_t2n(e.w2.weight) for e in moe.experts]),
+            "ffn_up_exps": np.stack([_t2n(e.w3.weight) for e in moe.experts]),
+        })
+    params = {
+        "token_embd": _t2n(model.model.embed_tokens.weight),
+        "layers": layers,
+        "output_norm": _t2n(model.model.norm.weight),
+        "output": _t2n(model.lm_head.weight),
+    }
+    tokens = np.array([[4, 19, 90, 3, 27, 66, 8]], np.int32)
+    ours = _run_ours(cfg, params, tokens)
+    theirs = _run_hf(model, tokens)
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=3e-3)
