@@ -202,6 +202,10 @@ class Keys:
         ATTN_VALUE_LENGTH = "{arch}.attention.value_length"
         VOCAB_SIZE = "{arch}.vocab_size"
         SLIDING_WINDOW = "{arch}.attention.sliding_window"
+        SSM_CONV_KERNEL = "{arch}.ssm.conv_kernel"
+        SSM_INNER_SIZE = "{arch}.ssm.inner_size"
+        SSM_STATE_SIZE = "{arch}.ssm.state_size"
+        SSM_TIME_STEP_RANK = "{arch}.ssm.time_step_rank"
 
     class Tokenizer:
         MODEL = "tokenizer.ggml.model"  # "llama"(spm) | "gpt2"(bpe) | "bert"(wpm) | ...

@@ -1,0 +1,25 @@
+"""Model graph builders.
+
+get_forward(cfg) dispatches to the right builder the way the reference's
+llama_model::build_graph switches over arch (src/llama-model.cpp:12758):
+one generic decoder covers the transformer families (flags in LlamaConfig),
+mamba gets its own recurrent builder.
+"""
+
+from __future__ import annotations
+
+from .llama import LlamaConfig, forward as decoder_forward
+
+
+def get_forward(cfg: LlamaConfig):
+    from .registry import arch_spec
+
+    builder = arch_spec(cfg.arch).builder
+    if builder == "mamba":
+        from .mamba import forward as mamba_forward
+
+        return mamba_forward
+    return decoder_forward
+
+
+__all__ = ["LlamaConfig", "decoder_forward", "get_forward"]

@@ -70,6 +70,30 @@ class LlamaConfig:
     moe_scale: float = 1.0  # granitemoe/deepseek routed scale
     embd_norm: bool = False  # bloom token_embd_norm after embedding
     rope_on_full_layers: bool = True  # cohere2: full-attn layers skip rope
+    # --- deepseek2 MLA (reference llm_build_deepseek2) ---
+    q_lora_rank: int = 0  # 0 = direct q projection (deepseek2-lite)
+    kv_lora_rank: int = 0  # >0 enables MLA
+    qk_nope_dim: int = 0
+    qk_rope_dim: int = 0
+    v_head_dim: int = 0
+    n_dense_layers: int = 0  # leading dense (non-MoE) layers
+    # --- mamba SSM (reference llm_build_mamba) ---
+    ssm_d_inner: int = 0
+    ssm_d_state: int = 0
+    ssm_d_conv: int = 0
+    ssm_dt_rank: int = 0
+
+    @property
+    def kv_cache_heads(self) -> int:
+        """KV-cache head count: MLA caches one latent 'head'."""
+        return 1 if self.kv_lora_rank else self.n_kv_heads
+
+    @property
+    def kv_cache_dim(self) -> int:
+        """KV-cache per-head dim: MLA caches [latent; roped-k]."""
+        if self.kv_lora_rank:
+            return self.kv_lora_rank + self.qk_rope_dim
+        return self.head_dim
 
     @property
     def n_embd_head(self) -> int:
@@ -138,8 +162,8 @@ def _mask_value(dtype) -> float:
 
 def attention(
     q: jax.Array,  # [B, T, H, D] (already roped)
-    k: jax.Array,  # [B, S, Hkv, D]
-    v: jax.Array,  # [B, S, Hkv, D]
+    k: jax.Array,  # [B, Hkv, S, D]
+    v: jax.Array,  # [B, Hkv, S, D]
     mask: jax.Array | None,  # [B, T, S] bool (True = attend) or additive f32
     scale: float,
     *,
@@ -149,12 +173,12 @@ def attention(
     """Masked multi-head attention, f32 softmax/accumulation like the
     reference's non-flash path (llama-graph.cpp:1211-1230, KQ in f32)."""
     b, t, h, d = q.shape
-    hkv = k.shape[2]
+    hkv = k.shape[1]
     rep = h // hkv
     qf = q.astype(jnp.float32).reshape(b, t, hkv, rep, d)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
-    scores = jnp.einsum("bthrd,bshd->bhrts", qf, kf) * scale  # [B,Hkv,rep,T,S]
+    scores = jnp.einsum("bthrd,bhsd->bhrts", qf, kf) * scale  # [B,Hkv,rep,T,S]
     if logit_softcap:
         scores = softcap(scores, logit_softcap)
     if head_bias is not None:
@@ -166,7 +190,7 @@ def attention(
             bias = mask.astype(jnp.float32)
         scores = scores + bias[:, None, None, :, :]
     probs = softmax_f32(scores, axis=-1)
-    out = jnp.einsum("bhrts,bshd->bthrd", probs, vf)
+    out = jnp.einsum("bhrts,bhsd->bthrd", probs, vf)
     return out.reshape(b, t, h * d)
 
 
@@ -272,6 +296,7 @@ def self_attention(
     mask: jax.Array | None,
     compute_dtype,
     tap=None,
+    flash: bool = False,
 ):
     """QKV → rope → cached attention → output proj. Returns (out, cache)."""
     b, t, _ = x.shape
@@ -301,11 +326,34 @@ def self_attention(
 
     if cache is not None:
         cache = cache.write(layer_idx, k, v, n_past)
-        k_all, v_all = cache.layer(layer_idx)
+        k_all, v_all = cache.layer(layer_idx)  # [B,Hkv,S,D]
     else:
-        k_all, v_all = k.astype(compute_dtype), v.astype(compute_dtype)
+        k_all = k.transpose(0, 2, 1, 3).astype(compute_dtype)
+        v_all = v.transpose(0, 2, 1, 3).astype(compute_dtype)
 
-    s = k_all.shape[1]
+    scale0 = cfg.attn_scale if cfg.attn_scale else 1.0 / (d**0.5)
+    if (
+        flash
+        and t == 1
+        and cache is not None
+        and cfg.pos_embd_type != "alibi"
+        and h % hkv == 0
+    ):
+        from ..ops.pallas.attention import flash_decode
+
+        lengths = positions[:, 0] + 1
+        starts = None
+        if cfg.is_swa_layer(layer_idx):
+            starts = jnp.maximum(lengths - cfg.swa_window, 0)
+        attn = flash_decode(
+            q[:, 0], k_all, v_all, lengths, starts,
+            scale=float(scale0), softcap=float(cfg.attn_logit_softcap),
+        ).reshape(b, 1, h * d).astype(compute_dtype)
+        if tap is not None:
+            tap(f"blk.{layer_idx}.attn_output.weight", attn)
+        return _mm(attn, layer, "attn_output", compute_dtype), cache
+
+    s = k_all.shape[2]
     if cfg.is_swa_layer(layer_idx) and mask is not None and mask.dtype == jnp.bool_:
         # sliding window: only attend to keys within swa_window of the query
         # (reference llama_kv_cache SWA masking, src/llama-graph.h:262-265)
@@ -319,9 +367,8 @@ def self_attention(
         dist = positions.astype(jnp.float32)[:, :, None] - j[None, None, :]  # [B,T,S]
         head_bias = -slopes[None, :, None, None] * dist[:, None, :, :]
 
-    scale = cfg.attn_scale if cfg.attn_scale else 1.0 / (d**0.5)
     attn = attention(
-        q, k_all, v_all, mask, scale,
+        q, k_all, v_all, mask, scale0,
         logit_softcap=cfg.attn_logit_softcap, head_bias=head_bias,
     ).astype(compute_dtype)
     if tap is not None:
@@ -340,19 +387,30 @@ def decode_layer(
     mask: jax.Array | None,
     compute_dtype,
     tap=None,  # optional callable(name, activation) — imatrix/eval-callback
+    flash: bool = False,
 ):
     attn_in = x if cfg.norm_after else norm(x, layer, "attn_norm", cfg)
-    attn, cache = self_attention(
-        attn_in, layer, cfg, positions, cache, layer_idx, n_past, mask,
-        compute_dtype, tap,
-    )
+    if cfg.kv_lora_rank:
+        from .deepseek2 import mla_self_attention as attn_impl
+
+        attn, cache = attn_impl(
+            attn_in, layer, cfg, positions, cache, layer_idx, n_past, mask,
+            compute_dtype, tap,
+        )
+    else:
+        attn, cache = self_attention(
+            attn_in, layer, cfg, positions, cache, layer_idx, n_past, mask,
+            compute_dtype, tap, flash,
+        )
     if cfg.post_norms:
         attn = norm(attn, layer, "attn_post_norm", cfg)
     if cfg.norm_after:
         attn = norm(attn, layer, "attn_norm", cfg)
 
     def ffn_fn(ffn_in):
-        if cfg.n_expert > 0:
+        # per-layer MoE decision: deepseek keeps the first n_dense_layers
+        # dense (reference llm_build_deepseek2 il < n_layer_dense_lead)
+        if cfg.n_expert > 0 and "ffn_gate_exps" in layer:
             return ffn_moe(ffn_in, layer, cfg, compute_dtype, tap, layer_idx)
         return ffn_dense(ffn_in, layer, cfg, compute_dtype, tap, "", layer_idx)
 
@@ -385,6 +443,7 @@ def forward(
     *,
     compute_dtype=jnp.bfloat16,
     tap=None,
+    flash: bool = False,  # fused decode attention kernel (TPU, T=1)
 ):
     """Returns (logits [B, T, n_vocab] f32, updated cache)."""
     x = take_rows(params["token_embd"], tokens, dtype=compute_dtype)
@@ -396,7 +455,8 @@ def forward(
         x = norm(x, params, "token_embd_norm", cfg)
     for i, layer in enumerate(params["layers"]):
         x, cache = decode_layer(
-            x, layer, cfg, positions, cache, i, n_past, mask, compute_dtype, tap
+            x, layer, cfg, positions, cache, i, n_past, mask, compute_dtype,
+            tap, flash,
         )
     x = norm(x, params, "output_norm", cfg)
     out_w = params.get("output")

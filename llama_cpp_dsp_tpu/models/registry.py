@@ -232,6 +232,24 @@ def _deepseek(get):
         "moe_shared_expert": True,
         "moe_norm_weights": False,
         "moe_scale": float(get("{arch}.expert_weights_scale", 1.0)),
+        "n_dense_layers": int(get("{arch}.leading_dense_block_count", 1) or 1),
+    }
+
+
+def _deepseek2(get):
+    # llm_build_deepseek2: MLA + grouped MoE; v3 uses sigmoid gating
+    rope_dim = int(get(Keys.LLM.ROPE_DIMENSION_COUNT, 64) or 64)
+    key_len = int(get(Keys.LLM.ATTN_KEY_LENGTH, 192) or 192)
+    gating = int(get("{arch}.expert_gating_func", 1) or 1)
+    return {
+        **_deepseek(get),
+        "q_lora_rank": int(get("{arch}.attention.q_lora_rank", 0) or 0),
+        "kv_lora_rank": int(get("{arch}.attention.kv_lora_rank", 512) or 512),
+        "qk_rope_dim": rope_dim,
+        "qk_nope_dim": key_len - rope_dim,
+        "v_head_dim": int(get(Keys.LLM.ATTN_VALUE_LENGTH, 128) or 128),
+        "moe_norm_weights": bool(get("{arch}.expert_weights_norm", False)),
+        "expert_gating": "sigmoid" if gating == 2 else "softmax",
     }
 
 
@@ -287,8 +305,13 @@ for _spec in [
     ArchSpec("jais", _gpt2, fused_qkv=True),
     ArchSpec("arctic", _llama),
     ArchSpec("deepseek", _deepseek),
-    ArchSpec("deepseek2", _deepseek, builder="deepseek2"),
-    ArchSpec("mamba", None, builder="mamba"),
+    ArchSpec("deepseek2", _deepseek2),
+    ArchSpec("mamba", lambda get: {
+        "ssm_d_conv": int(get(Keys.LLM.SSM_CONV_KERNEL, 4) or 4),
+        "ssm_d_inner": int(get(Keys.LLM.SSM_INNER_SIZE, 0) or 0),
+        "ssm_d_state": int(get(Keys.LLM.SSM_STATE_SIZE, 16) or 16),
+        "ssm_dt_rank": int(get(Keys.LLM.SSM_TIME_STEP_RANK, 0) or 0),
+    }, builder="mamba"),
     ArchSpec("bert", _llama, builder="encoder"),
     ArchSpec("nomic-bert", _llama, builder="encoder"),
     ArchSpec("jina-bert-v2", _llama, builder="encoder"),
@@ -351,9 +374,10 @@ def config_from_gguf(kv: dict[str, Any]) -> LlamaConfig:
         return kv.get(template.format(arch=arch), default)
 
     n_embd = int(get(Keys.LLM.EMBEDDING_LENGTH))
-    n_heads = int(get(Keys.LLM.ATTN_HEAD_COUNT))
+    n_heads = int(get(Keys.LLM.ATTN_HEAD_COUNT, 0) or 0)
     n_kv_heads = int(get(Keys.LLM.ATTN_HEAD_COUNT_KV, n_heads) or n_heads)
-    head_dim = int(get(Keys.LLM.ATTN_KEY_LENGTH, n_embd // n_heads))
+    head_dim = int(get(Keys.LLM.ATTN_KEY_LENGTH,
+                       n_embd // n_heads if n_heads else 0))
     n_vocab = int(get(Keys.LLM.VOCAB_SIZE, 0)) or len(kv.get(Keys.Tokenizer.LIST, []))
 
     over = dict(spec.overrides(get)) if spec.overrides else {}
@@ -396,7 +420,7 @@ def config_from_gguf(kv: dict[str, Any]) -> LlamaConfig:
         n_heads=n_heads,
         n_kv_heads=n_kv_heads,
         head_dim=head_dim,
-        n_ff=int(get(Keys.LLM.FEED_FORWARD_LENGTH)),
+        n_ff=int(get(Keys.LLM.FEED_FORWARD_LENGTH, 0) or 0),
         n_vocab=n_vocab,
         n_ctx_train=int(get(Keys.LLM.CONTEXT_LENGTH, 2048)),
         rms_eps=float(eps),

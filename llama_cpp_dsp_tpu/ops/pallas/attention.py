@@ -1,0 +1,159 @@
+"""Fused flash-attention decode kernel.
+
+Capability mirror of the reference's FlashAttention decode kernels
+(ggml/src/ggml-cuda/fattn-vec-f16.cuh and dispatch fattn.cu:12-51),
+designed TPU-first:
+
+- grid (B, Hkv): each program owns one (slot, kv-head) pair and its `rep`
+  grouped query heads (GQA packs the group into one [rep, D] MXU operand).
+- K/V stay in HBM; the kernel DMAs CHUNK×D tiles into a double buffer and
+  runs the online-softmax update per tile — HBM traffic is proportional to
+  the sequence's *actual* length (the jnp fallback reads the whole capacity).
+- f32 max/sum accumulators like the reference (llama-graph.cpp:1230 keeps
+  KQ softmax in f32); sliding-window start offset supported for SWA layers.
+
+Decode only (T=1). Prefill stays on the XLA einsum path where the MXU is
+already saturated by the [T,S] matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _decode_kernel(
+    start_ref,  # SMEM [B] int32: first valid kv index (SWA start)
+    len_ref,  # SMEM [B] int32: one past last valid kv index
+    q_ref,  # VMEM [1, 1, rep, D]
+    k_hbm,  # ANY  [B, Hkv, S, D]
+    v_hbm,  # ANY  [B, Hkv, S, D]
+    o_ref,  # VMEM [1, 1, rep, D] f32
+    k_buf,  # VMEM [2, CHUNK, D]
+    v_buf,  # VMEM [2, CHUNK, D]
+    sem,  # DMA sems [2, 2]
+    *,
+    scale: float,
+    chunk: int,
+    softcap: float,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    length = len_ref[b]
+    start = start_ref[b]
+    first = start // chunk  # chunks fully below `start` are skipped
+    n_chunks = pl.cdiv(length, chunk)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # [rep, D]
+    rep, d = q.shape
+
+    def k_dma(slot, ci):
+        return pltpu.make_async_copy(
+            k_hbm.at[b, h, pl.ds(ci * chunk, chunk), :], k_buf.at[slot], sem.at[slot, 0]
+        )
+
+    def v_dma(slot, ci):
+        return pltpu.make_async_copy(
+            v_hbm.at[b, h, pl.ds(ci * chunk, chunk), :], v_buf.at[slot], sem.at[slot, 1]
+        )
+
+    @pl.when(first < n_chunks)
+    def _():
+        k_dma(first % 2, first).start()
+        v_dma(first % 2, first).start()
+
+    def body(ci, carry):
+        m, l, acc = carry  # [rep,1], [rep,1], [rep,D] all f32
+        slot = ci % 2
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            k_dma((ci + 1) % 2, ci + 1).start()
+            v_dma((ci + 1) % 2, ci + 1).start()
+
+        k_dma(slot, ci).wait()
+        v_dma(slot, ci).wait()
+
+        kc = k_buf[slot].astype(jnp.float32)  # [CHUNK, D]
+        vc = v_buf[slot].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [rep, CHUNK]
+        if softcap:
+            s = jnp.tanh(s / softcap) * softcap
+        col = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where((col < length) & (col >= start), s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)  # [rep, CHUNK]
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, vc, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l, acc
+
+    m0 = jnp.full((rep, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((rep, 1), jnp.float32)
+    acc0 = jnp.zeros((rep, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(first, n_chunks, body, (m0, l0, acc0))
+    o_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "chunk", "softcap", "interpret")
+)
+def flash_decode(
+    q: jax.Array,  # [B, H, D] single-step queries (roped)
+    k: jax.Array,  # [B, Hkv, S, D]
+    v: jax.Array,  # [B, Hkv, S, D]
+    lengths: jax.Array,  # [B] int32 — valid kv cells per slot
+    starts: jax.Array | None = None,  # [B] int32 — SWA window start (default 0)
+    *,
+    scale: float,
+    chunk: int = 512,
+    softcap: float = 0.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns [B, H, D] f32 attention output."""
+    bsz, hq, d = q.shape
+    _, hkv, s, _ = k.shape
+    rep = hq // hkv
+    chunk = min(chunk, s)
+    while s % chunk:  # largest power-of-two-ish divisor of the capacity
+        chunk //= 2
+    assert chunk >= 8, (s, chunk)
+    if starts is None:
+        starts = jnp.zeros_like(lengths)
+
+    qg = q.reshape(bsz, hkv, rep, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # starts, lengths
+        grid=(bsz, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, d), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, d), lambda b, h, *_: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, d), k.dtype),
+            pltpu.VMEM((2, chunk, d), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, scale=scale, chunk=chunk, softcap=softcap),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
+        interpret=interpret,
+    )(starts.astype(jnp.int32), lengths.astype(jnp.int32), qg, k, v)
+    return out.reshape(bsz, hq, d)

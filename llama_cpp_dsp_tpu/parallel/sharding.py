@@ -147,8 +147,8 @@ def shard_params(params: dict, cfg: LlamaConfig, mesh: Mesh) -> dict:
 
 
 def cache_sharding(mesh: Mesh) -> NamedSharding:
-    """KV cache [L, B, S, Hkv, D]: batch on dp, kv heads on tp."""
-    return NamedSharding(mesh, P(None, "dp", None, "tp", None))
+    """KV cache [L, B, Hkv, S, D]: batch on dp, kv heads on tp."""
+    return NamedSharding(mesh, P(None, "dp", "tp", None, None))
 
 
 def activation_sharding(mesh: Mesh) -> NamedSharding:

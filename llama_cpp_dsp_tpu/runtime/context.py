@@ -112,18 +112,19 @@ class LlamaContext:
         else:
             self.params = jax.tree.map(jnp.asarray, model.params)
         self.cache = KVCache.create(
-            self.cfg.n_layers, n_batch, self.n_ctx, self.cfg.n_kv_heads,
-            self.cfg.head_dim, kv_dtype,
+            self.cfg.n_layers, n_batch, self.n_ctx, self.cfg.kv_cache_heads,
+            self.cfg.kv_cache_dim, kv_dtype,
         )
         self.n_past = 0
         self.perf = PerfCounters()
+        use_flash = use_pallas and not self.cfg.kv_lora_rank
 
         @partial(jax.jit, donate_argnums=(1,))
         def _step(params, cache, tokens, positions, n_past):
             mask = causal_mask(positions, cache.capacity, n_past)
             logits, cache = forward(
                 params, self.cfg, tokens, positions, cache, n_past, mask,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, flash=use_flash,
             )
             return logits, cache
 

@@ -109,7 +109,7 @@ class Engine:
         self.params = jax.tree.map(jnp.asarray, model.params)
         cfg = self.cfg
         self.cache = KVCache.create(
-            cfg.n_layers, n_slots, n_ctx_per_slot, cfg.n_kv_heads, cfg.head_dim, kv_dtype
+            cfg.n_layers, n_slots, n_ctx_per_slot, cfg.kv_cache_heads, cfg.kv_cache_dim, kv_dtype
         )
         self.compute_dtype = compute_dtype
         self.slots = [_Slot(i) for i in range(n_slots)]
@@ -145,6 +145,8 @@ class Engine:
             v = jax.lax.dynamic_update_slice_in_dim(cache.v, sub.v, sl, axis=1)
             return logits, KVCache(k, v)
 
+        use_flash = use_pallas and not self.cfg.kv_lora_rank
+
         @partial(jax.jit, donate_argnums=(1,))
         def _decode(params, cache, tokens, positions, active):
             """Batched one-token decode for all slots; `active` masks unused
@@ -154,6 +156,7 @@ class Engine:
             logits, cache = forward(
                 params, self.cfg, tokens, positions, cache,
                 positions[:, 0], mask, compute_dtype=self.compute_dtype,
+                flash=use_flash,
             )
             return logits, cache
 

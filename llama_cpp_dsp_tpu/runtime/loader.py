@@ -62,6 +62,24 @@ _LAYER_TENSORS = {
     "ffn_gate_shexp.weight": "ffn_gate_shexp",
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
+    "exp_probs_b.bias": "ffn_exp_probs_b",
+    # deepseek2 MLA (reference LLM_ARCH_DEEPSEEK2 tensor table)
+    "attn_q_a.weight": "attn_q_a",
+    "attn_q_a_norm.weight": "attn_q_a_norm",
+    "attn_q_b.weight": "attn_q_b",
+    "attn_kv_a_mqa.weight": "attn_kv_a_mqa",
+    "attn_kv_a_norm.weight": "attn_kv_a_norm",
+    "attn_kv_b.weight": "attn_kv_b",
+    # mamba SSM (reference LLM_ARCH_MAMBA tensor table)
+    "ssm_in.weight": "ssm_in",
+    "ssm_conv1d.weight": "ssm_conv1d",
+    "ssm_conv1d.bias": "ssm_conv1d_bias",
+    "ssm_x.weight": "ssm_x",
+    "ssm_dt.weight": "ssm_dt",
+    "ssm_dt.bias": "ssm_dt_bias",
+    "ssm_a": "ssm_a",
+    "ssm_d": "ssm_d",
+    "ssm_out.weight": "ssm_out",
 }
 
 _GLOBAL_TENSORS = {

@@ -58,8 +58,8 @@ def _from_storable(a: np.ndarray, dtype_name: str):
 def save_state(ctx, path: str, tokens: list[int]) -> None:
     """Save a LlamaContext's session (tokens + populated KV rows)."""
     n = ctx.n_past
-    k = _to_storable(np.asarray(ctx.cache.k[:, :, :n]))
-    v = _to_storable(np.asarray(ctx.cache.v[:, :, :n]))
+    k = _to_storable(np.asarray(ctx.cache.k[:, :, :, :n]))
+    v = _to_storable(np.asarray(ctx.cache.v[:, :, :, :n]))
     np.savez_compressed(
         path, meta=_meta(ctx.cfg, n, tokens, ctx.cache.k.dtype.name), k=k, v=v
     )
@@ -81,7 +81,7 @@ def load_state(ctx, path: str) -> list[int]:
     k = jnp.asarray(_from_storable(data["k"], meta["dtype"]))
     v = jnp.asarray(_from_storable(data["v"], meta["dtype"]))
     ctx.cache = type(ctx.cache)(
-        ctx.cache.k.at[:, :, :n].set(k), ctx.cache.v.at[:, :, :n].set(v)
+        ctx.cache.k.at[:, :, :, :n].set(k), ctx.cache.v.at[:, :, :, :n].set(v)
     )
     ctx.n_past = n
     return [int(t) for t in meta["tokens"]]
@@ -91,8 +91,8 @@ def save_slot(engine, slot_idx: int, path: str, tokens: list[int]) -> None:
     """Per-slot (per-sequence) state export — server slot save equivalent."""
     slot = engine.slots[slot_idx]
     n = slot.n_past
-    k = _to_storable(np.asarray(engine.cache.k[:, slot_idx : slot_idx + 1, :n]))
-    v = _to_storable(np.asarray(engine.cache.v[:, slot_idx : slot_idx + 1, :n]))
+    k = _to_storable(np.asarray(engine.cache.k[:, slot_idx : slot_idx + 1, :, :n]))
+    v = _to_storable(np.asarray(engine.cache.v[:, slot_idx : slot_idx + 1, :, :n]))
     np.savez_compressed(
         path, meta=_meta(engine.cfg, n, tokens, engine.cache.k.dtype.name), k=k, v=v
     )
@@ -109,8 +109,8 @@ def load_slot(engine, slot_idx: int, path: str) -> list[int]:
     k = jnp.asarray(_from_storable(data["k"], meta["dtype"]))
     v = jnp.asarray(_from_storable(data["v"], meta["dtype"]))
     engine.cache = type(engine.cache)(
-        engine.cache.k.at[:, slot_idx : slot_idx + 1, :n].set(k),
-        engine.cache.v.at[:, slot_idx : slot_idx + 1, :n].set(v),
+        engine.cache.k.at[:, slot_idx : slot_idx + 1, :, :n].set(k),
+        engine.cache.v.at[:, slot_idx : slot_idx + 1, :, :n].set(v),
     )
     engine.slots[slot_idx].n_past = n
     return [int(t) for t in meta["tokens"]]

@@ -107,14 +107,32 @@ def synth_params(cfg: LlamaConfig, kind: GGMLType, *, seed: int = 0, tie: bool =
         return (rng.standard_normal(dim) * 0.01).astype(np.float32)
 
     layers = []
-    for _ in range(cfg.n_layers):
-        layer = {
-            "attn_norm": norm(c),
-            "attn_q": q(qdim, c),
-            "attn_k": q(kvdim, c),
-            "attn_v": q(kvdim, c),
-            "attn_output": q(c, qdim),
-        }
+    for il in range(cfg.n_layers):
+        if cfg.kv_lora_rank:
+            r, dn, dr, dv = (cfg.kv_lora_rank, cfg.qk_nope_dim,
+                             cfg.qk_rope_dim, cfg.v_head_dim)
+            layer = {
+                "attn_norm": norm(c),
+                "attn_kv_a_mqa": q(r + dr, c),
+                "attn_kv_a_norm": norm(r),
+                "attn_kv_b": (rng.standard_normal(
+                    (cfg.n_heads * (dn + dv), r)) * 0.02).astype(np.float32),
+                "attn_output": q(c, cfg.n_heads * dv),
+            }
+            if cfg.q_lora_rank:
+                layer["attn_q_a"] = q(cfg.q_lora_rank, c)
+                layer["attn_q_a_norm"] = norm(cfg.q_lora_rank)
+                layer["attn_q_b"] = q(cfg.n_heads * (dn + dr), cfg.q_lora_rank)
+            else:
+                layer["attn_q"] = q(cfg.n_heads * (dn + dr), c)
+        else:
+            layer = {
+                "attn_norm": norm(c),
+                "attn_q": q(qdim, c),
+                "attn_k": q(kvdim, c),
+                "attn_v": q(kvdim, c),
+                "attn_output": q(c, qdim),
+            }
         if ln:
             layer["attn_norm_bias"] = bias(c)
         if cfg.attn_bias:
@@ -131,7 +149,7 @@ def synth_params(cfg: LlamaConfig, kind: GGMLType, *, seed: int = 0, tie: bool =
             layer["ffn_norm"] = norm(c)
             if ln:
                 layer["ffn_norm_bias"] = bias(c)
-        if cfg.n_expert:
+        if cfg.n_expert and il >= cfg.n_dense_layers:
             layer["ffn_gate_inp"] = (rng.standard_normal((cfg.n_expert, c)) * 0.02).astype(
                 np.float32
             )
