@@ -67,10 +67,14 @@ def main() -> int:
     cache = KVCache.create(cfg.n_layers, args.batch, args.n_ctx, cfg.n_kv_heads, cfg.head_dim)
     print(f"bench: params materialized in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
+    use_flash = (not args.no_fused and jax.devices()[0].platform == "tpu"
+                 and cfg.head_dim % 128 == 0 and args.n_ctx % 128 == 0)
+
     @jax.jit
     def decode_step(params, cache, tokens, positions, n_past):
         mask = causal_mask(positions, cache.capacity, n_past)
-        logits, cache = forward(params, cfg, tokens, positions, cache, n_past, mask)
+        logits, cache = forward(params, cfg, tokens, positions, cache, n_past,
+                                mask, flash=use_flash)
         return logits, cache
 
     @functools.partial(jax.jit, static_argnames=("steps",), donate_argnums=(1,))
@@ -82,7 +86,8 @@ def main() -> int:
             cache, toks, n_past = carry
             positions = jnp.broadcast_to(n_past[None, None], toks.shape).astype(jnp.int32)
             mask = causal_mask(positions, cache.capacity, n_past)
-            logits, cache = forward(params, cfg, toks, positions, cache, n_past, mask)
+            logits, cache = forward(params, cfg, toks, positions, cache, n_past,
+                                    mask, flash=use_flash)
             nxt = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
             return cache, nxt, n_past + 1
 

@@ -297,6 +297,9 @@ def self_attention(
     compute_dtype,
     tap=None,
     flash: bool = False,
+    rope_positions: jax.Array | None = None,  # actual positions when they
+    # diverge from cache rows (self-extend seq_div); `positions` stays the
+    # row index used for masking/flash lengths
 ):
     """QKV → rope → cached attention → output proj. Returns (out, cache)."""
     b, t, _ = x.shape
@@ -321,15 +324,12 @@ def self_attention(
     if use_rope:
         rp = _layer_rope(cfg, layer_idx)
         ff = layer.get("rope_freqs")
-        q = apply_rope(q, positions, rp, ff)
-        k = apply_rope(k, positions, rp, ff)
+        rpos = positions if rope_positions is None else rope_positions
+        q = apply_rope(q, rpos, rp, ff)
+        k = apply_rope(k, rpos, rp, ff)
 
     if cache is not None:
         cache = cache.write(layer_idx, k, v, n_past)
-        k_all, v_all = cache.layer(layer_idx)  # [B,Hkv,S,D]
-    else:
-        k_all = k.transpose(0, 2, 1, 3).astype(compute_dtype)
-        v_all = v.transpose(0, 2, 1, 3).astype(compute_dtype)
 
     scale0 = cfg.attn_scale if cfg.attn_scale else 1.0 / (d**0.5)
     if (
@@ -338,20 +338,43 @@ def self_attention(
         and cache is not None
         and cfg.pos_embd_type != "alibi"
         and h % hkv == 0
+        and d % 128 == 0  # Mosaic DMA lane alignment
+        and cache.capacity % 128 == 0
     ):
-        from ..ops.pallas.attention import flash_decode
+        from ..ops.pallas.attention import flash_decode, flash_decode_q8
+        from ..runtime.kv_cache import QuantKVCache
 
         lengths = positions[:, 0] + 1
         starts = None
         if cfg.is_swa_layer(layer_idx):
             starts = jnp.maximum(lengths - cfg.swa_window, 0)
-        attn = flash_decode(
-            q[:, 0], k_all, v_all, lengths, starts,
-            scale=float(scale0), softcap=float(cfg.attn_logit_softcap),
-        ).reshape(b, 1, h * d).astype(compute_dtype)
+        if isinstance(cache, QuantKVCache) and cache.capacity % 128 == 0:
+            attn = flash_decode_q8(
+                q[:, 0], *cache.packed_layer(layer_idx), lengths, starts,
+                scale=float(scale0), softcap=float(cfg.attn_logit_softcap),
+            )
+        elif isinstance(cache, QuantKVCache):
+            k_all, v_all = cache.layer(layer_idx)
+            attn = flash_decode(
+                q[:, 0], k_all, v_all, lengths, starts,
+                scale=float(scale0), softcap=float(cfg.attn_logit_softcap),
+            )
+        else:
+            k_all, v_all = cache.layer(layer_idx)
+            attn = flash_decode(
+                q[:, 0], k_all, v_all, lengths, starts,
+                scale=float(scale0), softcap=float(cfg.attn_logit_softcap),
+            )
+        attn = attn.reshape(b, 1, h * d).astype(compute_dtype)
         if tap is not None:
             tap(f"blk.{layer_idx}.attn_output.weight", attn)
         return _mm(attn, layer, "attn_output", compute_dtype), cache
+
+    if cache is not None:
+        k_all, v_all = cache.layer(layer_idx)  # [B,Hkv,S,D]
+    else:
+        k_all = k.transpose(0, 2, 1, 3).astype(compute_dtype)
+        v_all = v.transpose(0, 2, 1, 3).astype(compute_dtype)
 
     s = k_all.shape[2]
     if cfg.is_swa_layer(layer_idx) and mask is not None and mask.dtype == jnp.bool_:
@@ -388,6 +411,7 @@ def decode_layer(
     compute_dtype,
     tap=None,  # optional callable(name, activation) — imatrix/eval-callback
     flash: bool = False,
+    rope_positions: jax.Array | None = None,
 ):
     attn_in = x if cfg.norm_after else norm(x, layer, "attn_norm", cfg)
     if cfg.kv_lora_rank:
@@ -400,7 +424,7 @@ def decode_layer(
     else:
         attn, cache = self_attention(
             attn_in, layer, cfg, positions, cache, layer_idx, n_past, mask,
-            compute_dtype, tap, flash,
+            compute_dtype, tap, flash, rope_positions,
         )
     if cfg.post_norms:
         attn = norm(attn, layer, "attn_post_norm", cfg)
@@ -444,19 +468,22 @@ def forward(
     compute_dtype=jnp.bfloat16,
     tap=None,
     flash: bool = False,  # fused decode attention kernel (TPU, T=1)
+    rope_positions: jax.Array | None = None,  # positions for rope when they
+    # differ from cache-row indices (post-seq_div self-extend)
 ):
     """Returns (logits [B, T, n_vocab] f32, updated cache)."""
     x = take_rows(params["token_embd"], tokens, dtype=compute_dtype)
     if cfg.embd_scale != 1.0:
         x = x * jnp.asarray(cfg.embd_scale, compute_dtype)
     if cfg.pos_embd_type == "learned":
-        x = x + take_rows(params["pos_embd"], positions, dtype=compute_dtype)
+        rpos = positions if rope_positions is None else rope_positions
+        x = x + take_rows(params["pos_embd"], rpos, dtype=compute_dtype)
     if cfg.embd_norm:
         x = norm(x, params, "token_embd_norm", cfg)
     for i, layer in enumerate(params["layers"]):
         x, cache = decode_layer(
             x, layer, cfg, positions, cache, i, n_past, mask, compute_dtype,
-            tap, flash,
+            tap, flash, rope_positions,
         )
     x = norm(x, params, "output_norm", cfg)
     out_w = params.get("output")

@@ -85,6 +85,7 @@ def _decode_kernel(
         s = jax.lax.dot_general(
             q, kc, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [rep, CHUNK]
         if softcap:
             s = jnp.tanh(s / softcap) * softcap
@@ -98,6 +99,7 @@ def _decode_kernel(
         acc = acc * alpha + jax.lax.dot_general(
             p, vc, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return m_new, l, acc
 
@@ -156,4 +158,156 @@ def flash_decode(
         out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
         interpret=interpret,
     )(starts.astype(jnp.int32), lengths.astype(jnp.int32), qg, k, v)
+    return out.reshape(bsz, hq, d)
+
+
+# ---------------------------------------------------------------------------
+# Q8-quantized KV variant — the fattn vec kernels' quantized-KV capability
+# (ggml/src/ggml-cuda/fattn-vec-f16.cuh dequantizes inside the attention
+# loop). TPU relayout: one scale per cached row, stored lane-oriented
+# [B, Hkv, 1, S], so the kernel never materializes dequantized K/V — scores
+# are scaled by kd and probs by vd, both [1, CHUNK] lane vectors.
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel_q8(
+    start_ref, len_ref, q_ref,
+    kq_hbm, kd_hbm, vq_hbm, vd_hbm,
+    o_ref,
+    kq_buf, kd_buf, vq_buf, vd_buf, sem,
+    *, scale: float, chunk: int, softcap: float,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    length = len_ref[b]
+    start = start_ref[b]
+    first = start // chunk
+    n_chunks = pl.cdiv(length, chunk)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    rep, d = q.shape
+
+    def dmas(slot, ci):
+        return [
+            pltpu.make_async_copy(
+                kq_hbm.at[b, h, pl.ds(ci * chunk, chunk), :], kq_buf.at[slot],
+                sem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                kd_hbm.at[b, h, :, pl.ds(ci * chunk, chunk)], kd_buf.at[slot],
+                sem.at[slot, 1],
+            ),
+            pltpu.make_async_copy(
+                vq_hbm.at[b, h, pl.ds(ci * chunk, chunk), :], vq_buf.at[slot],
+                sem.at[slot, 2],
+            ),
+            pltpu.make_async_copy(
+                vd_hbm.at[b, h, :, pl.ds(ci * chunk, chunk)], vd_buf.at[slot],
+                sem.at[slot, 3],
+            ),
+        ]
+
+    @pl.when(first < n_chunks)
+    def _():
+        for dma in dmas(first % 2, first):
+            dma.start()
+
+    def body(ci, carry):
+        m, l, acc = carry
+        slot = ci % 2
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            for dma in dmas((ci + 1) % 2, ci + 1):
+                dma.start()
+
+        for dma in dmas(slot, ci):
+            dma.wait()
+
+        kq = kq_buf[slot].astype(jnp.float32)  # [CHUNK, D]
+        kd = kd_buf[slot]  # [1, CHUNK]
+        s = jax.lax.dot_general(
+            q, kq, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * kd  # per-row dequant folded into the score scale
+        if softcap:
+            s = jnp.tanh(s / softcap) * softcap
+        col = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where((col < length) & (col >= start), s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = p * vd_buf[slot]  # fold V dequant into the probs
+        acc = acc * alpha + jax.lax.dot_general(
+            pv, vq_buf[slot].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return m_new, l, acc
+
+    m0 = jnp.full((rep, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((rep, 1), jnp.float32)
+    acc0 = jnp.zeros((rep, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(first, n_chunks, body, (m0, l0, acc0))
+    o_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "chunk", "softcap", "interpret")
+)
+def flash_decode_q8(
+    q: jax.Array,  # [B, H, D]
+    k_qs: jax.Array,  # [B, Hkv, S, D] int8
+    k_d: jax.Array,  # [B, Hkv, 1, S] f32 per-row scales
+    v_qs: jax.Array,
+    v_d: jax.Array,
+    lengths: jax.Array,
+    starts: jax.Array | None = None,
+    *,
+    scale: float,
+    chunk: int = 512,
+    softcap: float = 0.0,
+    interpret: bool = False,
+) -> jax.Array:
+    bsz, hq, d = q.shape
+    _, hkv, s, _ = k_qs.shape
+    rep = hq // hkv
+    chunk = min(chunk, s)
+    while s % chunk:
+        chunk //= 2
+    # scale DMAs slice the lane dim — needs 128 alignment
+    assert chunk >= 128, (s, chunk)
+    if starts is None:
+        starts = jnp.zeros_like(lengths)
+
+    qg = q.reshape(bsz, hkv, rep, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bsz, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, d), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, d), lambda b, h, *_: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, d), jnp.int8),
+            pltpu.VMEM((2, 1, chunk), jnp.float32),
+            pltpu.VMEM((2, chunk, d), jnp.int8),
+            pltpu.VMEM((2, 1, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_q8, scale=scale, chunk=chunk, softcap=softcap),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
+        interpret=interpret,
+    )(starts.astype(jnp.int32), lengths.astype(jnp.int32), qg, k_qs, k_d, v_qs, v_d)
     return out.reshape(bsz, hq, d)

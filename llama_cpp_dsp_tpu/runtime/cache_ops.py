@@ -1,0 +1,141 @@
+"""KV-cache sequence surgery.
+
+Capability mirror of the reference's llama_kv_self_seq_rm/cp/add/div +
+K-shift machinery (src/llama-kv-cache.cpp seq_* and the has_shift rope-shift
+graph in src/llama-context.cpp:737-791), redesigned functionally for XLA:
+
+- cells move via a single gather along the sequence axis (the reference's
+  defrag/move-plan becomes one take_along_axis),
+- position rebasing re-rotates cached K in place using the additive-angle
+  property of RoPE (rope(p)·rope(Δ) = rope(p+Δ)) — same trick as the
+  reference's K-shift graph, as one jitted op over all layers,
+- no host round-trips: the K/V payload stays on device.
+
+Used by: CLI/server context-shift (evict oldest, keep prefix), self-extend
+grouped attention (seq_div, examples/main/main.cpp:481-520), slot-to-slot
+copy (seq_cp) for prompt-cache reuse.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.rope import RopeParams, _rope_angles
+from .kv_cache import KVCache, QuantKVCache, _q8_dequant, _q8_quant
+
+
+def _rotate_cached_k(
+    k: jax.Array, deltas: jax.Array, rope: RopeParams, freq_factors=None
+) -> jax.Array:
+    """k [L, B, H, S, D], deltas [B, S] int32 → K rotated by rope(delta).
+
+    Mirrors ggml_rope_ext applied to the cache in the reference's K-shift
+    graph (build_rope_shift): only the first rope.n_dims dims rotate. The
+    attention mscale must not reapply (it would rescale K), so attn_factor
+    is forced to 1."""
+    import dataclasses
+
+    n = rope.n_dims
+    if n == 0:
+        return k
+    rope = dataclasses.replace(rope, attn_factor=1.0)
+    cos, sin = _rope_angles(deltas.astype(jnp.float32), rope, freq_factors)
+    cos = cos[None, :, None, :, :]  # [1,B,1,S,n/2]
+    sin = sin[None, :, None, :, :]
+    kf = k.astype(jnp.float32)
+    rot, rest = kf[..., :n], kf[..., n:]
+    if rope.mode == "norm":
+        x0, x1 = rot[..., 0::2], rot[..., 1::2]
+        y0 = x0 * cos - x1 * sin
+        y1 = x0 * sin + x1 * cos
+        out = jnp.stack([y0, y1], axis=-1).reshape(rot.shape)
+    else:  # neox
+        half = n // 2
+        x0, x1 = rot[..., :half], rot[..., half:]
+        out = jnp.concatenate([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
+    if rest.shape[-1]:
+        out = jnp.concatenate([out, rest], axis=-1)
+    return out.astype(k.dtype)
+
+
+def _gather_seq(a: jax.Array, idx: jax.Array) -> jax.Array:
+    """a [L, B, H, S, ...], idx [B, S] → rows reordered along S per batch."""
+    return jax.vmap(  # over B (axis 1 of a, axis 0 of idx)
+        lambda ab, ib: jnp.take(ab, ib, axis=2), in_axes=(1, 0), out_axes=1
+    )(a, idx)
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("rope",))
+def _shift_kv(cache: KVCache, src_idx, deltas, rope: RopeParams, freq_factors=None):
+    k = _gather_seq(cache.k, src_idx)
+    v = _gather_seq(cache.v, src_idx)
+    k = _rotate_cached_k(k, deltas, rope, freq_factors)
+    return KVCache(k, v)
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("rope",))
+def _shift_qkv(cache: QuantKVCache, src_idx, deltas, rope: RopeParams, freq_factors=None):
+    k_qs = _gather_seq(cache.k_qs, src_idx)
+    v_qs = _gather_seq(cache.v_qs, src_idx)
+    k_d = _gather_seq(cache.k_d.swapaxes(3, 4), src_idx).swapaxes(3, 4)
+    v_d = _gather_seq(cache.v_d.swapaxes(3, 4), src_idx).swapaxes(3, 4)
+    # rotate: dequant → rope(Δ) → requant (scales refresh)
+    kf = _q8_dequant(k_qs, k_d[:, :, :, 0, :], jnp.float32)
+    kf = _rotate_cached_k(kf, deltas, rope, freq_factors)
+    k_qs, kd = _q8_quant(kf)
+    return QuantKVCache(k_qs, kd[:, :, :, None, :], v_qs, v_d)
+
+
+def apply_seq_edit(cache, src_idx, deltas, rope: RopeParams, freq_factors=None):
+    """Reorder cells (src_idx [B,S]: new row j takes old row src_idx[b,j])
+    and rebase positions (deltas [B,S]: rope angle shift per NEW row)."""
+    fn = _shift_qkv if isinstance(cache, QuantKVCache) else _shift_kv
+    return fn(cache, jnp.asarray(src_idx, jnp.int32),
+              jnp.asarray(deltas, jnp.int32), rope, freq_factors)
+
+
+def context_shift_indices(capacity: int, n_keep: int, n_discard: int):
+    """Index/delta plan for evicting n_discard cells after the first n_keep —
+    the reference's context-shift (seq_rm + seq_add,
+    examples/main/main.cpp:619, server.cpp:2879-2911)."""
+    import numpy as np
+
+    j = np.arange(capacity)
+    src = np.where(j < n_keep, j, np.minimum(j + n_discard, capacity - 1))
+    deltas = np.where(j >= n_keep, -n_discard, 0)
+    return src[None, :], deltas[None, :]
+
+
+def self_extend_indices(capacity: int, n_past: int, ga_i: int, ga_n: int, ga_w: int):
+    """Grouped self-extend position plan (seq_add/seq_div dance of
+    examples/main/main.cpp:481-520): positions in [ga_i, n_past) are divided
+    by ga_n within a window of ga_w. Returns (src_idx, deltas) with rows in
+    place (src = identity) and deltas = new_pos - old_pos."""
+    import numpy as np
+
+    j = np.arange(capacity)
+    ib = ga_i // ga_n
+    new_pos = np.where(
+        j < ga_i, j,
+        np.where(j < ga_i + ga_w, ib + (j - ga_i) // ga_n, j - (ga_w - ga_w // ga_n)),
+    )
+    deltas = np.where((j >= ga_i) & (j < n_past), new_pos - j, 0)
+    return j[None, :], deltas[None, :]
+
+
+def copy_slot(cache, src_slot: int, dst_slot: int):
+    """seq_cp: duplicate one slot's cells into another slot (prompt-cache
+    reuse across slots, reference llama_kv_self_seq_cp)."""
+    if isinstance(cache, QuantKVCache):
+        arrays = [
+            a.at[:, dst_slot].set(a[:, src_slot])
+            for a in (cache.k_qs, cache.k_d, cache.v_qs, cache.v_d)
+        ]
+        return QuantKVCache(*arrays)
+    return KVCache(
+        cache.k.at[:, dst_slot].set(cache.k[:, src_slot]),
+        cache.v.at[:, dst_slot].set(cache.v[:, src_slot]),
+    )

@@ -90,7 +90,7 @@ class LlamaContext:
         n_ctx: int = 2048,
         n_batch: int = 1,
         compute_dtype=jnp.bfloat16,
-        kv_dtype=jnp.bfloat16,
+        kv_dtype="bf16",  # 'f32'|'bf16'|'f16'|'q8_0' — reference --cache-type-k
         prefill_buckets: tuple[int, ...] = (32, 128, 512, 2048),
         device=None,
         use_pallas: bool | None = None,
@@ -111,20 +111,29 @@ class LlamaContext:
             self.params = jax.device_put(model.params, device)
         else:
             self.params = jax.tree.map(jnp.asarray, model.params)
-        self.cache = KVCache.create(
+        from .kv_cache import make_kv_cache
+
+        if not isinstance(kv_dtype, str):
+            kv_dtype = {jnp.float32: "f32", jnp.bfloat16: "bf16",
+                        jnp.float16: "f16"}.get(kv_dtype, "bf16")
+        self.cache = make_kv_cache(
             self.cfg.n_layers, n_batch, self.n_ctx, self.cfg.kv_cache_heads,
             self.cfg.kv_cache_dim, kv_dtype,
         )
         self.n_past = 0
+        self.pos_delta = 0  # rope position − cache row (self-extend)
         self.perf = PerfCounters()
         use_flash = use_pallas and not self.cfg.kv_lora_rank
 
         @partial(jax.jit, donate_argnums=(1,))
-        def _step(params, cache, tokens, positions, n_past):
+        def _step(params, cache, tokens, positions, n_past, pos_delta):
+            # `positions` are cache-row indices (mask + flash lengths);
+            # rope uses rows + pos_delta (≠0 only after self-extend seq_div)
             mask = causal_mask(positions, cache.capacity, n_past)
             logits, cache = forward(
                 params, self.cfg, tokens, positions, cache, n_past, mask,
                 compute_dtype=compute_dtype, flash=use_flash,
+                rope_positions=positions + pos_delta,
             )
             return logits, cache
 
@@ -135,6 +144,7 @@ class LlamaContext:
     # -- core ---------------------------------------------------------------
     def reset(self) -> None:
         self.n_past = 0
+        self.pos_delta = 0
 
     def eval_tokens_all(self, tokens: list[int]) -> np.ndarray:
         """Feed tokens; returns logits for EVERY position [n, vocab]
@@ -152,11 +162,35 @@ class LlamaContext:
         pos[0, :n] = self.n_past + np.arange(n)
         logits, self.cache = self._step(
             self.params, self.cache, jnp.asarray(toks), jnp.asarray(pos),
-            jnp.int32(self.n_past),
+            jnp.int32(self.n_past), jnp.int32(self.pos_delta),
         )
         out = np.asarray(logits[0, :n])
         self.n_past += n
         return out
+
+    def context_shift(self, n_keep: int, n_discard: int) -> None:
+        """Evict n_discard cells after the first n_keep and rebase positions —
+        the reference's context-shift (examples/main/main.cpp:619: seq_rm +
+        seq_add applied lazily as a K-shift rope graph)."""
+        from .cache_ops import apply_seq_edit, context_shift_indices
+
+        assert n_keep + n_discard <= self.n_past, (n_keep, n_discard, self.n_past)
+        src, deltas = context_shift_indices(self.n_ctx, n_keep, n_discard)
+        ff = self.params["layers"][0].get("rope_freqs")
+        self.cache = apply_seq_edit(self.cache, src, deltas, self.cfg.rope, ff)
+        self.n_past -= n_discard
+
+    def self_extend(self, ga_i: int, ga_n: int, ga_w: int) -> int:
+        """Grouped self-extend position division (examples/main/main.cpp:
+        481-520 seq_add/seq_div dance). Returns the position shrinkage."""
+        from .cache_ops import apply_seq_edit, self_extend_indices
+
+        src, deltas = self_extend_indices(self.n_ctx, self.n_past, ga_i, ga_n, ga_w)
+        ff = self.params["layers"][0].get("rope_freqs")
+        self.cache = apply_seq_edit(self.cache, src, deltas, self.cfg.rope, ff)
+        shrink = ga_w - ga_w // ga_n
+        self.pos_delta -= shrink  # rows stay; only rope positions compress
+        return shrink
 
     def rollback_to(self, n_past: int) -> None:
         """Drop cache entries beyond n_past (rejected draft tokens). Rows are
@@ -180,7 +214,8 @@ class LlamaContext:
             buf_t = jnp.asarray([[tokens[0]]], dtype=jnp.int32)
             buf_p = jnp.asarray([[self.n_past]], dtype=jnp.int32)
             logits, self.cache = self._step(self.params, self.cache, buf_t, buf_p,
-                                            jnp.int32(self.n_past))
+                                            jnp.int32(self.n_past),
+                                            jnp.int32(self.pos_delta))
             out = np.asarray(logits[0, 0])
             dt = (time.perf_counter() - t0) * 1000
             if first:
@@ -204,7 +239,7 @@ class LlamaContext:
             pos[0, :n] = self.n_past + np.arange(n)
             logits, self.cache = self._step(
                 self.params, self.cache, jnp.asarray(toks), jnp.asarray(pos),
-                jnp.int32(self.n_past),
+                jnp.int32(self.n_past), jnp.int32(self.pos_delta),
             )
             out = np.asarray(logits[0, n - 1])
             dt = (time.perf_counter() - t0) * 1000
@@ -224,16 +259,31 @@ class LlamaContext:
         max_new_tokens: int = 128,
         sampler: SamplerChain | None = None,
         stop_on_eog: bool = True,
+        context_shift: bool = True,
+        n_keep: int = 0,
+        ga_n: int = 1,  # self-extend group factor (reference --grp-attn-n)
+        ga_w: int = 512,  # self-extend window (reference --grp-attn-w)
     ) -> Iterator[int]:
         from .sampling import Greedy, SamplerChain as SC
 
         sampler = sampler or SC([Greedy()])
+        ga_i = 0
         logits = self.eval_tokens(list(prompt_tokens))
         for _ in range(max_new_tokens):
             token = sampler.sample(logits)
             yield token
             if stop_on_eog and self.vocab is not None and self.vocab.is_eog(token):
                 return
+            if ga_n > 1:
+                # self-extend: compress positions whenever the window fills
+                # (examples/main/main.cpp:481-520)
+                while self.n_past + self.pos_delta >= ga_i + ga_w:
+                    self.self_extend(ga_i, ga_n, ga_w)
+                    ga_i += ga_w // ga_n
             if self.n_past >= self.n_ctx:
-                return
+                if not context_shift:
+                    return
+                # evict half the non-kept context (examples/main/main.cpp:619)
+                n_discard = max(1, (self.n_ctx - n_keep) // 2)
+                self.context_shift(n_keep, n_discard)
             logits = self.eval_tokens([token])

@@ -87,7 +87,7 @@ class Engine:
         n_slots: int = 4,
         n_ctx_per_slot: int = 1024,
         compute_dtype=jnp.bfloat16,
-        kv_dtype=jnp.bfloat16,
+        kv_dtype="bf16",
         prefill_buckets: tuple[int, ...] = (32, 128, 512),
         use_pallas: bool | None = None,
     ):
@@ -108,8 +108,14 @@ class Engine:
         ]
         self.params = jax.tree.map(jnp.asarray, model.params)
         cfg = self.cfg
-        self.cache = KVCache.create(
-            cfg.n_layers, n_slots, n_ctx_per_slot, cfg.kv_cache_heads, cfg.kv_cache_dim, kv_dtype
+        from .kv_cache import make_kv_cache
+
+        if not isinstance(kv_dtype, str):
+            kv_dtype = {jnp.float32: "f32", jnp.bfloat16: "bf16",
+                        jnp.float16: "f16"}.get(kv_dtype, "bf16")
+        self.cache = make_kv_cache(
+            cfg.n_layers, n_slots, n_ctx_per_slot, cfg.kv_cache_heads,
+            cfg.kv_cache_dim, kv_dtype,
         )
         self.compute_dtype = compute_dtype
         self.slots = [_Slot(i) for i in range(n_slots)]
@@ -132,18 +138,12 @@ class Engine:
             """Single-slot chunked prefill: tokens [1, T] written into the
             slot's cache rows; returns last-token logits."""
             mask = _slot_mask(positions, cache.capacity, n_past)
-            sl = jnp.asarray(slot, jnp.int32)
-            sub = KVCache(
-                jax.lax.dynamic_slice_in_dim(cache.k, sl, 1, axis=1),
-                jax.lax.dynamic_slice_in_dim(cache.v, sl, 1, axis=1),
-            )
+            sub = cache.slot_view(slot)
             logits, sub = forward(
                 params, self.cfg, tokens, positions, sub, n_past, mask,
                 compute_dtype=self.compute_dtype,
             )
-            k = jax.lax.dynamic_update_slice_in_dim(cache.k, sub.k, sl, axis=1)
-            v = jax.lax.dynamic_update_slice_in_dim(cache.v, sub.v, sl, axis=1)
-            return logits, KVCache(k, v)
+            return logits, cache.merge_slot(sub, slot)
 
         use_flash = use_pallas and not self.cfg.kv_lora_rank
 

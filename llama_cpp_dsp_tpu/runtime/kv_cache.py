@@ -69,6 +69,132 @@ class KVCache:
         """Returns (k, v) as [B, Hkv, S, D]."""
         return self.k[i], self.v[i]
 
+    def slot_view(self, slot) -> "KVCache":
+        """Single-slot [L, 1, ...] view for per-slot prefill."""
+        sl = jnp.asarray(slot, jnp.int32)
+        return KVCache(
+            jax.lax.dynamic_slice_in_dim(self.k, sl, 1, axis=1),
+            jax.lax.dynamic_slice_in_dim(self.v, sl, 1, axis=1),
+        )
+
+    def merge_slot(self, sub: "KVCache", slot) -> "KVCache":
+        sl = jnp.asarray(slot, jnp.int32)
+        return KVCache(
+            jax.lax.dynamic_update_slice_in_dim(self.k, sub.k, sl, axis=1),
+            jax.lax.dynamic_update_slice_in_dim(self.v, sub.v, sl, axis=1),
+        )
+
+
+def _q8_quant(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[..., D] f32/bf16 → (qs int8 [..., D], d f32 [...]).
+
+    Same scheme as reference quantize_row_q8_0 (ggml/src/ggml-quants.c:194)
+    with the block spanning the whole head dim (the TPU-native relayout: one
+    scale per cached row keeps the flash kernel free of in-loop dequant —
+    scores/probs are scaled by a lane-aligned [1, CHUNK] vector instead)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    d = amax / 127.0
+    inv = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-30), 0.0)
+    qs = jnp.clip(jnp.round(x.astype(jnp.float32) * inv[..., None]), -127, 127)
+    return qs.astype(jnp.int8), d
+
+
+def _q8_dequant(qs: jax.Array, d: jax.Array, dtype) -> jax.Array:
+    return (qs.astype(jnp.float32) * d[..., None]).astype(dtype)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantKVCache:
+    """Q8_0-quantized KV cache — the reference's type_k/type_v=q8_0 option
+    (src/llama-kv-cache.h:188-189, common/arg.cpp:699). Same interface as
+    KVCache; payload is int8 + per-32-block scales (half the HBM traffic of
+    bf16 at ~0.1% attention error)."""
+
+    k_qs: jax.Array  # [L, B, Hkv, S, D] int8
+    k_d: jax.Array  # [L, B, Hkv, 1, S] f32 — lane-oriented for the kernel
+    v_qs: jax.Array
+    v_d: jax.Array
+
+    def tree_flatten(self):
+        return (self.k_qs, self.k_d, self.v_qs, self.v_d), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def create(cls, n_layers, n_batch, n_ctx, n_kv_heads, head_dim, dtype=None):
+        shape = (n_layers, n_batch, n_kv_heads, n_ctx, head_dim)
+        dshape = (n_layers, n_batch, n_kv_heads, 1, n_ctx)
+        return cls(
+            jnp.zeros(shape, jnp.int8), jnp.zeros(dshape, jnp.float32),
+            jnp.zeros(shape, jnp.int8), jnp.zeros(dshape, jnp.float32),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.k_qs.shape[3]
+
+    def write(self, layer: int, k_new: jax.Array, v_new: jax.Array, offset) -> "QuantKVCache":
+        off = jnp.asarray(offset, jnp.int32)
+        kq, kd = _q8_quant(k_new.transpose(0, 2, 1, 3))  # [B,Hkv,T,D], [B,Hkv,T]
+        vq, vd = _q8_quant(v_new.transpose(0, 2, 1, 3))
+        if off.ndim == 1:
+            bi = jnp.arange(k_new.shape[0])
+            return QuantKVCache(
+                self.k_qs.at[layer, bi, :, off].set(kq[:, :, 0]),
+                self.k_d.at[layer, bi, :, 0, off].set(kd[:, :, 0]),
+                self.v_qs.at[layer, bi, :, off].set(vq[:, :, 0]),
+                self.v_d.at[layer, bi, :, 0, off].set(vd[:, :, 0]),
+            )
+        zero = jnp.zeros((), jnp.int32)
+        start = (zero + layer, zero, zero, off, zero)
+        dstart = (zero + layer, zero, zero, zero, off)
+        return QuantKVCache(
+            jax.lax.dynamic_update_slice(self.k_qs, kq[None], start),
+            jax.lax.dynamic_update_slice(self.k_d, kd[:, :, None][None], dstart),
+            jax.lax.dynamic_update_slice(self.v_qs, vq[None], start),
+            jax.lax.dynamic_update_slice(self.v_d, vd[:, :, None][None], dstart),
+        )
+
+    def layer(self, i: int) -> tuple[jax.Array, jax.Array]:
+        """Dequantized (k, v) [B, Hkv, S, D] for the XLA attention path."""
+        kd = self.k_d[i][:, :, 0, :]  # [B,Hkv,S]
+        vd = self.v_d[i][:, :, 0, :]
+        return (
+            _q8_dequant(self.k_qs[i], kd, jnp.bfloat16),
+            _q8_dequant(self.v_qs[i], vd, jnp.bfloat16),
+        )
+
+    def packed_layer(self, i: int):
+        """(k_qs, k_d, v_qs, v_d) for the fused flash kernel."""
+        return self.k_qs[i], self.k_d[i], self.v_qs[i], self.v_d[i]
+
+    def slot_view(self, slot) -> "QuantKVCache":
+        sl = jnp.asarray(slot, jnp.int32)
+        return QuantKVCache(
+            *(jax.lax.dynamic_slice_in_dim(a, sl, 1, axis=1)
+              for a in (self.k_qs, self.k_d, self.v_qs, self.v_d))
+        )
+
+    def merge_slot(self, sub: "QuantKVCache", slot) -> "QuantKVCache":
+        sl = jnp.asarray(slot, jnp.int32)
+        return QuantKVCache(
+            *(jax.lax.dynamic_update_slice_in_dim(a, s, sl, axis=1)
+              for a, s in zip(
+                  (self.k_qs, self.k_d, self.v_qs, self.v_d),
+                  (sub.k_qs, sub.k_d, sub.v_qs, sub.v_d)))
+        )
+
+
+def make_kv_cache(n_layers, n_batch, n_ctx, n_kv_heads, head_dim, kv_type="bf16"):
+    """kv_type: 'f32' | 'bf16' | 'f16' | 'q8_0' — mirrors --cache-type-k."""
+    if kv_type in ("q8_0", "q8"):
+        return QuantKVCache.create(n_layers, n_batch, n_ctx, n_kv_heads, head_dim)
+    dt = {"f32": jnp.float32, "f16": jnp.float16, "bf16": jnp.bfloat16}[kv_type]
+    return KVCache.create(n_layers, n_batch, n_ctx, n_kv_heads, head_dim, dt)
+
 
 def causal_mask(positions: jax.Array, n_kv: int, n_past) -> jax.Array:
     """[B, T] query positions → [B, T, n_kv] bool mask.

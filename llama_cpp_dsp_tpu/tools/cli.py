@@ -33,6 +33,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-display-prompt", action="store_true")
     p.add_argument("-i", "--interactive", action="store_true")
     p.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--keep", type=int, default=0,
+                   help="tokens to keep on context-shift (reference --keep)")
+    p.add_argument("--no-context-shift", action="store_true")
+    p.add_argument("-gan", "--grp-attn-n", type=int, default=1,
+                   help="self-extend group factor (reference --grp-attn-n)")
+    p.add_argument("-gaw", "--grp-attn-w", type=int, default=512,
+                   help="self-extend window (reference --grp-attn-w)")
+    p.add_argument("-ctk", "--cache-type-k", default="bf16",
+                   choices=["f32", "f16", "bf16", "q8_0"],
+                   help="KV cache data type (reference --cache-type-k)")
     return p
 
 
@@ -59,6 +69,7 @@ def main(argv=None) -> int:
         model,
         n_ctx=args.ctx_size,
         compute_dtype=jnp.float32 if args.compute_dtype == "float32" else jnp.bfloat16,
+        kv_dtype=args.cache_type_k,
     )
     sampler = make_chain(
         seed=args.seed,
@@ -82,7 +93,10 @@ def main(argv=None) -> int:
         if not args.no_display_prompt:
             sys.stdout.write(prompt)
             sys.stdout.flush()
-        for t in ctx.generate(ids, max_new_tokens=args.n_predict, sampler=sampler):
+        for t in ctx.generate(ids, max_new_tokens=args.n_predict, sampler=sampler,
+                              context_shift=not args.no_context_shift,
+                              n_keep=args.keep, ga_n=args.grp_attn_n,
+                              ga_w=args.grp_attn_w):
             piece = tok.token_to_piece(t, special=False)
             sys.stdout.write(piece.decode("utf-8", errors="replace"))
             sys.stdout.flush()
