@@ -49,20 +49,9 @@ def main() -> int:
     t0 = time.perf_counter()
     params = synth_params(cfg, GGMLType.Q4_K, seed=0, tie=False)
     if not args.no_fused:
-        from llama_cpp_dsp_tpu.ops.pallas.layouts import to_kernel_layout
-        from llama_cpp_dsp_tpu.ops.pallas.qmm import SUPPORTED_KINDS
-        from llama_cpp_dsp_tpu.ops.qtensor import QTensor
+        from llama_cpp_dsp_tpu.runtime.context import convert_params_to_kernel
 
-        def conv(leaf):
-            if isinstance(leaf, QTensor) and leaf.kind in SUPPORTED_KINDS and not leaf.n_expert:
-                return to_kernel_layout(leaf)
-            return leaf
-
-        params["layers"] = [
-            {k: conv(v) for k, v in layer.items()} for layer in params["layers"]
-        ]
-        if params.get("output") is not None:
-            params["output"] = conv(params["output"])
+        params = convert_params_to_kernel(params)
     params = jax.tree.map(jnp.asarray, params)
     cache = KVCache.create(cfg.n_layers, args.batch, args.n_ctx, cfg.n_kv_heads, cfg.head_dim)
     print(f"bench: params materialized in {time.perf_counter()-t0:.1f}s", file=sys.stderr)

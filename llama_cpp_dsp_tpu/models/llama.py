@@ -195,11 +195,18 @@ def attention(
 
 
 def _mm(x, tree: Params, name: str, compute_dtype):
-    """qmm + optional `<name>_bias`."""
+    """qmm + optional `<name>_bias` + optional LoRA rank-r delta.
+
+    LoRA applies at graph time like reference build_lora_mm
+    (src/llama-graph.cpp): y = W·x + B(A·x), B pre-scaled by alpha/r."""
     y = qmm(x, tree[name], compute_dtype=compute_dtype)
     b = tree.get(name + "_bias")
     if b is not None:
         y = y + b
+    la = tree.get(name + "_lora_a")
+    if la is not None:
+        t = qmm(x, la, compute_dtype=compute_dtype)
+        y = y + qmm(t, tree[name + "_lora_b"], compute_dtype=compute_dtype)
     return y
 
 
@@ -208,6 +215,27 @@ def ffn_dense(x: jax.Array, layer: Params, cfg: LlamaConfig, compute_dtype,
     """Dense FFN — reference build_ffn (src/llama-graph.cpp): gated
     (SwiGLU/GeGLU) or plain up→act→down, with optional biases."""
     gate_key, up_key, down_key = (f"ffn_gate{suffix}", f"ffn_up{suffix}", f"ffn_down{suffix}")
+    if not suffix and "ffn_gateup_fused" in layer:
+        fused = layer["ffn_gateup_fused"]
+        ng = fused.sections[0]
+        if tap is not None:
+            tap(f"blk.{layer_idx}.{gate_key}.weight", x)
+            tap(f"blk.{layer_idx}.{up_key}.weight", x)
+        gu = qmm(x, fused, compute_dtype=compute_dtype)
+        gate_part, up_part = gu[..., :ng], gu[..., ng:]
+        for pn, cur in (("ffn_gate", 0), ("ffn_up", 1)):
+            la = layer.get(pn + "_lora_a")
+            if la is not None:
+                delta = qmm(qmm(x, la, compute_dtype=compute_dtype),
+                            layer[pn + "_lora_b"], compute_dtype=compute_dtype)
+                if cur == 0:
+                    gate_part = gate_part + delta
+                else:
+                    up_part = up_part + delta
+        h = (activate(gate_part, cfg.act) * up_part).astype(compute_dtype)
+        if tap is not None:
+            tap(f"blk.{layer_idx}.{down_key}.weight", h)
+        return _mm(h, layer, down_key, compute_dtype)
     if cfg.gated_ffn and gate_key in layer:
         if tap is not None:
             tap(f"blk.{layer_idx}.{gate_key}.weight", x)
@@ -309,9 +337,32 @@ def self_attention(
         tap(f"blk.{layer_idx}.attn_q.weight", x)
         tap(f"blk.{layer_idx}.attn_k.weight", x)
         tap(f"blk.{layer_idx}.attn_v.weight", x)
-    q = _mm(x, layer, "attn_q", compute_dtype)
-    k = _mm(x, layer, "attn_k", compute_dtype)
-    v = _mm(x, layer, "attn_v", compute_dtype)
+    if "attn_qkv_fused" in layer:
+        fused = layer["attn_qkv_fused"]
+        nq, nk, _ = fused.sections
+        qkv = qmm(x, fused, compute_dtype=compute_dtype)
+        q, k, v = qkv[..., :nq], qkv[..., nq : nq + nk], qkv[..., nq + nk :]
+        if "attn_q_bias" in layer:
+            q = q + layer["attn_q_bias"]
+            k = k + layer["attn_k_bias"]
+            v = v + layer["attn_v_bias"]
+        # hot-swapped LoRA deltas still apply on top of the fused base
+        for part_name in ("attn_q", "attn_k", "attn_v"):
+            la = layer.get(part_name + "_lora_a")
+            if la is not None:
+                delta = qmm(qmm(x, la, compute_dtype=compute_dtype),
+                            layer[part_name + "_lora_b"],
+                            compute_dtype=compute_dtype)
+                if part_name == "attn_q":
+                    q = q + delta
+                elif part_name == "attn_k":
+                    k = k + delta
+                else:
+                    v = v + delta
+    else:
+        q = _mm(x, layer, "attn_q", compute_dtype)
+        k = _mm(x, layer, "attn_k", compute_dtype)
+        v = _mm(x, layer, "attn_v", compute_dtype)
     q = q.reshape(b, t, h, d)
     k = k.reshape(b, t, hkv, d)
     v = v.reshape(b, t, hkv, d)
@@ -443,7 +494,10 @@ def decode_layer(
         # (reference llm_build_gptneox par_res path / llm_build_command_r)
         ffn_in = norm(x, layer, "ffn_norm", cfg) if "ffn_norm" in layer else attn_in
         ffn = ffn_fn(ffn_in)
-        return x + (attn + ffn) * cfg.residual_scale, cache
+        x = x + (attn + ffn) * cfg.residual_scale
+        if "cvec" in layer:
+            x = x + layer["cvec"].astype(x.dtype)
+        return x, cache
 
     x = x + attn * cfg.residual_scale
     ffn_in = x if cfg.norm_after else norm(x, layer, "ffn_norm", cfg)
@@ -453,6 +507,8 @@ def decode_layer(
     if cfg.norm_after:
         ffn = norm(ffn, layer, "ffn_norm", cfg)
     x = x + ffn * cfg.residual_scale
+    if "cvec" in layer:  # control vector (reference llama_adapter_cvec)
+        x = x + layer["cvec"].astype(x.dtype)
     return x, cache
 
 
@@ -470,6 +526,7 @@ def forward(
     flash: bool = False,  # fused decode attention kernel (TPU, T=1)
     rope_positions: jax.Array | None = None,  # positions for rope when they
     # differ from cache-row indices (post-seq_div self-extend)
+    return_hidden: bool = False,  # final-norm hidden states (embeddings path)
 ):
     """Returns (logits [B, T, n_vocab] f32, updated cache)."""
     x = take_rows(params["token_embd"], tokens, dtype=compute_dtype)
@@ -486,6 +543,8 @@ def forward(
             tap, flash, rope_positions,
         )
     x = norm(x, params, "output_norm", cfg)
+    if return_hidden:
+        return x.astype(jnp.float32), cache
     out_w = params.get("output")
     if out_w is None:
         out_w = params["token_embd"]

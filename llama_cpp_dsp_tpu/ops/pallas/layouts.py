@@ -39,26 +39,51 @@ from ..qtensor import QTensor
 
 @jax.tree_util.register_pytree_node_class
 class KernelWeights:
-    """Plane-split, tile-transposed arrays consumed by the Pallas kernels."""
+    """Plane-split, tile-transposed arrays consumed by the Pallas kernels.
 
-    def __init__(self, kind: GGMLType, shape: tuple[int, int], arrays: dict, tile_k: int):
+    `sections`: row counts of logically separate weights fused into one
+    kernel call (QKV / gate+up fusion amortizes per-launch overhead)."""
+
+    def __init__(self, kind: GGMLType, shape: tuple[int, int], arrays: dict,
+                 tile_k: int, sections: tuple[int, ...] | None = None):
         self.kind = kind
         self.shape = shape
         self.arrays = arrays
         self.tile_k = tile_k
+        self.sections = sections
 
     def tree_flatten(self):
         keys = tuple(sorted(self.arrays))
-        return tuple(self.arrays[k] for k in keys), (self.kind, self.shape, keys, self.tile_k)
+        return tuple(self.arrays[k] for k in keys), (
+            self.kind, self.shape, keys, self.tile_k, self.sections,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        kind, shape, keys, tile_k = aux
-        return cls(kind, shape, dict(zip(keys, children)), tile_k)
+        kind, shape, keys, tile_k, sections = aux
+        return cls(kind, shape, dict(zip(keys, children)), tile_k, sections)
 
     @property
     def nbytes(self) -> int:
         return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in self.arrays.values())
+
+
+def concat_qtensors(qts: list[QTensor]) -> QTensor | None:
+    """Row-concat QTensors of identical kind/K (for QKV / gate-up fusion).
+    Returns None when fusion isn't applicable."""
+    kinds = {q.kind for q in qts}
+    ks = {q.shape[1] for q in qts}
+    if len(kinds) != 1 or len(ks) != 1 or any(q.n_expert for q in qts):
+        return None
+    keys = set(qts[0].arrays)
+    if any(set(q.arrays) != keys for q in qts):
+        return None
+    n = sum(q.shape[0] for q in qts)
+    arrays = {
+        key: np.concatenate([np.asarray(q.arrays[key]) for q in qts], axis=0)
+        for key in keys
+    }
+    return QTensor(qts[0].kind, (n, qts[0].shape[1]), arrays)
 
 
 def default_tile_k(k: int, kind: GGMLType, want: int = 2048) -> int:
@@ -140,12 +165,19 @@ def to_kernel_layout(qt: QTensor, tile_k: int | None = None) -> KernelWeights:
         tile_p = tile_k // 2
         s_groups = qt["d"][:, :, None] * qt["sc"].astype(np.float32)  # [N,S,8]
         m_groups = qt["dmin"][:, :, None] * qt["mn"].astype(np.float32)
+        # the four per-group scale planes pack along lanes into one field so
+        # the minor dim is 128 (4×tile_k/64) — narrow f32 minors make XLA
+        # choose a transposed layout and insert a conversion copy per call,
+        # which costs more HBM traffic than the weights themselves
+        sc4 = np.concatenate([
+            _as_tiles(np.ascontiguousarray(s_groups[:, :, 0::2].reshape(n, -1)), nk),
+            _as_tiles(np.ascontiguousarray(s_groups[:, :, 1::2].reshape(n, -1)), nk),
+            _as_tiles(np.ascontiguousarray(m_groups[:, :, 0::2].reshape(n, -1)), nk),
+            _as_tiles(np.ascontiguousarray(m_groups[:, :, 1::2].reshape(n, -1)), nk),
+        ], axis=2)
         out = {
             "qs": _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_p, 32),
-            "slo": _as_tiles(np.ascontiguousarray(s_groups[:, :, 0::2].reshape(n, -1)), nk),
-            "shi": _as_tiles(np.ascontiguousarray(s_groups[:, :, 1::2].reshape(n, -1)), nk),
-            "mlo": _as_tiles(np.ascontiguousarray(m_groups[:, :, 0::2].reshape(n, -1)), nk),
-            "mhi": _as_tiles(np.ascontiguousarray(m_groups[:, :, 1::2].reshape(n, -1)), nk),
+            "sc4": sc4,
         }
         if kind == GGMLType.Q5_K:
             qh = qt["qh"]  # [N, S, 32]; bit g of byte l → element 32g+l
@@ -182,9 +214,12 @@ def to_kernel_layout(qt: QTensor, tile_k: int | None = None) -> KernelWeights:
         # repack two plane-high-fields per byte: plane a (q1,q3) and b (q2,q4)
         out["qha"] = _tile_transpose_np(np.ascontiguousarray(h1 | (h3 << 4)), tile_p, 16)
         out["qhb"] = _tile_transpose_np(np.ascontiguousarray(h2 | (h4 << 4)), tile_p, 16)
-        for i, idx in enumerate([(0, 1), (2, 3), (4, 5), (6, 7)]):
-            plane_s = np.ascontiguousarray(sh[:, :, list(idx)].reshape(n, -1))
-            out[f"s{i+1}"] = _as_tiles(plane_s, nk)
+        out["sc4"] = np.concatenate([
+            _as_tiles(
+                np.ascontiguousarray(sh[:, :, list(idx)].reshape(n, -1)), nk
+            )
+            for idx in [(0, 1), (2, 3), (4, 5), (6, 7)]
+        ], axis=2)
         return KernelWeights(kind, (n, k), out, tile_k)
 
     raise NotImplementedError(f"kernel layout for {kind.name}")
@@ -193,13 +228,22 @@ def to_kernel_layout(qt: QTensor, tile_k: int | None = None) -> KernelWeights:
 # -- activation plane splits + tile transpose (jax) ---------------------------
 
 
+def _tiles_x(sums, nk: int):
+    """[B, G_total] f32 sums → [nk, B, G_total/nk] (k-tiled, lane-whole)."""
+    b, g_total = sums.shape
+    return sums.reshape(b, nk, g_total // nk).swapaxes(0, 1)
+
+
 def prepare_x(x, kind: GGMLType, tile_k: int):
-    """Split x into format planes and apply the tile-transpose permutation."""
+    """Split x into format planes (tile-transposed, bf16) plus per-group
+    f32 sums ("xs*") that the kernels dot against the folded-out offsets."""
     import jax.numpy as jnp
 
     xb = x.astype(jnp.bfloat16)
+    xf = x.astype(jnp.float32)
     shp = x.shape[:-1]
     k = x.shape[-1]
+    nk = k // tile_k
     if kind == GGMLType.Q8_0:
         return (tile_transpose_x(xb, tile_k, 32),)
     if kind in (GGMLType.Q4_0, GGMLType.Q4_1):
@@ -207,16 +251,28 @@ def prepare_x(x, kind: GGMLType, tile_k: int):
         lo = xr[..., :16].reshape(*shp, k // 2)
         hi = xr[..., 16:].reshape(*shp, k // 2)
         tp = tile_k // 2
-        return (tile_transpose_x(lo, tp, 16), tile_transpose_x(hi, tp, 16))
+        xs = _tiles_x(xf.reshape(*shp, k // 32, 32).sum(-1), nk)
+        return (tile_transpose_x(lo, tp, 16), tile_transpose_x(hi, tp, 16), xs)
     if kind in (GGMLType.Q4_K, GGMLType.Q5_K):
         xr = xb.reshape(*shp, k // 64, 64)
         lo = xr[..., :32].reshape(*shp, k // 2)
         hi = xr[..., 32:].reshape(*shp, k // 2)
         tp = tile_k // 2
-        return (tile_transpose_x(lo, tp, 32), tile_transpose_x(hi, tp, 32))
+        xg = xf.reshape(*shp, k // 64, 2, 32).sum(-1)  # [B, K/64, {lo,hi}]
+        return (
+            tile_transpose_x(lo, tp, 32),
+            tile_transpose_x(hi, tp, 32),
+            _tiles_x(xg[..., 0], nk),
+            _tiles_x(xg[..., 1], nk),
+        )
     if kind == GGMLType.Q6_K:
         xr = xb.reshape(*shp, k // 128, 4, 32)
         quarters = [xr[..., i, :].reshape(*shp, k // 4) for i in range(4)]
         tp = tile_k // 4
-        return tuple(tile_transpose_x(q, tp, 16) for q in quarters)
+        planes = tuple(tile_transpose_x(q, tp, 16) for q in quarters)
+        xq = xf.reshape(*shp, k // 128, 4, 2, 16).sum(-1)  # [B,K/128,4,2]
+        sums = tuple(
+            _tiles_x(xq[..., i, :].reshape(*shp, k // 64), nk) for i in range(4)
+        )
+        return planes + sums
     raise NotImplementedError(kind)

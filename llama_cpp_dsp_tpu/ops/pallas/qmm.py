@@ -69,66 +69,87 @@ def _dot_xt_w(x, w):
 # -- kernel bodies (one per kind family) -------------------------------------
 
 
+# Affine offsets (block mins / integer biases) are folded OUT of the
+# per-element path into small GEMMs against per-group activation sums
+# (role of the q8_1 `s` sums in the reference's MMQ vec_dot,
+# ggml/src/ggml-cuda/vecdotq.cuh): Σ (q·s − m)·x = Σ q·s·x − Σ_g m_g·xsum_g.
+# This removes 1-2 VPU ops and up to two lane-expands per element — the
+# kernels are VPU-bound, not DMA-bound, so this is the hot-path win.
+
+
 def _body_q8_0(acc, x, qs, s):
     w = (qs.astype(jnp.int32).astype(F32) * _expand(s, 32)).astype(BF16)
     acc[...] += _dot_xt_w(x, w)
 
 
 def _nibbles_i32(qs):
+    # u8 zero-extends into i32, so the high nibble needs no mask
     q = qs.astype(jnp.int32)
-    return q & 0x0F, (q >> 4) & 0x0F
+    return q & 0x0F, q >> 4
 
 
-def _body_q4_0(acc, x_lo, x_hi, qs, s):
+def _body_q4_0(acc, x_lo, x_hi, xs, qs, s):
     sf = _expand(s, 16)
     lo, hi = _nibbles_i32(qs)
-    w_lo = ((lo.astype(F32) - 8.0) * sf).astype(BF16)
-    w_hi = ((hi.astype(F32) - 8.0) * sf).astype(BF16)
+    w_lo = (lo.astype(F32) * sf).astype(BF16)
+    w_hi = (hi.astype(F32) * sf).astype(BF16)
     acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
+    acc[...] -= 8.0 * _dot_xt_w(xs, s)
 
 
-def _body_q4_1(acc, x_lo, x_hi, qs, s, m):
+def _body_q4_1(acc, x_lo, x_hi, xs, qs, s, m):
     sf = _expand(s, 16)
-    mf = _expand(m, 16)
     lo, hi = _nibbles_i32(qs)
-    w_lo = (lo.astype(F32) * sf + mf).astype(BF16)
-    w_hi = (hi.astype(F32) * sf + mf).astype(BF16)
+    w_lo = (lo.astype(F32) * sf).astype(BF16)
+    w_hi = (hi.astype(F32) * sf).astype(BF16)
     acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
+    acc[...] += _dot_xt_w(xs, m)
 
 
-def _body_q4_K(acc, x_lo, x_hi, qs, slo, shi, mlo, mhi):
+def _split4(sc4):
+    gt = sc4.shape[-1] // 4
+    return sc4[:, :gt], sc4[:, gt : 2 * gt], sc4[:, 2 * gt : 3 * gt], sc4[:, 3 * gt :]
+
+
+def _body_q4_K(acc, x_lo, x_hi, xs_lo, xs_hi, qs, sc4):
+    slo, shi, mlo, mhi = _split4(sc4)
     lo, hi = _nibbles_i32(qs)
-    w_lo = (lo.astype(F32) * _expand(slo, 32) - _expand(mlo, 32)).astype(BF16)
-    w_hi = (hi.astype(F32) * _expand(shi, 32) - _expand(mhi, 32)).astype(BF16)
-    acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
+    w_lo = lo.astype(F32) * _expand(slo, 32)
+    w_hi = hi.astype(F32) * _expand(shi, 32)
+    acc[...] += _dot_xt_w(x_lo.astype(F32), w_lo) + _dot_xt_w(x_hi.astype(F32), w_hi)
+    acc[...] -= _dot_xt_w(xs_lo, mlo) + _dot_xt_w(xs_hi, mhi)
 
 
-def _body_q5_K(acc, x_lo, x_hi, qs, slo, shi, mlo, mhi, hlo, hhi):
+def _body_q5_K(acc, x_lo, x_hi, xs_lo, xs_hi, qs, sc4, hlo, hhi):
+    slo, shi, mlo, mhi = _split4(sc4)
     blo = _unpack_bits(hlo)
     bhi = _unpack_bits(hhi)
     lo, hi = _nibbles_i32(qs)
-    w_lo = (
-        (lo + blo * 16).astype(F32) * _expand(slo, 32) - _expand(mlo, 32)
-    ).astype(BF16)
-    w_hi = (
-        (hi + bhi * 16).astype(F32) * _expand(shi, 32) - _expand(mhi, 32)
-    ).astype(BF16)
+    w_lo = ((lo + blo * 16).astype(F32) * _expand(slo, 32)).astype(BF16)
+    w_hi = ((hi + bhi * 16).astype(F32) * _expand(shi, 32)).astype(BF16)
     acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
+    acc[...] -= _dot_xt_w(xs_lo, mlo) + _dot_xt_w(xs_hi, mhi)
 
 
-def _body_q6_K(acc, x1, x2, x3, x4, a, b, ha, hb, s1, s2, s3, s4):
+def _body_q6_K(acc, x1, x2, x3, x4, xs1, xs2, xs3, xs4,
+               a, b, ha, hb, sc4):
+    s1, s2, s3, s4 = _split4(sc4)
     a = a.astype(jnp.int32)
     b = b.astype(jnp.int32)
     ha = ha.astype(jnp.int32)
     hb = hb.astype(jnp.int32)
-    q1 = ((a & 0x0F) | ((ha & 3) << 4)) - 32
-    q2 = ((b & 0x0F) | ((hb & 3) << 4)) - 32
-    q3 = (((a >> 4) & 0x0F) | (((ha >> 4) & 3) << 4)) - 32
-    q4 = (((b >> 4) & 0x0F) | (((hb >> 4) & 3) << 4)) - 32
+    q1 = (a & 0x0F) | ((ha & 3) << 4)
+    q2 = (b & 0x0F) | ((hb & 3) << 4)
+    q3 = ((a >> 4) & 0x0F) | (((ha >> 4) & 3) << 4)
+    q4 = ((b >> 4) & 0x0F) | (((hb >> 4) & 3) << 4)
     acc[...] += _dot_xt_w(x1, (q1.astype(F32) * _expand(s1, 16)).astype(BF16))
     acc[...] += _dot_xt_w(x2, (q2.astype(F32) * _expand(s2, 16)).astype(BF16))
     acc[...] += _dot_xt_w(x3, (q3.astype(F32) * _expand(s3, 16)).astype(BF16))
     acc[...] += _dot_xt_w(x4, (q4.astype(F32) * _expand(s4, 16)).astype(BF16))
+    acc[...] -= 32.0 * (
+        _dot_xt_w(xs1, s1) + _dot_xt_w(xs2, s2)
+        + _dot_xt_w(xs3, s3) + _dot_xt_w(xs4, s4)
+    )
 
 
 _BODIES = {
@@ -140,25 +161,26 @@ _BODIES = {
     GGMLType.Q6_K: _body_q6_K,
 }
 
-# per-kind (x-input specs, weight-field order, K-divisor per field)
+# per-kind (x-input specs, weight-field order); "xs*" fields are per-group
+# activation sums shipped as k-tiled 3-D arrays [nk, B, gt]
 _X_FIELDS = {
     GGMLType.Q8_0: ("x",),
-    GGMLType.Q4_0: ("x_lo", "x_hi"),
-    GGMLType.Q4_1: ("x_lo", "x_hi"),
-    GGMLType.Q4_K: ("x_lo", "x_hi"),
-    GGMLType.Q5_K: ("x_lo", "x_hi"),
-    GGMLType.Q6_K: ("x1", "x2", "x3", "x4"),
+    GGMLType.Q4_0: ("x_lo", "x_hi", "xs"),
+    GGMLType.Q4_1: ("x_lo", "x_hi", "xs"),
+    GGMLType.Q4_K: ("x_lo", "x_hi", "xs_lo", "xs_hi"),
+    GGMLType.Q5_K: ("x_lo", "x_hi", "xs_lo", "xs_hi"),
+    GGMLType.Q6_K: ("x1", "x2", "x3", "x4", "xs1", "xs2", "xs3", "xs4"),
 }
 _W_FIELDS = {
     GGMLType.Q8_0: ("qs", "s"),
     GGMLType.Q4_0: ("qs", "s"),
     GGMLType.Q4_1: ("qs", "s", "m"),
-    GGMLType.Q4_K: ("qs", "slo", "shi", "mlo", "mhi"),
-    GGMLType.Q5_K: ("qs", "slo", "shi", "mlo", "mhi", "hlo", "hhi"),
-    GGMLType.Q6_K: ("qla", "qlb", "qha", "qhb", "s1", "s2", "s3", "s4"),
+    GGMLType.Q4_K: ("qs", "sc4"),
+    GGMLType.Q5_K: ("qs", "sc4", "hlo", "hhi"),
+    GGMLType.Q6_K: ("qla", "qlb", "qha", "qhb", "sc4"),
 }
 # divisor of K for each x field's last dim
-_X_DIV = {"x": 1, "x_lo": 2, "x_hi": 2, "xg": 32, "x1": 4, "x2": 4, "x3": 4, "x4": 4}
+_X_DIV = {"x": 1, "x_lo": 2, "x_hi": 2, "x1": 4, "x2": 4, "x3": 4, "x4": 4}
 
 
 def _kernel(kind, nk, *refs):
@@ -189,15 +211,24 @@ def _qmm_call(x_fields, w_fields, *, kind, n, k, tile_b, tile_n, tile_k):
     x_names = _X_FIELDS[kind]
 
     in_specs = []
-    for name in x_names:
-        div = _X_DIV[name]
-        in_specs.append(
-            pl.BlockSpec(
-                (tile_b, tile_k // div),
-                lambda bi, ni, ki: (bi, ki),
-                memory_space=pltpu.VMEM,
+    for name, arr in zip(x_names, x_fields):
+        if name.startswith("xs"):  # [nk, B, gt] per-group sums
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, tile_b, arr.shape[2]),
+                    lambda bi, ni, ki: (ki, bi, 0),
+                    memory_space=pltpu.VMEM,
+                )
             )
-        )
+        else:
+            div = _X_DIV[name]
+            in_specs.append(
+                pl.BlockSpec(
+                    (tile_b, tile_k // div),
+                    lambda bi, ni, ki: (bi, ki),
+                    memory_space=pltpu.VMEM,
+                )
+            )
     for name, arr in zip(_W_FIELDS[kind], w_fields):
         if arr.ndim == 3:  # [nk, N, gt] narrow field: full-width lane blocks
             in_specs.append(

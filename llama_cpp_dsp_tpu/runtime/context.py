@@ -33,15 +33,24 @@ def _bucket(n: int, buckets: list[int]) -> int:
     return buckets[-1]
 
 
-def _convert_to_kernel_weights(model: LoadedModel) -> LoadedModel:
+def convert_params_to_kernel(params: dict) -> dict:
     """Swap matmul QTensors for fused-kernel layouts (token_embd stays a
     QTensor: it feeds the packed row-gather; expert tensors stay on the XLA
-    path for now)."""
-    import dataclasses
-
-    from ..ops.pallas.layouts import to_kernel_layout
+    path for now). QKV and gate/up pairs are row-fused into single kernel
+    calls to amortize per-launch overhead (the reference gets this for free
+    from CUDA graphs; here fewer, larger Pallas calls serve the same role)."""
+    from ..ops.pallas.layouts import concat_qtensors, to_kernel_layout
     from ..ops.pallas.qmm import SUPPORTED_KINDS
     from ..ops.qtensor import QTensor
+
+    def fusable(layer, names):
+        if any(f"{nm}_lora_a" in layer for nm in names):
+            return None  # LoRA deltas attach per-weight; keep them separate
+        ws = [layer.get(nm) for nm in names]
+        return ws if all(
+            isinstance(w, QTensor) and w.kind in SUPPORTED_KINDS and not w.n_expert
+            for w in ws
+        ) else None
 
     def conv(leaf):
         if (
@@ -52,13 +61,38 @@ def _convert_to_kernel_weights(model: LoadedModel) -> LoadedModel:
             return to_kernel_layout(leaf)
         return leaf
 
-    params = dict(model.params)
-    params["layers"] = [
-        {k: conv(v) for k, v in layer.items()} for layer in params["layers"]
-    ]
+    params = dict(params)
+    new_layers = []
+    for layer in params["layers"]:
+        layer = dict(layer)
+        for fused_key, names in (
+            ("attn_qkv_fused", ("attn_q", "attn_k", "attn_v")),
+            ("ffn_gateup_fused", ("ffn_gate", "ffn_up")),
+        ):
+            ws = fusable(layer, names)
+            if ws is None:
+                continue
+            cat = concat_qtensors(ws)
+            if cat is None:
+                continue
+            kw = to_kernel_layout(cat)
+            kw.sections = tuple(w.shape[0] for w in ws)
+            layer[fused_key] = kw
+            for nm in names:
+                del layer[nm]
+        new_layers.append({k: conv(v) for k, v in layer.items()})
+    params["layers"] = new_layers
     if "output" in params and params["output"] is not None:
         params["output"] = conv(params["output"])
-    return dataclasses.replace(model, params=params)
+    return params
+
+
+def _convert_to_kernel_weights(model: LoadedModel) -> LoadedModel:
+    import dataclasses
+
+    return dataclasses.replace(
+        model, params=convert_params_to_kernel(model.params)
+    )
 
 
 @dataclass

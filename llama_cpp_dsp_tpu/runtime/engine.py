@@ -329,6 +329,48 @@ class Engine:
             slot.req = None
             req.done.set()
 
+    # -- embeddings (reference server /v1/embeddings, pooling_type) ----------
+    def embed(self, tokens: list[int], pooling: str = "mean") -> np.ndarray:
+        """Hidden-state embedding with pooling (mean | last | cls)."""
+        if not hasattr(self, "_embed_fn"):
+            @partial(jax.jit, static_argnames=("t",))
+            def _embed(params, toks, t):
+                positions = jnp.arange(t, dtype=jnp.int32)[None, :]
+                mask = jnp.tril(jnp.ones((1, t, t), bool))
+                hidden, _ = forward(
+                    params, self.cfg, toks, positions, None, 0, mask,
+                    compute_dtype=self.compute_dtype, return_hidden=True,
+                )
+                return hidden
+
+            self._embed_fn = _embed
+        n = len(tokens)
+        tpad = self._bucket(n)
+        if tpad < n:  # longer than the largest bucket: round up
+            tpad = -(-n // tpad) * tpad
+        buf = np.zeros((1, tpad), np.int32)
+        buf[0, :n] = tokens
+        hidden = np.asarray(
+            self._embed_fn(self.params, jnp.asarray(buf), tpad)
+        )[0, :n]  # [n, C]
+        if pooling == "last":
+            vec = hidden[-1]
+        elif pooling == "cls":
+            vec = hidden[0]
+        else:
+            vec = hidden.mean(axis=0)
+        return vec
+
+    # -- LoRA hot-swap (reference server /lora-adapters) ---------------------
+    def set_lora(self, adapter, scale: float = 1.0) -> None:
+        """Apply (or with adapter=None, remove) a LoRA adapter in place."""
+        from .adapter import apply_lora, strip_lora
+
+        params = strip_lora(self.params)
+        if adapter is not None:
+            params = apply_lora(params, adapter, scale)
+        self.params = jax.tree.map(jnp.asarray, params)
+
     @property
     def n_busy_slots(self) -> int:
         return sum(1 for s in self.slots if s.state != SlotState.FREE)

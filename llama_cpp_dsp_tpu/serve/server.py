@@ -122,6 +122,128 @@ class Server:
         text = self.engine.tokenizer.decode([int(t) for t in body.get("tokens", [])])
         return web.json_response({"content": text})
 
+    # -- embeddings / rerank / infill (reference server.cpp handlers) -------
+    async def embeddings(self, request: web.Request) -> web.Response:
+        if not self._check_auth(request):
+            return self._deny()
+        body = await request.json()
+        inputs = body.get("input", body.get("content", ""))
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        loop = asyncio.get_running_loop()
+        data = []
+        for i, text in enumerate(inputs):
+            ids = self.engine.tokenizer.encode(text, add_special=True,
+                                               parse_special=True)
+            vec = await loop.run_in_executor(None, self.engine.embed, ids)
+            data.append({"object": "embedding", "index": i,
+                         "embedding": [float(x) for x in vec]})
+        return web.json_response({
+            "object": "list", "data": data, "model": self.model_name,
+            "usage": {"prompt_tokens": 0, "total_tokens": 0},
+        })
+
+    async def rerank(self, request: web.Request) -> web.Response:
+        """Embedding-similarity reranker (the reference uses rank-head
+        models; cosine over pooled embeddings is the capability fallback)."""
+        if not self._check_auth(request):
+            return self._deny()
+        body = await request.json()
+        query = body.get("query", "")
+        docs = body.get("documents", [])
+        loop = asyncio.get_running_loop()
+
+        def emb(text):
+            ids = self.engine.tokenizer.encode(text, add_special=True,
+                                               parse_special=True)
+            v = self.engine.embed(ids)
+            import numpy as _np
+
+            return v / (_np.linalg.norm(v) + 1e-8)
+
+        qv = await loop.run_in_executor(None, emb, query)
+        results = []
+        for i, doc in enumerate(docs):
+            dv = await loop.run_in_executor(None, emb, doc)
+            results.append({"index": i, "relevance_score": float(qv @ dv)})
+        results.sort(key=lambda r: -r["relevance_score"])
+        top_n = int(body.get("top_n", len(results)))
+        return web.json_response({"model": self.model_name,
+                                  "results": results[:top_n]})
+
+    async def infill(self, request: web.Request) -> web.StreamResponse:
+        """FIM completion — reference /infill (fim_pre/suf/mid tokens)."""
+        if not self._check_auth(request):
+            return self._deny()
+        body = await request.json()
+        vocab = self.engine.vocab
+        pre_id = getattr(vocab, "fim_pre_id", -1)
+        suf_id = getattr(vocab, "fim_suf_id", -1)
+        mid_id = getattr(vocab, "fim_mid_id", -1)
+        if min(pre_id, suf_id, mid_id) < 0:
+            return web.json_response(
+                {"error": {"message": "model lacks FIM tokens"}}, status=400)
+        tok = self.engine.tokenizer
+        ids = (
+            [pre_id] + tok.encode(body.get("input_prefix", ""), add_special=False)
+            + [suf_id] + tok.encode(body.get("input_suffix", ""), add_special=False)
+            + [mid_id]
+        )
+        return await self._run(request, body, ids, chat=False)
+
+    async def slot_action(self, request: web.Request) -> web.Response:
+        """Slot save/restore/erase — reference server.cpp:3769-3828."""
+        if not self._check_auth(request):
+            return self._deny()
+        from ..runtime.state_io import load_slot, save_slot
+
+        slot_id = int(request.match_info["slot_id"])
+        action = request.query.get("action", "")
+        body = await request.json() if request.can_read_body else {}
+        filename = body.get("filename", f"slot_{slot_id}.bin")
+        if slot_id < 0 or slot_id >= self.engine.n_slots:
+            return web.json_response({"error": {"message": "bad slot"}}, status=400)
+        slot = self.engine.slots[slot_id]
+        if action == "save":
+            tokens = slot.req.prompt_tokens if slot.req else []
+            save_slot(self.engine, slot_id, filename, tokens=tokens)
+            return web.json_response({"id_slot": slot_id, "filename": filename,
+                                      "n_saved": slot.n_past})
+        if action == "restore":
+            load_slot(self.engine, slot_id, filename)
+            return web.json_response({"id_slot": slot_id, "filename": filename,
+                                      "n_restored": slot.n_past})
+        if action == "erase":
+            slot.n_past = 0
+            slot.state = slot.state.__class__.FREE
+            return web.json_response({"id_slot": slot_id, "n_erased": 1})
+        return web.json_response({"error": {"message": "unknown action"}}, status=400)
+
+    async def lora_adapters_get(self, request: web.Request) -> web.Response:
+        return web.json_response(getattr(self, "_loras", []))
+
+    async def lora_adapters_post(self, request: web.Request) -> web.Response:
+        """Hot-swap LoRA scale — reference POST /lora-adapters."""
+        if not self._check_auth(request):
+            return self._deny()
+        body = await request.json()
+        from ..runtime.adapter import load_lora
+
+        loop = asyncio.get_running_loop()
+        applied = []
+        for entry in body if isinstance(body, list) else [body]:
+            path = entry.get("path")
+            scale = float(entry.get("scale", 1.0))
+            if path:
+                adapter = await loop.run_in_executor(None, load_lora, path)
+                await loop.run_in_executor(
+                    None, self.engine.set_lora, adapter, scale)
+                applied.append({"path": path, "scale": scale})
+            else:
+                await loop.run_in_executor(None, self.engine.set_lora, None)
+        self._loras = applied
+        return web.json_response(applied)
+
     # -- completion core --------------------------------------------------------
     def _make_request(self, prompt_ids, body, stream_q: asyncio.Queue | None,
                       loop) -> Request:
@@ -275,6 +397,14 @@ class Server:
         app.router.add_post("/completions", self.completions)
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/v1/chat/completions", self.chat_completions)
+        app.router.add_post("/v1/embeddings", self.embeddings)
+        app.router.add_post("/embedding", self.embeddings)
+        app.router.add_post("/v1/rerank", self.rerank)
+        app.router.add_post("/rerank", self.rerank)
+        app.router.add_post("/infill", self.infill)
+        app.router.add_post("/slots/{slot_id}", self.slot_action)
+        app.router.add_get("/lora-adapters", self.lora_adapters_get)
+        app.router.add_post("/lora-adapters", self.lora_adapters_post)
         return app
 
 

@@ -121,6 +121,12 @@ class Vocab:
     unk_id: int = TOKEN_NULL
     sep_id: int = TOKEN_NULL
     pad_id: int = TOKEN_NULL
+    # fill-in-middle tokens (reference llama_vocab fim_* ids)
+    fim_pre_id: int = TOKEN_NULL
+    fim_suf_id: int = TOKEN_NULL
+    fim_mid_id: int = TOKEN_NULL
+    fim_rep_id: int = TOKEN_NULL
+    fim_sep_id: int = TOKEN_NULL
 
     bpe_ranks: dict[tuple[str, str], int] = field(default_factory=dict)
     chat_template: str | None = None
@@ -153,6 +159,25 @@ class Vocab:
                     self.attrs[i] & TokenAttr.CONTROL
                 ):
                     self.eog_ids.add(i)
+        # auto-detect FIM tokens by text — reference llama-vocab.cpp special
+        # token scan (fim_pre/suf/mid aliases across model families)
+        _FIM_ALIASES = {
+            "fim_pre_id": ("<|fim_prefix|>", "<fim-prefix>", "<fim_prefix>",
+                           "<PRE>", "<｜fim▁begin｜>", "<|fim_begin|>"),
+            "fim_suf_id": ("<|fim_suffix|>", "<fim-suffix>", "<fim_suffix>",
+                           "<SUF>", "<｜fim▁hole｜>", "<|fim_hole|>"),
+            "fim_mid_id": ("<|fim_middle|>", "<fim-middle>", "<fim_middle>",
+                           "<MID>", "<｜fim▁end｜>", "<|fim_end|>"),
+            "fim_rep_id": ("<|fim_repo|>", "<|repo_name|>"),
+            "fim_sep_id": ("<|file_sep|>", "<|file_separator|>"),
+        }
+        for attr_name, aliases in _FIM_ALIASES.items():
+            if getattr(self, attr_name) == TOKEN_NULL:
+                for alias in aliases:
+                    tid = self.token_to_id.get(alias)
+                    if tid is not None:
+                        object.__setattr__(self, attr_name, tid)
+                        break
 
     # -- lookups -----------------------------------------------------------
     @property

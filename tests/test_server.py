@@ -162,3 +162,98 @@ def test_parallel_requests(server_setup):
         assert all(r["usage"]["completion_tokens"] >= 1 for r in results)
 
     _run(server_setup, go)
+
+
+def test_embeddings_endpoint(server_setup):
+    async def go(client):
+        r = await client.post("/v1/embeddings",
+                              json={"input": ["hello world", "goodbye"]},
+                              headers=AUTH)
+        assert r.status == 200
+        body = await r.json()
+        assert len(body["data"]) == 2
+        v = body["data"][0]["embedding"]
+        assert len(v) == server_setup.engine.cfg.n_embd
+        assert all(isinstance(x, float) for x in v[:4])
+
+    _run(server_setup, go)
+
+
+def test_rerank_endpoint(server_setup):
+    async def go(client):
+        r = await client.post("/v1/rerank", json={
+            "query": "hello", "documents": ["hello there", "unrelated text"],
+        }, headers=AUTH)
+        assert r.status == 200
+        body = await r.json()
+        assert len(body["results"]) == 2
+        assert {"index", "relevance_score"} <= set(body["results"][0])
+
+    _run(server_setup, go)
+
+
+def test_infill_no_fim_tokens(server_setup):
+    # tiny model lacks FIM tokens → clean 400, not a crash
+    async def go(client):
+        r = await client.post("/infill", json={
+            "input_prefix": "def f(", "input_suffix": "): pass",
+        }, headers=AUTH)
+        assert r.status == 400
+
+    _run(server_setup, go)
+
+
+def test_slot_save_restore(server_setup, tmp_path):
+    async def go(client):
+        # generate something in slot 0 first
+        r = await client.post("/v1/completions", json={
+            "prompt": "ab", "max_tokens": 3, "temperature": 0.0,
+        }, headers=AUTH)
+        assert r.status == 200
+        fn = str(tmp_path / "slot0.npz")
+        r = await client.post("/slots/0?action=save", json={"filename": fn},
+                              headers=AUTH)
+        assert r.status == 200
+        r = await client.post("/slots/0?action=restore", json={"filename": fn},
+                              headers=AUTH)
+        body = await r.json()
+        assert r.status == 200 and body["n_restored"] >= 0
+        r = await client.post("/slots/0?action=erase", json={}, headers=AUTH)
+        assert r.status == 200
+
+    _run(server_setup, go)
+
+
+def test_lora_adapters_endpoint(server_setup, tmp_path):
+    import numpy as np
+    from llama_cpp_dsp_tpu.gguf.writer import GGUFWriter
+
+    # minimal adapter: rank-2 on blk.0.attn_q
+    w = GGUFWriter(str(tmp_path / "ad.gguf"), "llama")
+    w.add_string("general.type", "adapter")
+    w.add_string("adapter.type", "lora")
+    w.add_float32("adapter.lora.alpha", 4.0)
+    rng = np.random.default_rng(0)
+    n_embd = server_setup.engine.cfg.n_embd
+    w.add_tensor("blk.0.attn_q.weight.lora_a",
+                 (rng.standard_normal((2, n_embd)) * 0.01).astype(np.float32))
+    w.add_tensor("blk.0.attn_q.weight.lora_b",
+                 (rng.standard_normal((n_embd, 2)) * 0.01).astype(np.float32))
+    w.write()
+
+    async def go(client):
+        r = await client.post("/lora-adapters",
+                              json=[{"path": str(tmp_path / "ad.gguf"),
+                                     "scale": 0.5}], headers=AUTH)
+        assert r.status == 200
+        r = await client.get("/lora-adapters")
+        assert (await r.json())[0]["scale"] == 0.5
+        # completion still works with the adapter applied
+        r = await client.post("/v1/completions", json={
+            "prompt": "a", "max_tokens": 2, "temperature": 0.0}, headers=AUTH)
+        assert r.status == 200
+        # swap off
+        r = await client.post("/lora-adapters", json=[{}], headers=AUTH)
+        assert r.status == 200
+
+    _run(server_setup, go)
