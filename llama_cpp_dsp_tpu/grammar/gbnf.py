@@ -603,10 +603,26 @@ class GrammarSampler:
     """Sampler-chain element: masks tokens the grammar rejects, accepts the
     sampled token (llama_sampler_grammar, llama-sampling.cpp:1433+)."""
 
-    def __init__(self, grammar: Grammar, tokenizer) -> None:
+    def __init__(self, grammar: Grammar, tokenizer, use_native: bool | None = None) -> None:
         self.grammar = grammar
         self.tokenizer = tokenizer
         self._piece_cache: dict[int, bytes] = {}
+        # C++ PDA for the vocab-wide filter (native/grammar.cpp); the Python
+        # Grammar stays authoritative for lazy-trigger state + EOG checks
+        self._native = None
+        if use_native is not False:
+            try:
+                from ..native.grammar_bind import NativeGrammar, get_lib
+
+                if get_lib() is not None:
+                    self._NativeGrammar = NativeGrammar
+                    self._native = NativeGrammar(grammar.rules, grammar.root)
+            except Exception:  # no compiler — Python fallback
+                self._native = None
+
+    def _native_sync_reset(self):
+        if self._native is not None:
+            self._native = self._NativeGrammar(self.grammar.rules, self.grammar.root)
 
     def _piece(self, tid: int) -> bytes:
         p = self._piece_cache.get(tid)
@@ -615,6 +631,18 @@ class GrammarSampler:
             self._piece_cache[tid] = p
         return p
 
+    def token_allowed(self, token: int) -> bool:
+        """Cheap single-token check for the two-phase sampler (reference
+        common_sampler_sample: apply grammar to the one sampled candidate)."""
+        g = self.grammar
+        if g.awaiting_trigger:
+            return True
+        if self.tokenizer.vocab.is_eog(token):
+            return any(len(s) == 0 for s in g.stacks)
+        piece = self._piece(token)
+        eng = self._native if (self._native is not None and not g.lazy) else g
+        return len(eng.reject_candidates([(0, piece)])) == 0
+
     def reset(self) -> None:
         g = self.grammar
         self.grammar = Grammar(
@@ -622,6 +650,7 @@ class GrammarSampler:
             trigger_tokens=set(g.trigger_tokens),
             trigger_patterns=list(g.trigger_patterns),
         )
+        self._native_sync_reset()
 
     def apply(self, cand, rng):
         import numpy as np
@@ -636,7 +665,10 @@ class GrammarSampler:
             if vocab.is_eog(tid):
                 continue  # EOG allowed iff a stack is empty — handled below
             pieces.append((i, self._piece(tid)))
-        rejected = g.reject_candidates(pieces)
+        if self._native is not None and not g.lazy:
+            rejected = self._native.reject_candidates(pieces)
+        else:
+            rejected = g.reject_candidates(pieces)
         allow_eog = any(len(s) == 0 for s in g.stacks)
         neg = np.float32(-np.inf)
         for i, tid in enumerate(cand.ids):
@@ -672,4 +704,7 @@ class GrammarSampler:
             return
         if self.tokenizer.vocab.is_eog(token):
             return
-        g.accept_piece(self._piece(token))
+        piece = self._piece(token)
+        g.accept_piece(piece)
+        if self._native is not None and not g.lazy:
+            self._native.accept_piece(piece)

@@ -381,9 +381,9 @@ class SamplerChain:
     samplers: list = field(default_factory=list)
     rng: np.random.Generator = field(default_factory=lambda: np.random.default_rng(0))
     n_sampled: int = 0
+    grammar: object = None  # GrammarSampler — applied two-phase (see sample)
 
-    def sample(self, logits: np.ndarray) -> int:
-        cand = Candidates.from_logits(logits)
+    def _run(self, cand) -> int:
         token: int | None = None
         for s in self.samplers:
             token = s.apply(cand, self.rng)
@@ -392,6 +392,18 @@ class SamplerChain:
         if token is None:
             # no terminal sampler fired: greedy over what's left
             token = int(cand.ids[int(np.argmax(cand.logits))])
+        return token
+
+    def sample(self, logits: np.ndarray) -> int:
+        cand = Candidates.from_logits(logits)
+        token = self._run(cand)
+        if self.grammar is not None and not self.grammar.token_allowed(token):
+            # two-phase grammar (common_sampler_sample, common/sampling.cpp:
+            # grammar_first=false): only on violation re-filter the full
+            # vocab and resample — keeps the PDA off the hot path
+            cand = Candidates.from_logits(logits)
+            self.grammar.apply(cand, self.rng)
+            token = self._run(cand)
         self.accept(token)
         self.n_sampled += 1
         return token
@@ -399,10 +411,14 @@ class SamplerChain:
     def accept(self, token: int) -> None:
         for s in self.samplers:
             s.accept(token)
+        if self.grammar is not None:
+            self.grammar.accept(token)
 
     def reset(self) -> None:
         for s in self.samplers:
             s.reset()
+        if self.grammar is not None:
+            self.grammar.reset()
         self.n_sampled = 0
 
 
@@ -446,15 +462,13 @@ def make_chain(
     )
     if dry_multiplier > 0:
         chain.append(Dry(multiplier=dry_multiplier))
-    if grammar is not None:
-        chain.append(grammar)
     if temp <= 0:
         chain.append(Greedy())
-        return SamplerChain(chain, np.random.default_rng(seed))
+        return SamplerChain(chain, np.random.default_rng(seed), grammar=grammar)
     if mirostat == 2:
         chain.append(Temp(temp))
         chain.append(MirostatV2(mirostat_tau, mirostat_eta))
-        return SamplerChain(chain, np.random.default_rng(seed))
+        return SamplerChain(chain, np.random.default_rng(seed), grammar=grammar)
     if top_n_sigma >= 0:
         chain.append(TopK(top_k))
         chain.append(TopNSigma(top_n_sigma))
