@@ -1,0 +1,413 @@
+"""HF checkpoint → GGUF converter.
+
+Capability mirror of the reference's convert_hf_to_gguf.py (5637 LoC, 73
+Model subclasses) scoped to the registered arch zoo: reads config.json +
+safetensors (or torch .bin), maps tensor names, applies the per-arch weight
+transforms (llama q/k rotate-half→interleaved permutation, gemma norm +1),
+extracts the tokenizer from tokenizer.json (BPE), and writes GGUF v3 with
+optional on-the-fly quantization.
+
+Usage: python -m llama_cpp_dsp_tpu.tools.convert_hf <hf_dir> -o out.gguf
+           [--outtype f32|f16|q8_0|q4_0|q4_k|q6_k]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ..gguf.constants import GGMLType, Keys
+from ..gguf.writer import GGUFWriter
+
+log = logging.getLogger("convert_hf")
+
+# HF model_type → GGUF arch
+_MODEL_TYPE_TO_ARCH = {
+    "llama": "llama",
+    "mistral": "llama",
+    "mixtral": "llama",
+    "qwen2": "qwen2",
+    "qwen2_moe": "qwen2moe",
+    "qwen3": "qwen3",
+    "gemma": "gemma",
+    "gemma2": "gemma2",
+    "gemma3_text": "gemma3",
+    "phi": "phi2",
+    "phi3": "phi3",
+    "gpt2": "gpt2",
+    "gpt_neox": "gptneox",
+    "starcoder2": "starcoder2",
+    "stablelm": "stablelm",
+    "olmo": "olmo",
+    "olmo2": "olmo2",
+    "bloom": "bloom",
+    "mpt": "mpt",
+    "falcon": "falcon",
+    "cohere": "command-r",
+    "deepseek_v2": "deepseek2",
+    "granite": "granite",
+    "mamba": "mamba",
+    "internlm2": "internlm2",
+    "exaone": "exaone",
+    "nemotron": "nemotron",
+    "dbrx": "dbrx",
+    "orion": "orion",
+}
+
+# HF tensor suffix → GGUF suffix (per-layer); {} is the layer index
+_LAYER_MAP = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "input_layernorm.bias": "attn_norm.bias",
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.v_proj.bias": "attn_v.bias",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.o_proj.bias": "attn_output.bias",
+    "self_attn.q_norm.weight": "attn_q_norm.weight",
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "post_attention_layernorm.bias": "ffn_norm.bias",
+    "pre_feedforward_layernorm.weight": "ffn_norm.weight",  # gemma2 (pre-ffn)
+    "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+    "mlp.c_fc.weight": "ffn_up.weight",
+    "mlp.c_fc.bias": "ffn_up.bias",
+    "mlp.c_proj.weight": "ffn_down.weight",
+    "mlp.c_proj.bias": "ffn_down.bias",
+    "mlp.fc1.weight": "ffn_up.weight",
+    "mlp.fc1.bias": "ffn_up.bias",
+    "mlp.fc2.weight": "ffn_down.weight",
+    "mlp.fc2.bias": "ffn_down.bias",
+    "block_sparse_moe.gate.weight": "ffn_gate_inp.weight",
+    "mlp.gate.weight": "ffn_gate_inp.weight",
+    "mlp.shared_experts.gate_proj.weight": "ffn_gate_shexp.weight",
+    "mlp.shared_experts.up_proj.weight": "ffn_up_shexp.weight",
+    "mlp.shared_experts.down_proj.weight": "ffn_down_shexp.weight",
+    # gpt2-style fused blocks
+    "attn.c_attn.weight": "attn_qkv.weight",
+    "attn.c_attn.bias": "attn_qkv.bias",
+    "attn.c_proj.weight": "attn_output.weight",
+    "attn.c_proj.bias": "attn_output.bias",
+    "ln_1.weight": "attn_norm.weight",
+    "ln_1.bias": "attn_norm.bias",
+    "ln_2.weight": "ffn_norm.weight",
+    "ln_2.bias": "ffn_norm.bias",
+    # gemma2 post attn norm (HF post_attention_layernorm is the POST norm)
+}
+
+_GEMMA2_LAYER_MAP = {
+    **_LAYER_MAP,
+    "post_attention_layernorm.weight": "attn_post_norm.weight",
+}
+
+_GLOBAL_MAP = {
+    "model.embed_tokens.weight": "token_embd.weight",
+    "model.norm.weight": "output_norm.weight",
+    "model.norm.bias": "output_norm.bias",
+    "lm_head.weight": "output.weight",
+    "transformer.wte.weight": "token_embd.weight",
+    "transformer.wpe.weight": "position_embd.weight",
+    "transformer.ln_f.weight": "output_norm.weight",
+    "transformer.ln_f.bias": "output_norm.bias",
+    "backbone.embeddings.weight": "token_embd.weight",
+    "backbone.norm_f.weight": "output_norm.weight",
+}
+
+_QUANT_TYPES = {
+    "f32": GGMLType.F32,
+    "f16": GGMLType.F16,
+    "bf16": GGMLType.BF16,
+    "q8_0": GGMLType.Q8_0,
+    "q4_0": GGMLType.Q4_0,
+    "q4_k": GGMLType.Q4_K,
+    "q5_k": GGMLType.Q5_K,
+    "q6_k": GGMLType.Q6_K,
+}
+
+
+def _permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF rotate-half layout → GGUF interleaved-pairs layout for llama-family
+    'norm'-mode rope (reference convert_hf_to_gguf.py LlamaModel.permute)."""
+    out = w.reshape(n_head, 2, w.shape[0] // n_head // 2, *w.shape[1:])
+    return out.swapaxes(1, 2).reshape(w.shape)
+
+
+def _iter_hf_tensors(hf_dir: Path):
+    st_files = sorted(hf_dir.glob("*.safetensors"))
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(str(f), framework="np") as sf:
+                for name in sf.keys():
+                    yield name, sf.get_tensor(name)
+        return
+    bins = sorted(hf_dir.glob("pytorch_model*.bin"))
+    if not bins:
+        raise FileNotFoundError(f"no safetensors or .bin weights in {hf_dir}")
+    import torch
+
+    for f in bins:
+        sd = torch.load(str(f), map_location="cpu", weights_only=True)
+        for name, t in sd.items():
+            yield name, t.float().numpy()
+
+
+def _map_name(name: str, layer_map: dict) -> str | None:
+    if name in _GLOBAL_MAP:
+        return _GLOBAL_MAP[name]
+    for prefix in ("model.layers.", "transformer.h.", "backbone.layers."):
+        if name.startswith(prefix):
+            rest = name[len(prefix):]
+            idx, _, suffix = rest.partition(".")
+            # MoE experts: model.layers.N.block_sparse_moe.experts.E.w1.weight
+            for moe_pat, ggml in (
+                (".w1.weight", "ffn_gate_exps"), (".w2.weight", "ffn_down_exps"),
+                (".w3.weight", "ffn_up_exps"),
+                (".gate_proj.weight", "ffn_gate_exps"),
+                (".down_proj.weight", "ffn_down_exps"),
+                (".up_proj.weight", "ffn_up_exps"),
+            ):
+                if ".experts." in suffix and suffix.endswith(moe_pat):
+                    return f"blk.{idx}.__moe__.{ggml}.{suffix.split('.experts.')[1].split('.')[0]}"
+            mapped = layer_map.get(suffix)
+            if mapped is not None:
+                return f"blk.{idx}.{mapped}"
+            # mamba mixer tensors
+            for hfn, ggn in (("mixer.in_proj.weight", "ssm_in.weight"),
+                             ("mixer.conv1d.weight", "ssm_conv1d.weight"),
+                             ("mixer.conv1d.bias", "ssm_conv1d.bias"),
+                             ("mixer.x_proj.weight", "ssm_x.weight"),
+                             ("mixer.dt_proj.weight", "ssm_dt.weight"),
+                             ("mixer.dt_proj.bias", "ssm_dt.bias"),
+                             ("mixer.A_log", "ssm_a"),
+                             ("mixer.D", "ssm_d"),
+                             ("mixer.out_proj.weight", "ssm_out.weight"),
+                             ("norm.weight", "attn_norm.weight")):
+                if suffix == hfn:
+                    return f"blk.{idx}.{ggn}"
+            return None
+    return None
+
+
+def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
+    g = lambda *keys, default=None: next(
+        (cfg[k] for k in keys if k in cfg), default)
+    w.add_uint32(f"{arch}.block_count", g("num_hidden_layers", "n_layer"))
+    w.add_uint32(f"{arch}.context_length",
+                 g("max_position_embeddings", "n_positions", default=2048))
+    w.add_uint32(f"{arch}.embedding_length", g("hidden_size", "n_embd"))
+    n_ff = g("intermediate_size", "n_inner")
+    if n_ff is None:
+        n_ff = 4 * g("hidden_size", "n_embd")
+    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    n_head = g("num_attention_heads", "n_head")
+    w.add_uint32(f"{arch}.attention.head_count", n_head)
+    w.add_uint32(f"{arch}.attention.head_count_kv",
+                 g("num_key_value_heads", default=n_head))
+    if g("head_dim") is not None:
+        w.add_uint32(f"{arch}.attention.key_length", g("head_dim"))
+    if g("rms_norm_eps") is not None:
+        w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", g("rms_norm_eps"))
+    if g("layer_norm_epsilon", "layer_norm_eps") is not None:
+        w.add_float32(f"{arch}.attention.layer_norm_epsilon",
+                      g("layer_norm_epsilon", "layer_norm_eps"))
+    if g("rope_theta") is not None:
+        w.add_float32(f"{arch}.rope.freq_base", g("rope_theta"))
+    if g("partial_rotary_factor") is not None:
+        hd = g("head_dim") or g("hidden_size") // n_head
+        w.add_uint32(f"{arch}.rope.dimension_count",
+                     int(hd * g("partial_rotary_factor")))
+    w.add_uint32(f"{arch}.vocab_size", g("vocab_size", default=0))
+    if g("num_local_experts", "num_experts", "n_routed_experts") is not None:
+        w.add_uint32(f"{arch}.expert_count",
+                     g("num_local_experts", "num_experts", "n_routed_experts"))
+        w.add_uint32(f"{arch}.expert_used_count",
+                     g("num_experts_per_tok", default=2))
+    if g("sliding_window") is not None:
+        w.add_uint32(f"{arch}.attention.sliding_window", g("sliding_window"))
+    if g("attn_logit_softcapping") is not None:
+        w.add_float32(f"{arch}.attn_logit_softcapping", g("attn_logit_softcapping"))
+    if g("final_logit_softcapping") is not None:
+        w.add_float32(f"{arch}.final_logit_softcapping", g("final_logit_softcapping"))
+    if arch == "mamba":
+        w.add_uint32(f"{arch}.ssm.conv_kernel", g("conv_kernel", default=4))
+        w.add_uint32(f"{arch}.ssm.inner_size",
+                     g("intermediate_size", default=2 * g("hidden_size")))
+        w.add_uint32(f"{arch}.ssm.state_size", g("state_size", default=16))
+        w.add_uint32(f"{arch}.ssm.time_step_rank", g("time_step_rank", default=0))
+        w.add_uint32(f"{arch}.attention.head_count", 0)
+
+
+def _write_tokenizer(w: GGUFWriter, hf_dir: Path) -> None:
+    tok_json = hf_dir / "tokenizer.json"
+    if not tok_json.exists():
+        log.warning("no tokenizer.json — writing GGUF without tokenizer")
+        return
+    tj = json.loads(tok_json.read_text())
+    model = tj.get("model", {})
+    if model.get("type") != "BPE":
+        log.warning("tokenizer type %s unsupported; skipping", model.get("type"))
+        return
+    vocab = model["vocab"]  # token → id
+    merges = model.get("merges", [])
+    id_to_tok = [None] * len(vocab)
+    for t, i in vocab.items():
+        id_to_tok[i] = t
+    added = {a["id"]: a for a in tj.get("added_tokens", [])}
+    for i, a in added.items():
+        if i >= len(id_to_tok):
+            id_to_tok.extend([None] * (i + 1 - len(id_to_tok)))
+        id_to_tok[i] = a["content"]
+    types = []
+    for i, t in enumerate(id_to_tok):
+        if t is None:
+            id_to_tok[i] = f"[PAD{i}]"
+            types.append(5)  # UNUSED
+        elif i in added and added[i].get("special"):
+            types.append(3)  # CONTROL
+        elif i in added:
+            types.append(4)  # USER_DEFINED
+        else:
+            types.append(1)  # NORMAL
+    w.add_string(Keys.Tokenizer.MODEL, "gpt2")
+    w.add_string(Keys.Tokenizer.PRE, "default")
+    w.add_kv(Keys.Tokenizer.LIST, id_to_tok)
+    w.add_kv(Keys.Tokenizer.TOKEN_TYPE, types)
+    w.add_kv(Keys.Tokenizer.MERGES,
+             [m if isinstance(m, str) else " ".join(m) for m in merges])
+
+    # special ids from config files
+    cfg_path = hf_dir / "tokenizer_config.json"
+    tok_cfg = json.loads(cfg_path.read_text()) if cfg_path.exists() else {}
+    gen_path = hf_dir / "generation_config.json"
+    gen_cfg = json.loads(gen_path.read_text()) if gen_path.exists() else {}
+    t2i = {t: i for i, t in enumerate(id_to_tok)}
+
+    def tid(value):
+        if value is None:
+            return None
+        if isinstance(value, dict):
+            value = value.get("content")
+        if isinstance(value, str):
+            return t2i.get(value)
+        return int(value)
+
+    bos = tid(tok_cfg.get("bos_token"))
+    eos = tid(tok_cfg.get("eos_token"))
+    if eos is None:
+        e = gen_cfg.get("eos_token_id")
+        eos = e[0] if isinstance(e, list) else e
+    if bos is not None:
+        w.add_uint32(Keys.Tokenizer.BOS_ID, bos)
+    if eos is not None:
+        w.add_uint32(Keys.Tokenizer.EOS_ID, eos)
+    if tok_cfg.get("chat_template"):
+        w.add_string(Keys.Tokenizer.CHAT_TEMPLATE, tok_cfg["chat_template"])
+    w.add_bool(Keys.Tokenizer.ADD_BOS, bool(tok_cfg.get("add_bos_token", False)))
+
+
+def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
+    hf_dir = Path(hf_dir)
+    cfg = json.loads((hf_dir / "config.json").read_text())
+    model_type = cfg.get("model_type", "llama")
+    arch = _MODEL_TYPE_TO_ARCH.get(model_type)
+    if arch is None:
+        raise ValueError(f"unsupported HF model_type {model_type!r}")
+    qtype = _QUANT_TYPES[outtype]
+
+    w = GGUFWriter(out_path, arch)
+    w.add_string("general.name", cfg.get("_name_or_path", hf_dir.name))
+    _write_hparams(w, arch, cfg)
+    _write_tokenizer(w, hf_dir)
+
+    n_head = cfg.get("num_attention_heads", cfg.get("n_head", 1))
+    n_kv = cfg.get("num_key_value_heads", n_head)
+    permute = arch in ("llama", "internlm2", "exaone", "granite")
+    gemma_norm = arch.startswith("gemma")
+    layer_map = _GEMMA2_LAYER_MAP if arch in ("gemma2", "gemma3") else _LAYER_MAP
+
+    moe_stash: dict[str, dict[int, np.ndarray]] = {}
+    n_written = 0
+    for hf_name, arr in _iter_hf_tensors(hf_dir):
+        arr = np.asarray(arr)
+        if arr.dtype != np.float32:
+            arr = arr.astype(np.float32)
+        name = _map_name(hf_name, layer_map)
+        if name is None:
+            log.warning("skipping unmapped tensor %s", hf_name)
+            continue
+        if "__moe__" in name:  # stash experts, emit stacked later
+            base, eid = name.rsplit(".", 1)
+            base = base.replace("__moe__.", "") + ".weight"
+            moe_stash.setdefault(base, {})[int(eid)] = arr
+            continue
+        if permute and name.endswith("attn_q.weight"):
+            arr = _permute_qk(arr, n_head)
+        elif permute and name.endswith("attn_k.weight"):
+            arr = _permute_qk(arr, n_kv)
+        if gemma_norm and "norm" in name:
+            arr = arr + 1.0  # HF gemma applies (1 + w)
+        if name.endswith("ssm_conv1d.weight"):
+            arr = arr[:, 0, :]  # [Ci,1,K] → [Ci,K]
+        _emit(w, name, arr, qtype)
+        n_written += 1
+
+    for name, experts in sorted(moe_stash.items()):
+        stacked = np.stack([experts[e] for e in sorted(experts)])
+        _emit(w, name, stacked, qtype)
+        n_written += 1
+
+    w.write()
+    log.info("wrote %d tensors to %s", n_written, out_path)
+
+
+def _emit(w: GGUFWriter, name: str, arr: np.ndarray, qtype: GGMLType) -> None:
+    from ..quant.ref_numpy import quantize
+
+    is_matrix = arr.ndim >= 2 and "norm" not in name and not name.endswith(".bias")
+    if not is_matrix or qtype == GGMLType.F32:
+        w.add_tensor(name, arr.astype(np.float32))
+        return
+    if qtype == GGMLType.F16:
+        w.add_tensor(name, arr.astype(np.float16))
+        return
+    if qtype == GGMLType.BF16:
+        import jax.numpy as jnp
+
+        w.add_tensor(name, np.asarray(jnp.asarray(arr, jnp.bfloat16)),
+                     ggml_type=GGMLType.BF16,
+                     ne_shape=tuple(reversed(arr.shape)))
+        return
+    k = arr.shape[-1]
+    block = 256 if qtype in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K) else 32
+    if k % block:
+        w.add_tensor(name, arr.astype(np.float16))
+        return
+    raw = quantize(arr.reshape(-1, k), qtype)
+    w.add_tensor(name, raw, ggml_type=qtype, ne_shape=tuple(reversed(arr.shape)))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("hf_dir")
+    ap.add_argument("-o", "--outfile", required=True)
+    ap.add_argument("--outtype", default="f16", choices=sorted(_QUANT_TYPES))
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    convert(args.hf_dir, args.outfile, args.outtype)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

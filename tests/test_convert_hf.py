@@ -1,0 +1,110 @@
+"""HF→GGUF converter E2E: tiny HF Llama (+ byte-level BPE tokenizer.json)
+→ convert → load with our loader → logits match HF; tokenizer round-trips.
+
+Mirror of the reference CI pipeline (ci/run.sh: download → convert →
+quantize → run) at test scale.
+"""
+
+import json
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+tokenizers = pytest.importorskip("tokenizers")
+
+from llama_cpp_dsp_tpu.models.llama import forward
+from llama_cpp_dsp_tpu.runtime.loader import load_model
+from llama_cpp_dsp_tpu.runtime.kv_cache import causal_mask
+from llama_cpp_dsp_tpu.tools.convert_hf import convert
+
+
+def _byte_level_tokenizer(path, n_extra_merges=3):
+    from tokenizers import Tokenizer, models, pre_tokenizers, decoders
+
+    # base byte-level alphabet (the 256 gpt2 byte-unicode chars)
+    alphabet = pre_tokenizers.ByteLevel.alphabet()
+    vocab = {ch: i for i, ch in enumerate(sorted(alphabet))}
+    he = "he"
+    merges = [("h", "e"), ("l", "l"), ("Ġ", "w")][:n_extra_merges]
+    for a, b in merges:
+        vocab[a + b] = len(vocab)
+    vocab["<s>"] = len(vocab)
+    vocab["</s>"] = len(vocab)
+    tok = Tokenizer(models.BPE(vocab=vocab, merges=merges))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    tok.save(str(path))
+    return len(vocab)
+
+
+@pytest.fixture(scope="module")
+def converted(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hf_model")
+    n_vocab = _byte_level_tokenizer(d / "tokenizer.json")
+    (d / "tokenizer_config.json").write_text(json.dumps({
+        "bos_token": "<s>", "eos_token": "</s>", "add_bos_token": False,
+        "chat_template": "{% for m in messages %}{{ m['content'] }}{% endfor %}",
+    }))
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=n_vocab, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf_model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+
+    out = str(d / "model-f32.gguf")
+    convert(str(d), out, "f32")
+    return d, out, hf_model
+
+
+def test_convert_logit_parity(converted):
+    d, gguf_path, hf_model = converted
+    model = load_model(gguf_path)
+    assert model.cfg.arch == "llama"
+    toks = np.array([[3, 45, 99, 7, 150]], np.int32)
+    n = toks.shape[1]
+    pos = np.arange(n, dtype=np.int32).reshape(1, n)
+    ours, _ = forward(model.params, model.cfg, jnp.asarray(toks), jnp.asarray(pos),
+                      mask=np.tril(np.ones((1, n, n), bool)),
+                      compute_dtype=jnp.float32)
+    with torch.no_grad():
+        theirs = hf_model(torch.tensor(toks, dtype=torch.long)).logits
+    np.testing.assert_allclose(np.asarray(ours)[0], theirs[0].numpy(),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_convert_tokenizer_parity(converted):
+    d, gguf_path, _ = converted
+    from tokenizers import Tokenizer as HFTok
+
+    hf_tok = HFTok.from_file(str(d / "tokenizer.json"))
+    model = load_model(gguf_path)
+    assert model.vocab.chat_template
+    for text in ("hello world", "hell", "a b c", "héllo"):
+        ours = model.tokenizer.encode(text, add_special=False)
+        theirs = hf_tok.encode(text).ids
+        assert ours == theirs, (text, ours, theirs)
+        assert model.tokenizer.decode(ours) == text
+
+
+def test_convert_quantized_roundtrip(converted):
+    d, _, hf_model = converted
+    out = str(d / "model-q8.gguf")
+    convert(str(d), out, "q8_0")
+    model = load_model(out)
+    toks = np.array([[5, 9, 31]], np.int32)
+    pos = np.arange(3, dtype=np.int32).reshape(1, 3)
+    ours, _ = forward(model.params, model.cfg, jnp.asarray(toks), jnp.asarray(pos),
+                      mask=np.tril(np.ones((1, 3, 3), bool)),
+                      compute_dtype=jnp.float32)
+    with torch.no_grad():
+        theirs = hf_model(torch.tensor(toks, dtype=torch.long)).logits.numpy()
+    # q8_0 quantization noise bound
+    denom = np.abs(theirs).max()
+    assert np.abs(np.asarray(ours)[0] - theirs[0]).max() / denom < 0.05
