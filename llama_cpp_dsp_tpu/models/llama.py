@@ -527,9 +527,14 @@ def forward(
     rope_positions: jax.Array | None = None,  # positions for rope when they
     # differ from cache-row indices (post-seq_div self-extend)
     return_hidden: bool = False,  # final-norm hidden states (embeddings path)
+    input_embd: jax.Array | None = None,  # [B, T, C] — llava image embeds
+    # bypass the token embedding (reference llava_eval_image_embed path)
 ):
     """Returns (logits [B, T, n_vocab] f32, updated cache)."""
-    x = take_rows(params["token_embd"], tokens, dtype=compute_dtype)
+    if input_embd is not None:
+        x = input_embd.astype(compute_dtype)
+    else:
+        x = take_rows(params["token_embd"], tokens, dtype=compute_dtype)
     if cfg.embd_scale != 1.0:
         x = x * jnp.asarray(cfg.embd_scale, compute_dtype)
     if cfg.pos_embd_type == "learned":

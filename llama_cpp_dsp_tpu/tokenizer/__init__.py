@@ -43,6 +43,14 @@ class Tokenizer:
             from .wpm import WpmTokenizer
 
             self._wpm = WpmTokenizer(vocab)
+        elif vocab.vocab_type == VocabType.UGM:
+            from .ugm import UgmTokenizer
+
+            self._ugm = UgmTokenizer(vocab)
+        elif vocab.vocab_type == VocabType.RWKV:
+            from .rwkv import RwkvTokenizer
+
+            self._rwkv = RwkvTokenizer(vocab)
         else:
             raise NotImplementedError(f"tokenizer type {vocab.vocab_type}")
 
@@ -127,6 +135,22 @@ class Tokenizer:
                     self._wpm.tokenize(frag.text, output)
             if add_special and vocab.sep_id != TOKEN_NULL:
                 output.append(vocab.sep_id)
+        elif vocab.vocab_type == VocabType.UGM:
+            if add_special and vocab.add_bos and vocab.bos_id != TOKEN_NULL:
+                output.append(vocab.bos_id)
+            for frag in fragments:
+                if frag.is_token:
+                    output.append(frag.token)
+                else:
+                    self._ugm.tokenize(frag.text, output)
+            if add_special and vocab.add_eos and vocab.eos_id != TOKEN_NULL:
+                output.append(vocab.eos_id)
+        elif vocab.vocab_type == VocabType.RWKV:
+            for frag in fragments:
+                if frag.is_token:
+                    output.append(frag.token)
+                else:
+                    self._rwkv.tokenize(frag.text, output)
         else:
             raise NotImplementedError
         return output

@@ -87,3 +87,44 @@ def test_special_token_parsing():
     assert with_special[0] == v.text_to_token(bot)
     without = tok.encode(f"{bot}hi", add_special=False, parse_special=False)
     assert without[0] != v.text_to_token(bot)
+
+
+# -- UGM (unigram) and RWKV tokenizers ---------------------------------------
+
+def _ugm_vocab():
+    from llama_cpp_dsp_tpu.tokenizer.vocab import TokenAttr, Vocab, VocabType
+
+    tokens = ["<unk>", "▁", "▁hello", "▁world", "hello", "wor", "ld", "o",
+              "h", "e", "l", "w", "r", "d", "▁he", "llo"]
+    scores = [0.0, -2.0, -3.0, -5.0, -3.5, -4.0, -2.0, -1.0,
+              -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -3.0, -2.5]
+    attrs = [TokenAttr.UNKNOWN] + [TokenAttr.NORMAL] * (len(tokens) - 1)
+    return Vocab(VocabType.UGM, tokens, scores, attrs, unk_id=0,
+                 add_space_prefix=True, remove_extra_whitespaces=True)
+
+
+def test_ugm_viterbi_segmentation():
+    from llama_cpp_dsp_tpu.tokenizer import Tokenizer
+
+    v = _ugm_vocab()
+    tok = Tokenizer(v)
+    ids = tok.encode("hello world", add_special=False)
+    # viterbi must pick the highest-scoring segmentation:
+    # "▁hello" (-3) + "▁world" (-5) = -8 beats piecewise alternatives
+    assert ids == [v.token_to_id["▁hello"], v.token_to_id["▁world"]]
+    # unknown characters map to UNK (merged)
+    ids = tok.encode("héllo", add_special=False)
+    assert v.unk_id in ids
+
+
+def test_rwkv_greedy_longest_match():
+    from llama_cpp_dsp_tpu.tokenizer import Tokenizer
+    from llama_cpp_dsp_tpu.tokenizer.vocab import TokenAttr, Vocab, VocabType
+
+    tokens = ["a", "b", "ab", "abc", "c", " ", "\\x68i"]  # \x68 = 'h'
+    attrs = [TokenAttr.NORMAL] * len(tokens)
+    v = Vocab(VocabType.RWKV, tokens, [0.0] * len(tokens), attrs)
+    tok = Tokenizer(v)
+    assert tok.encode("abc", add_special=False) == [3]       # longest match
+    assert tok.encode("ab c", add_special=False) == [2, 5, 4]
+    assert tok.encode("hi", add_special=False) == [6]        # escaped bytes
