@@ -19,6 +19,10 @@ def get_forward(cfg: LlamaConfig):
         from .mamba import forward as mamba_forward
 
         return mamba_forward
+    if builder == "encoder":
+        from .bert import bert_forward
+
+        return bert_forward
     return decoder_forward
 
 

@@ -80,6 +80,11 @@ _LAYER_TENSORS = {
     "ssm_a": "ssm_a",
     "ssm_d": "ssm_d",
     "ssm_out.weight": "ssm_out",
+    # bert encoder (reference LLM_ARCH_BERT tensor table)
+    "attn_output_norm.weight": "attn_output_norm",
+    "attn_output_norm.bias": "attn_output_norm_bias",
+    "layer_output_norm.weight": "layer_output_norm",
+    "layer_output_norm.bias": "layer_output_norm_bias",
 }
 
 _GLOBAL_TENSORS = {
@@ -93,6 +98,7 @@ _GLOBAL_TENSORS = {
     "output.bias": "output_bias",
     "rope_freqs.weight": "rope_freqs",
     "rope_factors_long.weight": "rope_freqs",  # phi3 long factors
+    "token_types.weight": "token_types",
 }
 
 
