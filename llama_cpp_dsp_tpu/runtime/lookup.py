@@ -174,3 +174,82 @@ class LookupDecoder:
             ctx.rollback_to(base + 1 + accepted)
             if stop:
                 return
+
+
+class LookaheadDecoder(LookupDecoder):
+    """Lookahead decoding (reference examples/lookahead/lookahead.cpp),
+    expressed as Jacobi fixed-point iteration over a causal batch: each
+    round verifies [token, *guesses]; the sampled tokens at rejected
+    positions become the next round's guesses (one Jacobi step), and
+    accepted trajectories feed the same n-gram pool the reference collects
+    from its lookahead window. The reference's 2-D W×N window with custom
+    attention masks is flattened to sequential rounds — same convergence
+    behavior per accepted token, simpler masks (always causal).
+    """
+
+    def __init__(self, ctx: LlamaContext, *, n_draft: int = 8):
+        super().__init__(ctx, n_draft=n_draft)
+        self._jacobi: list[int] = []
+
+    def _draft_tokens(self, all_tokens: list[int], room: int) -> list[int]:
+        # n-gram pool first (reference checks its ngram container first),
+        # falling back to the running Jacobi guesses
+        draft = self.cache.draft(all_tokens, min(self.n_draft, room))
+        if not draft:
+            draft = self._jacobi[: min(self.n_draft, room)]
+        return draft
+
+    def generate(self, prompt_tokens, *, max_new_tokens=128, sampler=None,
+                 stop_on_eog=True):
+        from .sampling import Greedy, SamplerChain as SC
+
+        sampler = sampler or SC([Greedy()])
+        ctx = self.ctx
+        all_tokens = list(prompt_tokens)
+        self.cache.update(all_tokens)
+        logits = ctx.eval_tokens(list(prompt_tokens))
+        token = sampler.sample(logits)
+        yield token
+        produced = 1
+        all_tokens.append(token)
+        self.cache.update(all_tokens, n_new=1)
+        if stop_on_eog and ctx.vocab is not None and ctx.vocab.is_eog(token):
+            return
+
+        while produced < max_new_tokens:
+            room = min(max_new_tokens - produced, ctx.n_ctx - ctx.n_past - 2)
+            if room <= 0:
+                return
+            draft = self._draft_tokens(all_tokens, room)
+            self.stats.n_drafted += len(draft)
+            base = ctx.n_past
+            batch_logits = ctx.eval_tokens_all([token] + draft)
+            accepted = 0
+            stop = False
+            sampled: list[int] = []
+            for i in range(len(draft) + 1):
+                t = sampler.sample(batch_logits[i])
+                sampled.append(t)
+                if i < len(draft) and t == draft[i]:
+                    accepted += 1
+                    continue
+                break
+            # Jacobi update: the freshly sampled tail (beyond acceptance)
+            # seeds the next round's guesses
+            self._jacobi = sampled[accepted + 1 :] + draft[accepted + 1 :][:0]
+            for t in sampled[: accepted + 1]:
+                yield t
+                produced += 1
+                all_tokens.append(t)
+                self.cache.update(all_tokens, n_new=1)
+                token = t
+                if stop_on_eog and ctx.vocab is not None and ctx.vocab.is_eog(t):
+                    stop = True
+                    break
+                if produced >= max_new_tokens:
+                    stop = True
+                    break
+            self.stats.n_accepted += accepted
+            ctx.rollback_to(base + 1 + accepted)
+            if stop:
+                return

@@ -72,3 +72,71 @@ def apply_chat_template(
             )
             + ("<|im_start|>assistant\n" if add_generation_prompt else "")
         )
+
+
+# ---------------------------------------------------------------------------
+# tool-call parsing — reference common/chat.cpp (format detection per model
+# family + extraction of structured calls from generated text)
+# ---------------------------------------------------------------------------
+
+import re as _re
+import uuid as _uuid
+
+
+def parse_tool_calls(text: str) -> tuple[str, list[dict]]:
+    """Extract tool calls from model output. Handles the common formats:
+    - Hermes/Qwen: <tool_call>{"name": ..., "arguments": {...}}</tool_call>
+    - Mistral: [TOOL_CALLS][{...}]
+    - Llama-3.x / bare JSON: {"name": ..., "parameters"|"arguments": {...}}
+    Returns (content_without_calls, openai_style_tool_calls)."""
+    calls: list[dict] = []
+
+    def add(obj) -> bool:
+        if not isinstance(obj, dict) or "name" not in obj:
+            return False
+        args = obj.get("arguments", obj.get("parameters", {}))
+        calls.append({
+            "id": f"call_{_uuid.uuid4().hex[:12]}",
+            "type": "function",
+            "function": {
+                "name": str(obj["name"]),
+                "arguments": json.dumps(args, ensure_ascii=False)
+                if not isinstance(args, str) else args,
+            },
+        })
+        return True
+
+    content = text
+
+    # hermes-style tags
+    def _tag_sub(m):
+        try:
+            ok = add(json.loads(m.group(1)))
+        except json.JSONDecodeError:
+            ok = False
+        return "" if ok else m.group(0)
+
+    content = _re.sub(r"<tool_call>\s*(\{.*?\})\s*</tool_call>", _tag_sub,
+                      content, flags=_re.DOTALL)
+
+    # mistral [TOOL_CALLS][...]
+    m = _re.search(r"\[TOOL_CALLS\]\s*(\[.*\])", content, flags=_re.DOTALL)
+    if m:
+        try:
+            arr = json.loads(m.group(1))
+            if isinstance(arr, list) and all(add(o) for o in arr):
+                content = content[: m.start()] + content[m.end():]
+        except json.JSONDecodeError:
+            pass
+
+    # bare JSON object that IS a call (llama3 style) — only if whole output
+    stripped = content.strip()
+    if stripped.startswith("{") and stripped.endswith("}"):
+        try:
+            obj = json.loads(stripped)
+            if add(obj):
+                content = ""
+        except json.JSONDecodeError:
+            pass
+
+    return content.strip(), calls

@@ -288,6 +288,7 @@ class Server:
         text = apply_chat_template(
             self.engine.vocab.chat_template, body.get("messages", []),
             add_generation_prompt=True, bos_token="", eos_token="",
+            tools=body.get("tools"),
         )
         ids = self.engine.tokenizer.encode(text, add_special=True, parse_special=True)
         return await self._run(request, body, ids, chat=True)
@@ -349,12 +350,19 @@ class Server:
             "predicted_ms": round((req.t_end - req.t_first_token) * 1000, 2),
         }
         if chat:
+            from ..serve.chat import parse_tool_calls
+
+            content, tool_calls = parse_tool_calls(text)
+            message = {"role": "assistant", "content": content or None}
+            finish = req.stop_reason
+            if tool_calls:
+                message["tool_calls"] = tool_calls
+                finish = "tool_calls"
             payload = {
                 "id": rid, "object": "chat.completion", "created": created,
                 "model": self.model_name,
-                "choices": [{"index": 0,
-                             "message": {"role": "assistant", "content": text},
-                             "finish_reason": req.stop_reason}],
+                "choices": [{"index": 0, "message": message,
+                             "finish_reason": finish}],
                 "usage": usage, "timings": timings,
             }
         else:

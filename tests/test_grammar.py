@@ -117,3 +117,27 @@ def test_token_rejection():
     assert 3 in rejected  # 'helps' overruns the grammar
     assert 0 not in rejected
     assert 2 not in rejected
+
+
+def test_parse_tool_calls_formats():
+    from llama_cpp_dsp_tpu.serve.chat import parse_tool_calls
+
+    # hermes style
+    text = 'Sure. <tool_call>{"name": "get_weather", "arguments": {"city": "SF"}}</tool_call>'
+    content, calls = parse_tool_calls(text)
+    assert content == "Sure."
+    assert calls[0]["function"]["name"] == "get_weather"
+    import json as _json
+    assert _json.loads(calls[0]["function"]["arguments"]) == {"city": "SF"}
+
+    # mistral style
+    content, calls = parse_tool_calls('[TOOL_CALLS][{"name": "f", "arguments": {}}]')
+    assert calls and calls[0]["function"]["name"] == "f"
+
+    # bare llama3 json
+    content, calls = parse_tool_calls('{"name": "g", "parameters": {"x": 1}}')
+    assert content == "" and calls[0]["function"]["name"] == "g"
+
+    # plain text untouched
+    content, calls = parse_tool_calls("just words { not a call")
+    assert calls == [] and "just words" in content

@@ -70,3 +70,18 @@ def test_lookup_matches_plain_greedy(tiny_ctx):
     # the synthetic model is deterministic; repetitive prompts should get at
     # least some drafts proposed
     assert dec.stats.n_drafted >= 0
+
+
+def test_lookahead_matches_plain_greedy(tiny_ctx):
+    from llama_cpp_dsp_tpu.runtime.lookup import LookaheadDecoder
+
+    prompt = [3, 14, 15, 9, 26, 5, 3, 14, 15, 9]
+    n_new = 20
+
+    ctx = tiny_ctx()
+    plain = list(ctx.generate(prompt, max_new_tokens=n_new, stop_on_eog=False,
+                              context_shift=False))
+    ctx2 = tiny_ctx()
+    dec = LookaheadDecoder(ctx2, n_draft=5)
+    fast = list(dec.generate(prompt, max_new_tokens=n_new, stop_on_eog=False))
+    assert fast == plain
