@@ -123,7 +123,7 @@ def _apply(leaf, rule: int | None, mesh: Mesh, tp: int):
         arrays = {
             k: jax.device_put(a, NamedSharding(mesh, specs[k])) for k, a in leaf.arrays.items()
         }
-        return QTensor(leaf.kind, leaf.shape, arrays)
+        return QTensor(leaf.kind, leaf.shape, arrays, leaf.n_expert)
     arr = np.asarray(leaf)
     if rule is not None and arr.ndim >= 1 and _divisible(arr.shape[rule if rule < arr.ndim else 0], tp):
         dim = rule if rule < arr.ndim else 0
