@@ -47,7 +47,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_arg_parser().parse_args(argv)
+    from ..utils.args import parse_with_env
+
+    args = parse_with_env(build_arg_parser(), argv)
     from ..utils.jax_setup import setup_jax
 
     setup_jax()

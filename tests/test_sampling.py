@@ -98,3 +98,20 @@ def test_chain_determinism():
     s1 = [c1.sample(logits) for _ in range(20)]
     s2 = [c2.sample(logits) for _ in range(20)]
     assert s1 == s2
+
+
+def test_env_arg_fallback(monkeypatch):
+    """LLAMA_ARG_* env fallback — reference common/arg.cpp:72-81."""
+    import argparse
+    from llama_cpp_dsp_tpu.utils.args import parse_with_env
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ctx-size", type=int, default=2048)
+    ap.add_argument("--flag", action="store_true")
+    monkeypatch.setenv("LLAMA_ARG_CTX_SIZE", "4096")
+    monkeypatch.setenv("LLAMA_ARG_FLAG", "true")
+    args = parse_with_env(ap, [])
+    assert args.ctx_size == 4096 and args.flag is True
+    # CLI wins over env
+    args = parse_with_env(ap, ["--ctx-size", "128"])
+    assert args.ctx_size == 128
