@@ -312,6 +312,8 @@ for _spec in [
         "ssm_d_state": int(get(Keys.LLM.SSM_STATE_SIZE, 16) or 16),
         "ssm_dt_rank": int(get(Keys.LLM.SSM_TIME_STEP_RANK, 0) or 0),
     }, builder="mamba"),
+    ArchSpec("t5", _llama, builder="t5"),
+    ArchSpec("t5encoder", _llama, builder="t5"),
     ArchSpec("bert", _llama, builder="encoder"),
     ArchSpec("nomic-bert", _llama, builder="encoder"),
     ArchSpec("jina-bert-v2", _llama, builder="encoder"),
