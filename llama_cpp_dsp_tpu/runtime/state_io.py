@@ -61,7 +61,7 @@ def save_state(ctx, path: str, tokens: list[int]) -> None:
     k = _to_storable(np.asarray(ctx.cache.k[:, :, :, :n]))
     v = _to_storable(np.asarray(ctx.cache.v[:, :, :, :n]))
     np.savez_compressed(
-        path, meta=_meta(ctx.cfg, n, tokens, ctx.cache.k.dtype.name), k=k, v=v
+        open(path, "wb"), meta=_meta(ctx.cfg, n, tokens, ctx.cache.k.dtype.name), k=k, v=v
     )
 
 
@@ -94,7 +94,7 @@ def save_slot(engine, slot_idx: int, path: str, tokens: list[int]) -> None:
     k = _to_storable(np.asarray(engine.cache.k[:, slot_idx : slot_idx + 1, :, :n]))
     v = _to_storable(np.asarray(engine.cache.v[:, slot_idx : slot_idx + 1, :, :n]))
     np.savez_compressed(
-        path, meta=_meta(engine.cfg, n, tokens, engine.cache.k.dtype.name), k=k, v=v
+        open(path, "wb"), meta=_meta(engine.cfg, n, tokens, engine.cache.k.dtype.name), k=k, v=v
     )
 
 

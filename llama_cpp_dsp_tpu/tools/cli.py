@@ -33,6 +33,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-display-prompt", action="store_true")
     p.add_argument("-i", "--interactive", action="store_true")
     p.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--prompt-cache", metavar="FILE",
+                   help="load/save prompt KV state (reference --prompt-cache)")
     p.add_argument("--keep", type=int, default=0,
                    help="tokens to keep on context-shift (reference --keep)")
     p.add_argument("--no-context-shift", action="store_true")
@@ -84,8 +86,35 @@ def main(argv=None) -> int:
     )
 
     def run_once(prompt: str) -> None:
+        import os as _os
+
         tok = model.tokenizer
         ids = tok.encode(prompt, add_special=True, parse_special=True)
+        # prompt cache — reference examples/main prompt-cache reuse: restore
+        # the session when the cached token stream is a prefix of this prompt
+        cached: list[int] = []
+        if args.prompt_cache and _os.path.exists(args.prompt_cache):
+            from ..runtime.state_io import load_state
+
+            try:
+                cached = load_state(ctx, args.prompt_cache)
+            except Exception as e:
+                print(f"prompt-cache: ignoring ({e})", file=sys.stderr)
+                cached = []
+            # longest matching prefix is reusable (reference
+            # n_matching_session_tokens, examples/main/main.cpp)
+            n_match = 0
+            for a, b in zip(cached, ids):
+                if a != b:
+                    break
+                n_match += 1
+            if n_match > 1:
+                ctx.rollback_to(n_match)
+                cached = cached[:n_match]
+                print(f"prompt-cache: reusing {n_match} tokens", file=sys.stderr)
+            else:
+                ctx.reset()
+                cached = []
         if len(ids) >= ctx.n_ctx:
             print(
                 f"error: prompt is {len(ids)} tokens but context size is {ctx.n_ctx}",
@@ -95,14 +124,30 @@ def main(argv=None) -> int:
         if not args.no_display_prompt:
             sys.stdout.write(prompt)
             sys.stdout.flush()
+        if cached:
+            remaining = ids[len(cached):] or [ids[-1]]
+            if not ids[len(cached):]:
+                ctx.rollback_to(ctx.n_past - 1)  # re-eval last token for logits
+            ids = remaining
+        if args.prompt_cache and not cached:
+            full_ids = list(ids)
+        gen_ids: list = []
         for t in ctx.generate(ids, max_new_tokens=args.n_predict, sampler=sampler,
                               context_shift=not args.no_context_shift,
                               n_keep=args.keep, ga_n=args.grp_attn_n,
                               ga_w=args.grp_attn_w):
+            gen_ids.append(t)
             piece = tok.token_to_piece(t, special=False)
             sys.stdout.write(piece.decode("utf-8", errors="replace"))
             sys.stdout.flush()
         sys.stdout.write("\n")
+        if args.prompt_cache and not cached:
+            from ..runtime.state_io import save_state
+
+            # session = prompt + generated (reference saves the whole session)
+            save_state(ctx, args.prompt_cache, full_ids + gen_ids)
+            print(f"prompt-cache: saved {len(full_ids) + len(gen_ids)} tokens",
+                  file=sys.stderr)
         print(ctx.perf.report(), file=sys.stderr)
 
     if args.interactive:
