@@ -90,7 +90,9 @@ class Engine:
         kv_dtype="bf16",
         prefill_buckets: tuple[int, ...] = (32, 128, 512),
         use_pallas: bool | None = None,
+        context_shift: bool = True,  # per-slot shift when a slot fills
     ):
+        self.context_shift = context_shift
         from .context import _convert_to_kernel_weights
 
         if use_pallas is None:
@@ -305,7 +307,10 @@ class Engine:
         elif slot.generated >= req.max_new_tokens:
             finished = "length"
         elif slot.n_past + 1 >= self.n_ctx:
-            finished = "length"
+            if self.context_shift:
+                self._shift_slot(slot)
+            else:
+                finished = "length"
 
         piece = ""
         if self.tokenizer is not None:
@@ -328,6 +333,27 @@ class Engine:
             slot.state = SlotState.FREE
             slot.req = None
             req.done.set()
+
+    def _shift_slot(self, slot: "_Slot", n_keep: int = 0,
+                    n_discard: int | None = None) -> None:
+        """Per-slot context shift (reference server.cpp:2879-2911): evict
+        n_discard cells after n_keep in THIS slot only; other slots keep
+        identity indices."""
+        import numpy as np
+
+        from .cache_ops import apply_seq_edit, context_shift_indices
+
+        if n_discard is None:
+            n_discard = max(1, (self.n_ctx - n_keep) // 2)
+        src1, deltas1 = context_shift_indices(self.n_ctx, n_keep, n_discard)
+        src = np.tile(np.arange(self.n_ctx, dtype=np.int64), (self.n_slots, 1))
+        deltas = np.zeros((self.n_slots, self.n_ctx), np.int64)
+        src[slot.idx] = src1[0]
+        deltas[slot.idx] = deltas1[0]
+        ff = self.params["layers"][0].get("rope_freqs")
+        self.cache = apply_seq_edit(self.cache, src, deltas, self.cfg.rope, ff)
+        slot.n_past -= n_discard
+        log.info("slot %d: context shift (-%d tokens)", slot.idx, n_discard)
 
     # -- embeddings (reference server /v1/embeddings, pooling_type) ----------
     def embed(self, tokens: list[int], pooling: str = "mean") -> np.ndarray:

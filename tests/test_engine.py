@@ -89,3 +89,22 @@ def test_slot_reuse_no_leakage(engine):
     short_solo = engine.generate_sync([4, 2], max_new_tokens=5, sampler=greedy())
     short_again = engine.generate_sync([4, 2], max_new_tokens=5, sampler=greedy())
     assert short_solo.result_tokens == short_again.result_tokens
+
+
+def test_slot_context_shift(engine):
+    """A slot that fills its context keeps generating via per-slot shift
+    (reference server.cpp context-shift)."""
+    from llama_cpp_dsp_tpu.runtime.engine import Engine, Request
+    from llama_cpp_dsp_tpu.runtime.sampling import Greedy, SamplerChain
+
+    eng = Engine(engine.model, n_slots=2, n_ctx_per_slot=32,
+                 prefill_buckets=(16,), use_pallas=False)
+    req = Request(0, [3, 5, 7, 9], max_new_tokens=60,
+                  sampler=SamplerChain([Greedy()]))
+    eng.submit(req)
+    while not req.done.is_set():
+        eng.step()
+    assert req.error is None
+    # generated more than the context could hold without shifting
+    assert len(req.result_tokens) == 60
+    assert req.stop_reason in ("length", "stop")
