@@ -181,6 +181,82 @@ def _split_fused(params: dict[str, Any], cfg: LlamaConfig, spec) -> None:
             layer["ffn_up"] = _row_slice(up, ff, 2 * ff)
 
 
+# T5 per-layer suffixes (reference LLM_ARCH_T5 tensor table): names under
+# "enc.blk.N." / "dec.blk.N." namespaces
+_T5_LAYER = {
+    "attn_norm.weight": "attn_norm",
+    "attn_q.weight": "attn_q",
+    "attn_k.weight": "attn_k",
+    "attn_v.weight": "attn_v",
+    "attn_o.weight": "attn_o",
+    "cross_attn_norm.weight": "cross_attn_norm",
+    "cross_attn_q.weight": "cross_attn_q",
+    "cross_attn_k.weight": "cross_attn_k",
+    "cross_attn_v.weight": "cross_attn_v",
+    "cross_attn_o.weight": "cross_attn_o",
+    "ffn_norm.weight": "ffn_norm",
+    "ffn_gate.weight": "ffn_gate",
+    "ffn_up.weight": "ffn_up",
+    "ffn_down.weight": "ffn_down",
+}
+
+
+def load_t5(path: str, *, with_tokenizer: bool = True):
+    """T5/T5ENCODER GGUF → (T5Config, params, vocab, tokenizer, kv)."""
+    from ..models.t5 import T5Config
+
+    gm = GGUFModel.load(path)
+    kv = gm.kv
+    arch = str(kv.get("general.architecture", "t5"))
+    g = lambda key, d=None: kv.get(f"{arch}.{key}", d)
+    n_layers = int(g("block_count"))
+    cfg = T5Config(
+        n_layers=n_layers,
+        n_embd=int(g("embedding_length")),
+        n_heads=int(g("attention.head_count")),
+        head_dim=int(g("attention.key_length",
+                       int(g("embedding_length")) // int(g("attention.head_count")))),
+        n_ff=int(g("feed_forward_length")),
+        n_vocab=int(g("vocab_size", 0)) or len(kv.get(Keys.Tokenizer.LIST, [])),
+        rel_buckets=int(g("attention.relative_buckets_count", 32)),
+        eps=float(g("attention.layer_norm_rms_epsilon", 1e-6)),
+    )
+    params: dict[str, Any] = {
+        "enc_layers": [{} for _ in range(n_layers)],
+        "dec_layers": [{} for _ in range(n_layers)],
+    }
+    for name, info in gm.tensors.items():
+        arr = _convert(info.data, info.ggml_type, info.np_shape)
+        if name == "token_embd.weight":
+            params["token_embd"] = arr
+        elif name == "output.weight":
+            params["output"] = arr
+        elif name == "enc.output_norm.weight":
+            params["enc_output_norm"] = arr
+        elif name == "dec.output_norm.weight":
+            params["dec_output_norm"] = arr
+        elif name.startswith(("enc.blk.", "dec.blk.")):
+            side, _, idx, rest = name.split(".", 3)
+            key = _T5_LAYER.get(rest)
+            if key is None and rest == "attn_rel_b.weight":
+                params[f"{side}_rel_b"] = arr
+                continue
+            if key is None:
+                log.warning("t5: unmapped tensor %s", name)
+                continue
+            params[f"{side}_layers"][int(idx)][key] = arr
+        else:
+            log.warning("t5: unmapped tensor %s", name)
+    vocab = Vocab.from_gguf_kv(gm.kv)
+    tokenizer = None
+    if with_tokenizer:
+        try:
+            tokenizer = Tokenizer(vocab)
+        except NotImplementedError:
+            pass
+    return cfg, params, vocab, tokenizer, gm.kv
+
+
 def load_model(path: str, *, with_tokenizer: bool = True) -> LoadedModel:
     from ..models.registry import arch_spec
 

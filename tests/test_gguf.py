@@ -120,3 +120,37 @@ def test_parse_reference_vocab_files():
         assert len(toks) > 100, path.name
         assert f.kv[Keys.Tokenizer.MODEL] in {"llama", "gpt2", "bert", "t5", "rwkv"}, path.name
         f.close()
+
+
+def test_gguf_split_merge_roundtrip(tmp_path):
+    """Split a model into shards, load the shards, merge back — all three
+    views must agree (reference examples/gguf-split)."""
+    import sys
+    sys.path.insert(0, "tests")
+    import numpy as np
+    from model_builder import build_tiny_llama
+    from llama_cpp_dsp_tpu.gguf.reader import GGUFModel
+    from llama_cpp_dsp_tpu.tools.gguf_split import merge, split
+
+    src = str(tmp_path / "m.gguf")
+    build_tiny_llama(src, qtype=8)
+    orig = GGUFModel.load(src)
+
+    paths = split(src, str(tmp_path / "m-split"), max_tensors=5)
+    assert len(paths) > 1
+    shard = GGUFModel.load(paths[0])  # loads all siblings
+    assert set(shard.tensors) == set(orig.tensors)
+    for name, info in orig.tensors.items():
+        np.testing.assert_array_equal(np.asarray(shard.tensors[name].data),
+                                      np.asarray(info.data))
+
+    merged = str(tmp_path / "merged.gguf")
+    merge(paths[0], merged)
+    back = GGUFModel.load(merged)
+    assert set(back.tensors) == set(orig.tensors)
+    assert back.kv.get("llama.block_count") == orig.kv.get("llama.block_count")
+
+    # and the merged file loads as a model
+    from llama_cpp_dsp_tpu.runtime.loader import load_model
+    m = load_model(merged)
+    assert m.cfg.n_layers == 2

@@ -95,3 +95,51 @@ def test_t5_full_parity(t5_pair):
                        decoder_input_ids=torch.tensor(tgt, dtype=torch.long))
                     .logits)
     np.testing.assert_allclose(ours, want, rtol=2e-3, atol=2e-3)
+
+
+def test_t5_gguf_roundtrip(tmp_path, t5_pair):
+    """Write the T5 params as a GGUF (reference enc./dec. names), reload
+    via load_t5, logits identical."""
+    import numpy as np
+    from llama_cpp_dsp_tpu.gguf.writer import GGUFWriter
+    from llama_cpp_dsp_tpu.runtime.loader import load_t5
+
+    cfg, params, _ = t5_pair
+    path = str(tmp_path / "t5.gguf")
+    w = GGUFWriter(path, "t5")
+    w.add_uint32("t5.block_count", cfg.n_layers)
+    w.add_uint32("t5.embedding_length", cfg.n_embd)
+    w.add_uint32("t5.attention.head_count", cfg.n_heads)
+    w.add_uint32("t5.attention.key_length", cfg.head_dim)
+    w.add_uint32("t5.feed_forward_length", cfg.n_ff)
+    w.add_uint32("t5.vocab_size", cfg.n_vocab)
+    w.add_uint32("t5.attention.relative_buckets_count", cfg.rel_buckets)
+    w.add_float32("t5.attention.layer_norm_rms_epsilon", cfg.eps)
+    w.add_tensor("token_embd.weight", params["token_embd"])
+    w.add_tensor("enc.output_norm.weight", params["enc_output_norm"])
+    w.add_tensor("dec.output_norm.weight", params["dec_output_norm"])
+    w.add_tensor("enc.blk.0.attn_rel_b.weight", params["enc_rel_b"])
+    w.add_tensor("dec.blk.0.attn_rel_b.weight", params["dec_rel_b"])
+    inv = {"attn_norm": "attn_norm.weight", "attn_q": "attn_q.weight",
+           "attn_k": "attn_k.weight", "attn_v": "attn_v.weight",
+           "attn_o": "attn_o.weight", "cross_attn_norm": "cross_attn_norm.weight",
+           "cross_attn_q": "cross_attn_q.weight", "cross_attn_k": "cross_attn_k.weight",
+           "cross_attn_v": "cross_attn_v.weight", "cross_attn_o": "cross_attn_o.weight",
+           "ffn_norm": "ffn_norm.weight", "ffn_up": "ffn_up.weight",
+           "ffn_down": "ffn_down.weight"}
+    for side in ("enc", "dec"):
+        for i, layer in enumerate(params[f"{side}_layers"]):
+            for k, arr in layer.items():
+                w.add_tensor(f"{side}.blk.{i}.{inv[k]}", np.ascontiguousarray(arr))
+    w.write()
+
+    cfg2, params2, _, _, _ = load_t5(path, with_tokenizer=False)
+    assert cfg2.n_layers == cfg.n_layers
+    src = np.array([[4, 17, 9]], np.int32)
+    tgt = np.array([[0, 8]], np.int32)
+    e1 = t5_encode(params, cfg, jnp.asarray(src))
+    e2 = t5_encode(params2, cfg2, jnp.asarray(src))
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
+    d1 = t5_decode(params, cfg, jnp.asarray(tgt), e1)
+    d2 = t5_decode(params2, cfg2, jnp.asarray(tgt), e2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
