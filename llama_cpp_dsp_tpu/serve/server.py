@@ -425,6 +425,11 @@ def main(argv=None) -> int:
     ap.add_argument("-np", "--parallel", type=int, default=4, help="number of slots")
     ap.add_argument("--api-key", default=None)
     ap.add_argument("--alias", default=None, help="model name served")
+    ap.add_argument("-md", "--model-draft", default=None,
+                    help="draft model for server-side speculative decoding")
+    ap.add_argument("--draft-max", type=int, default=8,
+                    help="max tokens drafted per round (reference --draft-max)")
+    ap.add_argument("--draft-p-min", type=float, default=0.75)
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -434,9 +439,15 @@ def main(argv=None) -> int:
     from ..runtime.loader import load_model
 
     model = load_model(args.model)
-    engine = Engine(model, n_slots=args.parallel,
-                    n_ctx_per_slot=args.ctx_size // max(args.parallel, 1)
-                    if False else args.ctx_size)
+    if args.model_draft:
+        from .spec_engine import SpecEngine
+
+        draft = load_model(args.model_draft)
+        engine = SpecEngine(model, draft, n_ctx_per_slot=args.ctx_size,
+                            n_draft=args.draft_max, p_min=args.draft_p_min)
+    else:
+        engine = Engine(model, n_slots=args.parallel,
+                        n_ctx_per_slot=args.ctx_size)
     engine.start()
     server = Server(engine, model_name=args.alias or args.model, api_key=args.api_key)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)

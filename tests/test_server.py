@@ -257,3 +257,34 @@ def test_lora_adapters_endpoint(server_setup, tmp_path):
         assert r.status == 200
 
     _run(server_setup, go)
+
+
+def test_speculative_server(tmp_path):
+    """Server-side speculative decoding (reference server.cpp:1249): SpecEngine
+    behind the same HTTP API produces the target's greedy stream."""
+    from llama_cpp_dsp_tpu.serve.spec_engine import SpecEngine
+    from llama_cpp_dsp_tpu.runtime.engine import Request
+    from llama_cpp_dsp_tpu.runtime.sampling import Greedy, SamplerChain
+
+    path = str(tmp_path / "spec.gguf")
+    build_tiny_llama(path, qtype=8)
+    model = load_model(path)
+    # draft == target: every draft accepted; output equals plain greedy
+    eng = SpecEngine(model, model, n_ctx_per_slot=64, n_draft=4, p_min=0.0)
+    eng.start()
+    try:
+        req = Request(0, [3, 5, 7], max_new_tokens=10,
+                      sampler=SamplerChain([Greedy()]))
+        eng.submit(req)
+        assert req.done.wait(timeout=300)
+        assert req.error is None
+        assert len(req.result_tokens) == 10
+        assert eng.metrics["draft_accepted_total"] > 0
+
+        from llama_cpp_dsp_tpu.runtime.context import LlamaContext
+        ctx = LlamaContext(model, n_ctx=64, use_pallas=False)
+        plain = list(ctx.generate([3, 5, 7], max_new_tokens=10,
+                                  stop_on_eog=False, context_shift=False))
+        assert req.result_tokens == plain[: len(req.result_tokens)]
+    finally:
+        eng.stop()
