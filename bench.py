@@ -27,8 +27,11 @@ def main() -> int:
     ap.add_argument("--n-ctx", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--no-fused", action="store_true", help="disable Pallas kernels")
-    ap.add_argument("--scan", action="store_true",
-                    help="run decode steps inside one on-device loop")
+    ap.add_argument("--scan", dest="scan", action="store_true", default=True,
+                    help="run decode steps inside one on-device loop (default; "
+                         "the dev-tunnel dispatch latency is not representative)")
+    ap.add_argument("--no-scan", dest="scan", action="store_false",
+                    help="per-step host dispatch timing")
     args = ap.parse_args()
 
     from llama_cpp_dsp_tpu.utils.jax_setup import setup_jax
