@@ -19,6 +19,10 @@ def get_forward(cfg: LlamaConfig):
         from .mamba import forward as mamba_forward
 
         return mamba_forward
+    if builder == "rwkv6":
+        from .rwkv6 import forward as rwkv6_forward
+
+        return rwkv6_forward
     if builder == "encoder":
         from .bert import bert_forward
 

@@ -312,6 +312,11 @@ for _spec in [
         "ssm_d_state": int(get(Keys.LLM.SSM_STATE_SIZE, 16) or 16),
         "ssm_dt_rank": int(get(Keys.LLM.SSM_TIME_STEP_RANK, 0) or 0),
     }, builder="mamba"),
+    ArchSpec("rwkv6", lambda get: {
+        "norm_type": "ln",
+        "head_dim": int(get("{arch}.wkv.head_size", 64) or 64),
+    }, builder="rwkv6"),
+    ArchSpec("rwkv6qwen2", _llama),
     ArchSpec("t5", _llama, builder="t5"),
     ArchSpec("t5encoder", _llama, builder="t5"),
     ArchSpec("bert", _llama, builder="encoder"),

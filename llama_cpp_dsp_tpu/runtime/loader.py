@@ -80,6 +80,31 @@ _LAYER_TENSORS = {
     "ssm_a": "ssm_a",
     "ssm_d": "ssm_d",
     "ssm_out.weight": "ssm_out",
+    # rwkv6 (reference LLM_ARCH_RWKV6 tensor table)
+    "time_mix_w1.weight": "time_mix_w1",
+    "time_mix_w2.weight": "time_mix_w2",
+    "time_mix_lerp_x.weight": "time_mix_lerp_x",
+    "time_mix_lerp_w.weight": "time_mix_lerp_w",
+    "time_mix_lerp_k.weight": "time_mix_lerp_k",
+    "time_mix_lerp_v.weight": "time_mix_lerp_v",
+    "time_mix_lerp_r.weight": "time_mix_lerp_r",
+    "time_mix_lerp_g.weight": "time_mix_lerp_g",
+    "time_mix_first.weight": "time_mix_first",
+    "time_mix_decay.weight": "time_mix_decay",
+    "time_mix_decay_w1.weight": "time_mix_decay_w1",
+    "time_mix_decay_w2.weight": "time_mix_decay_w2",
+    "time_mix_key.weight": "time_mix_key",
+    "time_mix_value.weight": "time_mix_value",
+    "time_mix_receptance.weight": "time_mix_receptance",
+    "time_mix_gate.weight": "time_mix_gate",
+    "time_mix_ln.weight": "time_mix_ln",
+    "time_mix_ln.bias": "time_mix_ln_bias",
+    "time_mix_output.weight": "time_mix_output",
+    "channel_mix_lerp_k.weight": "channel_mix_lerp_k",
+    "channel_mix_lerp_r.weight": "channel_mix_lerp_r",
+    "channel_mix_key.weight": "channel_mix_key",
+    "channel_mix_value.weight": "channel_mix_value",
+    "channel_mix_receptance.weight": "channel_mix_receptance",
     # bert encoder (reference LLM_ARCH_BERT tensor table)
     "attn_output_norm.weight": "attn_output_norm",
     "attn_output_norm.bias": "attn_output_norm_bias",
