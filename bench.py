@@ -62,7 +62,7 @@ def main() -> int:
     use_flash = (not args.no_fused and jax.devices()[0].platform == "tpu"
                  and cfg.head_dim % 128 == 0 and args.n_ctx % 128 == 0)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def decode_step(params, cache, tokens, positions, n_past):
         mask = causal_mask(positions, cache.capacity, n_past)
         logits, cache = forward(params, cfg, tokens, positions, cache, n_past,
