@@ -288,14 +288,21 @@ def qmm_fused(
         b_real *= d
     x2 = x.reshape(b_real, k)
 
+    # K tiling is baked into the layout's position permutation
+    tile_k = kw.tile_k
     if tile_b == 0:
         tile_b = 8 if b_real <= 8 else min(256, _round_up(b_real, 8))
     if tile_n == 0:
         # 512-row n-tiles keep the DMA pipeline at HBM speed-of-light on
         # v5e (679-712 GB/s measured vs ~490 at 256)
         tile_n = 512 if n % 512 == 0 else _largest_tile(n, 256)
-    # K tiling is baked into the layout's position permutation
-    tile_k = kw.tile_k
+    # VMEM fit: prefill-sized tile_b with big k-tiles blows the 16MB scoped
+    # limit (x blocks + f32 dequant temporaries scale with tile_b/tile_n)
+    if tile_b > 8:
+        tile_n = min(tile_n, 256)
+        cap = 64 if tile_k > 4096 else 128
+        while tile_b > cap:
+            tile_b //= 2
 
     b_pad = _round_up(b_real, tile_b)
     if b_pad != b_real:
