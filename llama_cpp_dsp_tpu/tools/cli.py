@@ -32,6 +32,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--repeat-last-n", type=int, default=64)
     p.add_argument("--no-display-prompt", action="store_true")
     p.add_argument("-i", "--interactive", action="store_true")
+    p.add_argument("-cnv", "--conversation", action="store_true",
+                   help="chat-template conversation mode (reference -cnv)")
+    p.add_argument("-sys", "--system-prompt", default=None)
     p.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--prompt-cache", metavar="FILE",
                    help="load/save prompt KV state (reference --prompt-cache)")
@@ -150,7 +153,62 @@ def main(argv=None) -> int:
                   file=sys.stderr)
         print(ctx.perf.report(), file=sys.stderr)
 
-    if args.interactive:
+    def run_conversation() -> None:
+        """Chat-template multi-turn loop — reference llama-cli -cnv: the
+        rendered-so-far prefix is reused via the KV cache (only the new
+        turn's suffix is evaluated each round)."""
+        from ..serve.chat import apply_chat_template
+
+        tok = model.tokenizer
+        template = model.vocab.chat_template
+        messages = []
+        if args.system_prompt:
+            messages.append({"role": "system", "content": args.system_prompt})
+        history: list[int] = []  # token stream currently in the KV cache
+        print("conversation mode; empty line to quit", file=sys.stderr)
+        while True:
+            try:
+                line = input("> ")
+            except EOFError:
+                break
+            if not line:
+                break
+            messages.append({"role": "user", "content": line})
+            text = apply_chat_template(template, messages,
+                                       add_generation_prompt=True)
+            ids = tok.encode(text, add_special=True, parse_special=True)
+            if len(ids) + args.n_predict >= ctx.n_ctx:
+                # whole-history overflow: drop oldest turns (keep system)
+                keep = 1 if args.system_prompt else 0
+                while len(messages) > keep + 1 and len(ids) + args.n_predict >= ctx.n_ctx:
+                    del messages[keep]
+                    text = apply_chat_template(template, messages,
+                                               add_generation_prompt=True)
+                    ids = tok.encode(text, add_special=True, parse_special=True)
+            # longest common prefix with the cached stream is reusable
+            common = 0
+            for a, b in zip(history, ids):
+                if a != b:
+                    break
+                common += 1
+            if common == len(ids):
+                common -= 1  # re-eval the last token for fresh logits
+            ctx.rollback_to(min(common, ctx.n_past))
+            new_ids = ids[common:]
+            reply_ids = []
+            for t in ctx.generate(new_ids, max_new_tokens=args.n_predict,
+                                  sampler=sampler, context_shift=False):
+                reply_ids.append(t)
+                piece = tok.token_to_piece(t, special=False)
+                sys.stdout.write(piece.decode("utf-8", errors="replace"))
+                sys.stdout.flush()
+            sys.stdout.write("\n")
+            history = ids + reply_ids
+            messages.append({"role": "assistant", "content": tok.decode(reply_ids)})
+
+    if args.conversation:
+        run_conversation()
+    elif args.interactive:
         print("interactive mode; empty line to quit", file=sys.stderr)
         while True:
             try:
