@@ -56,6 +56,7 @@ class Request:
     done: threading.Event = field(default_factory=threading.Event)
     error: str | None = None
     stop_reason: str = ""
+    cancelled: bool = False  # abort-callback role (reference llama.h:964)
     t_start: float = 0.0
     t_first_token: float = 0.0
     t_end: float = 0.0
@@ -292,8 +293,41 @@ class Engine:
         )
         return np.asarray(logits[0, n - 1])
 
+    def cancel(self, rid: int) -> bool:
+        """Cancel a queued or running request (client disconnect / abort)."""
+        for slot in self.slots:
+            if slot.req is not None and slot.req.rid == rid:
+                slot.req.cancelled = True
+                return True
+        drained, found = [], False
+        try:
+            while True:
+                r = self.queue.get_nowait()
+                if r.rid == rid:
+                    r.cancelled = True
+                    r.error = "cancelled"
+                    r.done.set()
+                    found = True
+                else:
+                    drained.append(r)
+        except queue.Empty:
+            pass
+        for r in drained:
+            self.queue.put(r)
+        return found
+
     def _emit_token(self, slot: _Slot, token: int) -> None:
         req = slot.req
+        if req.cancelled:
+            req.stop_reason = "cancelled"
+            req.t_end = time.perf_counter()
+            slot.state = SlotState.FREE
+            slot.req = None
+            if req.stream_cb is not None:
+                req.stream_cb(req.rid, {"token": -1, "piece": "",
+                                        "finished": "cancelled"})
+            req.done.set()
+            return
         slot.last_token = token
         req.result_tokens.append(token)
         slot.generated += 1

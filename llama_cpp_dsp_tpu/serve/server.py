@@ -310,7 +310,11 @@ class Server:
             })
             await resp.prepare(request)
             while True:
-                ev = await q.get()
+                try:
+                    ev = await q.get()
+                except asyncio.CancelledError:
+                    self.engine.cancel(req.rid)
+                    raise
                 if chat:
                     delta = {"content": ev["piece"]} if ev["piece"] else {}
                     chunk = {
@@ -326,7 +330,11 @@ class Server:
                         "choices": [{"index": 0, "text": ev["piece"],
                                      "finish_reason": ev["finished"]}],
                     }
-                await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                try:
+                    await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                except (ConnectionResetError, asyncio.CancelledError):
+                    self.engine.cancel(req.rid)
+                    raise
                 if ev["finished"]:
                     break
             await resp.write(b"data: [DONE]\n\n")

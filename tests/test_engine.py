@@ -108,3 +108,25 @@ def test_slot_context_shift(engine):
     # generated more than the context could hold without shifting
     assert len(req.result_tokens) == 60
     assert req.stop_reason in ("length", "stop")
+
+
+def test_request_cancellation(engine):
+    """Abort-callback role (reference include/llama.h:964 + model-load-cancel
+    test): a cancelled request frees its slot mid-generation."""
+    from llama_cpp_dsp_tpu.runtime.engine import Request
+    from llama_cpp_dsp_tpu.runtime.sampling import Greedy, SamplerChain
+
+    req = Request(0, [3, 5, 7], max_new_tokens=40,
+                  sampler=SamplerChain([Greedy()]))
+    engine.submit(req)
+    # run a few steps, then cancel
+    for _ in range(4):
+        engine.step()
+    assert engine.cancel(req.rid)
+    for _ in range(4):
+        engine.step()
+        if req.done.is_set():
+            break
+    assert req.done.is_set()
+    assert req.stop_reason == "cancelled" or req.error == "cancelled"
+    assert engine.n_busy_slots == 0
