@@ -438,7 +438,9 @@ def main(argv=None) -> int:
     ap.add_argument("--draft-max", type=int, default=8,
                     help="max tokens drafted per round (reference --draft-max)")
     ap.add_argument("--draft-p-min", type=float, default=0.75)
-    args = ap.parse_args(argv)
+    from ..utils.args import parse_with_env
+
+    args = parse_with_env(ap, argv)
 
     logging.basicConfig(level=logging.INFO)
     from ..utils.jax_setup import setup_jax

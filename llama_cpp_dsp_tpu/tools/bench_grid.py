@@ -161,7 +161,9 @@ def main(argv=None) -> int:
     ap.add_argument("-r", "--reps", type=int, default=3)
     ap.add_argument("--batched", action="store_true")
     ap.add_argument("-o", "--output", default="md", choices=["md", "json"])
-    args = ap.parse_args(argv)
+    from ..utils.args import parse_with_env
+
+    args = parse_with_env(ap, argv)
     if not args.model and not args.synth:
         ap.error("need -m or --synth")
     args.pp = [int(x) for x in str(args.pp).split(",")]

@@ -190,7 +190,9 @@ def main(argv=None) -> int:
                     help="compare against logits saved with --save-logits")
     ap.add_argument("--multiple-choice", action="store_true",
                     help="treat -f as a JSON file of multiple-choice tasks")
-    args = ap.parse_args(argv)
+    from ..utils.args import parse_with_env
+
+    args = parse_with_env(ap, argv)
 
     from ..utils.jax_setup import setup_jax
 

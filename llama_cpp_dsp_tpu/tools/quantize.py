@@ -241,7 +241,9 @@ def main(argv=None) -> int:
     ap.add_argument("--output-tensor-type", choices=[t.name for t in GGMLType], default=None)
     ap.add_argument("--token-embedding-type", choices=[t.name for t in GGMLType], default=None)
     ap.add_argument("--imatrix", help="imatrix file (from the imatrix tool)")
-    args = ap.parse_args(argv)
+    from ..utils.args import parse_with_env
+
+    args = parse_with_env(ap, argv)
     imatrix = None
     if args.imatrix:
         from .imatrix import load_imatrix
