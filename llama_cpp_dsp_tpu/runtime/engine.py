@@ -163,8 +163,17 @@ class Engine:
             )
             return logits, cache
 
+        @partial(jax.jit, donate_argnums=(1,))
+        def _decode_argmax(params, cache, tokens, positions, active):
+            """Greedy fast path: only [B] token ids leave the device (full
+            logits stay on-chip) — used when every active slot samples
+            greedily with no stateful samplers."""
+            logits, cache = _decode(params, cache, tokens, positions, active)
+            return jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32), cache
+
         self._prefill_fn = _prefill
         self._decode_fn = _decode
+        self._decode_argmax_fn = _decode_argmax
 
     # -- request API --------------------------------------------------------
     def submit(self, req: Request) -> Request:
@@ -262,15 +271,28 @@ class Engine:
                 tokens[s.idx, 0] = s.last_token
                 positions[s.idx, 0] = s.n_past
                 active[s.idx] = True
-            logits, self.cache = self._decode_fn(
-                self.params, self.cache, jnp.asarray(tokens), jnp.asarray(positions),
-                jnp.asarray(active),
-            )
-            logits_np = np.asarray(logits)
-            for s in gen:
-                s.n_past += 1
-                token = s.req.sampler.sample(logits_np[s.idx, 0])
-                self._emit_token(s, token)
+            if all(s.req.sampler is not None and s.req.sampler.is_greedy
+                   for s in gen):
+                ids, self.cache = self._decode_argmax_fn(
+                    self.params, self.cache, jnp.asarray(tokens),
+                    jnp.asarray(positions), jnp.asarray(active),
+                )
+                ids_np = np.asarray(ids)
+                for s in gen:
+                    s.n_past += 1
+                    token = int(ids_np[s.idx])
+                    s.req.sampler.accept(token)
+                    self._emit_token(s, token)
+            else:
+                logits, self.cache = self._decode_fn(
+                    self.params, self.cache, jnp.asarray(tokens),
+                    jnp.asarray(positions), jnp.asarray(active),
+                )
+                logits_np = np.asarray(logits)
+                for s in gen:
+                    s.n_past += 1
+                    token = s.req.sampler.sample(logits_np[s.idx, 0])
+                    self._emit_token(s, token)
             worked = True
         return worked
 

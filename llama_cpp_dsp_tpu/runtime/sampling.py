@@ -383,6 +383,16 @@ class SamplerChain:
     n_sampled: int = 0
     grammar: object = None  # GrammarSampler — applied two-phase (see sample)
 
+    @property
+    def is_greedy(self) -> bool:
+        """True when device-side argmax is semantically identical: a pure
+        greedy chain with no logit-modifying or stateful samplers."""
+        active = [s for s in self.samplers
+                  if not (isinstance(s, Penalties) and s.penalty_repeat == 1.0
+                          and s.penalty_freq == 0.0 and s.penalty_present == 0.0)]
+        return (self.grammar is None and len(active) == 1
+                and isinstance(active[0], Greedy))
+
     def _run(self, cand) -> int:
         token: int | None = None
         for s in self.samplers:
