@@ -99,3 +99,56 @@ def test_fused_qkv_split(tmp_path):
 
     assert arch_spec("gpt2").fused_qkv
     assert arch_spec("phi3").fused_gate_up
+
+
+def test_fused_gguf_load_forward(tmp_path):
+    """GGUF with fused attn_qkv + fused gate-up ffn_up (phi3/chatglm style)
+    loads via the split path and runs."""
+    import numpy as np
+    from llama_cpp_dsp_tpu.gguf.writer import GGUFWriter
+    from llama_cpp_dsp_tpu.runtime.loader import load_model
+
+    c, heads, kv_heads, hd, ff, v = 64, 4, 2, 16, 96, 128
+    qdim, kvdim = heads * hd, kv_heads * hd
+    rng = np.random.default_rng(0)
+    w = GGUFWriter(str(tmp_path / "fused.gguf"), "phi3")
+    w.add_uint32("phi3.block_count", 2)
+    w.add_uint32("phi3.context_length", 128)
+    w.add_uint32("phi3.embedding_length", c)
+    w.add_uint32("phi3.feed_forward_length", ff)
+    w.add_uint32("phi3.attention.head_count", heads)
+    w.add_uint32("phi3.attention.head_count_kv", kv_heads)
+    w.add_uint32("phi3.vocab_size", v)
+    w.add_float32("phi3.attention.layer_norm_rms_epsilon", 1e-5)
+
+    def t(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", t(v, c))
+    w.add_tensor("output_norm.weight", np.ones(c, np.float32))
+    w.add_tensor("output.weight", t(v, c))
+    for il in range(2):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(c, np.float32))
+        w.add_tensor(p + "attn_qkv.weight", t(qdim + 2 * kvdim, c))
+        w.add_tensor(p + "attn_output.weight", t(c, qdim))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(c, np.float32))
+        w.add_tensor(p + "ffn_up.weight", t(2 * ff, c))  # fused gate|up
+        w.add_tensor(p + "ffn_down.weight", t(c, ff))
+    w.write()
+
+    model = load_model(str(tmp_path / "fused.gguf"))
+    layer = model.params["layers"][0]
+    assert layer["attn_q"].shape[0] == qdim
+    assert layer["attn_k"].shape[0] == kvdim
+    assert layer["ffn_gate"].shape[0] == ff
+    assert layer["ffn_up"].shape[0] == ff
+
+    from llama_cpp_dsp_tpu.models.llama import forward
+
+    toks = np.array([[3, 9, 27]], np.int32)
+    pos = np.arange(3, dtype=np.int32).reshape(1, 3)
+    logits, _ = forward(model.params, model.cfg, jnp.asarray(toks),
+                        jnp.asarray(pos), mask=np.tril(np.ones((1, 3, 3), bool)),
+                        compute_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(logits)).all()
