@@ -52,3 +52,32 @@ def test_multiple_choice_scorer(tiny):
     acc = multiple_choice_score(tiny, tasks, compute_dtype=jnp.float32,
                                 progress=False)
     assert acc == 1.0
+
+
+def test_quantization_ppl_ladder(tmp_path):
+    """Quality gate at test scale (reference ci/run.sh PPL sanity + the
+    Δ-ppl table in examples/perplexity/README.md): PPL(q8_0) must sit within
+    a hair of PPL(f32), and q4_0 within a modest delta."""
+    import numpy as np
+    from llama_cpp_dsp_tpu.tools.perplexity import compute_perplexity
+    from llama_cpp_dsp_tpu.tools.quantize import FTYPE_NAMES, quantize_model
+
+    src = str(tmp_path / "f32.gguf")
+    build_tiny_llama(src, qtype=GGMLType.F32, n_embd=256, n_ff=256, seed=3)
+    toks = [int(t) for t in np.random.default_rng(2).integers(3, 250, 256)]
+
+    ppls = {}
+    for name, ftype in (("f32", None), ("q8_0", "Q8_0"), ("q4_0", "Q4_0")):
+        path = src
+        if ftype is not None:
+            path = str(tmp_path / f"{name}.gguf")
+            quantize_model(src, path, FTYPE_NAMES[ftype])
+        m = load_model(path)
+        ppl, _, _ = compute_perplexity(m, toks, n_ctx=64, progress=False,
+                                       compute_dtype=jnp.float32)
+        ppls[name] = ppl
+        assert np.isfinite(ppl)
+
+    # Δ-ppl ordering and bounds (relative: random tiny model, high base PPL)
+    assert abs(ppls["q8_0"] - ppls["f32"]) / ppls["f32"] < 0.02, ppls
+    assert abs(ppls["q4_0"] - ppls["f32"]) / ppls["f32"] < 0.25, ppls
