@@ -238,12 +238,19 @@ class Engine:
             log.info("slot %d: rid=%d prompt=%d tokens", slot.idx, req.rid, req.n_prompt)
 
     def step(self) -> bool:
-        """One engine iteration. Returns True if any work was done."""
+        """One engine iteration. Returns True if any work was done.
+
+        Decode runs FIRST and prefill advances one chunk per iteration:
+        the reference mixes generating tokens and prompt chunks in one
+        llama_decode batch (update_slots); with separate jitted programs
+        the equivalent fairness is decode-priority round-robin — long
+        prompts never starve running streams for more than one chunk."""
         self._assign_slots()
         worked = False
 
-        # 1. prompt processing — one chunk per iteration per slot
-        for slot in self.slots:
+        # 1. one prompt chunk per iteration (round-robin over prompt slots)
+        start = getattr(self, "_prefill_rr", 0)
+        for slot in self.slots[start:] + self.slots[:start]:
             if slot.state != SlotState.PROMPT:
                 continue
             req = slot.req
@@ -260,6 +267,8 @@ class Engine:
                 req.t_first_token = time.perf_counter()
                 slot.state = SlotState.GENERATING
                 self._emit_token(slot, token)
+            self._prefill_rr = (slot.idx + 1) % self.n_slots
+            break  # at most one chunk per step keeps decode latency bounded
 
         # 2. batched decode for all generating slots
         gen = [s for s in self.slots if s.state == SlotState.GENERATING]
