@@ -496,4 +496,4 @@ def make_chain(
         else:
             chain.append(Temp(temp))
     chain.append(Dist())
-    return SamplerChain(chain, np.random.default_rng(seed))
+    return SamplerChain(chain, np.random.default_rng(seed), grammar=grammar)

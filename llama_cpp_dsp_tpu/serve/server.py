@@ -28,8 +28,24 @@ from ..runtime.sampling import make_chain
 log = logging.getLogger("server")
 
 
-def _sampler_from(body: dict, seed_default: int = 0):
+def _sampler_from(body: dict, seed_default: int = 0, tokenizer=None):
+    grammar = None
+    gtext = body.get("grammar")
+    schema = body.get("json_schema")
+    if schema is None and isinstance(body.get("response_format"), dict):
+        rf = body["response_format"]
+        if rf.get("type") == "json_schema":
+            schema = rf.get("json_schema", {}).get("schema", rf.get("schema"))
+    if schema is not None and tokenizer is not None:
+        from ..grammar.json_schema import json_schema_to_gbnf
+
+        gtext = json_schema_to_gbnf(schema)
+    if gtext and tokenizer is not None:
+        from ..grammar.gbnf import GrammarSampler, parse_gbnf
+
+        grammar = GrammarSampler(parse_gbnf(gtext), tokenizer)
     return make_chain(
+        grammar=grammar,
         seed=int(body.get("seed", seed_default) or seed_default),
         temp=float(body.get("temperature", 0.8)),
         top_k=int(body.get("top_k", 40)),
@@ -261,7 +277,7 @@ class Server:
             0,
             list(prompt_ids),
             max_new_tokens=max_tokens,
-            sampler=_sampler_from(body),
+            sampler=_sampler_from(body, tokenizer=self.engine.tokenizer),
             stop_strings=list(stop),
             stream_cb=cb,
         )

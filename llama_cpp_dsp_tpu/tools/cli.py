@@ -36,6 +36,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="chat-template conversation mode (reference -cnv)")
     p.add_argument("-sys", "--system-prompt", default=None)
     p.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--grammar", default=None,
+                   help="GBNF grammar string constraining generation")
+    p.add_argument("--grammar-file", default=None)
+    p.add_argument("-j", "--json-schema", default=None,
+                   help="JSON schema; converted to GBNF (reference -j)")
     p.add_argument("--prompt-cache", metavar="FILE",
                    help="load/save prompt KV state (reference --prompt-cache)")
     p.add_argument("--keep", type=int, default=0,
@@ -78,7 +83,23 @@ def main(argv=None) -> int:
         compute_dtype=jnp.float32 if args.compute_dtype == "float32" else jnp.bfloat16,
         kv_dtype=args.cache_type_k,
     )
+    grammar_sampler = None
+    gtext = args.grammar
+    if args.grammar_file:
+        gtext = open(args.grammar_file, encoding="utf-8").read()
+    if args.json_schema:
+        import json as _json
+
+        from ..grammar.json_schema import json_schema_to_gbnf
+
+        gtext = json_schema_to_gbnf(_json.loads(args.json_schema))
+    if gtext:
+        from ..grammar.gbnf import GrammarSampler, parse_gbnf
+
+        grammar_sampler = GrammarSampler(parse_gbnf(gtext), model.tokenizer)
+
     sampler = make_chain(
+        grammar=grammar_sampler,
         seed=args.seed,
         temp=args.temp,
         top_k=args.top_k,

@@ -288,3 +288,16 @@ def test_speculative_server(tmp_path):
         assert req.result_tokens == plain[: len(req.result_tokens)]
     finally:
         eng.stop()
+
+
+def test_grammar_constrained_completion(server_setup):
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "x", "max_tokens": 6, "temperature": 0.8, "seed": 1,
+            "grammar": "root ::= [0-9]+",
+        }, headers=AUTH)
+        assert r.status == 200
+        text = (await r.json())["choices"][0]["text"]
+        assert text and all(ch.isdigit() for ch in text), text
+
+    _run(server_setup, go)
