@@ -30,6 +30,20 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-p", type=float, default=0.05)
     p.add_argument("--repeat-penalty", type=float, default=1.0)
     p.add_argument("--repeat-last-n", type=int, default=64)
+    p.add_argument("--typical", type=float, default=1.0)
+    p.add_argument("--xtc-probability", type=float, default=0.0)
+    p.add_argument("--xtc-threshold", type=float, default=0.1)
+    p.add_argument("--top-nsigma", type=float, default=-1.0)
+    p.add_argument("--frequency-penalty", type=float, default=0.0)
+    p.add_argument("--presence-penalty", type=float, default=0.0)
+    p.add_argument("--dry-multiplier", type=float, default=0.0)
+    p.add_argument("--mirostat", type=int, default=0, choices=[0, 2])
+    p.add_argument("--mirostat-ent", type=float, default=5.0)
+    p.add_argument("--mirostat-lr", type=float, default=0.1)
+    p.add_argument("--dynatemp-range", type=float, default=0.0)
+    p.add_argument("--dynatemp-exp", type=float, default=1.0)
+    p.add_argument("-l", "--logit-bias", action="append", default=[],
+                   metavar="TOKEN(+/-)BIAS", help="e.g. 15043+1 or 15043-inf")
     p.add_argument("--no-display-prompt", action="store_true")
     p.add_argument("-i", "--interactive", action="store_true")
     p.add_argument("-cnv", "--conversation", action="store_true",
@@ -98,15 +112,41 @@ def main(argv=None) -> int:
 
         grammar_sampler = GrammarSampler(parse_gbnf(gtext), model.tokenizer)
 
+    logit_bias = {}
+    for spec in args.logit_bias:
+        # reference format: TOKEN_ID(+|-)BIAS, '-inf' bans the token
+        import re as _re
+
+        mm = _re.match(r"^(\d+)([+-].*)$", spec)
+        if not mm:
+            print(f"warning: bad --logit-bias {spec!r}", file=sys.stderr)
+            continue
+        val = mm.group(2)
+        logit_bias[int(mm.group(1))] = (
+            float("-inf") if val in ("-inf",) else float(val))
+
     sampler = make_chain(
         grammar=grammar_sampler,
         seed=args.seed,
         temp=args.temp,
+        dynatemp_range=args.dynatemp_range,
+        dynatemp_exponent=args.dynatemp_exp,
         top_k=args.top_k,
         top_p=args.top_p,
         min_p=args.min_p,
+        typical_p=args.typical,
+        xtc_probability=args.xtc_probability,
+        xtc_threshold=args.xtc_threshold,
+        top_n_sigma=args.top_nsigma,
         penalty_repeat=args.repeat_penalty,
         penalty_last_n=args.repeat_last_n,
+        penalty_freq=args.frequency_penalty,
+        penalty_present=args.presence_penalty,
+        dry_multiplier=args.dry_multiplier,
+        mirostat=args.mirostat,
+        mirostat_tau=args.mirostat_ent,
+        mirostat_eta=args.mirostat_lr,
+        logit_bias=logit_bias or None,
     )
 
     def run_once(prompt: str) -> None:
