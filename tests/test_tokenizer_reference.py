@@ -67,3 +67,37 @@ def test_reference_tokenizer_vectors(name):
     assert not failures, (
         f"{name}: {n_pass}/{total} passed; first failures: {failures[:3]}"
     )
+
+
+@pytest.mark.parametrize("name", ["llama-spm", "gpt-2"])
+def test_detokenize_round_trip_real_vocab(name):
+    """test-tokenizer-1 style: decode(token) re-encodes to the same id (or
+    an equal-piece sequence) for a sample of the real vocab."""
+    g = MODELS_DIR / f"ggml-vocab-{name}.gguf"
+    if not g.exists():
+        pytest.skip("fixture missing")
+    gm = GGUFModel.load(str(g))
+    vocab = Vocab.from_gguf_kv(gm.kv)
+    tok = Tokenizer(vocab)
+    import random
+
+    rng = random.Random(0)
+    ids = rng.sample(range(vocab.n_tokens), min(1500, vocab.n_tokens))
+    checked = 0
+    for tid in ids:
+        piece = tok.token_to_piece(tid, special=False)
+        if not piece:
+            continue  # control/special tokens render empty
+        text = piece.decode("utf-8", errors="ignore")
+        if not text:
+            continue
+        back = tok.decode(tok.encode(text, add_special=False,
+                                     parse_special=False))
+        if back != text and vocab.clean_spaces and back == text.lstrip(" "):
+            # gpt2-style decoders strip the leading space (clean_spaces),
+            # a by-design round-trip asymmetry in the reference too
+            checked += 1
+            continue
+        assert back == text, (tid, text, back)
+        checked += 1
+    assert checked > 500
