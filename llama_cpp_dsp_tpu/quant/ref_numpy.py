@@ -73,6 +73,26 @@ DT = {
             ("qs", "u1", (128,)),
         ]
     ),
+    # i-quants / ternary (reference ggml/src/ggml-common.h:228-400 structs)
+    GGMLType.IQ2_XXS: np.dtype([("d", "<f2"), ("qs", "<u2", (32,))]),
+    GGMLType.IQ2_XS: np.dtype([("d", "<f2"), ("qs", "<u2", (32,)), ("scales", "u1", (8,))]),
+    GGMLType.IQ2_S: np.dtype(
+        [("d", "<f2"), ("qs", "u1", (64,)), ("qh", "u1", (8,)), ("scales", "u1", (8,))]
+    ),
+    GGMLType.IQ3_XXS: np.dtype([("d", "<f2"), ("qs", "u1", (96,))]),
+    GGMLType.IQ3_S: np.dtype(
+        [
+            ("d", "<f2"),
+            ("qs", "u1", (64,)),
+            ("qh", "u1", (8,)),
+            ("signs", "u1", (32,)),
+            ("scales", "u1", (4,)),
+        ]
+    ),
+    GGMLType.IQ1_S: np.dtype([("d", "<f2"), ("qs", "u1", (32,)), ("qh", "<u2", (8,))]),
+    GGMLType.IQ1_M: np.dtype([("qs", "u1", (32,)), ("qh", "u1", (16,)), ("scales", "u1", (8,))]),
+    GGMLType.TQ1_0: np.dtype([("qs", "u1", (48,)), ("qh", "u1", (4,)), ("d", "<f2")]),
+    GGMLType.TQ2_0: np.dtype([("qs", "u1", (64,)), ("d", "<f2")]),
 }
 
 
@@ -323,6 +343,184 @@ def dequant_iq4_xs(raw: np.ndarray) -> np.ndarray:
     return (q * dl[:, :, None]).reshape(-1)
 
 
+def _u8cols(u32: np.ndarray) -> np.ndarray:
+    """uint32 [...,] → its 4 little-endian bytes [..., 4]."""
+    return ((u32[..., None] >> (8 * np.arange(4, dtype=np.uint32))) & 0xFF).astype(np.uint16)
+
+
+def dequant_iq2_xxs(raw: np.ndarray) -> np.ndarray:
+    """2.0625 bpw codebook quant (dequantize_row_iq2_xxs, ggml-quants.c:2197)."""
+    from .iq_grids import grids, sign_table
+
+    b = _blocks(raw, GGMLType.IQ2_XXS)
+    nb = len(b)
+    d = _f32(b["d"])
+    q32 = np.ascontiguousarray(b["qs"]).view("<u4").reshape(nb, 8, 2)
+    a0, a1 = q32[..., 0], q32[..., 1]  # [nb, 8] per 32-elem group
+    db = d[:, None] * (F32(0.5) + (a1 >> 28).astype(F32)) * F32(0.25)
+    grid = grids()["iq2xxs_grid"][_u8cols(a0)].astype(F32)  # [nb,8,4,8]
+    sidx = (a1[..., None] >> (7 * np.arange(4, dtype=np.uint32))) & 127
+    signs = sign_table()[sidx]  # [nb,8,4,8]
+    return (db[:, :, None, None] * grid * signs).reshape(-1)
+
+
+def dequant_iq2_xs(raw: np.ndarray) -> np.ndarray:
+    """2.3125 bpw (dequantize_row_iq2_xs, ggml-quants.c:2225)."""
+    from .iq_grids import grids, sign_table
+
+    b = _blocks(raw, GGMLType.IQ2_XS)
+    nb = len(b)
+    d = _f32(b["d"])
+    q = b["qs"].reshape(nb, 8, 4)
+    sc = b["scales"]
+    nib = np.stack([sc & 0xF, sc >> 4], axis=-1)  # [nb,8,2]
+    db = d[:, None, None] * (F32(0.5) + nib.astype(F32)) * F32(0.25)
+    db4 = np.repeat(db, 2, axis=2)  # l//2 selects the nibble
+    grid = grids()["iq2xs_grid"][q & 511].astype(F32)  # [nb,8,4,8]
+    signs = sign_table()[q >> 9]
+    return (db4[..., None] * grid * signs).reshape(-1)
+
+
+def dequant_iq2_s(raw: np.ndarray) -> np.ndarray:
+    """2.5625 bpw (dequantize_row_iq2_s, ggml-quants.c:2252)."""
+    from .iq_grids import byte_sign_table, grids
+
+    b = _blocks(raw, GGMLType.IQ2_S)
+    nb = len(b)
+    d = _f32(b["d"])
+    ql = b["qs"][:, :32].reshape(nb, 8, 4).astype(np.uint16)
+    sbytes = b["qs"][:, 32:].reshape(nb, 8, 4)
+    qh = b["qh"].astype(np.uint16)
+    high = (qh[:, :, None] >> (2 * np.arange(4))) & 3
+    grid = grids()["iq2s_grid"][ql | (high << 8)].astype(F32)  # [nb,8,4,8]
+    signs = byte_sign_table()[sbytes]
+    sc = b["scales"]
+    nib = np.stack([sc & 0xF, sc >> 4], axis=-1)
+    db = d[:, None, None] * (F32(0.5) + nib.astype(F32)) * F32(0.25)
+    db4 = np.repeat(db, 2, axis=2)
+    return (db4[..., None] * grid * signs).reshape(-1)
+
+
+def dequant_iq3_xxs(raw: np.ndarray) -> np.ndarray:
+    """3.0625 bpw (dequantize_row_iq3_xxs, ggml-quants.c:2284)."""
+    from .iq_grids import grids, sign_table
+
+    b = _blocks(raw, GGMLType.IQ3_XXS)
+    nb = len(b)
+    d = _f32(b["d"])
+    qs = b["qs"][:, :64].reshape(nb, 8, 8)  # 8 grid bytes per 32-elem group
+    aux = np.ascontiguousarray(b["qs"][:, 64:]).view("<u4").reshape(nb, 8)
+    db = d[:, None] * (F32(0.5) + (aux >> 28).astype(F32)) * F32(0.5)
+    grid = grids()["iq3xxs_grid"][qs].astype(F32).reshape(nb, 8, 32)
+    sidx = (aux[..., None] >> (7 * np.arange(4, dtype=np.uint32))) & 127
+    signs = sign_table()[sidx].reshape(nb, 8, 32)
+    return (db[:, :, None] * grid * signs).reshape(-1)
+
+
+def dequant_iq3_s(raw: np.ndarray) -> np.ndarray:
+    """3.4375 bpw (dequantize_row_iq3_s, ggml-quants.c:2316)."""
+    from .iq_grids import byte_sign_table, grids
+
+    b = _blocks(raw, GGMLType.IQ3_S)
+    nb = len(b)
+    d = _f32(b["d"])
+    qs = b["qs"].reshape(nb, 8, 8).astype(np.uint16)
+    qh = b["qh"].astype(np.uint16)
+    # (qh << (8-2l)) & 256 for grid1 / (qh << (7-2l)) & 256 for grid2 is
+    # exactly "bit p of qh" for byte position p = 2l (+1)
+    high = ((qh[:, :, None] >> np.arange(8)) & 1) << 8
+    grid = grids()["iq3s_grid"][qs | high].astype(F32).reshape(nb, 8, 32)
+    signs = byte_sign_table()[b["signs"].reshape(nb, 8, 4)].reshape(nb, 8, 32)
+    sc = b["scales"]
+    nib = np.stack([sc & 0xF, sc >> 4], axis=-1).reshape(nb, 8)
+    db = d[:, None] * (F32(1) + F32(2) * nib.astype(F32))
+    return (db[:, :, None] * grid * signs).reshape(-1)
+
+
+def dequant_iq1_s(raw: np.ndarray) -> np.ndarray:
+    """1.5625 bpw (dequantize_row_iq1_s, ggml-quants.c:2359)."""
+    from .iq_grids import IQ1S_DELTA, grids
+
+    b = _blocks(raw, GGMLType.IQ1_S)
+    nb = len(b)
+    d = _f32(b["d"])
+    qs = b["qs"].reshape(nb, 8, 4).astype(np.uint16)
+    qh = b["qh"]  # [nb,8] uint16
+    dl = d[:, None] * (2 * ((qh >> 12) & 7).astype(F32) + 1)
+    delta = np.where((qh & 0x8000) != 0, -IQ1S_DELTA, IQ1S_DELTA)
+    high = (qh[:, :, None].astype(np.uint32) >> (3 * np.arange(4))) & 7
+    grid = grids()["iq1s_grid"][qs | (high << 8).astype(np.uint16)].astype(F32)
+    return (dl[:, :, None, None] * (grid + delta[:, :, None, None])).reshape(-1)
+
+
+def dequant_iq1_m(raw: np.ndarray) -> np.ndarray:
+    """1.75 bpw (dequantize_row_iq1_m, ggml-quants.c:2384). The f16 super
+    scale is scattered over the top nibbles of the 4 scale words."""
+    from .iq_grids import IQ1M_DELTA, grids
+
+    b = _blocks(raw, GGMLType.IQ1_M)
+    nb = len(b)
+    sc = np.ascontiguousarray(b["scales"]).view("<u2").reshape(nb, 4)
+    d_bits = (
+        (sc[:, 0] >> 12)
+        | ((sc[:, 1] >> 8) & 0x00F0)
+        | ((sc[:, 2] >> 4) & 0x0F00)
+        | (sc[:, 3] & 0xF000)
+    ).astype(np.uint16)
+    d = d_bits.view("<f2").astype(F32)
+    qs = b["qs"].reshape(nb, 8, 4).astype(np.uint16)
+    qh = b["qh"].reshape(nb, 8, 2).astype(np.uint16)
+    # idx high 3 bits: groups 0/2 from the low nibble, 1/3 from the high
+    high = np.stack(
+        [qh[..., 0] & 7, (qh[..., 0] >> 4) & 7, qh[..., 1] & 7, (qh[..., 1] >> 4) & 7],
+        axis=-1,
+    )
+    grid = grids()["iq1s_grid"][qs | (high << 8)].astype(F32)  # [nb,8,4,8]
+    hb = np.stack([qh[..., 0], qh[..., 0], qh[..., 1], qh[..., 1]], axis=-1)
+    mask = np.where(np.arange(4)[None, None, :] % 2 == 0, 0x08, 0x80)
+    delta = np.where((hb & mask) != 0, -IQ1M_DELTA, IQ1M_DELTA)  # [nb,8,4]
+    ib = np.arange(8)
+    shift = 6 * (ib % 2)
+    sc_ib = sc[:, ib // 2]  # [nb,8]
+    dl12 = np.stack(
+        [(sc_ib >> shift) & 7, (sc_ib >> (shift + 3)) & 7], axis=-1
+    )  # [nb,8,2] — groups 0,1 use dl1; 2,3 use dl2
+    dl = d[:, None, None] * (2 * np.repeat(dl12, 2, axis=2).astype(F32) + 1)
+    return (dl[..., None] * (grid + delta[..., None])).reshape(-1)
+
+
+def dequant_tq1_0(raw: np.ndarray) -> np.ndarray:
+    """1.6875 bpw ternary, 5 trits per byte base-243 (dequantize_row_tq1_0,
+    ggml-quants.c:2137). Trit n of byte q is extracted as
+    ((uint8)(q * 3^n) * 3) >> 8 − 1."""
+    b = _blocks(raw, GGMLType.TQ1_0)
+    nb = len(b)
+    d = _f32(b["d"])
+    pow3 = np.array([1, 3, 9, 27, 81], dtype=np.uint16)
+
+    def trits(bytes_, npow):  # [nb, M], P → [nb, P, M] in (n, m) order
+        q = (bytes_[:, None, :] * pow3[None, :npow, None]).astype(np.uint8)
+        return ((q.astype(np.uint16) * 3) >> 8).astype(np.int32) - 1
+
+    y1 = trits(b["qs"][:, :32], 5).reshape(nb, 160)
+    y2 = trits(b["qs"][:, 32:48], 5).reshape(nb, 80)
+    y3 = trits(b["qh"], 4).reshape(nb, 16)
+    y = np.concatenate([y1, y2, y3], axis=1).astype(F32)
+    return (y * d[:, None]).reshape(-1)
+
+
+def dequant_tq2_0(raw: np.ndarray) -> np.ndarray:
+    """2.0625 bpw ternary, 4 trits per byte (dequantize_row_tq2_0,
+    ggml-quants.c:2176)."""
+    b = _blocks(raw, GGMLType.TQ2_0)
+    nb = len(b)
+    d = _f32(b["d"])
+    qs = b["qs"].reshape(nb, 2, 1, 32)
+    shifts = (2 * np.arange(4)).reshape(1, 1, 4, 1)
+    y = ((qs >> shifts) & 3).astype(np.int32) - 1  # [nb,2,4,32] (j, l, m) order
+    return (y.astype(F32) * d[:, None, None, None]).reshape(-1)
+
+
 def dequant_f16(raw: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(raw).view("<f2").astype(F32)
 
@@ -354,6 +552,15 @@ _DEQUANT = {
     GGMLType.Q8_K: dequant_q8_K,
     GGMLType.IQ4_NL: dequant_iq4_nl,
     GGMLType.IQ4_XS: dequant_iq4_xs,
+    GGMLType.IQ2_XXS: dequant_iq2_xxs,
+    GGMLType.IQ2_XS: dequant_iq2_xs,
+    GGMLType.IQ2_S: dequant_iq2_s,
+    GGMLType.IQ3_XXS: dequant_iq3_xxs,
+    GGMLType.IQ3_S: dequant_iq3_s,
+    GGMLType.IQ1_S: dequant_iq1_s,
+    GGMLType.IQ1_M: dequant_iq1_m,
+    GGMLType.TQ1_0: dequant_tq1_0,
+    GGMLType.TQ2_0: dequant_tq2_0,
 }
 
 
@@ -764,6 +971,53 @@ def quant_f32(x: np.ndarray) -> np.ndarray:
     return _f32(x).view(np.uint8).reshape(-1)
 
 
+def quant_tq1_0(x: np.ndarray) -> np.ndarray:
+    """Ternary 1.6875 bpw (quantize_row_tq1_0_ref, ggml-quants.c:2043):
+    d = amax, values rounded to {-1,0,1}, 5 trits per byte base-243
+    (most-significant trit first), packed as ceil(q*256/243)."""
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    amax = np.abs(x).max(axis=1)
+    d = amax.astype(np.float16).astype(F32)  # stored f16; id uses f32 amax
+    id_ = np.where(amax != 0, F32(1) / np.where(amax != 0, amax, F32(1)), F32(0))
+    xi = (roundf(x * id_[:, None]) + 1).astype(np.uint16)  # 0..2
+    out = np.zeros(nb, dtype=DT[GGMLType.TQ1_0])
+    out["d"] = amax.astype(np.float16)
+
+    def pack5(t):  # [nb, 5, M] n-major trits → [nb, M] bytes
+        q = np.zeros(t.shape[::2], np.uint16)
+        for n in range(t.shape[1]):
+            q = q * 3 + t[:, n, :]
+        return ((q * 256 + 242) // 243).astype(np.uint8)
+
+    out["qs"][:, :32] = pack5(xi[:, :160].reshape(nb, 5, 32))
+    out["qs"][:, 32:] = pack5(xi[:, 160:240].reshape(nb, 5, 16))
+    qh = xi[:, 240:].reshape(nb, 4, 4)  # [m, j] order; 4 trits + pad trit
+    q = np.zeros((nb, 4), np.uint16)
+    for m in range(4):
+        q = q * 3 + qh[:, m, :]
+    out["qh"] = ((q * 3 * 256 + 242) // 243).astype(np.uint8)
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_tq2_0(x: np.ndarray) -> np.ndarray:
+    """Ternary 2.0625 bpw (quantize_row_tq2_0_ref, ggml-quants.c:2077)."""
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    amax = np.abs(x).max(axis=1)
+    id_ = np.where(amax != 0, F32(1) / np.where(amax != 0, amax, F32(1)), F32(0))
+    xi = ((roundf(x * id_[:, None]) + 1) & 3).astype(np.uint8)
+    out = np.zeros(nb, dtype=DT[GGMLType.TQ2_0])
+    out["d"] = amax.astype(np.float16)
+    t = xi.reshape(nb, 2, 4, 32)  # (j-chunk, n, m)
+    out["qs"] = (
+        (t << (2 * np.arange(4, dtype=np.uint8))[None, None, :, None])
+        .sum(axis=2, dtype=np.uint8)
+        .reshape(nb, 64)
+    )
+    return out.view(np.uint8).reshape(-1)
+
+
 _QUANT = {
     GGMLType.F32: quant_f32,
     GGMLType.F16: quant_f16,
@@ -778,6 +1032,8 @@ _QUANT = {
     GGMLType.Q4_K: quant_q4_K,
     GGMLType.Q5_K: quant_q5_K,
     GGMLType.Q6_K: quant_q6_K,
+    GGMLType.TQ1_0: quant_tq1_0,
+    GGMLType.TQ2_0: quant_tq2_0,
 }
 
 

@@ -37,6 +37,8 @@ FTYPE_DEFAULT_TYPE: dict[FType, GGMLType] = {
     FType.MOSTLY_Q5_K_S: GGMLType.Q5_K,
     FType.MOSTLY_Q5_K_M: GGMLType.Q5_K,
     FType.MOSTLY_Q6_K: GGMLType.Q6_K,
+    FType.MOSTLY_TQ1_0: GGMLType.TQ1_0,
+    FType.MOSTLY_TQ2_0: GGMLType.TQ2_0,
 }
 
 FTYPE_NAMES = {
@@ -47,6 +49,7 @@ FTYPE_NAMES = {
     "Q4_K_S": FType.MOSTLY_Q4_K_S, "Q4_K_M": FType.MOSTLY_Q4_K_M,
     "Q5_K_S": FType.MOSTLY_Q5_K_S, "Q5_K_M": FType.MOSTLY_Q5_K_M,
     "Q6_K": FType.MOSTLY_Q6_K,
+    "TQ1_0": FType.MOSTLY_TQ1_0, "TQ2_0": FType.MOSTLY_TQ2_0,
 }
 
 # block-size fallbacks when ne[0] % block != 0 (llama-quant.cpp:~430)

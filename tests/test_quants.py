@@ -47,6 +47,15 @@ DEQUANT_ONLY_TYPES = [
     GGMLType.IQ4_NL,
     GGMLType.IQ4_XS,
     GGMLType.Q8_K,
+    GGMLType.IQ2_XXS,
+    GGMLType.IQ2_XS,
+    GGMLType.IQ2_S,
+    GGMLType.IQ3_XXS,
+    GGMLType.IQ3_S,
+    GGMLType.IQ1_S,
+    GGMLType.IQ1_M,
+    GGMLType.TQ1_0,
+    GGMLType.TQ2_0,
 ]
 
 
@@ -117,6 +126,8 @@ ORACLE_QUANT = [
     GGMLType.Q5_0,
     GGMLType.Q5_1,
     GGMLType.Q8_0,
+    GGMLType.TQ1_0,
+    GGMLType.TQ2_0,
 ]
 ORACLE_DEQUANT = ORACLE_QUANT + [
     GGMLType.Q2_K,
@@ -167,6 +178,34 @@ def test_dequantize_kquants_random_bits(t, rng):
     tr = GGML_TYPE_TRAITS[t]
     raw = rng.integers(0, 256, size=64 * tr.type_size, dtype=np.uint8)
     # zero the f16 super-scales' exponent top bits to avoid inf/NaN mismatch noise
+    ours = dequantize(raw, t)
+    theirs = _gguf.quants.dequantize(raw, _gguf.GGMLQuantizationType(int(t))).reshape(-1)
+    ok = np.isfinite(theirs) & (np.abs(theirs) < 1e30)
+    assert ok.mean() > 0.5
+    np.testing.assert_array_equal(ours[ok], theirs[ok])
+
+
+@pytest.mark.skipif(_gguf is None, reason="reference gguf-py not available")
+@pytest.mark.parametrize(
+    "t",
+    [
+        GGMLType.IQ2_XXS,
+        GGMLType.IQ2_XS,
+        GGMLType.IQ2_S,
+        GGMLType.IQ3_XXS,
+        GGMLType.IQ3_S,
+        GGMLType.IQ1_S,
+        GGMLType.IQ1_M,
+        GGMLType.TQ1_0,
+        GGMLType.TQ2_0,
+    ],
+)
+def test_dequantize_iquants_random_bits(t, rng):
+    """i-quant/ternary grids + sign/scale unpack decode identically to the
+    reference gguf-py on arbitrary packed bits (the codebook lookup masks
+    every index into table range, so random bytes are valid blocks)."""
+    tr = GGML_TYPE_TRAITS[t]
+    raw = rng.integers(0, 256, size=64 * tr.type_size, dtype=np.uint8)
     ours = dequantize(raw, t)
     theirs = _gguf.quants.dequantize(raw, _gguf.GGMLQuantizationType(int(t))).reshape(-1)
     ok = np.isfinite(theirs) & (np.abs(theirs) < 1e30)
