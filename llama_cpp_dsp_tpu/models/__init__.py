@@ -23,6 +23,10 @@ def get_forward(cfg: LlamaConfig):
         from .rwkv6 import forward as rwkv6_forward
 
         return rwkv6_forward
+    if builder == "rwkv7":
+        from .rwkv7 import forward as rwkv7_forward
+
+        return rwkv7_forward
     if builder == "encoder":
         from .bert import bert_forward
 

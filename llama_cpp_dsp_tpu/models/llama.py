@@ -70,6 +70,14 @@ class LlamaConfig:
     moe_scale: float = 1.0  # granitemoe/deepseek routed scale
     embd_norm: bool = False  # bloom token_embd_norm after embedding
     rope_on_full_layers: bool = True  # cohere2: full-attn layers skip rope
+    sub_norms: bool = False  # bitnet attn_sub_norm / ffn_sub_norm
+    qk_norm_ln: bool = False  # chameleon: per-head q/k norm is LN (not rms)
+    # openelm: per-layer head counts (llm_build_openelm hparams.n_head(il));
+    # empty = uniform. KV cache is sized for the max and padded per layer.
+    n_heads_l: tuple = ()
+    n_kv_heads_l: tuple = ()
+    mrope_sections: tuple = ()  # qwen2vl M-RoPE section widths (pairs)
+    suppress_tokens: tuple = ()  # chameleon: (start, end) logit range → -inf
     # --- deepseek2 MLA (reference llm_build_deepseek2) ---
     q_lora_rank: int = 0  # 0 = direct q projection (deepseek2-lite)
     kv_lora_rank: int = 0  # >0 enables MLA
@@ -86,7 +94,17 @@ class LlamaConfig:
     @property
     def kv_cache_heads(self) -> int:
         """KV-cache head count: MLA caches one latent 'head'."""
-        return 1 if self.kv_lora_rank else self.n_kv_heads
+        if self.kv_lora_rank:
+            return 1
+        if self.n_kv_heads_l:
+            return max(self.n_kv_heads_l)
+        return self.n_kv_heads
+
+    def layer_heads(self, il: int) -> tuple[int, int]:
+        """(n_heads, n_kv_heads) for layer il (openelm varies per layer)."""
+        h = self.n_heads_l[il] if self.n_heads_l else self.n_heads
+        hkv = self.n_kv_heads_l[il] if self.n_kv_heads_l else self.n_kv_heads
+        return h, hkv
 
     @property
     def kv_cache_dim(self) -> int:
@@ -200,6 +218,9 @@ def _mm(x, tree: Params, name: str, compute_dtype):
     LoRA applies at graph time like reference build_lora_mm
     (src/llama-graph.cpp): y = W·x + B(A·x), B pre-scaled by alpha/r."""
     y = qmm(x, tree[name], compute_dtype=compute_dtype)
+    s = tree.get(name + "_scale")
+    if s is not None:  # bitnet per-tensor weight scale (llm_build_bitnet)
+        y = y * s.astype(y.dtype)
     b = tree.get(name + "_bias")
     if b is not None:
         y = y + b
@@ -243,6 +264,8 @@ def ffn_dense(x: jax.Array, layer: Params, cfg: LlamaConfig, compute_dtype,
         gate = _mm(x, layer, gate_key, compute_dtype)
         up = _mm(x, layer, up_key, compute_dtype)
         h = (activate(gate, cfg.act) * up).astype(compute_dtype)
+        if cfg.sub_norms and not suffix:  # bitnet ffn_sub_norm before down
+            h = norm(h, layer, "ffn_sub_norm", cfg)
     else:
         if tap is not None:
             tap(f"blk.{layer_idx}.{up_key}.weight", x)
@@ -331,7 +354,7 @@ def self_attention(
 ):
     """QKV → rope → cached attention → output proj. Returns (out, cache)."""
     b, t, _ = x.shape
-    h, hkv, d = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    (h, hkv), d = cfg.layer_heads(layer_idx), cfg.head_dim
 
     if tap is not None:
         tap(f"blk.{layer_idx}.attn_q.weight", x)
@@ -367,8 +390,16 @@ def self_attention(
     k = k.reshape(b, t, hkv, d)
     v = v.reshape(b, t, hkv, d)
     if cfg.qk_norm:
-        q = rms_norm(q, layer["attn_q_norm"], cfg.rms_eps)
-        k = rms_norm(k, layer["attn_k_norm"], cfg.rms_eps)
+        if cfg.qk_norm_ln:  # chameleon per-head LN with bias (LLM_NORM)
+            from ..ops import layer_norm
+
+            q = layer_norm(q, layer.get("attn_q_norm"),
+                           layer.get("attn_q_norm_bias"), cfg.rms_eps)
+            k = layer_norm(k, layer.get("attn_k_norm"),
+                           layer.get("attn_k_norm_bias"), cfg.rms_eps)
+        else:
+            q = rms_norm(q, layer["attn_q_norm"], cfg.rms_eps)
+            k = rms_norm(k, layer["attn_k_norm"], cfg.rms_eps)
     use_rope = cfg.pos_embd_type == "rope" and (
         cfg.rope_on_full_layers or cfg.is_swa_layer(layer_idx)
     )
@@ -376,16 +407,28 @@ def self_attention(
         rp = _layer_rope(cfg, layer_idx)
         ff = layer.get("rope_freqs")
         rpos = positions if rope_positions is None else rope_positions
-        q = apply_rope(q, rpos, rp, ff)
-        k = apply_rope(k, rpos, rp, ff)
+        if cfg.mrope_sections:
+            from ..ops.rope import apply_mrope
 
+            q = apply_mrope(q, rpos, rp, cfg.mrope_sections, ff)
+            k = apply_mrope(k, rpos, rp, cfg.mrope_sections, ff)
+        else:
+            q = apply_rope(q, rpos, rp, ff)
+            k = apply_rope(k, rpos, rp, ff)
+
+    cache_heads = cfg.kv_cache_heads
     if cache is not None:
+        if hkv < cache_heads:  # openelm: pad ragged layers to the cache size
+            pad = [(0, 0), (0, 0), (0, cache_heads - hkv), (0, 0)]
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
         cache = cache.write(layer_idx, k, v, n_past)
 
     scale0 = cfg.attn_scale if cfg.attn_scale else 1.0 / (d**0.5)
     if (
         flash
         and t == 1
+        and not cfg.n_kv_heads_l
         and cache is not None
         and cfg.pos_embd_type != "alibi"
         and h % hkv == 0
@@ -417,12 +460,17 @@ def self_attention(
                 scale=float(scale0), softcap=float(cfg.attn_logit_softcap),
             )
         attn = attn.reshape(b, 1, h * d).astype(compute_dtype)
+        if cfg.sub_norms:  # bitnet attn_sub_norm before the output proj
+            attn = norm(attn, layer, "attn_sub_norm", cfg)
         if tap is not None:
             tap(f"blk.{layer_idx}.attn_output.weight", attn)
         return _mm(attn, layer, "attn_output", compute_dtype), cache
 
     if cache is not None:
         k_all, v_all = cache.layer(layer_idx)  # [B,Hkv,S,D]
+        if hkv < cache_heads:
+            k_all = k_all[:, :hkv]
+            v_all = v_all[:, :hkv]
     else:
         k_all = k.transpose(0, 2, 1, 3).astype(compute_dtype)
         v_all = v.transpose(0, 2, 1, 3).astype(compute_dtype)
@@ -445,6 +493,8 @@ def self_attention(
         q, k_all, v_all, mask, scale0,
         logit_softcap=cfg.attn_logit_softcap, head_bias=head_bias,
     ).astype(compute_dtype)
+    if cfg.sub_norms:  # bitnet attn_sub_norm before the output proj
+        attn = norm(attn, layer, "attn_sub_norm", cfg)
     if tap is not None:
         tap(f"blk.{layer_idx}.attn_output.weight", attn)
     return _mm(attn, layer, "attn_output", compute_dtype), cache
@@ -563,4 +613,11 @@ def forward(
         logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap:
         logits = softcap(logits, cfg.final_logit_softcap)
+    if cfg.suppress_tokens:
+        # chameleon text-only image-token suppression
+        # (llm_build_chameleon img_logits, src/llama-model.cpp:12236-12246)
+        a, bnd = cfg.suppress_tokens
+        vid = jnp.arange(logits.shape[-1])
+        kill = (vid >= a) & (vid < bnd)
+        logits = jnp.where(kill, jnp.finfo(jnp.float32).min, logits)
     return logits, cache

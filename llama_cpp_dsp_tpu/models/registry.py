@@ -253,6 +253,98 @@ def _deepseek2(get):
     }
 
 
+def _grok(get):
+    # llm_build_grok (src/llama-model.cpp:5155): embeddings ×78.38…, logits
+    # ×0.5773…, unscaled KQ (build_attn kq_scale=1.0), GELU MoE, post
+    # sandwich norms (attn_out_norm / layer_out_norm → our post_norms keys)
+    return {
+        "post_norms": True,
+        "act": "gelu",
+        "embd_scale": 78.38367176906169,
+        "logit_scale": 0.5773502691896257,
+        "attn_scale": 1.0,
+    }
+
+
+def _qwen2vl(get):
+    # llm_build_qwen2vl (src/llama-model.cpp:6451): qwen2 graph + M-RoPE
+    # (GGML_ROPE_TYPE_MROPE section table)
+    sections = get("{arch}.rope.dimension_sections") or (16, 24, 24, 0)
+    return {
+        "attn_bias": True,
+        "mrope_sections": tuple(int(s) for s in sections),
+    }
+
+
+def _minicpm3(get):
+    # llm_build_minicpm3 (src/llama-model.cpp:7856): MLA attention with
+    # minicpm scaling — embd ×12, residual ×1.4/sqrt(L), lm head ×256/n_embd
+    n_layer = int(get(Keys.LLM.BLOCK_COUNT, 2) or 2)
+    n_embd = int(get(Keys.LLM.EMBEDDING_LENGTH, 128) or 128)
+    rope_dim = int(get(Keys.LLM.ROPE_DIMENSION_COUNT, 16) or 16)
+    key_len = int(get(Keys.LLM.ATTN_KEY_LENGTH, 48) or 48)
+    return {
+        "q_lora_rank": int(get("{arch}.attention.q_lora_rank", 0) or 0),
+        "kv_lora_rank": int(get("{arch}.attention.kv_lora_rank", 32) or 32),
+        "qk_rope_dim": rope_dim,
+        "qk_nope_dim": key_len - rope_dim,
+        "v_head_dim": int(get(Keys.LLM.ATTN_VALUE_LENGTH, 32) or 32),
+        "embd_scale": 12.0,
+        "residual_scale": 1.4 / math.sqrt(n_layer),
+        "logit_scale": 256.0 / n_embd,
+    }
+
+
+def _bitnet(get):
+    # llm_build_bitnet (src/llama-model.cpp:10252): ternary linears carry a
+    # per-tensor scale (applied in models.llama._mm via `*_scale` keys) and
+    # sub-norms before wo / ffn_down; lm head tied to token_embd
+    return {"sub_norms": True, "tie_embeddings": True}
+
+
+def _chameleon(get):
+    # llm_build_chameleon (src/llama-model.cpp:12077): per-head q/k LayerNorm
+    # with bias, swin_norm = post-norm placement, image-token logits −inf
+    # (tokens 4..8196, src/llama-model.cpp:12236-12246)
+    return {
+        "qk_norm": True,
+        "qk_norm_ln": True,
+        "norm_after": bool(get("{arch}.swin_norm", False)),
+        "suppress_tokens": (4, 8196),
+    }
+
+
+def _plm(get):
+    # llm_build_plm (src/llama-model.cpp:12406): MLA (direct wq) + relu²
+    # sequential FFN, kq_scale = 1/sqrt(n_embd_head_k)
+    rope_dim = int(get(Keys.LLM.ROPE_DIMENSION_COUNT, 16) or 16)
+    key_len = int(get(Keys.LLM.ATTN_KEY_LENGTH, 48) or 48)
+    return {
+        "kv_lora_rank": int(get("{arch}.attention.kv_lora_rank", 32) or 32),
+        "qk_rope_dim": rope_dim,
+        "qk_nope_dim": key_len - rope_dim,
+        "v_head_dim": int(get(Keys.LLM.ATTN_VALUE_LENGTH, 32) or 32),
+        "act": "relu2",
+        "gated_ffn": False,
+    }
+
+
+def _bailingmoe(get):
+    # llm_build_bailingmoe (src/llama-model.cpp:12578): q/k/v reshaped to
+    # n_rot (head_dim = rope dims), shared-expert MoE with optional weight
+    # renorm and routed scale
+    d = {
+        "moe_shared_expert": True,
+        "moe_norm_weights": bool(get("{arch}.expert_weights_norm", False)),
+        "moe_scale": float(get("{arch}.expert_weights_scale", 1.0) or 1.0),
+        "n_dense_layers": int(get("{arch}.leading_dense_block_count", 0) or 0),
+    }
+    rd = get(Keys.LLM.ROPE_DIMENSION_COUNT)
+    if rd:
+        d["head_dim"] = int(rd)
+    return d
+
+
 # name → spec; coverage of the reference arch table (src/llama-arch.h:11-80).
 # Families sharing a graph are registered with the same overrides.
 for _spec in [
@@ -306,6 +398,16 @@ for _spec in [
     ArchSpec("arctic", _llama),
     ArchSpec("deepseek", _deepseek),
     ArchSpec("deepseek2", _deepseek2),
+    ArchSpec("grok", _grok),
+    ArchSpec("qwen2vl", _qwen2vl),
+    ArchSpec("minicpm3", _minicpm3),
+    ArchSpec("bitnet", _bitnet),
+    ArchSpec("chameleon", _chameleon),
+    ArchSpec("plm", _plm),
+    ArchSpec("bailingmoe", _bailingmoe),
+    # llm_build_openelm (src/llama-model.cpp:9445): per-layer head counts
+    # (handled via n_heads_l/n_kv_heads_l), fused qkv, q/k rms norm
+    ArchSpec("openelm", lambda get: {"qk_norm": True}, fused_qkv=True),
     ArchSpec("mamba", lambda get: {
         "ssm_d_conv": int(get(Keys.LLM.SSM_CONV_KERNEL, 4) or 4),
         "ssm_d_inner": int(get(Keys.LLM.SSM_INNER_SIZE, 0) or 0),
@@ -317,6 +419,13 @@ for _spec in [
         "head_dim": int(get("{arch}.wkv.head_size", 64) or 64),
     }, builder="rwkv6"),
     ArchSpec("rwkv6qwen2", _llama),
+    ArchSpec("rwkv7", lambda get: {
+        "norm_type": "ln",
+        "head_dim": int(get("{arch}.wkv.head_size", 64) or 64),
+    }, builder="rwkv7"),
+    ArchSpec("arwkv7", lambda get: {
+        "head_dim": int(get("{arch}.wkv.head_size", 64) or 64),
+    }, builder="rwkv7"),
     ArchSpec("t5", _llama, builder="t5"),
     ArchSpec("t5encoder", _llama, builder="t5"),
     ArchSpec("bert", _llama, builder="encoder"),
@@ -330,6 +439,7 @@ _NEOX_ROPE_ARCHS = {
     "phi2", "phi3", "phimoe", "gptneox", "gptj", "olmo", "olmo2", "olmoe",
     "gemma", "gemma2", "gemma3", "starcoder2", "falcon", "dbrx", "nemotron",
     "chatglm", "glm4", "deepseek2", "plamo", "arctic", "exaone",
+    "grok", "bitnet", "minicpm3", "openelm",
 }
 
 
@@ -361,8 +471,9 @@ def synth_config(arch: str, **dims) -> LlamaConfig:
         mode = "neox"
     else:
         mode = "norm"
+    rope_dims = base["qk_rope_dim"] if base.get("kv_lora_rank") else base["head_dim"]
     base.setdefault(
-        "rope", RopeParams(n_dims=base["head_dim"], mode=mode, freq_base=10000.0)
+        "rope", RopeParams(n_dims=rope_dims, mode=mode, freq_base=10000.0)
     )
     # keep SWA windows tiny-model friendly
     if base.get("swa_window"):
@@ -381,8 +492,15 @@ def config_from_gguf(kv: dict[str, Any]) -> LlamaConfig:
         return kv.get(template.format(arch=arch), default)
 
     n_embd = int(get(Keys.LLM.EMBEDDING_LENGTH))
-    n_heads = int(get(Keys.LLM.ATTN_HEAD_COUNT, 0) or 0)
-    n_kv_heads = int(get(Keys.LLM.ATTN_HEAD_COUNT_KV, n_heads) or n_heads)
+    # openelm stores per-layer head counts as arrays (hparams.n_head(il));
+    # normalize: scalars = max, per-layer tuples go in n_heads_l
+    hv = get(Keys.LLM.ATTN_HEAD_COUNT, 0) or 0
+    kvv = get(Keys.LLM.ATTN_HEAD_COUNT_KV, hv)
+    n_heads_l = tuple(int(x) for x in hv) if isinstance(hv, (list, tuple)) else ()
+    n_kv_heads_l = (tuple(int(x) for x in kvv)
+                    if isinstance(kvv, (list, tuple)) else ())
+    n_heads = max(n_heads_l) if n_heads_l else int(hv)
+    n_kv_heads = max(n_kv_heads_l) if n_kv_heads_l else int(kvv or n_heads)
     head_dim = int(get(Keys.LLM.ATTN_KEY_LENGTH,
                        n_embd // n_heads if n_heads else 0))
     n_vocab = int(get(Keys.LLM.VOCAB_SIZE, 0)) or len(kv.get(Keys.Tokenizer.LIST, []))
@@ -420,6 +538,11 @@ def config_from_gguf(kv: dict[str, Any]) -> LlamaConfig:
     if eps is None:
         eps = get(Keys.LLM.ATTN_LAYERNORM_EPS, 1e-5)
 
+    ffv = get(Keys.LLM.FEED_FORWARD_LENGTH, 0) or 0
+    n_ff = max(int(x) for x in ffv) if isinstance(ffv, (list, tuple)) else int(ffv)
+    if n_heads_l:
+        over.setdefault("n_heads_l", n_heads_l)
+        over.setdefault("n_kv_heads_l", n_kv_heads_l or n_heads_l)
     return LlamaConfig(
         arch=arch,
         n_layers=int(get(Keys.LLM.BLOCK_COUNT)),
@@ -427,7 +550,7 @@ def config_from_gguf(kv: dict[str, Any]) -> LlamaConfig:
         n_heads=n_heads,
         n_kv_heads=n_kv_heads,
         head_dim=head_dim,
-        n_ff=int(get(Keys.LLM.FEED_FORWARD_LENGTH, 0) or 0),
+        n_ff=n_ff,
         n_vocab=n_vocab,
         n_ctx_train=int(get(Keys.LLM.CONTEXT_LENGTH, 2048)),
         rms_eps=float(eps),

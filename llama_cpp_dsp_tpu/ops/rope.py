@@ -96,3 +96,47 @@ def apply_rope(
     if rest.shape[-1]:
         out = jnp.concatenate([out, rest], axis=-1)
     return out.astype(x.dtype)
+
+
+def apply_mrope(
+    x: jax.Array,  # [B, T, H, D]
+    pos: jax.Array,  # [B, T] (all streams equal — text) or [B, 4, T]
+    rp: RopeParams,
+    sections: tuple[int, ...],  # 4 section widths in rotary pairs
+    freq_factors: jax.Array | None = None,
+) -> jax.Array:
+    """Multimodal rotary embedding (qwen2vl) — reference ggml_rope_multi /
+    ggml_mrope_cache_init (ggml/src/ggml-cpu/ops.cpp:5030): the frequency for
+    pair i is the usual base^(-2i/n_dims) (continuous across sections), but
+    the *position stream* (t/h/w/e) driving pair i is chosen by
+    (i mod sum(sections)) against the section boundaries. Pairing is
+    neox-style (is_neox || is_mrope branch, ops.cpp:5192). With all four
+    streams equal (text-only) this reduces exactly to neox rope."""
+    import numpy as np
+
+    if pos.ndim == 2:  # text-only: every stream carries the token index
+        pos = jnp.broadcast_to(pos[:, None, :], (pos.shape[0], 4, pos.shape[1]))
+    half = rp.n_dims // 2
+    csum = np.cumsum(list(sections) + [0, 0, 0][: 4 - len(sections)])
+    sector = np.arange(half) % max(int(csum[-1]), 1)
+    stream = np.searchsorted(csum, sector, side="right")  # [half] in 0..3
+    onehot = jnp.asarray(np.eye(4, dtype=np.float32)[stream])  # [half, 4]
+
+    cos4, sin4 = [], []
+    for k in range(4):
+        c, s = _rope_angles(pos[:, k, :], rp, freq_factors)  # [B, T, half]
+        cos4.append(c)
+        sin4.append(s)
+    cos = jnp.einsum("kbti,ik->bti", jnp.stack(cos4), onehot)
+    sin = jnp.einsum("kbti,ik->bti", jnp.stack(sin4), onehot)
+    cos = cos[..., None, :]  # broadcast over heads
+    sin = sin[..., None, :]
+
+    xf = x.astype(jnp.float32)
+    n = rp.n_dims
+    rot, rest = xf[..., :n], xf[..., n:]
+    x0, x1 = rot[..., :half], rot[..., half:]
+    out = jnp.concatenate([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
+    if rest.shape[-1]:
+        out = jnp.concatenate([out, rest], axis=-1)
+    return out.astype(x.dtype)

@@ -42,8 +42,20 @@ _LAYER_TENSORS = {
     "attn_qkv.bias": "attn_qkv_bias",
     "attn_q_norm.weight": "attn_q_norm",
     "attn_k_norm.weight": "attn_k_norm",
+    "attn_q_norm.bias": "attn_q_norm_bias",  # chameleon per-head LN
+    "attn_k_norm.bias": "attn_k_norm_bias",
     "attn_post_norm.weight": "attn_post_norm",
     "post_attention_norm.weight": "attn_post_norm",
+    # bitnet sub-norms + per-tensor weight scales (llm_build_bitnet)
+    "attn_sub_norm.weight": "attn_sub_norm",
+    "ffn_sub_norm.weight": "ffn_sub_norm",
+    "attn_q.scale": "attn_q_scale",
+    "attn_k.scale": "attn_k_scale",
+    "attn_v.scale": "attn_v_scale",
+    "attn_output.scale": "attn_output_scale",
+    "ffn_gate.scale": "ffn_gate_scale",
+    "ffn_up.scale": "ffn_up_scale",
+    "ffn_down.scale": "ffn_down_scale",
     "ffn_norm.weight": "ffn_norm",
     "ffn_norm.bias": "ffn_norm_bias",
     "ffn_post_norm.weight": "ffn_post_norm",
@@ -100,6 +112,21 @@ _LAYER_TENSORS = {
     "time_mix_ln.weight": "time_mix_ln",
     "time_mix_ln.bias": "time_mix_ln_bias",
     "time_mix_output.weight": "time_mix_output",
+    # rwkv7/arwkv7 (reference LLM_ARCH_RWKV7 tensor table,
+    # src/llama-arch.cpp:1368-1405)
+    "time_mix_w0.weight": "time_mix_w0",
+    "time_mix_a0.weight": "time_mix_a0",
+    "time_mix_a1.weight": "time_mix_a1",
+    "time_mix_a2.weight": "time_mix_a2",
+    "time_mix_v0.weight": "time_mix_v0",
+    "time_mix_v1.weight": "time_mix_v1",
+    "time_mix_v2.weight": "time_mix_v2",
+    "time_mix_g1.weight": "time_mix_g1",
+    "time_mix_g2.weight": "time_mix_g2",
+    "time_mix_k_k.weight": "time_mix_k_k",
+    "time_mix_k_a.weight": "time_mix_k_a",
+    "time_mix_r_k.weight": "time_mix_r_k",
+    "time_mix_lerp_fused.weight": "time_mix_lerp_fused",
     "channel_mix_lerp_k.weight": "channel_mix_lerp_k",
     "channel_mix_lerp_r.weight": "channel_mix_lerp_r",
     "channel_mix_key.weight": "channel_mix_key",
@@ -185,9 +212,10 @@ def _split_fused(params: dict[str, Any], cfg: LlamaConfig, spec) -> None:
     (e.g. llm_build_phi3 wqkv views, LLM_FFN_SWIGLU split); splitting once at
     load is the XLA-idiomatic equivalent (no runtime cost, static shapes).
     """
-    qdim = cfg.n_heads * cfg.head_dim
-    kvdim = cfg.n_kv_heads * cfg.head_dim
-    for layer in params["layers"]:
+    for il, layer in enumerate(params["layers"]):
+        h, hkv = cfg.layer_heads(il)  # openelm: per-layer counts
+        qdim = h * cfg.head_dim
+        kvdim = hkv * cfg.head_dim
         qkv = layer.pop("attn_qkv", None)
         if qkv is not None:
             layer["attn_q"] = _row_slice(qkv, 0, qdim)
@@ -307,6 +335,17 @@ def load_model(path: str, *, with_tokenizer: bool = True) -> LoadedModel:
         log.warning("unmapped tensor %s", name)
 
     _split_fused(params, cfg, spec)
+
+    if spec.builder == "decoder":
+        # grok stores its post-sandwich norms under bert's tensor names
+        # (LLM_TENSOR_ATTN_OUT_NORM "attn_output_norm" / LLM_TENSOR_LAYER_OUT_NORM
+        # "layer_output_norm", src/llama-arch.cpp:446-467); the decoder graph
+        # consumes them as attn_post_norm / ffn_post_norm
+        for layer in params["layers"]:
+            if "attn_output_norm" in layer:
+                layer["attn_post_norm"] = layer.pop("attn_output_norm")
+            if "layer_output_norm" in layer:
+                layer["ffn_post_norm"] = layer.pop("layer_output_norm")
 
     # share rope_freqs into each layer (same array, no copy)
     ff = params.pop("rope_freqs", None)

@@ -93,8 +93,6 @@ def synth_params(cfg: LlamaConfig, kind: GGMLType, *, seed: int = 0, tie: bool =
     be synthesized for tests and benches."""
     rng = np.random.default_rng(seed)
     c, ff, v = cfg.n_embd, cfg.n_ff, cfg.n_vocab
-    qdim = cfg.n_heads * cfg.head_dim
-    kvdim = cfg.n_kv_heads * cfg.head_dim
     ln = cfg.norm_type == "ln"
 
     def q(*shape):
@@ -108,6 +106,9 @@ def synth_params(cfg: LlamaConfig, kind: GGMLType, *, seed: int = 0, tie: bool =
 
     layers = []
     for il in range(cfg.n_layers):
+        h, hkv = cfg.layer_heads(il)
+        qdim = h * cfg.head_dim
+        kvdim = hkv * cfg.head_dim
         if cfg.kv_lora_rank:
             r, dn, dr, dv = (cfg.kv_lora_rank, cfg.qk_nope_dim,
                              cfg.qk_rope_dim, cfg.v_head_dim)
@@ -139,9 +140,22 @@ def synth_params(cfg: LlamaConfig, kind: GGMLType, *, seed: int = 0, tie: bool =
             layer["attn_q_bias"] = bias(qdim)
             layer["attn_k_bias"] = bias(kvdim)
             layer["attn_v_bias"] = bias(kvdim)
-        if cfg.qk_norm:
+        if cfg.qk_norm and cfg.qk_norm_ln:
+            # chameleon: per-head LN weights [H, D] (reference
+            # src/llama-model.cpp:3872 {n_embd_head_k, n_head})
+            layer["attn_q_norm"] = norm((cfg.n_heads, cfg.head_dim))
+            layer["attn_k_norm"] = norm((cfg.n_kv_heads, cfg.head_dim))
+            layer["attn_q_norm_bias"] = bias((cfg.n_heads, cfg.head_dim))
+            layer["attn_k_norm_bias"] = bias((cfg.n_kv_heads, cfg.head_dim))
+        elif cfg.qk_norm:
             layer["attn_q_norm"] = norm(cfg.head_dim)
             layer["attn_k_norm"] = norm(cfg.head_dim)
+        if cfg.sub_norms:
+            layer["attn_sub_norm"] = norm(qdim)
+            layer["ffn_sub_norm"] = norm(ff)
+            for wname in ("attn_q", "attn_k", "attn_v", "attn_output",
+                          "ffn_gate", "ffn_up", "ffn_down"):
+                layer[wname + "_scale"] = np.full(1, 1.0 + il * 0.01, np.float32)
         if cfg.post_norms:
             layer["attn_post_norm"] = norm(c)
             layer["ffn_post_norm"] = norm(c)

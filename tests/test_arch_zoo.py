@@ -22,11 +22,14 @@ DISTINCT = [
     "phi2", "gpt2", "gptneox", "starcoder", "starcoder2", "stablelm",
     "olmo", "olmo2", "olmoe", "command-r", "cohere2", "bloom", "mpt",
     "falcon", "nemotron", "granite", "minicpm", "deepseek", "mixtral",
+    "grok", "qwen2vl", "minicpm3", "bitnet", "chameleon", "plm", "bailingmoe",
+    "openelm",
 ]
 
 
 def _make(arch, seed=0):
-    moe = arch in ("qwen2moe", "olmoe", "deepseek", "mixtral", "granitemoe")
+    moe = arch in ("qwen2moe", "olmoe", "deepseek", "mixtral", "granitemoe",
+                   "grok", "bailingmoe")
     dims = {}
     if moe:
         dims = dict(n_expert=4, n_expert_used=2)
@@ -34,6 +37,9 @@ def _make(arch, seed=0):
         dims["attn_bias"] = True
     if arch in ("gpt2", "starcoder", "bloom", "mpt"):
         dims["n_kv_heads"] = 4  # MHA-style
+    if arch == "openelm":  # per-layer ragged head counts
+        dims.update(n_heads=8, n_kv_heads=4,
+                    n_heads_l=(4, 8), n_kv_heads_l=(2, 4))
     cfg = synth_config(arch, **dims)
     params = synth_params(cfg, GGMLType.Q8_0, seed=seed, tie=False)
     params = {k: v for k, v in params.items()}
@@ -67,7 +73,7 @@ def test_cached_decode_matches_full(arch):
 
     # incremental: prefill n-1 then decode 1 with cache
     cache = KVCache.create(
-        cfg.n_layers, 1, n_ctx, cfg.n_kv_heads, cfg.head_dim, jnp.float32
+        cfg.n_layers, 1, n_ctx, cfg.kv_cache_heads, cfg.kv_cache_dim, jnp.float32
     )
     mask = causal_mask(jnp.asarray(positions[:, : n - 1]), n_ctx, 0)
     _, cache = forward(

@@ -263,3 +263,115 @@ def test_mixtral_parity():
     ours = _run_ours(cfg, params, tokens)
     theirs = _run_hf(model, tokens)
     np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=3e-3)
+
+
+def test_qwen2vl_mrope_parity():
+    """qwen2vl text path: M-RoPE section rotation must match HF's
+    apply_multimodal_rotary_pos_emb (and reference ggml_rope_multi)."""
+    hf_cfg = transformers.Qwen2VLConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=False,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+    )
+    torch.manual_seed(5)
+    model = transformers.Qwen2VLForConditionalGeneration(hf_cfg).eval()
+    lm = model.model.language_model
+
+    cfg = LlamaConfig(
+        arch="qwen2vl", n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+        head_dim=16, n_ff=128, n_vocab=128, n_ctx_train=64, rms_eps=1e-6,
+        rope=RopeParams(n_dims=16, mode="neox", freq_base=10000.0),
+        attn_bias=True, mrope_sections=(2, 3, 3, 0),
+    )
+    layers = []
+    for hl in lm.layers:
+        layers.append({
+            "attn_norm": _t2n(hl.input_layernorm.weight),
+            "attn_q": _t2n(hl.self_attn.q_proj.weight),
+            "attn_q_bias": _t2n(hl.self_attn.q_proj.bias),
+            "attn_k": _t2n(hl.self_attn.k_proj.weight),
+            "attn_k_bias": _t2n(hl.self_attn.k_proj.bias),
+            "attn_v": _t2n(hl.self_attn.v_proj.weight),
+            "attn_v_bias": _t2n(hl.self_attn.v_proj.bias),
+            "attn_output": _t2n(hl.self_attn.o_proj.weight),
+            "ffn_norm": _t2n(hl.post_attention_layernorm.weight),
+            "ffn_gate": _t2n(hl.mlp.gate_proj.weight),
+            "ffn_up": _t2n(hl.mlp.up_proj.weight),
+            "ffn_down": _t2n(hl.mlp.down_proj.weight),
+        })
+    params = {
+        "token_embd": _t2n(lm.embed_tokens.weight),
+        "layers": layers,
+        "output_norm": _t2n(lm.norm.weight),
+        "output": _t2n(model.lm_head.weight),
+    }
+    tokens = np.array([[7, 42, 11, 99, 3, 64]], np.int32)
+    ours = _run_ours(cfg, params, tokens)
+    theirs = _run_hf(model, tokens)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("swin", [False, True])
+def test_chameleon_parity(swin):
+    """chameleon: per-head q/k LayerNorm (+bias) and swin (post) norm
+    placement vs HF ChameleonForConditionalGeneration."""
+    hf_cfg = transformers.ChameleonConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, swin_norm=swin, vocabulary_map={"a": 1},
+    )
+    torch.manual_seed(6)
+    model = transformers.ChameleonForConditionalGeneration(hf_cfg).eval()
+
+    cfg = LlamaConfig(
+        arch="chameleon", n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+        head_dim=16, n_ff=128, n_vocab=128, n_ctx_train=64, rms_eps=1e-5,
+        # neox mode: HF weights are unpermuted (GGUF conversion permutes q/k
+        # to llama.cpp's NORM layout; raw HF uses rotate-half)
+        rope=RopeParams(n_dims=16, mode="neox", freq_base=10000.0),
+        qk_norm=True, qk_norm_ln=True, norm_after=swin,
+    )
+    layers = []
+    for hl in model.model.layers:
+        layers.append({
+            "attn_norm": _t2n(hl.input_layernorm.weight),
+            "attn_q": _t2n(hl.self_attn.q_proj.weight),
+            "attn_k": _t2n(hl.self_attn.k_proj.weight),
+            "attn_v": _t2n(hl.self_attn.v_proj.weight),
+            "attn_output": _t2n(hl.self_attn.o_proj.weight),
+            "attn_q_norm": _t2n(hl.self_attn.q_norm.weight),
+            "attn_q_norm_bias": _t2n(hl.self_attn.q_norm.bias),
+            "attn_k_norm": _t2n(hl.self_attn.k_norm.weight),
+            "attn_k_norm_bias": _t2n(hl.self_attn.k_norm.bias),
+            "ffn_norm": _t2n(hl.post_attention_layernorm.weight),
+            "ffn_gate": _t2n(hl.mlp.gate_proj.weight),
+            "ffn_up": _t2n(hl.mlp.up_proj.weight),
+            "ffn_down": _t2n(hl.mlp.down_proj.weight),
+        })
+    params = {
+        "token_embd": _t2n(model.model.embed_tokens.weight),
+        "layers": layers,
+        "output_norm": _t2n(model.model.norm.weight),
+        "output": _t2n(model.lm_head.weight),
+    }
+    tokens = np.array([[7, 42, 11, 99, 3]], np.int32)
+    ours = _run_ours(cfg, params, tokens)
+    theirs = _run_hf(model, tokens)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-3)
+
+
+def test_mrope_text_only_equals_neox():
+    """With all four position streams equal, M-RoPE must reduce exactly to
+    neox rope (reference ggml_mrope_cache_init with equal theta bases)."""
+    from llama_cpp_dsp_tpu.ops.rope import apply_mrope, apply_rope
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 5, 4, 32)).astype(np.float32))
+    pos = jnp.asarray(np.arange(5, dtype=np.int32)[None, :].repeat(2, 0))
+    rp = RopeParams(n_dims=32, mode="neox", freq_base=10000.0)
+    a = apply_rope(x, pos, rp)
+    b = apply_mrope(x, pos, rp, (4, 6, 6, 0))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
