@@ -12,6 +12,7 @@ through ops.qmm which dispatches to the fused Pallas kernels on TPU.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any
 
 import jax
@@ -353,6 +354,29 @@ def self_attention(
     # row index used for masking/flash lengths
 ):
     """QKV → rope → cached attention → output proj. Returns (out, cache)."""
+    q, k, v = _project_qkv(
+        x, layer, cfg, positions, rope_positions, layer_idx, compute_dtype, tap
+    )
+    b, t = x.shape[:2]
+    (h, hkv), d = cfg.layer_heads(layer_idx), cfg.head_dim
+    return _cached_attention(
+        q, k, v, layer, cfg, positions, cache, layer_idx, n_past, mask,
+        compute_dtype, tap, flash,
+    )
+
+
+def _project_qkv(
+    x: jax.Array,  # normed input [B, T, C]
+    layer: Params,
+    cfg: LlamaConfig,
+    positions: jax.Array,
+    rope_positions: jax.Array | None,
+    layer_idx: int,
+    compute_dtype,
+    tap=None,
+):
+    """QKV projections (+bias/LoRA/fused split), q/k norm, rope.
+    Returns (q [B,T,H,D], k [B,T,Hkv,D], v [B,T,Hkv,D])."""
     b, t, _ = x.shape
     (h, hkv), d = cfg.layer_heads(layer_idx), cfg.head_dim
 
@@ -415,7 +439,15 @@ def self_attention(
         else:
             q = apply_rope(q, rpos, rp, ff)
             k = apply_rope(k, rpos, rp, ff)
+    return q, k, v
 
+
+def _cached_attention(
+    q, k, v, layer, cfg, positions, cache, layer_idx, n_past, mask,
+    compute_dtype, tap=None, flash=False,
+):
+    b, t = q.shape[:2]
+    (h, hkv), d = cfg.layer_heads(layer_idx), cfg.head_dim
     cache_heads = cfg.kv_cache_heads
     if cache is not None:
         if hkv < cache_heads:  # openelm: pad ragged layers to the cache size
@@ -500,6 +532,65 @@ def self_attention(
     return _mm(attn, layer, "attn_output", compute_dtype), cache
 
 
+def packed_self_attention(
+    x: jax.Array,  # normed input [1, P, C] — the packed mixed ubatch
+    layer: Params,
+    cfg: LlamaConfig,
+    positions: jax.Array,  # [1, P] cache rows (row == capacity ⇒ padding)
+    cache,
+    layer_idx: int,
+    compute_dtype,
+    tap=None,
+    *,
+    slot_ids: jax.Array,  # [P] owning slot per token
+):
+    """Attention for a packed prompt+decode ubatch: every token attends only
+    to its own slot's cache rows (reference unified-KV kq_mask semantics,
+    llm_graph_input_attn_kv_unified::set_input). K/V are scattered at
+    (slot, row) before attention; padding rows (== capacity) are dropped by
+    the OOB scatter and their outputs are never selected."""
+    q, k, v = _project_qkv(
+        x, layer, cfg, positions, None, layer_idx, compute_dtype, tap
+    )
+    p = q.shape[1]
+    (h, hkv), d = cfg.layer_heads(layer_idx), cfg.head_dim
+    rows = positions[0]
+    cache = cache.write_packed(layer_idx, k[0], v[0], slot_ids, rows)
+    k_all, v_all = cache.layer(layer_idx)  # [B, Hkv, S, D]
+    nb, _, s, _ = k_all.shape
+
+    rep = h // hkv
+    scale0 = cfg.attn_scale if cfg.attn_scale else 1.0 / (d**0.5)
+    qf = q[0].astype(jnp.float32).reshape(p, hkv, rep, d)
+    scores = jnp.einsum(
+        "phrd,bhsd->bhrps", qf, k_all.astype(jnp.float32)
+    ) * scale0  # [B,Hkv,rep,P,S]
+    if cfg.attn_logit_softcap:
+        scores = softcap(scores, cfg.attn_logit_softcap)
+    j = jnp.arange(s)
+    causal = j[None, :] <= rows[:, None]  # [P, S]
+    if cfg.is_swa_layer(layer_idx):
+        causal = causal & (j[None, :] > rows[:, None] - cfg.swa_window)
+    own = slot_ids[None, :] == jnp.arange(nb)[:, None]  # [B, P]
+    attend = own[:, :, None] & causal[None]  # [B, P, S]
+    bias = jnp.where(attend, 0.0, _mask_value(jnp.float32))
+    scores = scores + bias[:, None, None, :, :]
+    probs = softmax_f32(scores, axis=-1)
+    out = jnp.einsum("bhrps,bhsd->bhrpd", probs, v_all.astype(jnp.float32))
+    # gather each token's own slot (rows of foreign slots are softmax(-inf)
+    # garbage — a pure gather never mixes them in)
+    out = out.transpose(0, 3, 1, 2, 4)  # [B,P,Hkv,rep,D]
+    sel = jnp.take_along_axis(
+        out, slot_ids[None, :, None, None, None], axis=0
+    )[0]  # [P,Hkv,rep,D]
+    attn = sel.reshape(1, p, h * d).astype(compute_dtype)
+    if cfg.sub_norms:
+        attn = norm(attn, layer, "attn_sub_norm", cfg)
+    if tap is not None:
+        tap(f"blk.{layer_idx}.attn_output.weight", attn)
+    return _mm(attn, layer, "attn_output", compute_dtype), cache
+
+
 def decode_layer(
     x: jax.Array,  # [B, T, C]
     layer: Params,
@@ -513,12 +604,17 @@ def decode_layer(
     tap=None,  # optional callable(name, activation) — imatrix/eval-callback
     flash: bool = False,
     rope_positions: jax.Array | None = None,
+    attn_impl=None,  # override (packed mixed ubatch); default per-arch
 ):
     attn_in = x if cfg.norm_after else norm(x, layer, "attn_norm", cfg)
-    if cfg.kv_lora_rank:
-        from .deepseek2 import mla_self_attention as attn_impl
-
+    if attn_impl is not None:
         attn, cache = attn_impl(
+            attn_in, layer, cfg, positions, cache, layer_idx, compute_dtype, tap,
+        )
+    elif cfg.kv_lora_rank:
+        from .deepseek2 import mla_self_attention as mla_impl
+
+        attn, cache = mla_impl(
             attn_in, layer, cfg, positions, cache, layer_idx, n_past, mask,
             compute_dtype, tap,
         )
@@ -620,4 +716,58 @@ def forward(
         vid = jnp.arange(logits.shape[-1])
         kill = (vid >= a) & (vid < bnd)
         logits = jnp.where(kill, jnp.finfo(jnp.float32).min, logits)
+    return logits, cache
+
+
+def forward_packed(
+    params: Params,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # [P] packed mixed ubatch (decode tokens + one
+    # prompt chunk; padding tokens carry row == cache capacity)
+    slot_ids: jax.Array,  # [P]
+    rows: jax.Array,  # [P] cache row per token (== its position)
+    cache,
+    out_idx: jax.Array,  # [n_slots] packed index whose logits each slot needs
+    *,
+    compute_dtype=jnp.bfloat16,
+):
+    """Mixed prompt+decode step over ONE packed token list — the TPU-native
+    equivalent of the reference server's update_slots batch (server.cpp:2847:
+    generating slots' last tokens + prompt chunks in a single llama_decode).
+    One pass over the weights serves every slot; only `out_idx`'s hidden rows
+    reach the lm_head (inp_out_ids role, llama-graph.h build_inp_out_ids).
+    Returns (logits [n_slots, V] f32, cache)."""
+    x = take_rows(params["token_embd"], tokens[None, :], dtype=compute_dtype)
+    if cfg.embd_scale != 1.0:
+        x = x * jnp.asarray(cfg.embd_scale, compute_dtype)
+    if cfg.pos_embd_type == "learned":
+        x = x + take_rows(params["pos_embd"],
+                          jnp.minimum(rows, params["pos_embd"].shape[0] - 1)[None],
+                          dtype=compute_dtype)
+    if cfg.embd_norm:
+        x = norm(x, params, "token_embd_norm", cfg)
+    positions = rows[None, :]
+    for i, layer in enumerate(params["layers"]):
+        attn_impl = partial(packed_self_attention, slot_ids=slot_ids)
+        x, cache = decode_layer(
+            x, layer, cfg, positions, cache, i, 0, None, compute_dtype,
+            attn_impl=attn_impl,
+        )
+    x = norm(x, params, "output_norm", cfg)
+    sel = jnp.take_along_axis(x[0], out_idx[:, None], axis=0)  # [n_slots, C]
+    out_w = params.get("output")
+    if out_w is None:
+        out_w = params["token_embd"]
+    logits = qmm(sel, out_w, compute_dtype=compute_dtype).astype(jnp.float32)
+    if "output_bias" in params:
+        logits = logits + params["output_bias"]
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
+    if cfg.final_logit_softcap:
+        logits = softcap(logits, cfg.final_logit_softcap)
+    if cfg.suppress_tokens:
+        a, bnd = cfg.suppress_tokens
+        vid = jnp.arange(logits.shape[-1])
+        logits = jnp.where((vid >= a) & (vid < bnd),
+                           jnp.finfo(jnp.float32).min, logits)
     return logits, cache

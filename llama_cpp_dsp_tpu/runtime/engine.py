@@ -171,9 +171,30 @@ class Engine:
             logits, cache = _decode(params, cache, tokens, positions, active)
             return jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32), cache
 
+        @partial(jax.jit, donate_argnums=(1,))
+        def _mixed(params, cache, tokens, slot_ids, rows, out_idx):
+            """Packed prompt+decode step (reference update_slots batch):
+            one weight pass serves all generating slots' tokens plus one
+            prompt chunk; returns [n_slots, V] logits at out_idx."""
+            from ..models.llama import forward_packed
+
+            return forward_packed(
+                params, self.cfg, tokens, slot_ids, rows, cache, out_idx,
+                compute_dtype=self.compute_dtype,
+            )
+
+        from ..models.registry import arch_spec
+
+        spec = arch_spec(self.cfg.arch)
+        self._mixed_ok = (
+            spec.builder == "decoder"
+            and not self.cfg.kv_lora_rank
+            and self.cfg.pos_embd_type != "alibi"
+        )
         self._prefill_fn = _prefill
         self._decode_fn = _decode
         self._decode_argmax_fn = _decode_argmax
+        self._mixed_fn = _mixed
 
     # -- request API --------------------------------------------------------
     def submit(self, req: Request) -> Request:
@@ -242,11 +263,17 @@ class Engine:
 
         Decode runs FIRST and prefill advances one chunk per iteration:
         the reference mixes generating tokens and prompt chunks in one
-        llama_decode batch (update_slots); with separate jitted programs
-        the equivalent fairness is decode-priority round-robin — long
-        prompts never starve running streams for more than one chunk."""
+        llama_decode batch (update_slots); when both kinds of work exist
+        and the arch supports it, ONE packed program (_mixed_fn) serves
+        them together — a single pass over the weights instead of two.
+        Otherwise: decode-priority round-robin with one chunk per step."""
         self._assign_slots()
         worked = False
+
+        if self._mixed_ok:
+            gen = [s for s in self.slots if s.state == SlotState.GENERATING]
+            if gen and any(s.state == SlotState.PROMPT for s in self.slots):
+                return self._mixed_step(gen)
 
         # 1. one prompt chunk per iteration (round-robin over prompt slots)
         start = getattr(self, "_prefill_rr", 0)
@@ -304,6 +331,58 @@ class Engine:
                     self._emit_token(s, token)
             worked = True
         return worked
+
+    def _mixed_step(self, gen: list["_Slot"]) -> bool:
+        """One packed prompt+decode iteration: all generating slots' next
+        tokens + one prompt slot's chunk in a single device program."""
+        start = getattr(self, "_prefill_rr", 0)
+        pslot = next(s for s in self.slots[start:] + self.slots[:start]
+                     if s.state == SlotState.PROMPT)
+        req = pslot.req
+        remaining = req.prompt_tokens[pslot.prompt_pos:]
+        pmax = self.prefill_buckets[-1]
+        chunk = remaining[: max(1, pmax - len(gen))]
+        p = self._bucket(len(gen) + len(chunk))
+        chunk = chunk[: p - len(gen)]
+
+        tokens = np.zeros(p, np.int32)
+        slot_ids = np.zeros(p, np.int32)
+        rows = np.full(p, self.n_ctx, np.int32)  # capacity ⇒ padding dropped
+        out_idx = np.zeros(self.n_slots, np.int32)
+        i = 0
+        for s in gen:
+            tokens[i] = s.last_token
+            slot_ids[i] = s.idx
+            rows[i] = s.n_past
+            out_idx[s.idx] = i
+            i += 1
+        for j, t in enumerate(chunk):
+            tokens[i] = t
+            slot_ids[i] = pslot.idx
+            rows[i] = pslot.n_past + j
+            i += 1
+        out_idx[pslot.idx] = i - 1
+
+        logits, self.cache = self._mixed_fn(
+            self.params, self.cache, jnp.asarray(tokens),
+            jnp.asarray(slot_ids), jnp.asarray(rows), jnp.asarray(out_idx),
+        )
+        logits_np = np.asarray(logits)
+
+        for s in gen:
+            s.n_past += 1
+            token = s.req.sampler.sample(logits_np[s.idx])
+            self._emit_token(s, token)
+        pslot.prompt_pos += len(chunk)
+        pslot.n_past += len(chunk)
+        self.metrics["prompt_tokens_total"] += len(chunk)
+        if pslot.prompt_pos >= req.n_prompt:
+            token = req.sampler.sample(logits_np[pslot.idx])
+            req.t_first_token = time.perf_counter()
+            pslot.state = SlotState.GENERATING
+            self._emit_token(pslot, token)
+        self._prefill_rr = (pslot.idx + 1) % self.n_slots
+        return True
 
     def _bucket(self, n: int) -> int:
         for b in self.prefill_buckets:

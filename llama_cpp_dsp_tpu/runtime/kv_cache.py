@@ -65,6 +65,18 @@ class KVCache:
         v = jax.lax.dynamic_update_slice(self.v, vn[None], start)
         return KVCache(k, v)
 
+    def write_packed(self, layer: int, k_new: jax.Array, v_new: jax.Array,
+                     slot_ids: jax.Array, rows: jax.Array) -> "KVCache":
+        """Scatter [P, Hkv, D] new rows at (slot_ids[p], rows[p]) — the mixed
+        prompt+decode ubatch (reference update_slots packs generating slots'
+        tokens and prompt chunks into one llama_decode). Padding tokens carry
+        rows == capacity and are dropped by the OOB scatter mode."""
+        kn = k_new.astype(self.k.dtype)
+        vn = v_new.astype(self.v.dtype)
+        k = self.k.at[layer, slot_ids, :, rows].set(kn, mode="drop")
+        v = self.v.at[layer, slot_ids, :, rows].set(vn, mode="drop")
+        return KVCache(k, v)
+
     def layer(self, i: int) -> tuple[jax.Array, jax.Array]:
         """Returns (k, v) as [B, Hkv, S, D]."""
         return self.k[i], self.v[i]
@@ -156,6 +168,18 @@ class QuantKVCache:
             jax.lax.dynamic_update_slice(self.k_d, kd[:, :, None][None], dstart),
             jax.lax.dynamic_update_slice(self.v_qs, vq[None], start),
             jax.lax.dynamic_update_slice(self.v_d, vd[:, :, None][None], dstart),
+        )
+
+    def write_packed(self, layer: int, k_new: jax.Array, v_new: jax.Array,
+                     slot_ids: jax.Array, rows: jax.Array) -> "QuantKVCache":
+        """Packed-ubatch scatter (see KVCache.write_packed), quantizing rows."""
+        kq, kd = _q8_quant(k_new)  # [P, Hkv, D], [P, Hkv]
+        vq, vd = _q8_quant(v_new)
+        return QuantKVCache(
+            self.k_qs.at[layer, slot_ids, :, rows].set(kq, mode="drop"),
+            self.k_d.at[layer, slot_ids, :, 0, rows].set(kd, mode="drop"),
+            self.v_qs.at[layer, slot_ids, :, rows].set(vq, mode="drop"),
+            self.v_d.at[layer, slot_ids, :, 0, rows].set(vd, mode="drop"),
         )
 
     def layer(self, i: int) -> tuple[jax.Array, jax.Array]:

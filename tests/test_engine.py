@@ -130,3 +130,40 @@ def test_request_cancellation(engine):
     assert req.done.is_set()
     assert req.stop_reason == "cancelled" or req.error == "cancelled"
     assert engine.n_busy_slots == 0
+
+
+def test_mixed_prompt_decode_step(engine):
+    """The packed mixed step (decode tokens + prompt chunk in one program)
+    must produce the same greedy streams as isolated runs — reference
+    update_slots invariant."""
+    assert engine._mixed_ok
+    p1, p2 = [3, 5, 7, 9, 11, 13, 2, 4], [6, 10, 14, 8]
+    solo1 = engine.generate_sync(list(p1), max_new_tokens=6, sampler=greedy())
+    solo2 = engine.generate_sync(list(p2), max_new_tokens=6, sampler=greedy())
+
+    # drive manually: get req1 generating, then submit req2 so its prompt
+    # chunks co-schedule with req1's decode via _mixed_step
+    r1 = Request(0, list(p1), max_new_tokens=6, sampler=greedy())
+    engine.submit(r1)
+    while not r1.result_tokens:  # prefill r1 until its first token
+        engine.step()
+    r2 = Request(0, list(p2), max_new_tokens=6, sampler=greedy())
+    engine.submit(r2)
+    mixed_before = getattr(engine, "_mixed_steps", 0)
+    orig = engine._mixed_fn
+
+    calls = []
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    engine._mixed_fn = counting
+    try:
+        while not (r1.done.is_set() and r2.done.is_set()):
+            engine.step()
+    finally:
+        engine._mixed_fn = orig
+    assert calls, "mixed path was never taken"
+    assert r1.result_tokens == solo1.result_tokens
+    assert r2.result_tokens == solo2.result_tokens
