@@ -426,6 +426,9 @@ for _spec in [
     ArchSpec("arwkv7", lambda get: {
         "head_dim": int(get("{arch}.wkv.head_size", 64) or 64),
     }, builder="rwkv7"),
+    # audio codec decoder — own config/loader (models/wavtokenizer.py), like
+    # t5; registered so the arch table is complete
+    ArchSpec("wavtokenizer-dec", None, builder="wavtokenizer"),
     ArchSpec("t5", _llama, builder="t5"),
     ArchSpec("t5encoder", _llama, builder="t5"),
     ArchSpec("bert", _llama, builder="encoder"),
