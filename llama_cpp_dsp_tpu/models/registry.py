@@ -269,7 +269,9 @@ def _grok(get):
 def _qwen2vl(get):
     # llm_build_qwen2vl (src/llama-model.cpp:6451): qwen2 graph + M-RoPE
     # (GGML_ROPE_TYPE_MROPE section table)
-    sections = get("{arch}.rope.dimension_sections") or (16, 24, 24, 0)
+    sections = get("{arch}.rope.dimension_sections")
+    if sections is None or len(sections) == 0:
+        sections = (16, 24, 24, 0)
     return {
         "attn_bias": True,
         "mrope_sections": tuple(int(s) for s in sections),

@@ -57,6 +57,8 @@ _MODEL_TYPE_TO_ARCH = {
     "nemotron": "nemotron",
     "dbrx": "dbrx",
     "orion": "orion",
+    "qwen2_vl": "qwen2vl",
+    "chameleon": "chameleon",
 }
 
 # HF tensor suffix → GGUF suffix (per-layer); {} is the layer index
@@ -73,6 +75,8 @@ _LAYER_MAP = {
     "self_attn.o_proj.bias": "attn_output.bias",
     "self_attn.q_norm.weight": "attn_q_norm.weight",
     "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "self_attn.q_norm.bias": "attn_q_norm.bias",
+    "self_attn.k_norm.bias": "attn_k_norm.bias",
     "post_attention_layernorm.weight": "ffn_norm.weight",
     "post_attention_layernorm.bias": "ffn_norm.bias",
     "pre_feedforward_layernorm.weight": "ffn_norm.weight",  # gemma2 (pre-ffn)
@@ -240,6 +244,12 @@ def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
         w.add_float32(f"{arch}.attn_logit_softcapping", g("attn_logit_softcapping"))
     if g("final_logit_softcapping") is not None:
         w.add_float32(f"{arch}.final_logit_softcapping", g("final_logit_softcapping"))
+    if arch == "qwen2vl":
+        sect = (cfg.get("rope_scaling") or {}).get("mrope_section") or [16, 24, 24]
+        sect = (list(sect) + [0, 0, 0, 0])[:4]
+        w.add_kv(f"{arch}.rope.dimension_sections", [int(s) for s in sect])
+    if arch == "chameleon":
+        w.add_bool(f"{arch}.swin_norm", bool(cfg.get("swin_norm", False)))
     if arch == "mamba":
         w.add_uint32(f"{arch}.ssm.conv_kernel", g("conv_kernel", default=4))
         w.add_uint32(f"{arch}.ssm.inner_size",
@@ -333,13 +343,16 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
 
     n_head = cfg.get("num_attention_heads", cfg.get("n_head", 1))
     n_kv = cfg.get("num_key_value_heads", n_head)
-    permute = arch in ("llama", "internlm2", "exaone", "granite")
+    permute = arch in ("llama", "internlm2", "exaone", "granite", "chameleon")
     gemma_norm = arch.startswith("gemma")
     layer_map = _GEMMA2_LAYER_MAP if arch in ("gemma2", "gemma3") else _LAYER_MAP
 
     moe_stash: dict[str, dict[int, np.ndarray]] = {}
     n_written = 0
     for hf_name, arr in _iter_hf_tensors(hf_dir):
+        if hf_name.startswith(("model.vqmodel", "visual.", "model.visual")):
+            continue  # chameleon image tokenizer / qwen2vl vision tower
+        hf_name = hf_name.replace("language_model.", "")  # qwen2vl nesting
         arr = np.asarray(arr)
         if arr.dtype != np.float32:
             arr = arr.astype(np.float32)
@@ -356,6 +369,14 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
             arr = _permute_qk(arr, n_head)
         elif permute and name.endswith("attn_k.weight"):
             arr = _permute_qk(arr, n_kv)
+        elif arch == "chameleon" and ("attn_q_norm" in name or "attn_k_norm" in name):
+            # per-head LN weights follow the q/k permute (reference
+            # convert_hf_to_gguf.py ChameleonModel._reverse_hf_permute:
+            # half-split [2, D/2] → interleaved, broadcast over heads)
+            heads = n_head if "q_norm" in name else n_kv
+            d = arr.shape[-1] if arr.ndim == 2 else arr.shape[0] // heads
+            row = arr.reshape(heads, d)[0]
+            arr = np.tile(row.reshape(2, d // 2).T.reshape(-1), (heads, 1))
         if gemma_norm and "norm" in name:
             arr = arr + 1.0  # HF gemma applies (1 + w)
         if name.endswith("ssm_conv1d.weight"):

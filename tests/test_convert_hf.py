@@ -108,3 +108,86 @@ def test_convert_quantized_roundtrip(converted):
     # q8_0 quantization noise bound
     denom = np.abs(theirs).max()
     assert np.abs(np.asarray(ours)[0] - theirs[0]).max() / denom < 0.05
+
+
+def _tok_dir(tmp_path_factory, name):
+    d = tmp_path_factory.mktemp(name)
+    n_vocab = _byte_level_tokenizer(d / "tokenizer.json")
+    (d / "tokenizer_config.json").write_text(json.dumps({
+        "bos_token": "<s>", "eos_token": "</s>", "add_bos_token": False,
+    }))
+    return d, n_vocab
+
+
+def test_convert_chameleon_parity(tmp_path_factory):
+    """Chameleon conversion: q/k permute + per-head qk-LN weight reorder
+    must preserve logits end to end."""
+    d, n_vocab = _tok_dir(tmp_path_factory, "hf_chameleon")
+    hf_cfg = transformers.ChameleonConfig(
+        vocab_size=n_vocab, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, swin_norm=False, vocabulary_map={"a": 1},
+    )
+    torch.manual_seed(1)
+    hf_model = transformers.ChameleonForConditionalGeneration(hf_cfg).eval()
+    # the HF-side per-head norm rows are tied in real checkpoints; make them
+    # identical so the converter's broadcast-row assumption holds
+    with torch.no_grad():
+        for lay in hf_model.model.layers:
+            for nm in (lay.self_attn.q_norm, lay.self_attn.k_norm):
+                nm.weight.copy_(nm.weight[0].expand_as(nm.weight))
+                nm.bias.copy_(nm.bias[0].expand_as(nm.bias))
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+
+    out = str(d / "model-f32.gguf")
+    convert(str(d), out, "f32")
+    model = load_model(out)
+    assert model.cfg.arch == "chameleon"
+    assert model.cfg.qk_norm and model.cfg.qk_norm_ln
+
+    import dataclasses
+    cfg = dataclasses.replace(model.cfg, suppress_tokens=())  # tiny vocab
+    toks = np.array([[3, 45, 99, 7, 150]], np.int32)
+    n = toks.shape[1]
+    pos = np.arange(n, dtype=np.int32).reshape(1, n)
+    ours, _ = forward(model.params, cfg, jnp.asarray(toks), jnp.asarray(pos),
+                      mask=np.tril(np.ones((1, n, n), bool)),
+                      compute_dtype=jnp.float32)
+    with torch.no_grad():
+        theirs = hf_model(torch.tensor(toks, dtype=torch.long)).logits
+    np.testing.assert_allclose(np.asarray(ours)[0], theirs[0].numpy(),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_convert_qwen2vl_parity(tmp_path_factory):
+    """Qwen2-VL conversion: vision tower skipped, language_model prefix
+    stripped, M-RoPE sections written; text logits must match HF."""
+    d, n_vocab = _tok_dir(tmp_path_factory, "hf_qwen2vl")
+    hf_cfg = transformers.Qwen2VLConfig(
+        vocab_size=n_vocab, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=False,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+    )
+    torch.manual_seed(2)
+    hf_model = transformers.Qwen2VLForConditionalGeneration(hf_cfg).eval()
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+
+    out = str(d / "model-f32.gguf")
+    convert(str(d), out, "f32")
+    model = load_model(out)
+    assert model.cfg.arch == "qwen2vl"
+    assert model.cfg.mrope_sections == (2, 3, 3, 0)
+
+    toks = np.array([[3, 45, 99, 7, 150, 41]], np.int32)
+    n = toks.shape[1]
+    pos = np.arange(n, dtype=np.int32).reshape(1, n)
+    ours, _ = forward(model.params, model.cfg, jnp.asarray(toks), jnp.asarray(pos),
+                      mask=np.tril(np.ones((1, n, n), bool)),
+                      compute_dtype=jnp.float32)
+    with torch.no_grad():
+        theirs = hf_model(input_ids=torch.tensor(toks, dtype=torch.long)).logits
+    np.testing.assert_allclose(np.asarray(ours)[0], theirs[0].numpy(),
+                               rtol=2e-3, atol=2e-3)
