@@ -114,9 +114,12 @@ def _split4(sc4):
 def _body_q4_K(acc, x_lo, x_hi, xs_lo, xs_hi, qs, sc4):
     slo, shi, mlo, mhi = _split4(sc4)
     lo, hi = _nibbles_i32(qs)
-    w_lo = lo.astype(F32) * _expand(slo, 32)
-    w_hi = hi.astype(F32) * _expand(shi, 32)
-    acc[...] += _dot_xt_w(x_lo.astype(F32), w_lo) + _dot_xt_w(x_hi.astype(F32), w_hi)
+    # bf16 contraction like q5_K: the 4-bit q × 6-bit scale product fits
+    # bf16's mantissa budget at reference NMSE tolerance (backend-ops gate);
+    # halves the VMEM dequant temporaries and runs the MXU at bf16 rate
+    w_lo = (lo.astype(F32) * _expand(slo, 32)).astype(BF16)
+    w_hi = (hi.astype(F32) * _expand(shi, 32)).astype(BF16)
+    acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
     acc[...] -= _dot_xt_w(xs_lo, mlo) + _dot_xt_w(xs_hi, mhi)
 
 

@@ -76,6 +76,9 @@ class _Slot:
     last_token: int = -1
     generated: int = 0
     decoded_text_len: int = 0
+    # tokens whose KV rows are valid in this slot (survives slot FREE —
+    # the per-slot prompt cache, reference server slot.cache_tokens)
+    cache_tokens: list[int] = field(default_factory=list)
 
 
 class Engine:
@@ -235,10 +238,20 @@ class Engine:
                     pass
 
     # -- engine core ----------------------------------------------------------
+    @staticmethod
+    def _common_prefix(a: list[int], b: list[int]) -> int:
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
     def _assign_slots(self) -> None:
-        for slot in self.slots:
-            if slot.state != SlotState.FREE:
-                continue
+        while True:
+            free = [s for s in self.slots if s.state == SlotState.FREE]
+            if not free:
+                return
             try:
                 req = self.queue.get_nowait()
             except queue.Empty:
@@ -248,15 +261,43 @@ class Engine:
                 self.metrics["n_errors"] += 1
                 req.done.set()
                 continue
+            # prompt-cache reuse (reference update_slots common-prefix reuse
+            # + llama_kv_self_seq_cp): pick the FREE slot with the longest
+            # cached common prefix; if a busier slot caches an even longer
+            # one, seq_cp its rows into the chosen slot instead
+            # tie-break: preserve the most valuable other caches (pick the
+            # free slot with the least cached content when prefixes tie)
+            slot = max(free, key=lambda s: (
+                self._common_prefix(s.cache_tokens, req.prompt_tokens),
+                -len(s.cache_tokens)))
+            n_reuse = min(self._common_prefix(slot.cache_tokens,
+                                              req.prompt_tokens),
+                          req.n_prompt - 1)
+            donor = max(self.slots, key=lambda s: self._common_prefix(
+                s.cache_tokens, req.prompt_tokens))
+            n_donor = min(self._common_prefix(donor.cache_tokens,
+                                              req.prompt_tokens),
+                          req.n_prompt - 1)
+            if donor is not slot and n_donor > n_reuse + 16:
+                from .cache_ops import copy_slot
+
+                self.cache = copy_slot(self.cache, donor.idx, slot.idx)
+                slot.cache_tokens = list(donor.cache_tokens)
+                n_reuse = n_donor
             slot.state = SlotState.PROMPT
             slot.req = req
-            slot.n_past = 0
-            slot.prompt_pos = 0
+            slot.n_past = n_reuse
+            slot.prompt_pos = n_reuse
             slot.generated = 0
             slot.decoded_text_len = 0
+            slot.cache_tokens = list(req.prompt_tokens[:n_reuse])
+            if n_reuse:
+                self.metrics["prompt_tokens_cached"] = (
+                    self.metrics.get("prompt_tokens_cached", 0) + n_reuse)
             if req.sampler is None:
                 req.sampler = make_chain(temp=0.0)
-            log.info("slot %d: rid=%d prompt=%d tokens", slot.idx, req.rid, req.n_prompt)
+            log.info("slot %d: rid=%d prompt=%d tokens (%d cached)",
+                     slot.idx, req.rid, req.n_prompt, n_reuse)
 
     def step(self) -> bool:
         """One engine iteration. Returns True if any work was done.
@@ -287,6 +328,7 @@ class Engine:
             logits = self._prefill_slot(slot, chunk)
             slot.prompt_pos += len(chunk)
             slot.n_past += len(chunk)
+            slot.cache_tokens = list(req.prompt_tokens[: slot.prompt_pos])
             self.metrics["prompt_tokens_total"] += len(chunk)
             worked = True
             if slot.prompt_pos >= req.n_prompt:
@@ -315,6 +357,7 @@ class Engine:
                 )
                 ids_np = np.asarray(ids)
                 for s in gen:
+                    s.cache_tokens.append(s.last_token)
                     s.n_past += 1
                     token = int(ids_np[s.idx])
                     s.req.sampler.accept(token)
@@ -326,6 +369,7 @@ class Engine:
                 )
                 logits_np = np.asarray(logits)
                 for s in gen:
+                    s.cache_tokens.append(s.last_token)
                     s.n_past += 1
                     token = s.req.sampler.sample(logits_np[s.idx, 0])
                     self._emit_token(s, token)
@@ -370,11 +414,13 @@ class Engine:
         logits_np = np.asarray(logits)
 
         for s in gen:
+            s.cache_tokens.append(s.last_token)
             s.n_past += 1
             token = s.req.sampler.sample(logits_np[s.idx])
             self._emit_token(s, token)
         pslot.prompt_pos += len(chunk)
         pslot.n_past += len(chunk)
+        pslot.cache_tokens = list(req.prompt_tokens[: pslot.prompt_pos])
         self.metrics["prompt_tokens_total"] += len(chunk)
         if pslot.prompt_pos >= req.n_prompt:
             token = req.sampler.sample(logits_np[pslot.idx])
@@ -497,6 +543,7 @@ class Engine:
         ff = self.params["layers"][0].get("rope_freqs")
         self.cache = apply_seq_edit(self.cache, src, deltas, self.cfg.rope, ff)
         slot.n_past -= n_discard
+        slot.cache_tokens = []  # shifted rows no longer prefix-addressable
         log.info("slot %d: context shift (-%d tokens)", slot.idx, n_discard)
 
     # -- embeddings (reference server /v1/embeddings, pooling_type) ----------

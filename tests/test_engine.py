@@ -167,3 +167,48 @@ def test_mixed_prompt_decode_step(engine):
     assert calls, "mixed path was never taken"
     assert r1.result_tokens == solo1.result_tokens
     assert r2.result_tokens == solo2.result_tokens
+
+
+def test_prompt_cache_prefix_reuse(engine):
+    """A finished slot's KV is reused for a prompt sharing its prefix
+    (reference server prompt caching): fewer prompt tokens processed,
+    identical greedy output."""
+    base = [3, 5, 7, 9, 11, 13, 15, 17]
+    r1 = engine.generate_sync(list(base), max_new_tokens=4, sampler=greedy())
+    ref = engine.generate_sync(list(base) + [19, 21], max_new_tokens=4,
+                               sampler=greedy())
+    # fresh submission sharing the 8-token prefix: must reuse cached rows
+    before = engine.metrics["prompt_tokens_total"]
+    r2 = engine.generate_sync(list(base) + [19, 21], max_new_tokens=4,
+                              sampler=greedy())
+    processed = engine.metrics["prompt_tokens_total"] - before
+    assert r2.result_tokens == ref.result_tokens
+    assert engine.metrics.get("prompt_tokens_cached", 0) > 0
+    assert processed < len(base) + 2, processed
+
+
+def test_prompt_cache_cross_slot_copy(engine):
+    """A long prefix cached by a BUSY slot is seq_cp'd into the newly
+    assigned slot (llama_kv_self_seq_cp role)."""
+    long_prompt = list(range(2, 42))  # 40 tokens
+    ref = engine.generate_sync(list(long_prompt), max_new_tokens=3,
+                               sampler=greedy())
+    # a long-running request holding the prefix in its (busy) slot
+    blocker = Request(0, list(long_prompt), max_new_tokens=64,
+                      sampler=greedy())
+    engine.submit(blocker)
+    while not blocker.result_tokens:
+        engine.step()
+    # poison the remaining free slot's cache so only the BUSY slot still
+    # holds the prefix — forcing the cross-slot copy path
+    engine.generate_sync([77, 76, 75], max_new_tokens=2, sampler=greedy())
+    r2 = Request(0, list(long_prompt), max_new_tokens=3, sampler=greedy())
+    engine.submit(r2)
+    cached_before = engine.metrics.get("prompt_tokens_cached", 0)
+    while not r2.done.is_set():
+        engine.step()
+    blocker.cancelled = True
+    while not blocker.done.is_set():
+        engine.step()
+    assert r2.result_tokens == ref.result_tokens
+    assert engine.metrics.get("prompt_tokens_cached", 0) - cached_before >= 30
