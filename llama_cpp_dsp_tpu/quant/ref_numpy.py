@@ -971,6 +971,116 @@ def quant_f32(x: np.ndarray) -> np.ndarray:
     return _f32(x).view(np.uint8).reshape(-1)
 
 
+def _best_index_iq4nl(al: np.ndarray) -> np.ndarray:
+    """Nearest index in the IQ4NL codebook — ggml best_index_int8
+    (ggml-quants.c): ties resolve to the upper index."""
+    v = KVALUES_IQ4NL.astype(np.float32)
+    hi = np.clip(np.searchsorted(v, al, side="left"), 1, 15)
+    lo = hi - 1
+    pick_lo = (al - v[lo]) < (v[hi] - al)
+    return np.where(al <= v[0], 0,
+                    np.where(al >= v[15], 15, np.where(pick_lo, lo, hi)))
+
+
+def _iq4_fit(xb: np.ndarray, weight: np.ndarray, ntry: int = 7) -> np.ndarray:
+    """Per-32-block scale fit for IQ4 (quantize_row_iq4_nl_impl,
+    ggml-quants.c:4573): weighted least-squares over the codebook with a
+    ±ntry scale-candidate sweep. xb/weight [nb, 32] → d [nb] f32."""
+    v0 = float(KVALUES_IQ4NL[0])
+    amax = np.abs(xb).max(axis=1)
+    maxv = xb[np.arange(len(xb)), np.abs(xb).argmax(axis=1)]
+    ok = amax >= GROUP_MAX_EPS
+    safe_max = np.where(ok, maxv, F32(1))
+
+    def fit(id_):
+        lidx = _best_index_iq4nl(id_[:, None] * xb)
+        q = KVALUES_IQ4NL.astype(np.float32)[lidx]
+        sumqx = (weight * q * xb).sum(axis=1)
+        sumq2 = (weight * q * q).sum(axis=1)
+        return sumqx, sumq2
+
+    d0 = -safe_max / v0 if ntry > 0 else safe_max / v0
+    sumqx, sumq2 = fit(np.where(d0 != 0, 1.0 / np.where(d0 != 0, d0, 1), 0).astype(F32))
+    d = np.where(sumq2 > 0, sumqx / np.where(sumq2 > 0, sumq2, 1), d0)
+    best = d * sumqx
+    for itry in range(-ntry, ntry + 1):
+        id_ = ((itry + v0) / safe_max).astype(F32)
+        sumqx, sumq2 = fit(id_)
+        better = (sumq2 > 0) & (sumqx * sumqx > best * sumq2)
+        d_new = sumqx / np.where(sumq2 > 0, sumq2, 1)
+        d = np.where(better, d_new, d)
+        best = np.where(better, d_new * sumqx, best)
+    return np.where(ok, d, F32(0)).astype(F32)
+
+
+def _iq4_weights(xb: np.ndarray, qw: np.ndarray | None, sigma2=None) -> np.ndarray:
+    if qw is None:
+        return xb * xb
+    return qw * np.sqrt(sigma2[:, None] + xb * xb).astype(F32)
+
+
+def _pack_nibble_groups(lidx: np.ndarray) -> np.ndarray:
+    """[nb, n32, 32] indices → [nb, n32*16] packed (q4[16i+j] = L[32i+j] |
+    L[32i+16+j]<<4)."""
+    lo = lidx[..., :16]
+    hi = lidx[..., 16:]
+    return (lo | (hi << 4)).astype(np.uint8).reshape(len(lidx), -1)
+
+
+def quant_iq4_nl(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ4_NL quantizer (quantize_iq4_nl, ggml-quants.c:4688, ntry=7)."""
+    x = _f32(x).reshape(-1, 32)
+    nb = len(x)
+    if qw is not None:
+        sigma2 = F32(2) * (x * x).sum(axis=1) / F32(32)
+        weight = _iq4_weights(x, qw.reshape(-1, 32)[:nb] if qw.ndim else qw, sigma2)
+    else:
+        weight = _iq4_weights(x, None)
+    d = _iq4_fit(x, weight, ntry=7)
+    id_ = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 0).astype(F32)
+    lidx = _best_index_iq4nl(id_[:, None] * x)  # final recompute (ntry>0)
+    out = np.zeros(nb, dtype=DT[GGMLType.IQ4_NL])
+    out["d"] = d.astype(np.float16)
+    out["qs"] = _pack_nibble_groups(lidx[:, None, :])
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_iq4_xs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ4_XS quantizer (quantize_iq4_xs, ggml-quants.c:4722, ntry=7):
+    6-bit sub-block scales against a shared f16 super-scale."""
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    xg = x.reshape(nb, 8, 32)
+    if qw is not None:
+        sigma2 = F32(2) * (x * x).sum(axis=1) / F32(QK_K)
+        w = _iq4_weights(xg.reshape(-1, 32), np.broadcast_to(
+            qw.reshape(-1, 32), (nb * 8, 32)) if qw.size == QK_K else
+            qw.reshape(-1, 32), np.repeat(sigma2, 8))
+    else:
+        w = _iq4_weights(xg.reshape(-1, 32), None)
+    scales = _iq4_fit(xg.reshape(-1, 32), w, ntry=7).reshape(nb, 8)
+
+    amax_s = np.abs(scales).max(axis=1)
+    max_s = scales[np.arange(nb), np.abs(scales).argmax(axis=1)]
+    d = np.where(amax_s > 0, -max_s / F32(32), F32(0)).astype(F32)
+    id_ = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 0).astype(F32)
+    ls = np.clip(nearest_int(id_[:, None] * scales), -32, 31)  # [nb, 8]
+    dl = d[:, None] * ls.astype(F32)
+    idl = np.where(dl != 0, 1.0 / np.where(dl != 0, dl, 1), 0).astype(F32)
+    lidx = _best_index_iq4nl(idl[:, :, None] * xg)  # [nb, 8, 32]
+
+    lsu = (ls + 32).astype(np.uint16)
+    out = np.zeros(nb, dtype=DT[GGMLType.IQ4_XS])
+    out["d"] = d.astype(np.float16)
+    out["scales_l"] = ((lsu[:, 0::2] & 0xF) | ((lsu[:, 1::2] & 0xF) << 4)).astype(np.uint8)
+    sh = np.zeros(nb, np.uint16)
+    for ib in range(8):
+        sh |= ((lsu[:, ib] >> 4) & 3).astype(np.uint16) << (2 * ib)
+    out["scales_h"] = sh
+    out["qs"] = _pack_nibble_groups(lidx)
+    return out.view(np.uint8).reshape(-1)
+
+
 def quant_tq1_0(x: np.ndarray) -> np.ndarray:
     """Ternary 1.6875 bpw (quantize_row_tq1_0_ref, ggml-quants.c:2043):
     d = amax, values rounded to {-1,0,1}, 5 trits per byte base-243
@@ -1034,6 +1144,8 @@ _QUANT = {
     GGMLType.Q6_K: quant_q6_K,
     GGMLType.TQ1_0: quant_tq1_0,
     GGMLType.TQ2_0: quant_tq2_0,
+    GGMLType.IQ4_NL: quant_iq4_nl,
+    GGMLType.IQ4_XS: quant_iq4_xs,
 }
 
 

@@ -39,6 +39,8 @@ FTYPE_DEFAULT_TYPE: dict[FType, GGMLType] = {
     FType.MOSTLY_Q6_K: GGMLType.Q6_K,
     FType.MOSTLY_TQ1_0: GGMLType.TQ1_0,
     FType.MOSTLY_TQ2_0: GGMLType.TQ2_0,
+    FType.MOSTLY_IQ4_NL: GGMLType.IQ4_NL,
+    FType.MOSTLY_IQ4_XS: GGMLType.IQ4_XS,
 }
 
 FTYPE_NAMES = {
@@ -50,6 +52,7 @@ FTYPE_NAMES = {
     "Q5_K_S": FType.MOSTLY_Q5_K_S, "Q5_K_M": FType.MOSTLY_Q5_K_M,
     "Q6_K": FType.MOSTLY_Q6_K,
     "TQ1_0": FType.MOSTLY_TQ1_0, "TQ2_0": FType.MOSTLY_TQ2_0,
+    "IQ4_NL": FType.MOSTLY_IQ4_NL, "IQ4_XS": FType.MOSTLY_IQ4_XS,
 }
 
 # block-size fallbacks when ne[0] % block != 0 (llama-quant.cpp:~430)
