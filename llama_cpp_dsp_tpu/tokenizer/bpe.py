@@ -131,13 +131,43 @@ def regex_split(text: str, exprs: list[str]) -> list[str]:
 
 
 class BpeTokenizer:
-    def __init__(self, vocab: Vocab):
+    def __init__(self, vocab: Vocab, use_native: bool | None = None):
         self.vocab = vocab
         self.regex_exprs = PRE_REGEXES.get(vocab.pre, PRE_REGEXES["default"])
+        self._native = None
+        if use_native is None:
+            import os
+
+            use_native = os.environ.get("LLAMA_TPU_NATIVE_BPE", "1") != "0"
+        if use_native:
+            try:
+                from ..native.bpe_bind import NativeBpe
+
+                self._native = NativeBpe(vocab.tokens, vocab.bpe_ranks)
+            except Exception:  # noqa: BLE001 — fall back to the Python twin
+                self._native = None
 
     def tokenize(self, text: str, output: list[int]) -> None:
         vocab = self.vocab
         words = [bpe_byte_encode(w) for w in regex_split(text, self.regex_exprs)]
+
+        if self._native is not None:
+            if not vocab.ignore_merges:
+                output.extend(self._native.encode_words(words))
+                return
+            batch: list[str] = []
+            for word in words:
+                tid = vocab.text_to_token(word)
+                if tid != TOKEN_NULL:
+                    if batch:
+                        output.extend(self._native.encode_words(batch))
+                        batch = []
+                    output.append(tid)
+                else:
+                    batch.append(word)
+            if batch:
+                output.extend(self._native.encode_words(batch))
+            return
 
         final_symbols: list[str] = []
         for word in words:
