@@ -467,14 +467,23 @@ def _cached_attention(
         and d % 128 == 0  # Mosaic DMA lane alignment
         and cache.capacity % 128 == 0
     ):
-        from ..ops.pallas.attention import flash_decode, flash_decode_q8
+        from ..ops.pallas.attention import (
+            flash_decode, flash_decode_paged, flash_decode_q8,
+        )
         from ..runtime.kv_cache import QuantKVCache
+        from ..runtime.paged_kv import PagedKVCache
 
         lengths = positions[:, 0] + 1
         starts = None
         if cfg.is_swa_layer(layer_idx):
             starts = jnp.maximum(lengths - cfg.swa_window, 0)
-        if isinstance(cache, QuantKVCache) and cache.capacity % 128 == 0:
+        if isinstance(cache, PagedKVCache):
+            attn = flash_decode_paged(
+                q[:, 0], cache.k[layer_idx], cache.v[layer_idx],
+                cache.tables, lengths, starts,
+                scale=float(scale0), softcap=float(cfg.attn_logit_softcap),
+            )
+        elif isinstance(cache, QuantKVCache) and cache.capacity % 128 == 0:
             attn = flash_decode_q8(
                 q[:, 0], *cache.packed_layer(layer_idx), lengths, starts,
                 scale=float(scale0), softcap=float(cfg.attn_logit_softcap),

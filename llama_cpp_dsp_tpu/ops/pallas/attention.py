@@ -311,3 +311,146 @@ def flash_decode_q8(
         interpret=interpret,
     )(starts.astype(jnp.int32), lengths.astype(jnp.int32), qg, k_qs, k_d, v_qs, v_d)
     return out.reshape(bsz, hq, d)
+
+
+# ---------------------------------------------------------------------------
+# Paged-KV variant: K/V live in page pools [P, Hkv, ps, D]; each sequence's
+# block table rides the scalar prefetch and indexes the page DMAs directly —
+# the TPU-native form of the reference's paged/unified cell cache, with no
+# dense gather (HBM traffic stays proportional to actual length).
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel_paged(
+    tables_ref,  # SMEM [B, max_blocks] int32 page ids
+    len_ref,  # SMEM [B] int32
+    start_ref,  # SMEM [B] int32 (SWA window start)
+    q_ref,  # VMEM [1, 1, rep, D]
+    k_hbm,  # ANY [P, Hkv, ps, D]
+    v_hbm,  # ANY [P, Hkv, ps, D]
+    o_ref,  # VMEM [1, 1, rep, D] f32
+    k_buf,  # VMEM [2, ps, D]
+    v_buf,
+    sem,
+    *,
+    scale: float,
+    page: int,
+    softcap: float,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    length = len_ref[b]
+    start = start_ref[b]
+    first = start // page
+    n_chunks = pl.cdiv(length, page)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    rep, d = q.shape
+
+    def k_dma(slot, ci):
+        return pltpu.make_async_copy(
+            k_hbm.at[tables_ref[b, ci], h], k_buf.at[slot], sem.at[slot, 0]
+        )
+
+    def v_dma(slot, ci):
+        return pltpu.make_async_copy(
+            v_hbm.at[tables_ref[b, ci], h], v_buf.at[slot], sem.at[slot, 1]
+        )
+
+    @pl.when(first < n_chunks)
+    def _():
+        k_dma(first % 2, first).start()
+        v_dma(first % 2, first).start()
+
+    def body(ci, carry):
+        m, l, acc = carry
+        slot = ci % 2
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            k_dma((ci + 1) % 2, ci + 1).start()
+            v_dma((ci + 1) % 2, ci + 1).start()
+
+        k_dma(slot, ci).wait()
+        v_dma(slot, ci).wait()
+
+        kc = k_buf[slot].astype(jnp.float32)
+        vc = v_buf[slot].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if softcap:
+            s = jnp.tanh(s / softcap) * softcap
+        col = ci * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where((col < length) & (col >= start), s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, vc, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return m_new, l, acc
+
+    m0 = jnp.full((rep, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((rep, 1), jnp.float32)
+    acc0 = jnp.zeros((rep, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(first, n_chunks, body, (m0, l0, acc0))
+    o_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "softcap", "interpret")
+)
+def flash_decode_paged(
+    q: jax.Array,  # [B, H, D]
+    k_pages: jax.Array,  # [P, Hkv, ps, D]
+    v_pages: jax.Array,
+    tables: jax.Array,  # [B, max_blocks] int32
+    lengths: jax.Array,  # [B]
+    starts: jax.Array | None = None,
+    *,
+    scale: float,
+    softcap: float = 0.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns [B, H, D] f32 attention over paged KV."""
+    bsz, hq, d = q.shape
+    n_pages, hkv, ps, _ = k_pages.shape
+    rep = hq // hkv
+    if starts is None:
+        starts = jnp.zeros_like(lengths)
+    # sentinel table entries (== n_pages) are never dereferenced for
+    # ci < cdiv(length, ps), but clamp defensively for the DMA engine
+    tables = jnp.minimum(tables, n_pages - 1)
+
+    qg = q.reshape(bsz, hkv, rep, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # tables, lengths, starts
+        grid=(bsz, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, d), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, d), lambda b, h, *_: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, ps, d), k_pages.dtype),
+            pltpu.VMEM((2, ps, d), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_paged, scale=scale, page=ps,
+                          softcap=softcap),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
+        interpret=interpret,
+    )(tables.astype(jnp.int32), lengths.astype(jnp.int32),
+      starts.astype(jnp.int32), qg, k_pages, v_pages)
+    return out.reshape(bsz, hq, d)

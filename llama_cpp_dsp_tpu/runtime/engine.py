@@ -95,8 +95,11 @@ class Engine:
         prefill_buckets: tuple[int, ...] = (32, 128, 512),
         use_pallas: bool | None = None,
         context_shift: bool = True,  # per-slot shift when a slot fills
+        kv_layout: str = "slots",  # "slots" | "paged" (shared-prefix pages)
+        page_size: int = 128,
     ):
-        self.context_shift = context_shift
+        self.kv_layout = kv_layout
+        self.context_shift = context_shift and kv_layout != "paged"
         from .context import _convert_to_kernel_weights
 
         if use_pallas is None:
@@ -119,10 +122,26 @@ class Engine:
         if not isinstance(kv_dtype, str):
             kv_dtype = {jnp.float32: "f32", jnp.bfloat16: "bf16",
                         jnp.float16: "f16"}.get(kv_dtype, "bf16")
-        self.cache = make_kv_cache(
-            cfg.n_layers, n_slots, n_ctx_per_slot, cfg.kv_cache_heads,
-            cfg.kv_cache_dim, kv_dtype,
-        )
+        if kv_layout == "paged":
+            from .paged_kv import PageAllocator, PagedKVCache, PagedSeq
+
+            blocks = -(-n_ctx_per_slot // page_size)
+            self.n_ctx = n_ctx_per_slot = blocks * page_size
+            n_pages = n_slots * blocks + n_slots  # + COW slack
+            self._page_alloc = PageAllocator(n_pages)
+            self._seqs = [PagedSeq(self._page_alloc, blocks)
+                          for _ in range(n_slots)]
+            dt = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                  "f16": jnp.float16}.get(kv_dtype, jnp.bfloat16)
+            self.cache = PagedKVCache.create(
+                cfg.n_layers, n_pages, n_slots, blocks, cfg.kv_cache_heads,
+                cfg.kv_cache_dim, page_size=page_size, dtype=dt,
+            )
+        else:
+            self.cache = make_kv_cache(
+                cfg.n_layers, n_slots, n_ctx_per_slot, cfg.kv_cache_heads,
+                cfg.kv_cache_dim, kv_dtype,
+            )
         self.compute_dtype = compute_dtype
         self.slots = [_Slot(i) for i in range(n_slots)]
         self.queue: queue.Queue[Request] = queue.Queue()
@@ -194,6 +213,10 @@ class Engine:
             and not self.cfg.kv_lora_rank
             and self.cfg.pos_embd_type != "alibi"
         )
+        if kv_layout == "paged" and not self._mixed_ok:
+            raise ValueError(
+                "kv_layout='paged' requires the packed decoder path "
+                f"(arch {self.cfg.arch} uses builder={spec.builder})")
         self._prefill_fn = _prefill
         self._decode_fn = _decode
         self._decode_argmax_fn = _decode_argmax
@@ -278,7 +301,20 @@ class Engine:
             n_donor = min(self._common_prefix(donor.cache_tokens,
                                               req.prompt_tokens),
                           req.n_prompt - 1)
-            if donor is not slot and n_donor > n_reuse + 16:
+            if self.kv_layout == "paged":
+                ps = self.cache.page_size
+                if donor is not slot and (n_donor // ps) * ps > n_reuse:
+                    # zero-copy: alias the donor's full prefix pages
+                    shared = self._seqs[slot.idx].share_prefix_from(
+                        self._seqs[donor.idx], n_donor, ps)
+                    self.cache = self.cache.set_table_row(
+                        slot.idx, self._seqs[slot.idx].table_row(
+                            self.cache.n_pages))
+                    slot.cache_tokens = list(donor.cache_tokens[:shared])
+                    n_reuse = min(shared, req.n_prompt - 1)
+                # blocks past the reused prefix must be exclusively owned
+                self._cow_from(slot.idx, n_reuse)
+            elif donor is not slot and n_donor > n_reuse + 16:
                 from .cache_ops import copy_slot
 
                 self.cache = copy_slot(self.cache, donor.idx, slot.idx)
@@ -313,7 +349,10 @@ class Engine:
 
         if self._mixed_ok:
             gen = [s for s in self.slots if s.state == SlotState.GENERATING]
-            if gen and any(s.state == SlotState.PROMPT for s in self.slots):
+            has_prompt = any(s.state == SlotState.PROMPT for s in self.slots)
+            # paged mode routes ALL prompt work through the packed program
+            # (there is no contiguous slot_view over pages)
+            if has_prompt and (gen or self.kv_layout == "paged"):
                 return self._mixed_step(gen)
 
         # 1. one prompt chunk per iteration (round-robin over prompt slots)
@@ -342,6 +381,7 @@ class Engine:
         # 2. batched decode for all generating slots
         gen = [s for s in self.slots if s.state == SlotState.GENERATING]
         if gen:
+            self._ensure_pages([(s.idx, s.n_past + 1) for s in gen])
             tokens = np.zeros((self.n_slots, 1), np.int32)
             positions = np.zeros((self.n_slots, 1), np.int32)
             active = np.zeros(self.n_slots, bool)
@@ -376,6 +416,29 @@ class Engine:
             worked = True
         return worked
 
+    def _ensure_pages(self, needs: list[tuple[int, int]]) -> None:
+        """Paged mode: grow block tables to cover (slot, n_tokens) writes."""
+        if self.kv_layout != "paged":
+            return
+        for idx, n in needs:
+            if self._seqs[idx].ensure(n, self.cache.page_size):
+                self.cache = self.cache.set_table_row(
+                    idx, self._seqs[idx].table_row(self.cache.n_pages))
+
+    def _cow_from(self, idx: int, from_row: int) -> None:
+        """Paged mode: make every block of `idx` from `from_row` on
+        exclusively owned (copy-on-write) before it gets overwritten."""
+        if self.kv_layout != "paged":
+            return
+        seq = self._seqs[idx]
+        changed = False
+        for blk in range(from_row // self.cache.page_size, len(seq.pages)):
+            self.cache, copied = seq.make_writable(blk, self.cache)
+            changed = changed or copied
+        if changed:
+            self.cache = self.cache.set_table_row(
+                idx, seq.table_row(self.cache.n_pages))
+
     def _mixed_step(self, gen: list["_Slot"]) -> bool:
         """One packed prompt+decode iteration: all generating slots' next
         tokens + one prompt slot's chunk in a single device program."""
@@ -407,6 +470,8 @@ class Engine:
             i += 1
         out_idx[pslot.idx] = i - 1
 
+        self._ensure_pages([(s.idx, s.n_past + 1) for s in gen]
+                           + [(pslot.idx, pslot.n_past + len(chunk))])
         logits, self.cache = self._mixed_fn(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(slot_ids), jnp.asarray(rows), jnp.asarray(out_idx),

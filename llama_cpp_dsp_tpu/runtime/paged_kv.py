@@ -1,0 +1,209 @@
+"""Paged KV cache with shared-prefix page aliasing.
+
+The BASELINE north-star's "llama_kv_cache paged KV-cache" TPU-natively:
+K/V live in fixed page pools `[L, P, Hkv, page_size, D]`; each sequence owns
+a block table of page ids. Shared prompt prefixes alias the same pages
+(reference llama_kv_self_seq_cp's cell sharing, src/llama-kv-cache.h:46-65
+seq_id sets) with host-side refcounts and copy-on-write for the first
+partially-filled page. Token writes route through the device-resident block
+tables, so cache payloads never round-trip to host.
+
+Decode attention reads pages directly via the paged flash kernel
+(ops/pallas/attention.flash_decode_paged — block tables ride the scalar
+prefetch); the XLA fallback gathers pages into a dense view.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PagedKVCache:
+    k: jax.Array  # [L, P, Hkv, ps, D] — page pool ("P" includes no sentinel)
+    v: jax.Array
+    tables: jax.Array  # [B, max_blocks] int32 page ids (P = unmapped)
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.tables), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def create(cls, n_layers, n_pages, n_seqs, max_blocks, n_kv_heads,
+               head_dim, page_size=128, dtype=jnp.bfloat16):
+        shape = (n_layers, n_pages, n_kv_heads, page_size, head_dim)
+        return cls(
+            jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+            jnp.full((n_seqs, max_blocks), n_pages, jnp.int32),
+        )
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def n_pages(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def capacity(self) -> int:
+        """Max per-sequence length (max_blocks × page_size)."""
+        return self.tables.shape[1] * self.page_size
+
+    def write_packed(self, layer: int, k_new: jax.Array, v_new: jax.Array,
+                     slot_ids: jax.Array, rows: jax.Array) -> "PagedKVCache":
+        """Scatter [Ptok, Hkv, D] rows at (slot, pos) through the block
+        tables. rows >= capacity ⇒ padding (maps to sentinel page = n_pages,
+        dropped by the OOB scatter)."""
+        ps = self.page_size
+        blk = jnp.minimum(rows // ps, self.tables.shape[1] - 1)
+        pages = self.tables[slot_ids, blk]  # [Ptok]
+        pages = jnp.where(rows < self.capacity, pages, self.n_pages)
+        rin = rows % ps
+        k = self.k.at[layer, pages, :, rin].set(
+            k_new.astype(self.k.dtype), mode="drop")
+        v = self.v.at[layer, pages, :, rin].set(
+            v_new.astype(self.v.dtype), mode="drop")
+        return PagedKVCache(k, v, self.tables)
+
+    def write(self, layer: int, k_new: jax.Array, v_new: jax.Array,
+              offset) -> "PagedKVCache":
+        """[B, T, Hkv, D] per-slot write at `offset` ([B] vector or scalar);
+        engine decode path compatibility."""
+        b, t = k_new.shape[:2]
+        off = jnp.asarray(offset, jnp.int32)
+        if off.ndim == 0:
+            off = jnp.full((b,), off, jnp.int32)
+        rows = off[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # [B,T]
+        slot_ids = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None],
+                                    (b, t))
+        return self.write_packed(
+            layer, k_new.reshape(b * t, *k_new.shape[2:]),
+            v_new.reshape(b * t, *v_new.shape[2:]),
+            slot_ids.reshape(-1), rows.reshape(-1),
+        )
+
+    def layer(self, i: int) -> tuple[jax.Array, jax.Array]:
+        """Dense per-sequence gather view [B, Hkv, S, D] (XLA fallback path;
+        the paged flash kernel reads pages in place instead)."""
+        safe = jnp.minimum(self.tables, self.n_pages - 1)  # unmapped → pad
+        kg = self.k[i][safe]  # [B, blocks, Hkv, ps, D]
+        vg = self.v[i][safe]
+        b, nb, hkv, ps, d = kg.shape
+        k = kg.transpose(0, 2, 1, 3, 4).reshape(b, hkv, nb * ps, d)
+        v = vg.transpose(0, 2, 1, 3, 4).reshape(b, hkv, nb * ps, d)
+        return k, v
+
+    def copy_page(self, src: int, dst: int) -> "PagedKVCache":
+        """Copy-on-write support: duplicate one page's payload."""
+        return PagedKVCache(
+            self.k.at[:, dst].set(self.k[:, src]),
+            self.v.at[:, dst].set(self.v[:, src]),
+            self.tables,
+        )
+
+    def set_table_row(self, seq: int, row: np.ndarray) -> "PagedKVCache":
+        return PagedKVCache(
+            self.k, self.v,
+            self.tables.at[seq].set(jnp.asarray(row, jnp.int32)),
+        )
+
+
+class PageAllocator:
+    """Host-side page bookkeeping: free list + refcounts (shared-prefix
+    pages are referenced by several sequences; freed when the last drops)."""
+
+    def __init__(self, n_pages: int):
+        self.n_pages = n_pages
+        self.refs = np.zeros(n_pages, np.int32)
+        self._free: list[int] = list(range(n_pages - 1, -1, -1))
+
+    @property
+    def n_free(self) -> int:
+        return len(self._free)
+
+    def alloc(self) -> int:
+        if not self._free:
+            raise MemoryError("paged KV: out of pages")
+        pid = self._free.pop()
+        self.refs[pid] = 1
+        return pid
+
+    def ref(self, pid: int) -> None:
+        assert self.refs[pid] > 0
+        self.refs[pid] += 1
+
+    def unref(self, pid: int) -> None:
+        assert self.refs[pid] > 0
+        self.refs[pid] -= 1
+        if self.refs[pid] == 0:
+            self._free.append(pid)
+
+    def is_shared(self, pid: int) -> bool:
+        return self.refs[pid] > 1
+
+
+class PagedSeq:
+    """Host view of one sequence's block table."""
+
+    def __init__(self, alloc: PageAllocator, max_blocks: int):
+        self.alloc = alloc
+        self.max_blocks = max_blocks
+        self.pages: list[int] = []
+
+    def table_row(self, n_pages_sentinel: int) -> np.ndarray:
+        row = np.full(self.max_blocks, n_pages_sentinel, np.int32)
+        row[: len(self.pages)] = self.pages
+        return row
+
+    def ensure(self, n_tokens: int, page_size: int) -> bool:
+        """Allocate pages to cover n_tokens. Returns True if changed."""
+        need = (n_tokens + page_size - 1) // page_size
+        if need > self.max_blocks:
+            raise MemoryError("paged KV: sequence exceeds max_blocks")
+        changed = False
+        while len(self.pages) < need:
+            self.pages.append(self.alloc.alloc())
+            changed = True
+        return changed
+
+    def share_prefix_from(self, donor: "PagedSeq", n_tokens: int,
+                          page_size: int) -> int:
+        """Alias the donor's full pages covering n_tokens (refcounted).
+        Returns tokens actually shared (floor to page boundary — the
+        donor's partial page stays exclusive; COW covers the rest)."""
+        self.release()
+        n_full = min(n_tokens // page_size, len(donor.pages))
+        for pid in donor.pages[:n_full]:
+            self.alloc.ref(pid)
+            self.pages.append(pid)
+        return n_full * page_size
+
+    def make_writable(self, block: int, cache: PagedKVCache) -> tuple[PagedKVCache, bool]:
+        """COW: if pages[block] is shared, copy it to a fresh page."""
+        pid = self.pages[block]
+        if not self.alloc.is_shared(pid):
+            return cache, False
+        new = self.alloc.alloc()
+        cache = cache.copy_page(pid, new)
+        self.alloc.unref(pid)
+        self.pages[block] = new
+        return cache, True
+
+    def truncate(self, n_tokens: int, page_size: int) -> None:
+        keep = (n_tokens + page_size - 1) // page_size
+        while len(self.pages) > keep:
+            self.alloc.unref(self.pages.pop())
+
+    def release(self) -> None:
+        for pid in self.pages:
+            self.alloc.unref(pid)
+        self.pages = []

@@ -454,6 +454,9 @@ def main(argv=None) -> int:
     ap.add_argument("--draft-max", type=int, default=8,
                     help="max tokens drafted per round (reference --draft-max)")
     ap.add_argument("--draft-p-min", type=float, default=0.75)
+    ap.add_argument("--kv-layout", default="slots", choices=("slots", "paged"),
+                    help="paged = shared-prefix page-aliased KV cache")
+    ap.add_argument("--kv-page-size", type=int, default=128)
     from ..utils.args import parse_with_env
 
     args = parse_with_env(ap, argv)
@@ -473,7 +476,9 @@ def main(argv=None) -> int:
                             n_draft=args.draft_max, p_min=args.draft_p_min)
     else:
         engine = Engine(model, n_slots=args.parallel,
-                        n_ctx_per_slot=args.ctx_size)
+                        n_ctx_per_slot=args.ctx_size,
+                        kv_layout=args.kv_layout,
+                        page_size=args.kv_page_size)
     engine.start()
     server = Server(engine, model_name=args.alias or args.model, api_key=args.api_key)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)

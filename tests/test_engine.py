@@ -212,3 +212,68 @@ def test_prompt_cache_cross_slot_copy(engine):
         engine.step()
     assert r2.result_tokens == ref.result_tokens
     assert engine.metrics.get("prompt_tokens_cached", 0) - cached_before >= 30
+
+
+@pytest.fixture(scope="module")
+def paged_engine(engine):
+    return Engine(engine.model, n_slots=2, n_ctx_per_slot=64,
+                  prefill_buckets=(16,), use_pallas=False,
+                  kv_layout="paged", page_size=8)
+
+
+def test_paged_engine_matches_slots(engine, paged_engine):
+    """kv_layout='paged' must produce identical greedy streams to the
+    contiguous-slot engine. Prompts are unique to this test: the module
+    engine's prompt cache would otherwise reuse earlier tests' prefixes and
+    change the bf16 rounding path."""
+    for prompt in ([23, 29, 31], [37, 41, 43, 47, 53, 59, 61, 67, 71, 73]):
+        a = engine.generate_sync(list(prompt), max_new_tokens=6,
+                                 sampler=greedy())
+        b = paged_engine.generate_sync(list(prompt), max_new_tokens=6,
+                                       sampler=greedy())
+        assert a.result_tokens == b.result_tokens, prompt
+
+
+def test_paged_engine_shared_prefix(paged_engine):
+    """Shared prompt prefixes alias pages with zero copies: page usage for
+    the second identical prompt only adds the divergent tail."""
+    eng = paged_engine
+    prompt = list(range(2, 34))  # 32 tokens = 4 pages of 8
+    r1 = eng.generate_sync(list(prompt), max_new_tokens=3, sampler=greedy())
+    # busy donor: long-running request holding the prefix
+    blocker = Request(0, list(prompt), max_new_tokens=40, sampler=greedy())
+    eng.submit(blocker)
+    while not blocker.result_tokens:
+        eng.step()
+    free_before = eng._page_alloc.n_free
+    r2 = Request(0, list(prompt) + [40, 42], max_new_tokens=3,
+                 sampler=greedy())
+    eng.submit(r2)
+    while not r2.done.is_set():
+        eng.step()
+    blocker.cancelled = True
+    while not blocker.done.is_set():
+        eng.step()
+    assert r2.result_tokens
+    assert eng.metrics.get("prompt_tokens_cached", 0) >= 24
+    # concurrent run consumed only the non-shared tail pages
+    assert free_before - eng._page_alloc.n_free <= 3
+
+
+def test_paged_engine_mixed_concurrent(paged_engine):
+    """Prompt chunks + decode co-scheduled through the packed program on
+    the paged cache; streams match solo runs."""
+    eng = paged_engine
+    p1, p2 = [3, 5, 7, 9, 11, 13, 2, 4], [6, 10, 14, 8]
+    solo1 = eng.generate_sync(list(p1), max_new_tokens=6, sampler=greedy())
+    solo2 = eng.generate_sync(list(p2), max_new_tokens=6, sampler=greedy())
+    r1 = Request(0, list(p1), max_new_tokens=6, sampler=greedy())
+    eng.submit(r1)
+    while not r1.result_tokens:
+        eng.step()
+    r2 = Request(0, list(p2), max_new_tokens=6, sampler=greedy())
+    eng.submit(r2)
+    while not (r1.done.is_set() and r2.done.is_set()):
+        eng.step()
+    assert r1.result_tokens == solo1.result_tokens
+    assert r2.result_tokens == solo2.result_tokens

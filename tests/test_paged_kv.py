@@ -1,0 +1,149 @@
+"""Paged KV cache: write/gather equivalence vs the contiguous cache, paged
+flash-decode kernel parity (interpret mode), shared-prefix page aliasing
+with copy-on-write, and forward_packed integration."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llama_cpp_dsp_tpu.gguf.constants import GGMLType
+from llama_cpp_dsp_tpu.models.llama import forward_packed
+from llama_cpp_dsp_tpu.models.registry import synth_config
+from llama_cpp_dsp_tpu.ops.pallas.attention import flash_decode, flash_decode_paged
+from llama_cpp_dsp_tpu.runtime.kv_cache import KVCache
+from llama_cpp_dsp_tpu.runtime.paged_kv import (
+    PageAllocator, PagedKVCache, PagedSeq,
+)
+from llama_cpp_dsp_tpu.tools.synth import synth_params
+
+L, HKV, PS, D = 2, 2, 8, 32
+N_PAGES, N_SEQS, MAX_BLOCKS = 16, 3, 4
+
+
+def _fill(rng, seqs_tokens):
+    """Write per-seq random K/V rows into both cache kinds."""
+    alloc = PageAllocator(N_PAGES)
+    seqs = [PagedSeq(alloc, MAX_BLOCKS) for _ in range(N_SEQS)]
+    paged = PagedKVCache.create(L, N_PAGES, N_SEQS, MAX_BLOCKS, HKV, D,
+                                page_size=PS, dtype=jnp.float32)
+    dense = KVCache.create(L, N_SEQS, MAX_BLOCKS * PS, HKV, D, jnp.float32)
+    store = {}
+    for s, n in enumerate(seqs_tokens):
+        if seqs[s].ensure(n, PS):
+            paged = paged.set_table_row(s, seqs[s].table_row(N_PAGES))
+        k = rng.standard_normal((L, n, HKV, D)).astype(np.float32)
+        v = rng.standard_normal((L, n, HKV, D)).astype(np.float32)
+        store[s] = (k, v)
+        rows = jnp.asarray(np.arange(n, dtype=np.int32))
+        sid = jnp.full(n, s, jnp.int32)
+        for layer in range(L):
+            paged = paged.write_packed(layer, jnp.asarray(k[layer]),
+                                       jnp.asarray(v[layer]), sid, rows)
+            sub = dense.slot_view(jnp.int32(s))
+            sub = sub.write(layer, jnp.asarray(k[layer])[None],
+                            jnp.asarray(v[layer])[None], 0)
+            dense = dense.merge_slot(sub, jnp.int32(s))
+    return alloc, seqs, paged, dense, store
+
+
+def test_write_and_gather_matches_dense():
+    rng = np.random.default_rng(0)
+    lens = [5, 13, 20]
+    _, _, paged, dense, _ = _fill(rng, lens)
+    for layer in range(L):
+        kp, vp = paged.layer(layer)
+        kd, vd = dense.layer(layer)
+        for s, n in enumerate(lens):
+            np.testing.assert_allclose(np.asarray(kp[s, :, :n]),
+                                       np.asarray(kd[s, :, :n]), atol=0)
+            np.testing.assert_allclose(np.asarray(vp[s, :, :n]),
+                                       np.asarray(vd[s, :, :n]), atol=0)
+
+
+def test_paged_flash_matches_dense_flash():
+    rng = np.random.default_rng(1)
+    lens = [7, 17, 29]
+    _, _, paged, dense, _ = _fill(rng, lens)
+    q = jnp.asarray(rng.standard_normal((N_SEQS, HKV * 2, D)).astype(np.float32))
+    lengths = jnp.asarray(np.asarray(lens, np.int32))
+    ref = flash_decode(q, *dense.layer(0), lengths, scale=0.2, interpret=True)
+    got = flash_decode_paged(q, paged.k[0], paged.v[0], paged.tables,
+                             lengths, scale=0.2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_shared_prefix_alias_and_cow():
+    rng = np.random.default_rng(2)
+    lens = [20, 0, 0]
+    alloc, seqs, paged, _, store = _fill(rng, lens)
+
+    # seq 1 aliases seq 0's full pages covering 20 tokens (2 full pages)
+    shared = seqs[1].share_prefix_from(seqs[0], 20, PS)
+    assert shared == 16  # floor to page boundary
+    assert seqs[1].pages[:2] == seqs[0].pages[:2]
+    assert alloc.refs[seqs[0].pages[0]] == 2
+    paged = paged.set_table_row(1, seqs[1].table_row(N_PAGES))
+
+    # gather view of seq 1 equals seq 0 over the shared range — no copies
+    k1, _ = paged.layer(0)
+    np.testing.assert_allclose(np.asarray(k1[1, :, :16]),
+                               np.asarray(k1[0, :, :16]), atol=0)
+
+    # writing into the shared range must COW first
+    seqs[1].ensure(17, PS)  # needs block 2... shared covers 16 tokens
+    paged = paged.set_table_row(1, seqs[1].table_row(N_PAGES))
+    # write at pos 16 → block 2 is exclusive, no COW needed; write at pos 8
+    # (block 1, shared) requires make_writable
+    paged, copied = seqs[1].make_writable(1, paged)
+    assert copied
+    assert seqs[1].pages[1] != seqs[0].pages[1]
+    assert alloc.refs[seqs[0].pages[1]] == 1
+    paged = paged.set_table_row(1, seqs[1].table_row(N_PAGES))
+    newk = jnp.asarray(rng.standard_normal((1, HKV, D)).astype(np.float32))
+    paged = paged.write_packed(0, newk, newk, jnp.asarray([1], jnp.int32),
+                               jnp.asarray([8], jnp.int32))
+    k, _ = paged.layer(0)
+    np.testing.assert_allclose(np.asarray(k[1, :, 8]), np.asarray(newk[0]))
+    # donor unchanged
+    np.testing.assert_allclose(np.asarray(k[0, :, 8]),
+                               store[0][0][0, 8], rtol=1e-6)
+
+    # release seq1 → refcounts drop, pages recycle
+    free_before = alloc.n_free
+    seqs[1].release()
+    assert alloc.n_free > free_before
+
+
+def test_forward_packed_with_paged_cache():
+    cfg = synth_config("llama")
+    params = synth_params(cfg, GGMLType.Q8_0, seed=3, tie=False)
+    rng = np.random.default_rng(4)
+    prompt = list(rng.integers(1, cfg.n_vocab, 9))
+
+    n_ctx = MAX_BLOCKS * PS
+    dense = KVCache.create(cfg.n_layers, 2, n_ctx, cfg.kv_cache_heads,
+                           cfg.kv_cache_dim, jnp.float32)
+    alloc = PageAllocator(N_PAGES)
+    seq = PagedSeq(alloc, MAX_BLOCKS)
+    paged = PagedKVCache.create(cfg.n_layers, N_PAGES, 2, MAX_BLOCKS,
+                                cfg.kv_cache_heads, cfg.kv_cache_dim,
+                                page_size=PS, dtype=jnp.float32)
+    seq.ensure(len(prompt), PS)
+    paged = paged.set_table_row(0, seq.table_row(N_PAGES))
+
+    p = 16
+    tokens = np.zeros(p, np.int32)
+    slot_ids = np.zeros(p, np.int32)
+    rows = np.full(p, n_ctx, np.int32)
+    tokens[: len(prompt)] = prompt
+    rows[: len(prompt)] = np.arange(len(prompt))
+    out_idx = np.array([len(prompt) - 1, 0], np.int32)
+
+    args = (jnp.asarray(tokens), jnp.asarray(slot_ids), jnp.asarray(rows))
+    ref, _ = forward_packed(params, cfg, *args, dense, jnp.asarray(out_idx),
+                            compute_dtype=jnp.float32)
+    got, _ = forward_packed(params, cfg, *args, paged, jnp.asarray(out_idx),
+                            compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got)[0], np.asarray(ref)[0],
+                               rtol=2e-4, atol=2e-4)
