@@ -664,6 +664,8 @@ def decode_layer(
     x = x + ffn * cfg.residual_scale
     if "cvec" in layer:  # control vector (reference llama_adapter_cvec)
         x = x + layer["cvec"].astype(x.dtype)
+    if tap is not None:  # residual-stream tap (cvector-generator's l_out)
+        tap(f"l_out-{layer_idx}", x)
     return x, cache
 
 

@@ -120,6 +120,32 @@ def strip_lora(params: dict[str, Any]) -> dict[str, Any]:
     return params
 
 
+def load_control_vector(path: str, n_layers: int) -> np.ndarray:
+    """Control-vector GGUF → [n_layers, n_embd] directions. Reference
+    format: tensors "direction.<layer>", 1-based (common_control_vector_load,
+    common/common.cpp:1450-1490); missing layers stay zero."""
+    from ..quant.ref_numpy import dequantize
+
+    gm = GGUFModel.load(path)
+    dirs: dict[int, np.ndarray] = {}
+    for name, info in gm.tensors.items():
+        if not name.startswith("direction."):
+            continue
+        il = int(name.split(".", 1)[1])
+        dirs[il] = np.asarray(
+            dequantize(np.asarray(info.data), info.ggml_type, info.np_shape),
+            np.float32,
+        ).reshape(-1)
+    if not dirs:
+        raise ValueError(f"no direction tensors in {path}")
+    n_embd = next(iter(dirs.values())).shape[0]
+    out = np.zeros((n_layers, n_embd), np.float32)
+    for il, v in dirs.items():
+        if 1 <= il <= n_layers:
+            out[il - 1] = v
+    return out
+
+
 def apply_control_vector(params: dict[str, Any], directions: np.ndarray,
                          scale: float = 1.0, layer_start: int = 0,
                          layer_end: int | None = None) -> dict[str, Any]:
@@ -138,21 +164,3 @@ def apply_control_vector(params: dict[str, Any], directions: np.ndarray,
     return params
 
 
-def load_control_vector(path: str) -> np.ndarray:
-    """GGUF control-vector file: tensors 'direction.<il>' [n_embd]."""
-    from ..quant.ref_numpy import dequantize
-
-    gm = GGUFModel.load(path)
-    dirs = {}
-    for name, info in gm.tensors.items():
-        if name.startswith("direction."):
-            il = int(name.split(".")[1])
-            dirs[il] = dequantize(
-                np.asarray(info.data), info.ggml_type, info.np_shape
-            ).astype(np.float32)
-    n_layers = max(dirs) + 1 if dirs else 0
-    n_embd = next(iter(dirs.values())).shape[-1]
-    out = np.zeros((n_layers, n_embd), np.float32)
-    for il, v in dirs.items():
-        out[il] = v
-    return out

@@ -67,6 +67,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-ctk", "--cache-type-k", default="bf16",
                    choices=["f32", "f16", "bf16", "q8_0"],
                    help="KV cache data type (reference --cache-type-k)")
+    p.add_argument("--lora", action="append", default=[],
+                   help="LoRA adapter GGUF (repeatable, scale 1.0)")
+    p.add_argument("--lora-scaled", nargs=2, action="append", default=[],
+                   metavar=("PATH", "SCALE"))
+    p.add_argument("--control-vector", action="append", default=[],
+                   help="control-vector GGUF (reference --control-vector)")
+    p.add_argument("--control-vector-scaled", nargs=2, action="append",
+                   default=[], metavar=("PATH", "SCALE"))
     return p
 
 
@@ -91,6 +99,20 @@ def main(argv=None) -> int:
     print(f"loaded {args.model} ({model.cfg.arch}, {model.cfg.n_layers} layers, "
           f"{model.n_bytes / 1e9:.2f} GB) in {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
+    loras = [(p, 1.0) for p in args.lora] + [(p, float(s))
+                                             for p, s in args.lora_scaled]
+    cvecs = [(p, 1.0) for p in args.control_vector] + [
+        (p, float(s)) for p, s in args.control_vector_scaled]
+    if loras or cvecs:
+        from ..runtime.adapter import (
+            apply_control_vector, apply_lora, load_control_vector, load_lora,
+        )
+
+        for path, scale in loras:
+            model.params = apply_lora(model.params, load_lora(path), scale)
+        for path, scale in cvecs:
+            dirs = load_control_vector(path, model.cfg.n_layers)
+            model.params = apply_control_vector(model.params, dirs, scale=scale)
     ctx = LlamaContext(
         model,
         n_ctx=args.ctx_size,

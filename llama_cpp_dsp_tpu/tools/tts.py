@@ -90,7 +90,7 @@ def synthesize_codes(model, text: str, *, n_predict: int = 4096,
     ctx = LlamaContext(model, n_ctx=8192)
     prompt = ("<|im_start|>\n<|text_start|>" + process_text(text)
               + "<|text_end|>\n<|audio_start|>\n")
-    ids = model.tokenizer.encode(prompt, add_bos=False, special=True)
+    ids = model.tokenizer.encode(prompt, add_special=False, parse_special=True)
     sampler = make_chain(temp=temp, top_k=top_k)
     out = []
     audio_end = model.vocab.token_id("<|audio_end|>")

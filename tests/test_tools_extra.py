@@ -1,0 +1,109 @@
+"""Small-tool parity: tokenize CLI, gguf-hash, export-lora merge,
+cvector-generator, retrieval chunking (reference examples/{tokenize,
+gguf-hash,export-lora,cvector-generator,retrieval})."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from llama_cpp_dsp_tpu.gguf.writer import GGUFWriter
+from llama_cpp_dsp_tpu.models.llama import forward
+from llama_cpp_dsp_tpu.runtime.loader import load_model
+
+from model_builder import build_tiny_llama
+from test_adapter import _write_lora
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    path = tmp_path_factory.mktemp("m") / "tiny.gguf"
+    build_tiny_llama(str(path), qtype=0)  # f32
+    return str(path)
+
+
+def _logits(model, params, toks):
+    n = toks.shape[1]
+    pos = np.arange(n, dtype=np.int32).reshape(1, n)
+    mask = np.tril(np.ones((1, n, n), bool))
+    out, _ = forward(params, model.cfg, jnp.asarray(toks), jnp.asarray(pos),
+                     mask=mask, compute_dtype=jnp.float32)
+    return np.asarray(out)[0, -1]
+
+
+def test_tokenize_cli(tiny, capsys):
+    from llama_cpp_dsp_tpu.tools.tokenize import main
+
+    assert main(["-m", tiny, "-p", "hello", "--ids", "--show-count"]) == 0
+    out = capsys.readouterr().out
+    assert out.strip().startswith("[") and out.strip().endswith("]")
+
+
+def test_gguf_hash(tiny, capsys):
+    from llama_cpp_dsp_tpu.tools.gguf_hash import fnv1a64, main
+
+    assert fnv1a64(b"hello world") == 0x779A65E7023CD2E7  # known FNV-1a vector
+    assert main([tiny]) == 0
+    out1 = capsys.readouterr().out
+    assert main([tiny]) == 0
+    out2 = capsys.readouterr().out
+    assert out1 == out2  # deterministic
+    assert "sha256" in out1
+    assert main([tiny, "--uuid"]) == 0  # UUIDv5 mode
+
+
+def test_export_lora_merge(tiny, tmp_path):
+    """Merged-weight model logits must equal base + runtime LoRA logits."""
+    from llama_cpp_dsp_tpu.runtime.adapter import apply_lora, load_lora
+    from llama_cpp_dsp_tpu.tools.export_lora import merge
+
+    model = load_model(tiny)
+    hp = {"n_layers": model.cfg.n_layers, "n_embd": model.cfg.n_embd,
+          "n_ff": model.cfg.n_ff}
+    rng = np.random.default_rng(0)
+    lora_path = tmp_path / "adapter.gguf"
+    _write_lora(str(lora_path), hp, rng)
+
+    merged_path = tmp_path / "merged.gguf"
+    merge(tiny, [(str(lora_path), 1.0)], str(merged_path), outtype="f32")
+    merged = load_model(str(merged_path))
+
+    toks = np.array([[3, 7, 11, 5]], np.int32)
+    runtime = apply_lora(model.params, load_lora(str(lora_path)), 1.0)
+    want = _logits(model, runtime, toks)
+    got = _logits(merged, merged.params, toks)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_cvector_generator_and_loader(tiny, tmp_path):
+    from llama_cpp_dsp_tpu.runtime.adapter import load_control_vector
+    from llama_cpp_dsp_tpu.tools.cvector_generator import (
+        collect_layer_states, directions_from_pairs,
+    )
+
+    model = load_model(tiny)
+    pos = collect_layer_states(model, ["hello there", "good day"])
+    neg = collect_layer_states(model, ["bye now", "farewell"])
+    assert len(pos) == model.cfg.n_layers
+    assert pos[0].shape == (2, model.cfg.n_embd)
+    for method in ("mean", "pca"):
+        dirs = directions_from_pairs(pos, neg, method)
+        assert len(dirs) == model.cfg.n_layers
+        assert all(np.isfinite(d).all() for d in dirs)
+
+    out = tmp_path / "cv.gguf"
+    w = GGUFWriter(str(out), "controlvector")
+    w.add_string("general.type", "controlvector")
+    for il, v in enumerate(dirs):
+        w.add_tensor(f"direction.{il + 1}", v)
+    w.write()
+    loaded = load_control_vector(str(out), model.cfg.n_layers)
+    np.testing.assert_allclose(loaded, np.stack(dirs), rtol=1e-6)
+
+
+def test_retrieval_chunking():
+    from llama_cpp_dsp_tpu.tools.retrieval import chunk_file
+
+    text = "aaa\nbbb\nccc\nddd\neee"
+    chunks = chunk_file(text, 8, "\n")
+    assert all(chunks)
+    assert "".join(c.replace("\n", "") for c in chunks) == text.replace("\n", "")
