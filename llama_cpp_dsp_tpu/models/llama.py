@@ -615,8 +615,23 @@ def decode_layer(
     rope_positions: jax.Array | None = None,
     attn_impl=None,  # override (packed mixed ubatch); default per-arch
 ):
+    h_l, hkv_l = cfg.layer_heads(layer_idx)
     attn_in = x if cfg.norm_after else norm(x, layer, "attn_norm", cfg)
-    if attn_impl is not None:
+    if attn_impl is None and not cfg.kv_lora_rank and h_l == 0:
+        # deci/nemotron-51B attention-free layer (llm_build_deci n_head==0):
+        # no attention, no attention residual — FFN applies to the raw input
+        def ffn_only(ffn_in):
+            if cfg.n_expert > 0 and "ffn_gate_exps" in layer:
+                return ffn_moe(ffn_in, layer, cfg, compute_dtype, tap, layer_idx)
+            return ffn_dense(ffn_in, layer, cfg, compute_dtype, tap, "", layer_idx)
+
+        ffn_in = x if cfg.norm_after else norm(x, layer, "ffn_norm", cfg)
+        x = x + ffn_only(ffn_in) * cfg.residual_scale
+        return x, cache
+    if attn_impl is None and not cfg.kv_lora_rank and hkv_l == 0:
+        # deci "linear attention" (n_head>0, n_head_kv==0): wo projection only
+        attn = _mm(attn_in, layer, "attn_output", compute_dtype)
+    elif attn_impl is not None:
         attn, cache = attn_impl(
             attn_in, layer, cfg, positions, cache, layer_idx, compute_dtype, tap,
         )

@@ -126,6 +126,10 @@ def synth_params(cfg: LlamaConfig, kind: GGMLType, *, seed: int = 0, tie: bool =
                 layer["attn_q_b"] = q(cfg.n_heads * (dn + dr), cfg.q_lora_rank)
             else:
                 layer["attn_q"] = q(cfg.n_heads * (dn + dr), c)
+        elif h == 0:  # deci attention-free layer
+            layer = {}
+        elif hkv == 0:  # deci linear attention: wo only
+            layer = {"attn_norm": norm(c), "attn_output": q(c, c)}
         else:
             layer = {
                 "attn_norm": norm(c),

@@ -23,7 +23,7 @@ DISTINCT = [
     "olmo", "olmo2", "olmoe", "command-r", "cohere2", "bloom", "mpt",
     "falcon", "nemotron", "granite", "minicpm", "deepseek", "mixtral",
     "grok", "qwen2vl", "minicpm3", "bitnet", "chameleon", "plm", "bailingmoe",
-    "openelm",
+    "openelm", "deci",
 ]
 
 
@@ -40,6 +40,9 @@ def _make(arch, seed=0):
     if arch == "openelm":  # per-layer ragged head counts
         dims.update(n_heads=8, n_kv_heads=4,
                     n_heads_l=(4, 8), n_kv_heads_l=(2, 4))
+    if arch == "deci":  # nemotron-51B: normal / attn-free / linear-attn
+        dims.update(n_layers=3, n_heads=4, n_kv_heads=2,
+                    n_heads_l=(4, 0, 4), n_kv_heads_l=(2, 0, 0))
     cfg = synth_config(arch, **dims)
     params = synth_params(cfg, GGMLType.Q8_0, seed=seed, tie=False)
     params = {k: v for k, v in params.items()}
