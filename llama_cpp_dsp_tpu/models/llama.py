@@ -73,6 +73,13 @@ class LlamaConfig:
     rope_on_full_layers: bool = True  # cohere2: full-attn layers skip rope
     sub_norms: bool = False  # bitnet attn_sub_norm / ffn_sub_norm
     qk_norm_ln: bool = False  # chameleon: per-head q/k norm is LN (not rms)
+    # --- llama4 (llm_build_llama LLAMA4 branch) ---
+    nope_step: int = 0  # every Nth layer skips rope (NoPE)
+    attn_temp_scale: float = 0.0  # NoPE-layer q temperature tuning
+    attn_temp_floor: int = 8192
+    qk_norm_weightless: bool = False  # non-parametric q/k rms on roped layers
+    attn_chunk: int = 0  # chunked attention width (SWA-slot layers)
+    moe_weight_before: bool = False  # router weights scale expert INPUTS
     # openelm: per-layer head counts (llm_build_openelm hparams.n_head(il));
     # empty = uniform. KV cache is sized for the max and padded per layer.
     n_heads_l: tuple = ()
@@ -298,15 +305,26 @@ def ffn_moe(x: jax.Array, layer: Params, cfg: LlamaConfig, compute_dtype,
     # sharded expert-parallel path lives in parallel/)
     gate_w, up_w, down_w = layer["ffn_gate_exps"], layer["ffn_up_exps"], layer["ffn_down_exps"]
 
-    def expert_ffn(eid):
-        g = qmm(x, _expert_slice(gate_w, eid), compute_dtype=compute_dtype)
-        u = qmm(x, _expert_slice(up_w, eid), compute_dtype=compute_dtype)
+    def expert_ffn(xin, eid):
+        g = qmm(xin, _expert_slice(gate_w, eid), compute_dtype=compute_dtype)
+        u = qmm(xin, _expert_slice(up_w, eid), compute_dtype=compute_dtype)
         return qmm((activate(g, cfg.act) * u).astype(compute_dtype),
                    _expert_slice(down_w, eid), compute_dtype=compute_dtype)
 
-    outs = jnp.stack([expert_ffn(eid) for eid in range(e)], axis=2)  # [B,T,E,D]
     onehot = jax.nn.one_hot(sel, e, dtype=jnp.float32) * weights[..., None]  # [B,T,U,E]
-    mix = jnp.einsum("btue,bted->btd", onehot, outs.astype(jnp.float32))
+    if cfg.moe_weight_before:
+        # llama4: router weights scale the expert INPUTS; outputs sum
+        # unweighted (build_moe_ffn weight_before_ffn, llama-graph.cpp:841)
+        w_full = onehot.sum(axis=2)  # [B,T,E]
+        presence = (w_full != 0).astype(jnp.float32)
+        outs = jnp.stack(
+            [expert_ffn((x.astype(jnp.float32)
+                         * w_full[..., eid, None]).astype(compute_dtype), eid)
+             for eid in range(e)], axis=2)  # [B,T,E,D]
+        mix = jnp.einsum("bte,bted->btd", presence, outs.astype(jnp.float32))
+    else:
+        outs = jnp.stack([expert_ffn(x, eid) for eid in range(e)], axis=2)
+        mix = jnp.einsum("btue,bted->btd", onehot, outs.astype(jnp.float32))
     if cfg.moe_shared_expert:
         sh = ffn_dense(x, layer, cfg, compute_dtype, tap, "_shexp", layer_idx)
         if cfg.moe_gate_shexp:
@@ -427,10 +445,12 @@ def _project_qkv(
     use_rope = cfg.pos_embd_type == "rope" and (
         cfg.rope_on_full_layers or cfg.is_swa_layer(layer_idx)
     )
+    if cfg.nope_step and (layer_idx + 1) % cfg.nope_step == 0:
+        use_rope = False  # llama4 NoPE layer
+    rpos = positions if rope_positions is None else rope_positions
     if use_rope:
         rp = _layer_rope(cfg, layer_idx)
         ff = layer.get("rope_freqs")
-        rpos = positions if rope_positions is None else rope_positions
         if cfg.mrope_sections:
             from ..ops.rope import apply_mrope
 
@@ -439,6 +459,17 @@ def _project_qkv(
         else:
             q = apply_rope(q, rpos, rp, ff)
             k = apply_rope(k, rpos, rp, ff)
+        if cfg.qk_norm_weightless:
+            # llama4 L2-norm on roped layers only (use_kq_norm branch)
+            q = rms_norm(q, None, cfg.rms_eps)
+            k = rms_norm(k, None, cfg.rms_eps)
+    elif cfg.attn_temp_scale:
+        # llama4 NoPE temperature tuning (llm_graph_input_attn_temp):
+        # q *= log(floor((pos+1)/floor_scale)+1)·scale + 1
+        t = jnp.log(jnp.floor(
+            (rpos.astype(jnp.float32) + 1.0) / cfg.attn_temp_floor) + 1.0
+        ) * cfg.attn_temp_scale + 1.0
+        q = (q.astype(jnp.float32) * t[..., None, None]).astype(q.dtype)
     return q, k, v
 
 
@@ -476,7 +507,10 @@ def _cached_attention(
         lengths = positions[:, 0] + 1
         starts = None
         if cfg.is_swa_layer(layer_idx):
-            starts = jnp.maximum(lengths - cfg.swa_window, 0)
+            if cfg.attn_chunk:
+                starts = (positions[:, 0] // cfg.attn_chunk) * cfg.attn_chunk
+            else:
+                starts = jnp.maximum(lengths - cfg.swa_window, 0)
         if isinstance(cache, PagedKVCache):
             attn = flash_decode_paged(
                 q[:, 0], cache.k[layer_idx], cache.v[layer_idx],
@@ -518,10 +552,16 @@ def _cached_attention(
 
     s = k_all.shape[2]
     if cfg.is_swa_layer(layer_idx) and mask is not None and mask.dtype == jnp.bool_:
-        # sliding window: only attend to keys within swa_window of the query
-        # (reference llama_kv_cache SWA masking, src/llama-graph.h:262-265)
         j = jnp.arange(s)
-        mask = mask & (j[None, None, :] > positions[:, :, None] - cfg.swa_window)
+        if cfg.attn_chunk:
+            # llama4 chunked attention: keys within the query's own chunk
+            # (hparams.n_attn_chunk; stored via the SWA slot upstream)
+            start = (positions // cfg.attn_chunk) * cfg.attn_chunk
+            mask = mask & (j[None, None, :] >= start[:, :, None])
+        else:
+            # sliding window: keys within swa_window of the query
+            # (reference llama_kv_cache SWA masking, src/llama-graph.h:262-265)
+            mask = mask & (j[None, None, :] > positions[:, :, None] - cfg.swa_window)
 
     head_bias = None
     if cfg.pos_embd_type == "alibi":
@@ -579,7 +619,11 @@ def packed_self_attention(
     j = jnp.arange(s)
     causal = j[None, :] <= rows[:, None]  # [P, S]
     if cfg.is_swa_layer(layer_idx):
-        causal = causal & (j[None, :] > rows[:, None] - cfg.swa_window)
+        if cfg.attn_chunk:
+            causal = causal & (
+                j[None, :] >= (rows[:, None] // cfg.attn_chunk) * cfg.attn_chunk)
+        else:
+            causal = causal & (j[None, :] > rows[:, None] - cfg.swa_window)
     own = slot_ids[None, :] == jnp.arange(nb)[:, None]  # [B, P]
     attend = own[:, :, None] & causal[None]  # [B, P, S]
     bias = jnp.where(attend, 0.0, _mask_value(jnp.float32))

@@ -253,6 +253,28 @@ def _deepseek2(get):
     }
 
 
+def _llama4(get):
+    # llm_build_llama LLAMA4 branch (src/llama-model.cpp:4425-4500):
+    # NoPE every 4th layer with q temperature tuning, weightless qk L2 norm
+    # on roped layers (off for the 128E Maverick), 8192-token chunked
+    # attention on 3-of-4 layers, sigmoid router scaling expert inputs,
+    # always-on shared expert
+    n_expert = int(get(Keys.LLM.EXPERT_COUNT, 0) or 0)
+    return {
+        "moe_shared_expert": True,
+        "moe_norm_weights": False,
+        "expert_gating": "sigmoid",
+        "moe_weight_before": True,
+        "nope_step": 4,
+        "attn_temp_scale": 0.1,
+        "attn_temp_floor": 8192,
+        "qk_norm_weightless": n_expert != 128,
+        "attn_chunk": 8192,
+        "swa_window": 8192,
+        "swa_pattern": 4,
+    }
+
+
 def _grok(get):
     # llm_build_grok (src/llama-model.cpp:5155): embeddings ×78.38…, logits
     # ×0.5773…, unscaled KQ (build_attn kq_scale=1.0), GELU MoE, post
@@ -351,7 +373,7 @@ def _bailingmoe(get):
 # Families sharing a graph are registered with the same overrides.
 for _spec in [
     ArchSpec("llama", _llama),
-    ArchSpec("llama4", _deepseek),  # MoE llama w/ shared expert (approx.)
+    ArchSpec("llama4", _llama4),
     ArchSpec("mistral", _llama),
     ArchSpec("mixtral", _llama),
     ArchSpec("deci", _llama),

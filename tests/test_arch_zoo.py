@@ -23,13 +23,13 @@ DISTINCT = [
     "olmo", "olmo2", "olmoe", "command-r", "cohere2", "bloom", "mpt",
     "falcon", "nemotron", "granite", "minicpm", "deepseek", "mixtral",
     "grok", "qwen2vl", "minicpm3", "bitnet", "chameleon", "plm", "bailingmoe",
-    "openelm", "deci",
+    "openelm", "deci", "llama4",
 ]
 
 
 def _make(arch, seed=0):
     moe = arch in ("qwen2moe", "olmoe", "deepseek", "mixtral", "granitemoe",
-                   "grok", "bailingmoe")
+                   "grok", "bailingmoe", "llama4")
     dims = {}
     if moe:
         dims = dict(n_expert=4, n_expert_used=2)

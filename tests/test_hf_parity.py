@@ -375,3 +375,77 @@ def test_mrope_text_only_equals_neox():
     a = apply_rope(x, pos, rp)
     b = apply_mrope(x, pos, rp, (4, 6, 6, 0))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("variant", ["features", "qk_norm"])
+def test_llama4_parity(variant):
+    """llama4 vs HF. 'features': NoPE + temperature tuning + chunked
+    attention + sigmoid weight-before-FFN MoE + shared expert (qk norm off —
+    HF applies it on NoPE layers too, diverging from Meta/llama.cpp which
+    norm only roped layers). 'qk_norm': all layers roped so the weightless
+    L2 norm (eps 1e-6) is comparable. Note llama4's rope is interleaved
+    (complex pairs) — our 'norm' mode, no weight permute."""
+    qk = variant == "qk_norm"
+    hf_cfg = transformers.Llama4TextConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        intermediate_size_mlp=80, num_hidden_layers=4, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8, num_local_experts=4,
+        num_experts_per_tok=2, interleave_moe_layer_step=2,
+        attention_chunk_size=4, floor_scale=2, attn_scale=0.1,
+        use_qk_norm=qk, attn_temperature_tuning=not qk, rope_theta=10000.0,
+        max_position_embeddings=64, rms_norm_eps=1e-6,
+        tie_word_embeddings=False,
+        **({"no_rope_layers": [1, 1, 1, 1]} if qk else {}),
+    )
+    torch.manual_seed(7)
+    model = transformers.Llama4ForCausalLM(hf_cfg).eval()
+
+    cfg = LlamaConfig(
+        arch="llama4", n_layers=4, n_embd=32, n_heads=4, n_kv_heads=2,
+        head_dim=8, n_ff=80, n_vocab=64, n_ctx_train=64, rms_eps=1e-6,
+        rope=RopeParams(n_dims=8, mode="norm", freq_base=10000.0),
+        n_expert=4, n_expert_used=2,
+        moe_shared_expert=True, moe_norm_weights=False,
+        expert_gating="sigmoid", moe_weight_before=True,
+        nope_step=0 if qk else 4,
+        attn_temp_scale=0.0 if qk else 0.1, attn_temp_floor=2,
+        qk_norm_weightless=qk, attn_chunk=4, swa_window=4,
+        # HF ties chunking to use_rope: all-roped ⇒ all layers chunked
+        swa_pattern=5 if qk else 4,
+    )
+    ff_exp = 64
+    layers = []
+    for hl in model.model.layers:
+        layer = {
+            "attn_norm": _t2n(hl.input_layernorm.weight),
+            "attn_q": _t2n(hl.self_attn.q_proj.weight),
+            "attn_k": _t2n(hl.self_attn.k_proj.weight),
+            "attn_v": _t2n(hl.self_attn.v_proj.weight),
+            "attn_output": _t2n(hl.self_attn.o_proj.weight),
+            "ffn_norm": _t2n(hl.post_attention_layernorm.weight),
+        }
+        ffm = hl.feed_forward
+        if hasattr(ffm, "experts"):  # MoE layer
+            gu = _t2n(ffm.experts.gate_up_proj)  # [E, C, 2*ff]
+            layer["ffn_gate_exps"] = gu[:, :, :ff_exp].transpose(0, 2, 1)
+            layer["ffn_up_exps"] = gu[:, :, ff_exp:].transpose(0, 2, 1)
+            layer["ffn_down_exps"] = _t2n(ffm.experts.down_proj).transpose(0, 2, 1)
+            layer["ffn_gate_inp"] = _t2n(ffm.router.weight)
+            layer["ffn_gate_shexp"] = _t2n(ffm.shared_expert.gate_proj.weight)
+            layer["ffn_up_shexp"] = _t2n(ffm.shared_expert.up_proj.weight)
+            layer["ffn_down_shexp"] = _t2n(ffm.shared_expert.down_proj.weight)
+        else:
+            layer["ffn_gate"] = _t2n(ffm.gate_proj.weight)
+            layer["ffn_up"] = _t2n(ffm.up_proj.weight)
+            layer["ffn_down"] = _t2n(ffm.down_proj.weight)
+        layers.append(layer)
+    params = {
+        "token_embd": _t2n(model.model.embed_tokens.weight),
+        "layers": layers,
+        "output_norm": _t2n(model.model.norm.weight),
+        "output": _t2n(model.lm_head.weight),
+    }
+    tokens = np.array([[7, 42, 11, 59, 3, 33, 21]], np.int32)
+    ours = _run_ours(cfg, params, tokens)
+    theirs = _run_hf(model, tokens)
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-3)
