@@ -73,6 +73,7 @@ class LlamaConfig:
     rope_on_full_layers: bool = True  # cohere2: full-attn layers skip rope
     sub_norms: bool = False  # bitnet attn_sub_norm / ffn_sub_norm
     qk_norm_ln: bool = False  # chameleon: per-head q/k norm is LN (not rms)
+    qk_norm_flat: bool = False  # olmo2: rms over the FLAT projection (pre-split)
     # --- llama4 (llm_build_llama LLAMA4 branch) ---
     nope_step: int = 0  # every Nth layer skips rope (NoPE)
     attn_temp_scale: float = 0.0  # NoPE-layer q temperature tuning
@@ -428,10 +429,15 @@ def _project_qkv(
         q = _mm(x, layer, "attn_q", compute_dtype)
         k = _mm(x, layer, "attn_k", compute_dtype)
         v = _mm(x, layer, "attn_v", compute_dtype)
+    if cfg.qk_norm and cfg.qk_norm_flat:
+        # olmo2: rms over the whole projection BEFORE the head split
+        # (llm_build_olmo2 norms the 2-D Qcur/Kcur)
+        q = rms_norm(q, layer["attn_q_norm"], cfg.rms_eps)
+        k = rms_norm(k, layer["attn_k_norm"], cfg.rms_eps)
     q = q.reshape(b, t, h, d)
     k = k.reshape(b, t, hkv, d)
     v = v.reshape(b, t, hkv, d)
-    if cfg.qk_norm:
+    if cfg.qk_norm and not cfg.qk_norm_flat:
         if cfg.qk_norm_ln:  # chameleon per-head LN with bias (LLM_NORM)
             from ..ops import layer_norm
 

@@ -154,7 +154,8 @@ def _olmo(get):
 
 
 def _olmo2(get):
-    return {"norm_after": True, "qk_norm": True}
+    # llm_build_olmo2: post-sublayer norms; q/k rms over the FLAT projection
+    return {"norm_after": True, "qk_norm": True, "qk_norm_flat": True}
 
 
 def _olmoe(get):

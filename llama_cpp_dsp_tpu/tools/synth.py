@@ -144,7 +144,10 @@ def synth_params(cfg: LlamaConfig, kind: GGMLType, *, seed: int = 0, tie: bool =
             layer["attn_q_bias"] = bias(qdim)
             layer["attn_k_bias"] = bias(kvdim)
             layer["attn_v_bias"] = bias(kvdim)
-        if cfg.qk_norm and cfg.qk_norm_ln:
+        if cfg.qk_norm and cfg.qk_norm_flat:
+            layer["attn_q_norm"] = norm(qdim)
+            layer["attn_k_norm"] = norm(kvdim)
+        elif cfg.qk_norm and cfg.qk_norm_ln:
             # chameleon: per-head LN weights [H, D] (reference
             # src/llama-model.cpp:3872 {n_embd_head_k, n_head})
             layer["attn_q_norm"] = norm((cfg.n_heads, cfg.head_dim))

@@ -449,3 +449,242 @@ def test_llama4_parity(variant):
     ours = _run_ours(cfg, params, tokens)
     theirs = _run_hf(model, tokens)
     np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-3)
+
+
+def _std_params(model, qkv_fused=False, n_embd=64, kv_dim=32):
+    """Map a standard HF llama-family module tree to our param dict."""
+    layers = []
+    for hl in model.model.layers:
+        layer = {}
+        sa = hl.self_attn
+        if qkv_fused:
+            w = _t2n(sa.qkv_proj.weight)
+            layer["attn_q"] = w[:n_embd]
+            layer["attn_k"] = w[n_embd : n_embd + kv_dim]
+            layer["attn_v"] = w[n_embd + kv_dim :]
+        else:
+            layer["attn_q"] = _t2n(sa.q_proj.weight)
+            layer["attn_k"] = _t2n(sa.k_proj.weight)
+            layer["attn_v"] = _t2n(sa.v_proj.weight)
+        layer["attn_output"] = _t2n(sa.o_proj.weight)
+        layers.append(layer)
+    return layers
+
+
+def test_phi3_parity():
+    """phi3: fused qkv + fused gate_up (split at load in the real loader)."""
+    hf_cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=False, pad_token_id=0,
+    )
+    torch.manual_seed(11)
+    model = transformers.Phi3ForCausalLM(hf_cfg).eval()
+    cfg = LlamaConfig(
+        arch="phi3", n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+        head_dim=16, n_ff=128, n_vocab=128, n_ctx_train=64, rms_eps=1e-6,
+        rope=RopeParams(n_dims=16, mode="neox", freq_base=10000.0),
+    )
+    layers = []
+    for hl in model.model.layers:
+        w = _t2n(hl.self_attn.qkv_proj.weight)
+        gu = _t2n(hl.mlp.gate_up_proj.weight)
+        layers.append({
+            "attn_norm": _t2n(hl.input_layernorm.weight),
+            "attn_q": w[:64], "attn_k": w[64:96], "attn_v": w[96:],
+            "attn_output": _t2n(hl.self_attn.o_proj.weight),
+            "ffn_norm": _t2n(hl.post_attention_layernorm.weight),
+            "ffn_gate": gu[:128], "ffn_up": gu[128:],
+            "ffn_down": _t2n(hl.mlp.down_proj.weight),
+        })
+    params = {
+        "token_embd": _t2n(model.model.embed_tokens.weight),
+        "layers": layers,
+        "output_norm": _t2n(model.model.norm.weight),
+        "output": _t2n(model.lm_head.weight),
+    }
+    tokens = np.array([[9, 4, 88, 12, 63]], np.int32)
+    np.testing.assert_allclose(_run_ours(cfg, params, tokens),
+                               _run_hf(model, tokens), rtol=1e-3, atol=2e-3)
+
+
+def test_gptneox_parity():
+    """gptneox: LN + parallel residual + fused qkv with per-head layout +
+    partial learned... (use_parallel_residual=True)."""
+    hf_cfg = transformers.GPTNeoXConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=64, rotary_pct=1.0, rotary_emb_base=10000,
+        use_parallel_residual=True, layer_norm_eps=1e-5,
+    )
+    torch.manual_seed(12)
+    model = transformers.GPTNeoXForCausalLM(hf_cfg).eval()
+    cfg = LlamaConfig(
+        arch="gptneox", n_layers=2, n_embd=64, n_heads=4, n_kv_heads=4,
+        head_dim=16, n_ff=128, n_vocab=128, n_ctx_train=64, rms_eps=1e-5,
+        rope=RopeParams(n_dims=16, mode="neox", freq_base=10000.0),
+        norm_type="ln", act="gelu", gated_ffn=False, parallel_residual=True,
+        attn_bias=True,
+    )
+    layers = []
+    for hl in model.gpt_neox.layers:
+        # HF qkv is interleaved per head [h, 3, d]; split to q/k/v
+        w = _t2n(hl.attention.query_key_value.weight).reshape(4, 3, 16, 64)
+        b = _t2n(hl.attention.query_key_value.bias).reshape(4, 3, 16)
+        layers.append({
+            "attn_norm": _t2n(hl.input_layernorm.weight),
+            "attn_norm_bias": _t2n(hl.input_layernorm.bias),
+            "attn_q": w[:, 0].reshape(64, 64),
+            "attn_q_bias": b[:, 0].reshape(64),
+            "attn_k": w[:, 1].reshape(64, 64),
+            "attn_k_bias": b[:, 1].reshape(64),
+            "attn_v": w[:, 2].reshape(64, 64),
+            "attn_v_bias": b[:, 2].reshape(64),
+            "attn_output": _t2n(hl.attention.dense.weight),
+            "attn_output_bias": _t2n(hl.attention.dense.bias),
+            "ffn_norm": _t2n(hl.post_attention_layernorm.weight),
+            "ffn_norm_bias": _t2n(hl.post_attention_layernorm.bias),
+            "ffn_up": _t2n(hl.mlp.dense_h_to_4h.weight),
+            "ffn_up_bias": _t2n(hl.mlp.dense_h_to_4h.bias),
+            "ffn_down": _t2n(hl.mlp.dense_4h_to_h.weight),
+            "ffn_down_bias": _t2n(hl.mlp.dense_4h_to_h.bias),
+        })
+    params = {
+        "token_embd": _t2n(model.gpt_neox.embed_in.weight),
+        "layers": layers,
+        "output_norm": _t2n(model.gpt_neox.final_layer_norm.weight),
+        "output_norm_bias": _t2n(model.gpt_neox.final_layer_norm.bias),
+        "output": _t2n(model.embed_out.weight),
+    }
+    tokens = np.array([[9, 4, 88, 12, 63, 2]], np.int32)
+    np.testing.assert_allclose(_run_ours(cfg, params, tokens),
+                               _run_hf(model, tokens), rtol=1e-3, atol=3e-3)
+
+
+def test_olmo2_parity():
+    """olmo2: norm applied to sublayer outputs (norm_after) + qk rms norm."""
+    hf_cfg = transformers.Olmo2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(13)
+    model = transformers.Olmo2ForCausalLM(hf_cfg).eval()
+    cfg = LlamaConfig(
+        arch="olmo2", n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+        head_dim=16, n_ff=128, n_vocab=128, n_ctx_train=64, rms_eps=1e-6,
+        rope=RopeParams(n_dims=16, mode="neox", freq_base=10000.0),
+        norm_after=True, qk_norm=True, qk_norm_flat=True,
+    )
+    layers = []
+    for hl in model.model.layers:
+        # HF olmo2 q/k norms are over the PROJECTION dim (n_embd for q,
+        # kv_dim for k), applied pre-reshape — per-head broadcast still
+        # matches because rms over head_dim… no: olmo2 norm is over full dim.
+        layers.append({
+            "attn_norm": _t2n(hl.post_attention_layernorm.weight),
+            "attn_q": _t2n(hl.self_attn.q_proj.weight),
+            "attn_k": _t2n(hl.self_attn.k_proj.weight),
+            "attn_v": _t2n(hl.self_attn.v_proj.weight),
+            "attn_output": _t2n(hl.self_attn.o_proj.weight),
+            "attn_q_norm": _t2n(hl.self_attn.q_norm.weight),
+            "attn_k_norm": _t2n(hl.self_attn.k_norm.weight),
+            "ffn_norm": _t2n(hl.post_feedforward_layernorm.weight),
+            "ffn_gate": _t2n(hl.mlp.gate_proj.weight),
+            "ffn_up": _t2n(hl.mlp.up_proj.weight),
+            "ffn_down": _t2n(hl.mlp.down_proj.weight),
+        })
+    params = {
+        "token_embd": _t2n(model.model.embed_tokens.weight),
+        "layers": layers,
+        "output_norm": _t2n(model.model.norm.weight),
+        "output": _t2n(model.lm_head.weight),
+    }
+    tokens = np.array([[9, 4, 88, 12, 63]], np.int32)
+    np.testing.assert_allclose(_run_ours(cfg, params, tokens),
+                               _run_hf(model, tokens), rtol=1e-3, atol=2e-3)
+
+
+def test_qwen3_parity():
+    """qwen3: per-head q/k rms norm, no attn bias."""
+    hf_cfg = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, rms_norm_eps=1e-6,
+        rope_theta=10000.0, tie_word_embeddings=False,
+    )
+    torch.manual_seed(14)
+    model = transformers.Qwen3ForCausalLM(hf_cfg).eval()
+    cfg = LlamaConfig(
+        arch="qwen3", n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+        head_dim=16, n_ff=128, n_vocab=128, n_ctx_train=64, rms_eps=1e-6,
+        rope=RopeParams(n_dims=16, mode="neox", freq_base=10000.0),
+        qk_norm=True,
+    )
+    layers = []
+    for hl in model.model.layers:
+        layers.append({
+            "attn_norm": _t2n(hl.input_layernorm.weight),
+            "attn_q": _t2n(hl.self_attn.q_proj.weight),
+            "attn_k": _t2n(hl.self_attn.k_proj.weight),
+            "attn_v": _t2n(hl.self_attn.v_proj.weight),
+            "attn_output": _t2n(hl.self_attn.o_proj.weight),
+            "attn_q_norm": _t2n(hl.self_attn.q_norm.weight),
+            "attn_k_norm": _t2n(hl.self_attn.k_norm.weight),
+            "ffn_norm": _t2n(hl.post_attention_layernorm.weight),
+            "ffn_gate": _t2n(hl.mlp.gate_proj.weight),
+            "ffn_up": _t2n(hl.mlp.up_proj.weight),
+            "ffn_down": _t2n(hl.mlp.down_proj.weight),
+        })
+    params = {
+        "token_embd": _t2n(model.model.embed_tokens.weight),
+        "layers": layers,
+        "output_norm": _t2n(model.model.norm.weight),
+        "output": _t2n(model.lm_head.weight),
+    }
+    tokens = np.array([[9, 4, 88, 12, 63, 7]], np.int32)
+    np.testing.assert_allclose(_run_ours(cfg, params, tokens),
+                               _run_hf(model, tokens), rtol=1e-3, atol=2e-3)
+
+
+def test_command_r_parity():
+    """command-r: LN + parallel residual (attn/ffn share the input norm) +
+    logit scale."""
+    hf_cfg = transformers.CohereConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, layer_norm_eps=1e-5, rope_theta=10000.0,
+        logit_scale=0.25, use_qk_norm=False, tie_word_embeddings=True,
+    )
+    torch.manual_seed(15)
+    model = transformers.CohereForCausalLM(hf_cfg).eval()
+    cfg = LlamaConfig(
+        arch="command-r", n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+        head_dim=16, n_ff=128, n_vocab=128, n_ctx_train=64, rms_eps=1e-5,
+        rope=RopeParams(n_dims=16, mode="norm", freq_base=10000.0),
+        norm_type="ln", parallel_residual=True, logit_scale=0.25,
+        tie_embeddings=True,
+    )
+    layers = []
+    for hl in model.model.layers:
+        # cohere rope is interleaved (rotate every-two) → norm mode unpermuted
+        layers.append({
+            "attn_norm": _t2n(hl.input_layernorm.weight),
+            "attn_q": _t2n(hl.self_attn.q_proj.weight),
+            "attn_k": _t2n(hl.self_attn.k_proj.weight),
+            "attn_v": _t2n(hl.self_attn.v_proj.weight),
+            "attn_output": _t2n(hl.self_attn.o_proj.weight),
+            "ffn_gate": _t2n(hl.mlp.gate_proj.weight),
+            "ffn_up": _t2n(hl.mlp.up_proj.weight),
+            "ffn_down": _t2n(hl.mlp.down_proj.weight),
+        })
+    params = {
+        "token_embd": _t2n(model.model.embed_tokens.weight),
+        "layers": layers,
+        "output_norm": _t2n(model.model.norm.weight),
+    }
+    tokens = np.array([[9, 4, 88, 12, 63]], np.int32)
+    np.testing.assert_allclose(_run_ours(cfg, params, tokens),
+                               _run_hf(model, tokens), rtol=1e-3, atol=2e-3)
