@@ -1081,6 +1081,178 @@ def quant_iq4_xs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     return out.view(np.uint8).reshape(-1)
 
 
+# ---------------------------------------------------------------------------
+# IQ2/IQ3 codebook encoders.
+#
+# The reference's quantize_row_iq2_xxs_impl (ggml-quants.c:2955) rounds to
+# the nearest lattice point and repairs off-grid patterns with precomputed
+# neighbour tables (ggml_quantize_init). Here we search the WHOLE codebook
+# per 8-(or 4-)element group with a weighted least-squares criterion —
+# simpler, vectorized, and never worse than the pruned neighbour search.
+# Decoding is format-exact; encoded bits are valid but not bit-identical to
+# the reference encoder (encoders differ across llama.cpp versions too).
+# ---------------------------------------------------------------------------
+
+
+def _iq2xxs_codebook() -> np.ndarray:
+    """[256, 8] codeword values in scale units. Decode is
+    d·(2ls+1)/8·byte with scale ≈ d·(2ls+1), so q = byte/8 exactly
+    (bytes {8,25,43} → {1, 3.125, 5.375})."""
+    from .iq_grids import grids
+
+    return grids()["iq2xxs_grid"].astype(np.float32) / 8.0
+
+
+def _iq3xxs_codebook() -> np.ndarray:
+    """[256, 4] codeword values in scale units: decode d·(2ls+1)/4·byte ⇒
+    q = byte/4 ({1, 3, 5, 7, 9, 11, 13, 15.5})."""
+    from .iq_grids import grids
+
+    return grids()["iq3xxs_grid"].astype(np.float32) / 4.0
+
+
+def _iq_group_prep(x32: np.ndarray, weight: np.ndarray, span: int):
+    """Signs with odd-parity repair per `span`-element group (the stored
+    sign field is 7 bits + parity). Returns (xval |x|-with-flip, sign_bits)."""
+    g = x32.reshape(-1, span)
+    w = weight.reshape(-1, span)
+    neg = g < 0
+    nflip = neg.sum(axis=1)
+    imp = w * g * g
+    imin = imp.argmin(axis=1)
+    odd = (nflip % 2).astype(bool)
+    flip = np.zeros_like(neg)
+    flip[np.arange(len(g)), imin] = odd
+    eff_neg = neg ^ flip
+    # xval = |x| everywhere except the parity-repair element, which is
+    # decoded with the WRONG sign and must be fit as negative
+    xval = np.where(flip, -np.abs(g), np.abs(g)).astype(np.float32)
+    sign_bits = (eff_neg.astype(np.uint32)
+                 << np.arange(span, dtype=np.uint32)).sum(axis=1)
+    return xval, sign_bits
+
+
+def _codebook_fit(xval: np.ndarray, w: np.ndarray, code: np.ndarray,
+                  scale0: np.ndarray, n_try: int = 13):
+    """Per group (row), search scale candidates × full codebook.
+    xval/w [G, span] (xval may carry the parity flip's negative element);
+    code [C, span]. Returns (idx [G], scale_groups — per-row best LS scale
+    is NOT returned; selection happens per 32-block outside)."""
+    # distance terms: for candidate scale s, codeword c:
+    #   err = Σ w (s·q - xv)² = s²·Σwq² − 2s·Σwqxv + const
+    wq2 = np.einsum("gs,cs->gc", w, code * code)  # [G, C]
+    wqx = np.einsum("gs,cs->gc", w * xval, code)  # [G, C]
+    best_err = np.full(len(xval), np.inf, np.float32)
+    best_idx = np.zeros(len(xval), np.int64)
+    for it in range(n_try):
+        s = scale0 * (1.0 + 0.05 * (it - n_try // 2))
+        err = (s[:, None] ** 2) * wq2 - 2.0 * s[:, None] * wqx
+        idx = err.argmin(axis=1)
+        e = err[np.arange(len(idx)), idx]
+        better = e < best_err
+        best_err = np.where(better, e, best_err)
+        best_idx = np.where(better, idx, best_idx)
+    return best_idx
+
+
+def quant_iq2_xxs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ2_XXS encoder: per-8 codebook search + signs, 4-bit group scales
+    against d = max_scale/31 (packing per ggml-quants.c:3093-3124)."""
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    code = _iq2xxs_codebook()  # [256, 8] values {1,3,5}
+    sigma2 = (x * x).sum(axis=1) / F32(QK_K)
+    if qw is None:
+        weight = x * x + 1e-8
+    else:
+        weight = (np.broadcast_to(qw.reshape(-1)[:QK_K], x.shape)
+                  * np.sqrt(sigma2[:, None] + x * x)).astype(F32)
+
+    xg = x.reshape(nb * 8, 32)  # per 32-block
+    wg = weight.reshape(nb * 8, 32)
+    xval, signs = _iq_group_prep(xg, wg, 8)  # [nb*32, 8], [nb*32]
+    w8 = wg.reshape(-1, 8)
+    amax = np.abs(xval).max(axis=1).reshape(-1, 4).max(axis=1)  # per 32-block
+    scale0 = np.repeat(np.where(amax > 0, amax, 1) / 5.0, 4).astype(F32)
+    idx = _codebook_fit(xval, w8, code, scale0)
+
+    q = code[idx]  # [nb*32, 8]
+    # per-32-block LS scale over its 4 groups
+    q32 = q.reshape(-1, 32)
+    x32 = xval.reshape(-1, 32)
+    w32 = wg
+    sumqx = (w32 * x32 * q32).sum(axis=1)
+    sumq2 = (w32 * q32 * q32).sum(axis=1)
+    scales = np.where(sumq2 > 0, sumqx / np.where(sumq2 > 0, sumq2, 1), 0)
+    scales = np.maximum(scales, 0).astype(F32).reshape(nb, 8)
+
+    max_scale = scales.max(axis=1)
+    d = np.where(max_scale > 0, max_scale / 31.0, 0).astype(F32)
+    id_ = np.where(d > 0, 1.0 / np.where(d > 0, d, 1), 0)
+    ls = np.clip(nearest_int(0.5 * (id_[:, None] * scales - 1)), 0, 15)
+
+    idx4 = idx.reshape(nb, 8, 4).astype(np.uint32)
+    s4 = signs.reshape(nb, 8, 4).astype(np.uint32) & 127
+    a0 = (idx4 << (8 * np.arange(4, dtype=np.uint32))).sum(axis=2).astype(np.uint32)
+    a1 = (s4 << (7 * np.arange(4, dtype=np.uint32))).sum(axis=2).astype(np.uint32)
+    a1 |= ls.astype(np.uint32) << 28
+
+    out = np.zeros(nb, dtype=DT[GGMLType.IQ2_XXS])
+    out["d"] = d.astype(np.float16)
+    q2 = np.stack([a0, a1], axis=2).reshape(nb, 16)  # interleave a0,a1 per ib
+    out["qs"] = q2.view("<u2").reshape(nb, 32)
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_iq3_xxs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ3_XXS encoder: per-4 codebook search + per-8 signs, 4-bit group
+    scales against d = max_scale/31 (quantize_row_iq3_xxs_impl packing)."""
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    code = _iq3xxs_codebook()  # [256, 4]
+    sigma2 = (x * x).sum(axis=1) / F32(QK_K)
+    if qw is None:
+        weight = x * x + 1e-8
+    else:
+        weight = (np.broadcast_to(qw.reshape(-1)[:QK_K], x.shape)
+                  * np.sqrt(sigma2[:, None] + x * x)).astype(F32)
+
+    xg = x.reshape(nb * 8, 32)
+    wg = weight.reshape(nb * 8, 32)
+    # signs are per-8 (ksigns) but grids are per-4: prep on 8, search on 4
+    xval8, signs = _iq_group_prep(xg, wg, 8)
+    xval4 = xval8.reshape(-1, 4)
+    w4 = wg.reshape(-1, 4)
+    amax = np.abs(xval4).max(axis=1).reshape(-1, 8).max(axis=1)
+    scale0 = np.repeat(np.where(amax > 0, amax, 1) / 15.0, 8).astype(F32)
+    idx = _codebook_fit(xval4, w4, code, scale0)
+
+    q = code[idx]
+    q32 = q.reshape(-1, 32)
+    x32 = xval4.reshape(-1, 32)
+    sumqx = (wg * x32 * q32).sum(axis=1)
+    sumq2 = (wg * q32 * q32).sum(axis=1)
+    scales = np.where(sumq2 > 0, sumqx / np.where(sumq2 > 0, sumq2, 1), 0)
+    scales = np.maximum(scales, 0).astype(F32).reshape(nb, 8)
+
+    max_scale = scales.max(axis=1)
+    # stored db = d·(0.5+s)·0.5 (vs 0.25 for iq2): d = max/(31·0.5/0.25)…
+    # the reference uses the same max/31 convention with its 0.5 factor
+    d = np.where(max_scale > 0, max_scale / 31.0, 0).astype(F32)
+    id_ = np.where(d > 0, 1.0 / np.where(d > 0, d, 1), 0)
+    ls = np.clip(nearest_int(0.5 * (id_[:, None] * scales - 1)), 0, 15)
+
+    out = np.zeros(nb, dtype=DT[GGMLType.IQ3_XXS])
+    out["d"] = d.astype(np.float16)
+    qs = idx.reshape(nb, 64).astype(np.uint8)
+    s4 = signs.reshape(nb, 8, 4).astype(np.uint32) & 127
+    aux = (s4 << (7 * np.arange(4, dtype=np.uint32))).sum(axis=2).astype(np.uint32)
+    aux |= ls.astype(np.uint32) << 28
+    out["qs"][:, :64] = qs
+    out["qs"][:, 64:] = aux.astype("<u4").view(np.uint8).reshape(nb, 32)
+    return out.view(np.uint8).reshape(-1)
+
+
 def quant_tq1_0(x: np.ndarray) -> np.ndarray:
     """Ternary 1.6875 bpw (quantize_row_tq1_0_ref, ggml-quants.c:2043):
     d = amax, values rounded to {-1,0,1}, 5 trits per byte base-243
@@ -1146,6 +1318,8 @@ _QUANT = {
     GGMLType.TQ2_0: quant_tq2_0,
     GGMLType.IQ4_NL: quant_iq4_nl,
     GGMLType.IQ4_XS: quant_iq4_xs,
+    GGMLType.IQ2_XXS: quant_iq2_xxs,
+    GGMLType.IQ3_XXS: quant_iq3_xxs,
 }
 
 

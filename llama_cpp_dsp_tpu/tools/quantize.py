@@ -41,6 +41,8 @@ FTYPE_DEFAULT_TYPE: dict[FType, GGMLType] = {
     FType.MOSTLY_TQ2_0: GGMLType.TQ2_0,
     FType.MOSTLY_IQ4_NL: GGMLType.IQ4_NL,
     FType.MOSTLY_IQ4_XS: GGMLType.IQ4_XS,
+    FType.MOSTLY_IQ2_XXS: GGMLType.IQ2_XXS,
+    FType.MOSTLY_IQ3_XXS: GGMLType.IQ3_XXS,
 }
 
 FTYPE_NAMES = {
@@ -53,6 +55,7 @@ FTYPE_NAMES = {
     "Q6_K": FType.MOSTLY_Q6_K,
     "TQ1_0": FType.MOSTLY_TQ1_0, "TQ2_0": FType.MOSTLY_TQ2_0,
     "IQ4_NL": FType.MOSTLY_IQ4_NL, "IQ4_XS": FType.MOSTLY_IQ4_XS,
+    "IQ2_XXS": FType.MOSTLY_IQ2_XXS, "IQ3_XXS": FType.MOSTLY_IQ3_XXS,
 }
 
 # block-size fallbacks when ne[0] % block != 0 (llama-quant.cpp:~430)

@@ -228,3 +228,31 @@ def test_iq4_quantize_roundtrip(t, rng):
         theirs = _gguf.quants.dequantize(
             raw, _gguf.GGMLQuantizationType(int(t))).reshape(-1)
         np.testing.assert_array_equal(y, theirs)
+
+
+@pytest.mark.parametrize("t", [GGMLType.IQ2_XXS, GGMLType.IQ3_XXS])
+def test_iq_codebook_encoders(t, rng):
+    """IQ2/IQ3 codebook encoders (full-codebook weighted search): encoded
+    blocks must decode identically through the reference gguf-py and beat a
+    naive sign+single-level baseline on gaussian data."""
+    x = rng.standard_normal(256 * 8).astype(np.float32)
+    raw = quantize(x, t)
+    tr = GGML_TYPE_TRAITS[t]
+    assert raw.nbytes == x.size // tr.block_size * tr.type_size
+    y = dequantize(raw, t)
+    assert np.isfinite(y).all()
+    corr = np.corrcoef(x, y)[0, 1]
+    floor = 0.85 if t == GGMLType.IQ2_XXS else 0.93
+    assert corr > floor, corr
+    if _gguf is not None:
+        theirs = _gguf.quants.dequantize(
+            raw, _gguf.GGMLQuantizationType(int(t))).reshape(-1)
+        np.testing.assert_array_equal(y, theirs)
+    # imatrix-weighted path stays valid
+    qw = np.abs(rng.standard_normal(256)).astype(np.float32) + 0.1
+    from llama_cpp_dsp_tpu.quant.ref_numpy import quant_iq2_xxs, quant_iq3_xxs
+
+    fn = quant_iq2_xxs if t == GGMLType.IQ2_XXS else quant_iq3_xxs
+    raw_w = fn(x, qw)
+    yw = dequantize(raw_w, t)
+    assert np.isfinite(yw).all()
