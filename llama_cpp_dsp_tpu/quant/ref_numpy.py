@@ -1253,6 +1253,82 @@ def quant_iq3_xxs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     return out.view(np.uint8).reshape(-1)
 
 
+def quant_iq1_s(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ1_S encoder (1.5625 bpw): per-8 full-codebook search over the 2048
+    signed ternary codewords, per-32 3-bit scale + block delta sign
+    (decode: dl·(g ± 0.125), dequantize_row_iq1_s). Same design note as the
+    IQ2/IQ3 encoders: whole-codebook weighted LS instead of the reference's
+    neighbour-table repair (quantize_iq1_s, ggml-quants.c:4274)."""
+    from .iq_grids import IQ1S_DELTA, grids
+
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    code = grids()["iq1s_grid"].astype(np.float32)  # [2048, 8] ∈ {-1,0,1}
+    sigma2 = (x * x).sum(axis=1) / F32(QK_K)
+    if qw is None:
+        weight = x * x + 1e-8
+    else:
+        weight = (np.broadcast_to(qw.reshape(-1)[:QK_K], x.shape)
+                  * np.sqrt(sigma2[:, None] + x * x)).astype(F32)
+
+    xg = x.reshape(nb * 8, 32)  # 32-blocks
+    wg = weight.reshape(nb * 8, 32)
+    x8 = xg.reshape(-1, 8)
+    w8 = wg.reshape(-1, 8)
+    amax = np.abs(xg).max(axis=1)
+    scale0 = np.repeat(np.where(amax > 0, amax, 1), 4).astype(F32)
+
+    best_err = np.full(len(x8), np.inf, np.float32)
+    best_idx = np.zeros(len(x8), np.int64)
+    best_dsign = np.zeros(len(xg), np.int8)  # per 32-block delta sign
+    # candidates over (scale, delta sign); the block-level choices must be
+    # consistent, so evaluate per (scale, sign) and reduce per 32-block
+    cand_s = [0.7, 0.85, 1.0, 1.15, 1.3]
+    cand = [(f, dsign) for f in cand_s for dsign in (1.0, -1.0)]
+    best_block_err = np.full(len(xg), np.inf, np.float32)
+    for f, dsign in cand:
+        s = scale0 * f
+        cvals = code[None] + dsign * IQ1S_DELTA  # [1, 2048, 8]
+        # err per 8-group for this (s, dsign)
+        wq2 = np.einsum("gs,cs->gc", w8, (code + dsign * IQ1S_DELTA) ** 2)
+        wqx = np.einsum("gs,cs->gc", w8 * x8, code + dsign * IQ1S_DELTA)
+        err = (s[:, None] ** 2) * wq2 - 2.0 * s[:, None] * wqx
+        idx = err.argmin(axis=1)
+        e8 = err[np.arange(len(idx)), idx]
+        eb = e8.reshape(-1, 4).sum(axis=1)  # per 32-block
+        better = eb < best_block_err
+        best_block_err = np.where(better, eb, best_block_err)
+        best_dsign = np.where(better, np.int8(1 if dsign > 0 else -1),
+                              best_dsign)
+        b4 = np.repeat(better, 4)
+        best_idx = np.where(b4, idx, best_idx)
+
+    q = code[best_idx] + np.repeat(best_dsign, 4).astype(np.float32)[:, None] \
+        * IQ1S_DELTA  # [nb*32, 8]
+    q32 = q.reshape(-1, 32)
+    x32 = xg
+    sumqx = (wg * x32 * q32).sum(axis=1)
+    sumq2 = (wg * q32 * q32).sum(axis=1)
+    scales = np.where(sumq2 > 0, sumqx / np.where(sumq2 > 0, sumq2, 1), 0)
+    scales = np.maximum(scales, 0).astype(F32).reshape(nb, 8)
+
+    max_scale = scales.max(axis=1)
+    d = np.where(max_scale > 0, max_scale / 15.0, 0).astype(F32)
+    id_ = np.where(d > 0, 1.0 / np.where(d > 0, d, 1), 0)
+    ls = np.clip(nearest_int(0.5 * (id_[:, None] * scales - 1)), 0, 7)
+
+    idx4 = best_idx.reshape(nb, 8, 4).astype(np.uint32)
+    out = np.zeros(nb, dtype=DT[GGMLType.IQ1_S])
+    out["d"] = d.astype(np.float16)
+    out["qs"] = (idx4 & 0xFF).astype(np.uint8).reshape(nb, 32)
+    high = ((idx4 >> 8) & 7)  # [nb, 8, 4] 3-bit highs
+    qh = (high << (3 * np.arange(4, dtype=np.uint32))).sum(axis=2).astype(np.uint32)
+    qh |= ls.astype(np.uint32) << 12
+    qh |= (best_dsign.reshape(nb, 8) < 0).astype(np.uint32) << 15
+    out["qh"] = qh.astype("<u2")
+    return out.view(np.uint8).reshape(-1)
+
+
 def quant_tq1_0(x: np.ndarray) -> np.ndarray:
     """Ternary 1.6875 bpw (quantize_row_tq1_0_ref, ggml-quants.c:2043):
     d = amax, values rounded to {-1,0,1}, 5 trits per byte base-243
@@ -1320,6 +1396,7 @@ _QUANT = {
     GGMLType.IQ4_XS: quant_iq4_xs,
     GGMLType.IQ2_XXS: quant_iq2_xxs,
     GGMLType.IQ3_XXS: quant_iq3_xxs,
+    GGMLType.IQ1_S: quant_iq1_s,
 }
 
 

@@ -43,6 +43,7 @@ FTYPE_DEFAULT_TYPE: dict[FType, GGMLType] = {
     FType.MOSTLY_IQ4_XS: GGMLType.IQ4_XS,
     FType.MOSTLY_IQ2_XXS: GGMLType.IQ2_XXS,
     FType.MOSTLY_IQ3_XXS: GGMLType.IQ3_XXS,
+    FType.MOSTLY_IQ1_S: GGMLType.IQ1_S,
 }
 
 FTYPE_NAMES = {
@@ -56,6 +57,7 @@ FTYPE_NAMES = {
     "TQ1_0": FType.MOSTLY_TQ1_0, "TQ2_0": FType.MOSTLY_TQ2_0,
     "IQ4_NL": FType.MOSTLY_IQ4_NL, "IQ4_XS": FType.MOSTLY_IQ4_XS,
     "IQ2_XXS": FType.MOSTLY_IQ2_XXS, "IQ3_XXS": FType.MOSTLY_IQ3_XXS,
+    "IQ1_S": FType.MOSTLY_IQ1_S,
 }
 
 # block-size fallbacks when ne[0] % block != 0 (llama-quant.cpp:~430)

@@ -230,7 +230,8 @@ def test_iq4_quantize_roundtrip(t, rng):
         np.testing.assert_array_equal(y, theirs)
 
 
-@pytest.mark.parametrize("t", [GGMLType.IQ2_XXS, GGMLType.IQ3_XXS])
+@pytest.mark.parametrize("t", [GGMLType.IQ2_XXS, GGMLType.IQ3_XXS,
+                               GGMLType.IQ1_S])
 def test_iq_codebook_encoders(t, rng):
     """IQ2/IQ3 codebook encoders (full-codebook weighted search): encoded
     blocks must decode identically through the reference gguf-py and beat a
@@ -242,7 +243,8 @@ def test_iq_codebook_encoders(t, rng):
     y = dequantize(raw, t)
     assert np.isfinite(y).all()
     corr = np.corrcoef(x, y)[0, 1]
-    floor = 0.85 if t == GGMLType.IQ2_XXS else 0.93
+    floor = {GGMLType.IQ2_XXS: 0.85, GGMLType.IQ3_XXS: 0.93,
+             GGMLType.IQ1_S: 0.8}[t]
     assert corr > floor, corr
     if _gguf is not None:
         theirs = _gguf.quants.dequantize(
@@ -250,9 +252,12 @@ def test_iq_codebook_encoders(t, rng):
         np.testing.assert_array_equal(y, theirs)
     # imatrix-weighted path stays valid
     qw = np.abs(rng.standard_normal(256)).astype(np.float32) + 0.1
-    from llama_cpp_dsp_tpu.quant.ref_numpy import quant_iq2_xxs, quant_iq3_xxs
+    from llama_cpp_dsp_tpu.quant.ref_numpy import (
+        quant_iq1_s, quant_iq2_xxs, quant_iq3_xxs,
+    )
 
-    fn = quant_iq2_xxs if t == GGMLType.IQ2_XXS else quant_iq3_xxs
+    fn = {GGMLType.IQ2_XXS: quant_iq2_xxs, GGMLType.IQ3_XXS: quant_iq3_xxs,
+          GGMLType.IQ1_S: quant_iq1_s}[t]
     raw_w = fn(x, qw)
     yw = dequantize(raw_w, t)
     assert np.isfinite(yw).all()
