@@ -1253,6 +1253,233 @@ def quant_iq3_xxs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     return out.view(np.uint8).reshape(-1)
 
 
+def _iq_weights(x: np.ndarray, qw: np.ndarray | None) -> np.ndarray:
+    """Per-element fit weights: x² or imatrix·sqrt(σ²+x²) (reference
+    quantize_row_iq*_impl weight setup)."""
+    if qw is None:
+        return x * x + 1e-8
+    sigma2 = (x * x).sum(axis=1) / F32(x.shape[1])
+    return (np.broadcast_to(qw.reshape(-1)[: x.shape[1]], x.shape)
+            * np.sqrt(sigma2[:, None] + x * x)).astype(F32)
+
+
+def quant_iq3_s(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ3_S encoder: per-4 search over the 512-entry grid (qh carries the
+    9th index bit), explicit per-element sign bytes, 4-bit scales with
+    db = d·(1+2·ls) (dequantize_row_iq3_s packing)."""
+    from .iq_grids import grids
+
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    code = grids()["iq3s_grid"].astype(np.float32)  # [512, 4] odd ints
+    weight = _iq_weights(x, qw)
+
+    xg = x.reshape(nb * 8, 32)
+    wg = weight.reshape(nb * 8, 32)
+    xval4 = np.abs(xg).reshape(-1, 4)  # signs stored explicitly
+    w4 = wg.reshape(-1, 4)
+    amax = np.abs(xg).max(axis=1)
+    scale0 = np.repeat(np.where(amax > 0, amax, 1) / 15.0, 8).astype(F32)
+    idx = _codebook_fit(xval4, w4, code, scale0)
+
+    q32 = code[idx].reshape(-1, 32)
+    x32 = np.abs(xg)
+    sumqx = (wg * x32 * q32).sum(axis=1)
+    sumq2 = (wg * q32 * q32).sum(axis=1)
+    scales = np.maximum(
+        np.where(sumq2 > 0, sumqx / np.where(sumq2 > 0, sumq2, 1), 0), 0
+    ).astype(F32).reshape(nb, 8)
+
+    max_scale = scales.max(axis=1)
+    d = np.where(max_scale > 0, max_scale / 31.0, 0).astype(F32)
+    id_ = np.where(d > 0, 1.0 / np.where(d > 0, d, 1), 0)
+    ls = np.clip(nearest_int(0.5 * (id_[:, None] * scales - 1)), 0, 15)
+
+    out = np.zeros(nb, dtype=DT[GGMLType.IQ3_S])
+    out["d"] = d.astype(np.float16)
+    idx8 = idx.reshape(nb, 8, 8).astype(np.uint32)  # 8 grids per ib32
+    out["qs"] = (idx8 & 0xFF).astype(np.uint8).reshape(nb, 64)
+    # qh bit p of ib32's byte = index high bit of grid position p
+    hb = (idx8 >> 8) & 1
+    out["qh"] = (hb << np.arange(8, dtype=np.uint32)).sum(axis=2).astype(np.uint8)
+    sbits = (xg < 0).reshape(nb, 8, 4, 8).astype(np.uint32)
+    out["signs"] = (
+        (sbits << np.arange(8, dtype=np.uint32)).sum(axis=3)
+        .astype(np.uint8).reshape(nb, 32)
+    )
+    out["scales"] = ((ls[:, 0::2] & 0xF) | ((ls[:, 1::2] & 0xF) << 4)).astype(np.uint8)
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_iq2_s(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ2_S encoder: per-8 search over the 1024-entry grid (qh carries the
+    two high index bits), explicit sign bytes, two 4-bit half-block scales
+    with db = d·(0.5+ls)·0.25 (dequantize_row_iq2_s packing)."""
+    from .iq_grids import grids
+
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    code = grids()["iq2s_grid"].astype(np.float32) / 8.0  # byte/8 scale units
+    weight = _iq_weights(x, qw)
+
+    xg = x.reshape(nb * 8, 32)
+    wg = weight.reshape(nb * 8, 32)
+    xval8 = np.abs(xg).reshape(-1, 8)
+    w8 = wg.reshape(-1, 8)
+    amax16 = np.abs(xg.reshape(-1, 16)).max(axis=1)  # per half-block
+    scale0 = np.repeat(np.where(amax16 > 0, amax16, 1) / 5.0, 2).astype(F32)
+    idx = _codebook_fit(xval8, w8, code, scale0)
+
+    q16 = code[idx].reshape(-1, 16)  # per half-block
+    x16 = np.abs(xg).reshape(-1, 16)
+    w16 = wg.reshape(-1, 16)
+    sumqx = (w16 * x16 * q16).sum(axis=1)
+    sumq2 = (w16 * q16 * q16).sum(axis=1)
+    scales = np.maximum(
+        np.where(sumq2 > 0, sumqx / np.where(sumq2 > 0, sumq2, 1), 0), 0
+    ).astype(F32).reshape(nb, 16)  # two per ib32
+
+    max_scale = scales.max(axis=1)
+    d = np.where(max_scale > 0, max_scale / 31.0, 0).astype(F32)
+    id_ = np.where(d > 0, 1.0 / np.where(d > 0, d, 1), 0)
+    ls = np.clip(nearest_int(0.5 * (id_[:, None] * scales - 1)), 0, 15)
+
+    out = np.zeros(nb, dtype=DT[GGMLType.IQ2_S])
+    out["d"] = d.astype(np.float16)
+    idx4 = idx.reshape(nb, 8, 4).astype(np.uint32)
+    qs = np.zeros((nb, 64), np.uint8)
+    qs[:, :32] = (idx4 & 0xFF).astype(np.uint8).reshape(nb, 32)
+    sbits = (xg < 0).reshape(nb, 8, 4, 8).astype(np.uint32)
+    qs[:, 32:] = ((sbits << np.arange(8, dtype=np.uint32)).sum(axis=3)
+                  .astype(np.uint8).reshape(nb, 32))
+    out["qs"] = qs
+    high = (idx4 >> 8) & 3  # [nb, 8, 4]
+    out["qh"] = ((high << (2 * np.arange(4, dtype=np.uint32))).sum(axis=2)
+                 .astype(np.uint8))
+    out["scales"] = ((ls[:, 0::2] & 0xF) | ((ls[:, 1::2] & 0xF) << 4)).astype(np.uint8)
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_iq2_xs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ2_XS encoder: per-8 search over the 512-entry grid, 7-bit parity
+    signs packed into the qs words (idx | sign<<9), two 4-bit half-block
+    scales (dequantize_row_iq2_xs packing)."""
+    from .iq_grids import grids
+
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    code = grids()["iq2xs_grid"].astype(np.float32) / 8.0
+    weight = _iq_weights(x, qw)
+
+    xg = x.reshape(nb * 8, 32)
+    wg = weight.reshape(nb * 8, 32)
+    xval, signs = _iq_group_prep(xg, wg, 8)
+    w8 = wg.reshape(-1, 8)
+    amax16 = np.abs(xg.reshape(-1, 16)).max(axis=1)
+    scale0 = np.repeat(np.where(amax16 > 0, amax16, 1) / 5.0, 2).astype(F32)
+    idx = _codebook_fit(xval, w8, code, scale0)
+
+    q16 = code[idx].reshape(-1, 16)
+    x16 = xval.reshape(-1, 16)
+    w16 = wg.reshape(-1, 16)
+    sumqx = (w16 * x16 * q16).sum(axis=1)
+    sumq2 = (w16 * q16 * q16).sum(axis=1)
+    scales = np.maximum(
+        np.where(sumq2 > 0, sumqx / np.where(sumq2 > 0, sumq2, 1), 0), 0
+    ).astype(F32).reshape(nb, 16)
+
+    max_scale = scales.max(axis=1)
+    d = np.where(max_scale > 0, max_scale / 31.0, 0).astype(F32)
+    id_ = np.where(d > 0, 1.0 / np.where(d > 0, d, 1), 0)
+    ls = np.clip(nearest_int(0.5 * (id_[:, None] * scales - 1)), 0, 15)
+
+    out = np.zeros(nb, dtype=DT[GGMLType.IQ2_XS])
+    out["d"] = d.astype(np.float16)
+    words = (idx.astype(np.uint32) & 511) | ((signs & 127) << 9)
+    out["qs"] = words.astype("<u2").reshape(nb, 32)
+    out["scales"] = ((ls[:, 0::2] & 0xF) | ((ls[:, 1::2] & 0xF) << 4)).astype(np.uint8)
+    return out.view(np.uint8).reshape(-1)
+
+
+def quant_iq1_m(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ1_M encoder: per-8 codebook search with PER-GROUP delta signs
+    (qh nibble bits 0x08/0x80), per-16 3-bit scales, and the f16 super
+    scale scattered over the scale words' top nibbles
+    (dequantize_row_iq1_m packing)."""
+    from .iq_grids import IQ1M_DELTA, grids
+
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    code = grids()["iq1s_grid"].astype(np.float32)
+    weight = _iq_weights(x, qw)
+
+    xg = x.reshape(nb * 8, 32)
+    wg = weight.reshape(nb * 8, 32)
+    x8 = xg.reshape(-1, 8)
+    w8 = wg.reshape(-1, 8)
+    amax16 = np.abs(xg.reshape(-1, 16)).max(axis=1)
+    scale0 = np.repeat(np.where(amax16 > 0, amax16, 1), 2).astype(F32)
+
+    best_err = np.full(len(x8), np.inf, np.float32)
+    best_idx = np.zeros(len(x8), np.int64)
+    best_neg = np.zeros(len(x8), bool)
+    for f in (0.7, 0.85, 1.0, 1.15, 1.3):
+        s = scale0 * f
+        for dsign in (1.0, -1.0):
+            c = code + dsign * IQ1M_DELTA
+            wq2 = np.einsum("gs,cs->gc", w8, c * c)
+            wqx = np.einsum("gs,cs->gc", w8 * x8, c)
+            err = (s[:, None] ** 2) * wq2 - 2.0 * s[:, None] * wqx
+            idx = err.argmin(axis=1)
+            e = err[np.arange(len(idx)), idx]
+            better = e < best_err
+            best_err = np.where(better, e, best_err)
+            best_idx = np.where(better, idx, best_idx)
+            best_neg = np.where(better, dsign < 0, best_neg)
+
+    delta = np.where(best_neg, -IQ1M_DELTA, IQ1M_DELTA).astype(np.float32)
+    q16 = (code[best_idx] + delta[:, None]).reshape(-1, 16)
+    x16 = xg.reshape(-1, 16)
+    w16 = wg.reshape(-1, 16)
+    sumqx = (w16 * x16 * q16).sum(axis=1)
+    sumq2 = (w16 * q16 * q16).sum(axis=1)
+    scales = np.maximum(
+        np.where(sumq2 > 0, sumqx / np.where(sumq2 > 0, sumq2, 1), 0), 0
+    ).astype(F32).reshape(nb, 16)
+
+    max_scale = scales.max(axis=1)
+    d = np.where(max_scale > 0, max_scale / 15.0, 0).astype(F32)
+    d16 = d.astype(np.float16)
+    dval = d16.astype(F32)
+    id_ = np.where(dval > 0, 1.0 / np.where(dval > 0, dval, 1), 0)
+    ls = np.clip(nearest_int(0.5 * (id_[:, None] * scales - 1)), 0, 7)  # [nb,16]
+
+    out = np.zeros(nb, dtype=DT[GGMLType.IQ1_M])
+    idx4 = best_idx.reshape(nb, 8, 4).astype(np.uint32)
+    out["qs"] = (idx4 & 0xFF).astype(np.uint8).reshape(nb, 32)
+    hi = (idx4 >> 8) & 7  # [nb, 8, 4]
+    neg4 = best_neg.reshape(nb, 8, 4)
+    qh = np.zeros((nb, 8, 2), np.uint32)
+    qh[..., 0] = hi[..., 0] | (hi[..., 1] << 4)
+    qh[..., 1] = hi[..., 2] | (hi[..., 3] << 4)
+    n4 = neg4.astype(np.uint32)
+    qh[..., 0] |= (n4[..., 0] << 3) | (n4[..., 1] << 7)
+    qh[..., 1] |= (n4[..., 2] << 3) | (n4[..., 3] << 7)
+    out["qh"] = qh.astype(np.uint8).reshape(nb, 16)
+    # scale words: sc[i] holds 4 × 3-bit sub-scales + the i-th nibble of
+    # the f16 super scale in bits 12-15
+    dbits = d16.view(np.uint16).astype(np.uint32)
+    sc = np.zeros((nb, 4), np.uint32)
+    l16 = ls.astype(np.uint32).reshape(nb, 4, 4)  # [nb, word, 4 scales]
+    sc |= l16[:, :, 0] | (l16[:, :, 1] << 3) | (l16[:, :, 2] << 6) | (l16[:, :, 3] << 9)
+    sc[:, 0] |= ((dbits >> 0) & 0xF) << 12
+    sc[:, 1] |= ((dbits >> 4) & 0xF) << 12
+    sc[:, 2] |= ((dbits >> 8) & 0xF) << 12
+    sc[:, 3] |= ((dbits >> 12) & 0xF) << 12
+    out["scales"] = sc.astype("<u2").view(np.uint8).reshape(nb, 8)
+    return out.view(np.uint8).reshape(-1)
+
+
 def quant_iq1_s(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     """IQ1_S encoder (1.5625 bpw): per-8 full-codebook search over the 2048
     signed ternary codewords, per-32 3-bit scale + block delta sign
@@ -1397,6 +1624,10 @@ _QUANT = {
     GGMLType.IQ2_XXS: quant_iq2_xxs,
     GGMLType.IQ3_XXS: quant_iq3_xxs,
     GGMLType.IQ1_S: quant_iq1_s,
+    GGMLType.IQ1_M: quant_iq1_m,
+    GGMLType.IQ2_XS: quant_iq2_xs,
+    GGMLType.IQ2_S: quant_iq2_s,
+    GGMLType.IQ3_S: quant_iq3_s,
 }
 
 

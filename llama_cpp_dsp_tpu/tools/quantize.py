@@ -44,6 +44,13 @@ FTYPE_DEFAULT_TYPE: dict[FType, GGMLType] = {
     FType.MOSTLY_IQ2_XXS: GGMLType.IQ2_XXS,
     FType.MOSTLY_IQ3_XXS: GGMLType.IQ3_XXS,
     FType.MOSTLY_IQ1_S: GGMLType.IQ1_S,
+    FType.MOSTLY_IQ1_M: GGMLType.IQ1_M,
+    FType.MOSTLY_IQ2_XS: GGMLType.IQ2_XS,
+    FType.MOSTLY_IQ2_S: GGMLType.IQ2_S,
+    FType.MOSTLY_IQ2_M: GGMLType.IQ2_S,
+    FType.MOSTLY_IQ3_S: GGMLType.IQ3_S,
+    FType.MOSTLY_IQ3_M: GGMLType.IQ3_S,
+    FType.MOSTLY_IQ3_XS: GGMLType.IQ3_S,
 }
 
 FTYPE_NAMES = {
@@ -57,7 +64,10 @@ FTYPE_NAMES = {
     "TQ1_0": FType.MOSTLY_TQ1_0, "TQ2_0": FType.MOSTLY_TQ2_0,
     "IQ4_NL": FType.MOSTLY_IQ4_NL, "IQ4_XS": FType.MOSTLY_IQ4_XS,
     "IQ2_XXS": FType.MOSTLY_IQ2_XXS, "IQ3_XXS": FType.MOSTLY_IQ3_XXS,
-    "IQ1_S": FType.MOSTLY_IQ1_S,
+    "IQ1_S": FType.MOSTLY_IQ1_S, "IQ1_M": FType.MOSTLY_IQ1_M,
+    "IQ2_XS": FType.MOSTLY_IQ2_XS, "IQ2_S": FType.MOSTLY_IQ2_S,
+    "IQ2_M": FType.MOSTLY_IQ2_M, "IQ3_S": FType.MOSTLY_IQ3_S,
+    "IQ3_M": FType.MOSTLY_IQ3_M, "IQ3_XS": FType.MOSTLY_IQ3_XS,
 }
 
 # block-size fallbacks when ne[0] % block != 0 (llama-quant.cpp:~430)

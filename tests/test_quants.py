@@ -231,7 +231,9 @@ def test_iq4_quantize_roundtrip(t, rng):
 
 
 @pytest.mark.parametrize("t", [GGMLType.IQ2_XXS, GGMLType.IQ3_XXS,
-                               GGMLType.IQ1_S])
+                               GGMLType.IQ1_S, GGMLType.IQ1_M,
+                               GGMLType.IQ2_XS, GGMLType.IQ2_S,
+                               GGMLType.IQ3_S])
 def test_iq_codebook_encoders(t, rng):
     """IQ2/IQ3 codebook encoders (full-codebook weighted search): encoded
     blocks must decode identically through the reference gguf-py and beat a
@@ -244,7 +246,9 @@ def test_iq_codebook_encoders(t, rng):
     assert np.isfinite(y).all()
     corr = np.corrcoef(x, y)[0, 1]
     floor = {GGMLType.IQ2_XXS: 0.85, GGMLType.IQ3_XXS: 0.93,
-             GGMLType.IQ1_S: 0.8}[t]
+             GGMLType.IQ1_S: 0.8, GGMLType.IQ1_M: 0.82,
+             GGMLType.IQ2_XS: 0.88, GGMLType.IQ2_S: 0.9,
+             GGMLType.IQ3_S: 0.94}[t]
     assert corr > floor, corr
     if _gguf is not None:
         theirs = _gguf.quants.dequantize(
@@ -252,12 +256,9 @@ def test_iq_codebook_encoders(t, rng):
         np.testing.assert_array_equal(y, theirs)
     # imatrix-weighted path stays valid
     qw = np.abs(rng.standard_normal(256)).astype(np.float32) + 0.1
-    from llama_cpp_dsp_tpu.quant.ref_numpy import (
-        quant_iq1_s, quant_iq2_xxs, quant_iq3_xxs,
-    )
+    from llama_cpp_dsp_tpu.quant.ref_numpy import _QUANT
 
-    fn = {GGMLType.IQ2_XXS: quant_iq2_xxs, GGMLType.IQ3_XXS: quant_iq3_xxs,
-          GGMLType.IQ1_S: quant_iq1_s}[t]
+    fn = _QUANT[t]
     raw_w = fn(x, qw)
     yw = dequantize(raw_w, t)
     assert np.isfinite(yw).all()
