@@ -419,7 +419,13 @@ for _spec in [
     ArchSpec("orion", _orion),
     ArchSpec("plamo", _llama),
     ArchSpec("codeshell", _starcoder, fused_qkv=True),
-    ArchSpec("jais", _gpt2, fused_qkv=True),
+    # llm_build_jais: LN, fused qkv, ALiBi positions, gated SiLU FFN
+    ArchSpec("jais", lambda get: {
+        "norm_type": "ln",
+        "pos_embd_type": "alibi",
+        "max_alibi_bias": float(get("{arch}.attention.max_alibi_bias", 8.0) or 8.0),
+        "tie_embeddings": True,
+    }, fused_qkv=True),
     ArchSpec("arctic", _llama),
     ArchSpec("deepseek", _deepseek),
     ArchSpec("deepseek2", _deepseek2),

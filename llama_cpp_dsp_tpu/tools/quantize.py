@@ -120,12 +120,28 @@ def tensor_get_type(qs: _QuantizeState, new_type: GGMLType, name: str, ne0: int,
             return int(nm.split(".")[1])
         return 0
 
+    iq_low = ftype in (FType.MOSTLY_IQ1_S, FType.MOSTLY_IQ1_M,
+                       FType.MOSTLY_IQ2_XXS, FType.MOSTLY_IQ2_XS,
+                       FType.MOSTLY_IQ2_S, FType.MOSTLY_IQ2_M)
+    iq3 = ftype in (FType.MOSTLY_IQ3_XXS, FType.MOSTLY_IQ3_XS,
+                    FType.MOSTLY_IQ3_S, FType.MOSTLY_IQ3_M)
     if name == "output.weight" or (not qs.has_output and name == "token_embd.weight"):
         qk_k = GGML_TYPE_TRAITS[new_type].block_size
         if ne0 % qk_k != 0:
             new_type = GGMLType.Q8_0
+        elif iq_low:
+            # llama-quant.cpp: low-bit IQ ftypes keep a Q5_K output head
+            new_type = GGMLType.Q5_K
         elif new_type != GGMLType.Q8_0:
             new_type = GGMLType.Q6_K
+    elif iq_low and name == "token_embd.weight":
+        new_type = GGMLType.Q2_K
+    elif iq_low and ("attn_v.weight" in name or "attn_k.weight" in name):
+        new_type = GGMLType.Q4_K if "attn_v" in name else GGMLType.IQ3_S
+        qs.i_attention_wv += "attn_v" in name
+    elif iq3 and "attn_v.weight" in name:
+        new_type = GGMLType.Q4_K if qs.n_gqa >= 4 else GGMLType.IQ3_S
+        qs.i_attention_wv += 1
     elif name == "token_embd.weight":
         pass  # keep default for supported ftypes
     elif "attn_v.weight" in name:
