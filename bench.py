@@ -32,6 +32,10 @@ def main() -> int:
                          "the dev-tunnel dispatch latency is not representative)")
     ap.add_argument("--no-scan", dest="scan", action="store_false",
                     help="per-step host dispatch timing")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="write a jax.profiler trace of the timed region "
+                         "(sched eval-callback/llama-bench tracing role; may "
+                         "be unsupported on remote-relay platforms)")
     args = ap.parse_args()
 
     from llama_cpp_dsp_tpu.utils.jax_setup import setup_jax
@@ -105,11 +109,21 @@ def main() -> int:
     if args.scan:
         cache, toks = decode_scan(params, cache, tokens, jnp.int32(n_past), args.steps)
         int(np.asarray(toks[0, 0]))  # compile + warm
+        prof = None
+        if args.profile:
+            try:
+                jax.profiler.start_trace(args.profile)
+                prof = True
+            except Exception as e:  # noqa: BLE001 — relay may not support it
+                print(f"bench: profiler unavailable: {e}", file=sys.stderr)
         t0 = time.perf_counter()
         cache, toks = decode_scan(params, cache, toks, jnp.int32(n_past + args.steps),
                                   args.steps)
         int(np.asarray(toks[0, 0]))
         dt = time.perf_counter() - t0
+        if prof:
+            jax.profiler.stop_trace()
+            print(f"bench: trace written to {args.profile}", file=sys.stderr)
     else:
         t0 = time.perf_counter()
         for i in range(args.steps):
