@@ -441,16 +441,36 @@ class Engine:
 
     def _mixed_step(self, gen: list["_Slot"]) -> bool:
         """One packed prompt+decode iteration: all generating slots' next
-        tokens + one prompt slot's chunk in a single device program."""
+        tokens + prompt chunks from as many PROMPT slots as fit the token
+        budget, in a single device program (reference update_slots packs
+        every slot's work into one llama_decode batch)."""
         start = getattr(self, "_prefill_rr", 0)
-        pslot = next(s for s in self.slots[start:] + self.slots[:start]
-                     if s.state == SlotState.PROMPT)
-        req = pslot.req
-        remaining = req.prompt_tokens[pslot.prompt_pos:]
+        rotation = self.slots[start:] + self.slots[:start]
+        prompts = [s for s in rotation if s.state == SlotState.PROMPT]
         pmax = self.prefill_buckets[-1]
-        chunk = remaining[: max(1, pmax - len(gen))]
-        p = self._bucket(len(gen) + len(chunk))
-        chunk = chunk[: p - len(gen)]
+
+        budget = max(1, pmax - len(gen))
+        chunks: list[tuple["_Slot", list[int]]] = []
+        for s in prompts:
+            if budget <= 0:
+                break
+            remaining = s.req.prompt_tokens[s.prompt_pos:]
+            take = remaining[:budget]
+            if take:
+                chunks.append((s, take))
+                budget -= len(take)
+        n_prompt_toks = sum(len(c) for _, c in chunks)
+        p = self._bucket(len(gen) + n_prompt_toks)
+        # bucket may be smaller than requested total: trim the last chunks
+        room = p - len(gen)
+        trimmed: list[tuple["_Slot", list[int]]] = []
+        for s, c in chunks:
+            if room <= 0:
+                break
+            c = c[:room]
+            room -= len(c)
+            trimmed.append((s, c))
+        chunks = trimmed
 
         tokens = np.zeros(p, np.int32)
         slot_ids = np.zeros(p, np.int32)
@@ -463,15 +483,16 @@ class Engine:
             rows[i] = s.n_past
             out_idx[s.idx] = i
             i += 1
-        for j, t in enumerate(chunk):
-            tokens[i] = t
-            slot_ids[i] = pslot.idx
-            rows[i] = pslot.n_past + j
-            i += 1
-        out_idx[pslot.idx] = i - 1
+        for s, c in chunks:
+            for j, t in enumerate(c):
+                tokens[i] = t
+                slot_ids[i] = s.idx
+                rows[i] = s.n_past + j
+                i += 1
+            out_idx[s.idx] = i - 1
 
         self._ensure_pages([(s.idx, s.n_past + 1) for s in gen]
-                           + [(pslot.idx, pslot.n_past + len(chunk))])
+                           + [(s.idx, s.n_past + len(c)) for s, c in chunks])
         logits, self.cache = self._mixed_fn(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(slot_ids), jnp.asarray(rows), jnp.asarray(out_idx),
@@ -483,16 +504,19 @@ class Engine:
             s.n_past += 1
             token = s.req.sampler.sample(logits_np[s.idx])
             self._emit_token(s, token)
-        pslot.prompt_pos += len(chunk)
-        pslot.n_past += len(chunk)
-        pslot.cache_tokens = list(req.prompt_tokens[: pslot.prompt_pos])
-        self.metrics["prompt_tokens_total"] += len(chunk)
-        if pslot.prompt_pos >= req.n_prompt:
-            token = req.sampler.sample(logits_np[pslot.idx])
-            req.t_first_token = time.perf_counter()
-            pslot.state = SlotState.GENERATING
-            self._emit_token(pslot, token)
-        self._prefill_rr = (pslot.idx + 1) % self.n_slots
+        for s, c in chunks:
+            req = s.req
+            s.prompt_pos += len(c)
+            s.n_past += len(c)
+            s.cache_tokens = list(req.prompt_tokens[: s.prompt_pos])
+            self.metrics["prompt_tokens_total"] += len(c)
+            if s.prompt_pos >= req.n_prompt:
+                token = req.sampler.sample(logits_np[s.idx])
+                req.t_first_token = time.perf_counter()
+                s.state = SlotState.GENERATING
+                self._emit_token(s, token)
+        if chunks:
+            self._prefill_rr = (chunks[-1][0].idx + 1) % self.n_slots
         return True
 
     def _bucket(self, n: int) -> int:

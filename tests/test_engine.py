@@ -277,3 +277,32 @@ def test_paged_engine_mixed_concurrent(paged_engine):
         eng.step()
     assert r1.result_tokens == solo1.result_tokens
     assert r2.result_tokens == solo2.result_tokens
+
+
+def test_mixed_multi_prompt_chunks(engine):
+    """Several prompt slots' chunks pack into ONE program alongside decode
+    (full update_slots packing): identical streams to solo runs. f32 and
+    cleared prompt caches keep solo/packed numerics path-identical."""
+    import jax.numpy as jnp
+
+    eng = Engine(engine.model, n_slots=3, n_ctx_per_slot=64,
+                 prefill_buckets=(16,), use_pallas=False,
+                 compute_dtype=jnp.float32)
+    prompts = [[101, 103, 105, 107], [109, 111, 113], [115, 117, 119, 121, 123]]
+    solos = [eng.generate_sync(list(p), max_new_tokens=5, sampler=greedy())
+             .result_tokens for p in prompts]
+    for s in eng.slots:
+        s.cache_tokens = []  # force full prefill in the packed path
+    reqs = [Request(0, list(p), max_new_tokens=5, sampler=greedy())
+            for p in prompts]
+    # get the first generating, then submit two more so BOTH their prompts
+    # co-schedule in one packed step
+    eng.submit(reqs[0])
+    while not reqs[0].result_tokens:
+        eng.step()
+    eng.submit(reqs[1])
+    eng.submit(reqs[2])
+    while not all(r.done.is_set() for r in reqs):
+        eng.step()
+    for r, solo in zip(reqs, solos):
+        assert r.result_tokens == solo
