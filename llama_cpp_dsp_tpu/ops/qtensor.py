@@ -37,7 +37,7 @@ from typing import Any
 import jax
 import numpy as np
 
-from ..gguf.constants import QK_K, GGMLType
+from ..gguf.constants import GGML_TYPE_TRAITS, QK_K, GGMLType
 from ..quant import ref_numpy as refq
 
 # GGUF types that have a first-class packed device layout
@@ -160,5 +160,15 @@ def from_gguf_tensor(
         return np.ascontiguousarray(raw).view(ml_dtypes.bfloat16).reshape(np_shape)
     if kind in PACKED_KINDS and len(np_shape) in (1, 2):
         return repack(raw, kind, np_shape)
-    # fallback: dequantize to dense (Q2_K/Q3_K/IQ*/...)
+    # kinds without a fused kernel (Q2_K/Q3_K/IQ*/TQ*): requantize matrices
+    # to Q8_0 at load so they still stream packed through the Pallas kernel
+    # (8.25 bpw instead of 16 for the dense fallback — the IQ decode error
+    # already dwarfs q8's ~0.2%); non-matrix tensors stay dense
+    tr = GGML_TYPE_TRAITS.get(kind)
+    if (tr is not None and len(np_shape) == 2 and np_shape[-1] % 32 == 0
+            and kind not in (GGMLType.Q8_K,)):
+        y = refq.dequantize(raw, kind).reshape(np_shape)
+        return repack(refq.quantize(y.astype(np.float32), GGMLType.Q8_0),
+                      GGMLType.Q8_0, np_shape)
+    # fallback: dequantize to dense
     return refq.dequantize(raw, kind).reshape(np_shape).astype(dense_dtype)

@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from llama_cpp_dsp_tpu.gguf import GGML_TYPE_TRAITS, GGMLType
-from llama_cpp_dsp_tpu.ops.qtensor import PACKED_KINDS, from_gguf_tensor
+from llama_cpp_dsp_tpu.ops.qtensor import PACKED_KINDS, QTensor, from_gguf_tensor
 from llama_cpp_dsp_tpu.quant import dequantize, quantize
 from llama_cpp_dsp_tpu.quant.jax_dequant import dequant as jdequant
 
@@ -37,13 +37,26 @@ def test_jax_dequant_random_bits(kind, rng):
     np.testing.assert_array_equal(got[ok], want[ok], err_msg=kind.name)
 
 
-def test_dense_fallback(rng):
-    x = rng.standard_normal((4, 256)).astype(np.float32)
-    raw = quantize(x, GGMLType.Q4_K)
-    # Q2_K has no packed layout → falls back to dense
+def test_kernel_less_kinds_requantize_to_q8(rng):
+    """Kinds without a fused kernel (Q2_K/IQ*/TQ*) requantize to packed
+    Q8_0 at load so they still stream through the Pallas kernels (8.25 bpw
+    instead of the old 16-bpw dense fallback)."""
     import llama_cpp_dsp_tpu.quant.ref_numpy as refq
 
     raw2 = rng.integers(0, 256, size=2 * 256 // 256 * 84, dtype=np.uint8)
-    arr = from_gguf_tensor(raw2, GGMLType.Q2_K, (2, 256))
+    qt = from_gguf_tensor(raw2, GGMLType.Q2_K, (2, 256))
+    assert isinstance(qt, QTensor) and qt.kind == GGMLType.Q8_0
+    # decode fidelity: q8 of the dequantized values, near-exact
+    import jax.numpy as jnp
+
+    from llama_cpp_dsp_tpu.quant.jax_dequant import dequant
+
+    want = refq.dequantize(raw2, GGMLType.Q2_K).reshape(2, 256)
+    got = np.asarray(dequant(qt, jnp.float32))
+    ok = np.isfinite(want)
+    denom = max(1e-9, float(np.abs(want[ok]).max()))
+    assert np.abs(got[ok] - want[ok]).max() / denom < 0.01
+
+    # 1-D tensors stay dense
+    arr = from_gguf_tensor(raw2, GGMLType.Q2_K, (512,))
     assert isinstance(arr, np.ndarray)
-    assert arr.shape == (2, 256)
