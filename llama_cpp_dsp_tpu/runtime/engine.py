@@ -99,7 +99,7 @@ class Engine:
         page_size: int = 128,
     ):
         self.kv_layout = kv_layout
-        self.context_shift = context_shift and kv_layout != "paged"
+        self.context_shift = context_shift
         from .context import _convert_to_kernel_weights
 
         if use_pallas is None:
@@ -625,12 +625,28 @@ class Engine:
         if n_discard is None:
             n_discard = max(1, (self.n_ctx - n_keep) // 2)
         src1, deltas1 = context_shift_indices(self.n_ctx, n_keep, n_discard)
-        src = np.tile(np.arange(self.n_ctx, dtype=np.int64), (self.n_slots, 1))
-        deltas = np.zeros((self.n_slots, self.n_ctx), np.int64)
-        src[slot.idx] = src1[0]
-        deltas[slot.idx] = deltas1[0]
         ff = self.params["layers"][0].get("rope_freqs")
-        self.cache = apply_seq_edit(self.cache, src, deltas, self.cfg.rope, ff)
+        if self.kv_layout == "paged":
+            # gather the sequence's pages to a dense view, apply the same
+            # rope-rebased edit, scatter back (pages COW'd first so shared
+            # prefixes elsewhere stay intact)
+            from .kv_cache import KVCache
+
+            # full allocation before gather/scatter: sentinel table entries
+            # would clamp onto other sequences' pages
+            self._ensure_pages([(slot.idx, self.n_ctx)])
+            self._cow_from(slot.idx, 0)
+            k, v = self.cache.gather_seq(slot.idx)
+            tmp = apply_seq_edit(KVCache(k, v), src1, deltas1, self.cfg.rope, ff)
+            self.cache = self.cache.scatter_seq(slot.idx, tmp.k, tmp.v)
+        else:
+            src = np.tile(np.arange(self.n_ctx, dtype=np.int64),
+                          (self.n_slots, 1))
+            deltas = np.zeros((self.n_slots, self.n_ctx), np.int64)
+            src[slot.idx] = src1[0]
+            deltas[slot.idx] = deltas1[0]
+            self.cache = apply_seq_edit(self.cache, src, deltas,
+                                        self.cfg.rope, ff)
         slot.n_past -= n_discard
         slot.cache_tokens = []  # shifted rows no longer prefix-addressable
         log.info("slot %d: context shift (-%d tokens)", slot.idx, n_discard)

@@ -102,6 +102,31 @@ class PagedKVCache:
         v = vg.transpose(0, 2, 1, 3, 4).reshape(b, hkv, nb * ps, d)
         return k, v
 
+    def gather_seq(self, seq: int) -> tuple[jax.Array, jax.Array]:
+        """One sequence's dense KV [L, 1, Hkv, S, D] (for sequence surgery —
+        context shift gathers, edits, then scatter_seq writes back)."""
+        safe = jnp.minimum(self.tables[seq], self.n_pages - 1)
+        kg = self.k[:, safe]  # [L, blocks, Hkv, ps, D]
+        vg = self.v[:, safe]
+        l, nb, hkv, ps, d = kg.shape
+        return (kg.transpose(0, 2, 1, 3, 4).reshape(l, 1, hkv, nb * ps, d),
+                vg.transpose(0, 2, 1, 3, 4).reshape(l, 1, hkv, nb * ps, d))
+
+    def scatter_seq(self, seq: int, k: jax.Array, v: jax.Array) -> "PagedKVCache":
+        """Write a dense [L, 1, Hkv, S, D] view back into the sequence's
+        pages (pages must be exclusively owned — COW first)."""
+        l, _, hkv, s, d = k.shape
+        ps = self.page_size
+        nb = s // ps
+        pages = jnp.minimum(self.tables[seq, :nb], self.n_pages - 1)
+        kp = k.reshape(l, hkv, nb, ps, d).transpose(0, 2, 1, 3, 4)
+        vp = v.reshape(l, hkv, nb, ps, d).transpose(0, 2, 1, 3, 4)
+        return PagedKVCache(
+            self.k.at[:, pages].set(kp.astype(self.k.dtype)),
+            self.v.at[:, pages].set(vp.astype(self.v.dtype)),
+            self.tables,
+        )
+
     def copy_page(self, src: int, dst: int) -> "PagedKVCache":
         """Copy-on-write support: duplicate one page's payload."""
         return PagedKVCache(

@@ -306,3 +306,17 @@ def test_mixed_multi_prompt_chunks(engine):
         eng.step()
     for r, solo in zip(reqs, solos):
         assert r.result_tokens == solo
+
+
+def test_paged_context_shift(engine):
+    """Paged mode: a full slot keeps generating via page-level gather →
+    rope-rebased edit → scatter (reference context-shift semantics)."""
+    eng = Engine(engine.model, n_slots=2, n_ctx_per_slot=32,
+                 prefill_buckets=(16,), use_pallas=False,
+                 kv_layout="paged", page_size=8)
+    req = Request(0, [3, 5, 7, 9], max_new_tokens=60, sampler=greedy())
+    eng.submit(req)
+    while not req.done.is_set():
+        eng.step()
+    assert req.error is None
+    assert len(req.result_tokens) == 60
