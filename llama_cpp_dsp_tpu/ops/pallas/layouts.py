@@ -90,6 +90,14 @@ def default_tile_k(k: int, kind: GGMLType, want: int = 8192) -> int:
     # bigger k-tiles = fewer, larger DMAs: 2048→4096(+37%) →7168 on ffn
     # K=14336 (+43%) measured on v5e — the pipeline is DMA-latency-bound
     # at small tiles. VMEM stays comfortable: qs block ≤ [256, 4096] u8.
+    # LLAMA_TPU_TILE_K_BIG overrides `want` for K ≥ 8192 (down-proj-class
+    # weights) only — e2e tiling experiments without disturbing the tuned
+    # small-K kernels.
+    import os
+
+    env = os.environ.get("LLAMA_TPU_TILE_K_BIG")
+    if env and k >= 8192:
+        want = int(env)
     mult = 256 if kind in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K) else 32
     t = min(want, k)
     t = t // mult * mult
