@@ -299,6 +299,11 @@ def qmm_fused(
         # 512-row n-tiles keep the DMA pipeline at HBM speed-of-light on
         # v5e (679-712 GB/s measured vs ~490 at 256)
         tile_n = 512 if n % 512 == 0 else _largest_tile(n, 256)
+        import os
+
+        env = os.environ.get("LLAMA_TPU_TILE_N_BIG")
+        if env and tile_k >= 8192:  # large-K experiments (VMEM headroom)
+            tile_n = min(tile_n, int(env))
     # VMEM fit: prefill-sized tile_b with big k-tiles blows the 16MB scoped
     # limit (x blocks + f32 dequant temporaries scale with tile_b/tile_n)
     if tile_b > 8:
