@@ -86,15 +86,18 @@ def concat_qtensors(qts: list[QTensor]) -> QTensor | None:
     return QTensor(qts[0].kind, (n, qts[0].shape[1]), arrays)
 
 
-def default_tile_k(k: int, kind: GGMLType, want: int = 8192) -> int:
+def default_tile_k(k: int, kind: GGMLType, want: int = 0) -> int:
     # bigger k-tiles = fewer, larger DMAs: 2048→4096(+37%) →7168 on ffn
-    # K=14336 (+43%) measured on v5e — the pipeline is DMA-latency-bound
-    # at small tiles. VMEM stays comfortable: qs block ≤ [256, 4096] u8.
-    # LLAMA_TPU_TILE_K_BIG overrides `want` for K ≥ 8192 (down-proj-class
-    # weights) only — e2e tiling experiments without disturbing the tuned
-    # small-K kernels.
+    # K=14336 (+43%), and whole-K (nk=1, tile_n clamped to 256 in qmm)
+    # another +4% on decode (tg64 95.9→100.0) — the pipeline is
+    # DMA-latency-bound at small tiles. Whole-K is skipped for Q6_K whose
+    # 4 byte-planes + f32 temporaries overflow 16MB VMEM at K=14336.
+    # LLAMA_TPU_TILE_K_BIG overrides `want` for K ≥ 8192 only (e2e tiling
+    # experiments without disturbing the tuned small-K kernels).
     import os
 
+    if want == 0:
+        want = 8192 if kind == GGMLType.Q6_K else 16384
     env = os.environ.get("LLAMA_TPU_TILE_K_BIG")
     if env and k >= 8192:
         want = int(env)

@@ -297,18 +297,19 @@ def qmm_fused(
         tile_b = 8 if b_real <= 8 else min(256, _round_up(b_real, 8))
     if tile_n == 0:
         # 512-row n-tiles keep the DMA pipeline at HBM speed-of-light on
-        # v5e (679-712 GB/s measured vs ~490 at 256)
+        # v5e (679-712 GB/s measured vs ~490 at 256); whole-K tiles
+        # (tile_k ≥ 8192) clamp to 256 for VMEM (tg64 95.9→100.0 net win)
         tile_n = 512 if n % 512 == 0 else _largest_tile(n, 256)
-        import os
+        if tile_k >= 8192:
+            import os
 
-        env = os.environ.get("LLAMA_TPU_TILE_N_BIG")
-        if env and tile_k >= 8192:  # large-K experiments (VMEM headroom)
-            tile_n = min(tile_n, int(env))
+            tile_n = min(tile_n,
+                         int(os.environ.get("LLAMA_TPU_TILE_N_BIG", 256)))
     # VMEM fit: prefill-sized tile_b with big k-tiles blows the 16MB scoped
-    # limit (x blocks + f32 dequant temporaries scale with tile_b/tile_n)
+    # limit (x blocks + dequant temporaries scale with tile_b/tile_n)
     if tile_b > 8:
         tile_n = min(tile_n, 256)
-        cap = 64 if tile_k > 4096 else 128
+        cap = 32 if tile_k >= 8192 else (64 if tile_k > 4096 else 128)
         while tile_b > cap:
             tile_b //= 2
 
