@@ -300,11 +300,15 @@ def qmm_fused(
         # v5e (679-712 GB/s measured vs ~490 at 256); whole-K tiles
         # (tile_k ≥ 8192) clamp to 256 for VMEM (tg64 95.9→100.0 net win)
         tile_n = 512 if n % 512 == 0 else _largest_tile(n, 256)
-        if tile_k >= 8192:
-            import os
+        import os
 
+        if tile_k >= 8192:
             tile_n = min(tile_n,
                          int(os.environ.get("LLAMA_TPU_TILE_N_BIG", 256)))
+        else:
+            wide = int(os.environ.get("LLAMA_TPU_TILE_N_WIDE", 0))
+            if wide and n % wide == 0:
+                tile_n = wide
     # VMEM fit: prefill-sized tile_b with big k-tiles blows the 16MB scoped
     # limit (x blocks + dequant temporaries scale with tile_b/tile_n)
     if tile_b > 8:
