@@ -306,7 +306,13 @@ def qmm_fused(
             tile_n = min(tile_n,
                          int(os.environ.get("LLAMA_TPU_TILE_N_BIG", 256)))
         else:
-            wide = int(os.environ.get("LLAMA_TPU_TILE_N_WIDE", 0))
+            # 1024-row n-tiles shave another ~1% on decode for the
+            # nibble-packed kinds (qs at K/2 keeps the VMEM budget; Q6_K's
+            # four byte-planes and Q8_0's full-width qs would overflow)
+            nibble = kw.kind in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
+                                 GGMLType.Q5_1, GGMLType.Q4_K, GGMLType.Q5_K)
+            default_wide = 1024 if (nibble and tile_k <= 4096) else 0
+            wide = int(os.environ.get("LLAMA_TPU_TILE_N_WIDE", default_wide))
             if wide and n % wide == 0:
                 tile_n = wide
     # VMEM fit: prefill-sized tile_b with big k-tiles blows the 16MB scoped
