@@ -688,3 +688,51 @@ def test_command_r_parity():
     tokens = np.array([[9, 4, 88, 12, 63]], np.int32)
     np.testing.assert_allclose(_run_ours(cfg, params, tokens),
                                _run_hf(model, tokens), rtol=1e-3, atol=2e-3)
+
+
+def test_falcon_parity():
+    """falcon (new decoder arch): grouped fused qkv, dual-LN parallel
+    residual, GQA, gelu MLP."""
+    hf_cfg = transformers.FalconConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, new_decoder_architecture=True, num_kv_heads=2,
+        parallel_attn=True, bias=False, rope_theta=10000.0,
+        layer_norm_epsilon=1e-5, tie_word_embeddings=False,
+    )
+    torch.manual_seed(16)
+    model = transformers.FalconForCausalLM(hf_cfg).eval()
+
+    cfg = LlamaConfig(
+        arch="falcon", n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+        head_dim=16, n_ff=256, n_vocab=128, n_ctx_train=64, rms_eps=1e-5,
+        rope=RopeParams(n_dims=16, mode="neox", freq_base=10000.0),
+        norm_type="ln", parallel_residual=True, act="gelu", gated_ffn=False,
+    )
+    h, kv, d, qper = 4, 2, 16, 2
+    layers = []
+    for hl in model.transformer.h:
+        w = _t2n(hl.self_attention.query_key_value.weight)
+        g = w.reshape(kv, qper + 2, d, 64)  # grouped per kv head
+        q_w = g[:, :qper].reshape(h * d, 64)
+        k_w = g[:, qper].reshape(kv * d, 64)
+        v_w = g[:, qper + 1].reshape(kv * d, 64)
+        layers.append({
+            "attn_norm": _t2n(hl.ln_attn.weight),
+            "attn_norm_bias": _t2n(hl.ln_attn.bias),
+            "ffn_norm": _t2n(hl.ln_mlp.weight),
+            "ffn_norm_bias": _t2n(hl.ln_mlp.bias),
+            "attn_q": q_w, "attn_k": k_w, "attn_v": v_w,
+            "attn_output": _t2n(hl.self_attention.dense.weight),
+            "ffn_up": _t2n(hl.mlp.dense_h_to_4h.weight),
+            "ffn_down": _t2n(hl.mlp.dense_4h_to_h.weight),
+        })
+    params = {
+        "token_embd": _t2n(model.transformer.word_embeddings.weight),
+        "layers": layers,
+        "output_norm": _t2n(model.transformer.ln_f.weight),
+        "output_norm_bias": _t2n(model.transformer.ln_f.bias),
+        "output": _t2n(model.lm_head.weight),
+    }
+    tokens = np.array([[9, 4, 88, 12, 63]], np.int32)
+    np.testing.assert_allclose(_run_ours(cfg, params, tokens),
+                               _run_hf(model, tokens), rtol=1e-3, atol=3e-3)
