@@ -505,10 +505,11 @@ def _cached_attention(
         and cache.capacity % 128 == 0
     ):
         from ..ops.pallas.attention import (
-            flash_decode, flash_decode_paged, flash_decode_q8,
+            flash_decode, flash_decode_paged, flash_decode_paged_q8,
+            flash_decode_q8,
         )
         from ..runtime.kv_cache import QuantKVCache
-        from ..runtime.paged_kv import PagedKVCache
+        from ..runtime.paged_kv import PagedKVCache, PagedQuantKVCache
 
         lengths = positions[:, 0] + 1
         starts = None
@@ -517,7 +518,16 @@ def _cached_attention(
                 starts = (positions[:, 0] // cfg.attn_chunk) * cfg.attn_chunk
             else:
                 starts = jnp.maximum(lengths - cfg.swa_window, 0)
-        if isinstance(cache, PagedKVCache):
+        # paged-q8 scale DMAs slice the lane dim by page → ps must be
+        # 128-aligned; otherwise fall through to the dense-gather path
+        if (isinstance(cache, PagedQuantKVCache)
+                and cache.page_size % 128 == 0):
+            attn = flash_decode_paged_q8(
+                q[:, 0], *cache.packed_pages(layer_idx),
+                cache.tables, lengths, starts,
+                scale=float(scale0), softcap=float(cfg.attn_logit_softcap),
+            )
+        elif isinstance(cache, PagedKVCache):
             attn = flash_decode_paged(
                 q[:, 0], cache.k[layer_idx], cache.v[layer_idx],
                 cache.tables, lengths, starts,

@@ -454,3 +454,142 @@ def flash_decode_paged(
     )(tables.astype(jnp.int32), lengths.astype(jnp.int32),
       starts.astype(jnp.int32), qg, k_pages, v_pages)
     return out.reshape(bsz, hq, d)
+
+
+def _decode_kernel_paged_q8(
+    tables_ref, len_ref, start_ref, q_ref,
+    kq_hbm,  # ANY [P, Hkv, ps, D] int8
+    kd_hbm,  # ANY [P, Hkv, 1, ps] f32
+    vq_hbm, vd_hbm,
+    o_ref,
+    kq_buf, kd_buf, vq_buf, vd_buf, sem,
+    *, scale: float, page: int, softcap: float,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    length = len_ref[b]
+    start = start_ref[b]
+    first = start // page
+    n_chunks = pl.cdiv(length, page)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    rep, d = q.shape
+
+    def dmas(slot, ci):
+        pg = tables_ref[b, ci]
+        return [
+            pltpu.make_async_copy(kq_hbm.at[pg, h], kq_buf.at[slot],
+                                  sem.at[slot, 0]),
+            pltpu.make_async_copy(kd_hbm.at[pg, h], kd_buf.at[slot],
+                                  sem.at[slot, 1]),
+            pltpu.make_async_copy(vq_hbm.at[pg, h], vq_buf.at[slot],
+                                  sem.at[slot, 2]),
+            pltpu.make_async_copy(vd_hbm.at[pg, h], vd_buf.at[slot],
+                                  sem.at[slot, 3]),
+        ]
+
+    @pl.when(first < n_chunks)
+    def _():
+        for dma in dmas(first % 2, first):
+            dma.start()
+
+    def body(ci, carry):
+        m, l, acc = carry
+        slot = ci % 2
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            for dma in dmas((ci + 1) % 2, ci + 1):
+                dma.start()
+
+        for dma in dmas(slot, ci):
+            dma.wait()
+
+        kq = kq_buf[slot].astype(jnp.float32)
+        kd = kd_buf[slot]  # [1, ps]
+        s = jax.lax.dot_general(
+            q, kq, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * kd
+        if softcap:
+            s = jnp.tanh(s / softcap) * softcap
+        col = ci * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where((col < length) & (col >= start), s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = p * vd_buf[slot]
+        acc = acc * alpha + jax.lax.dot_general(
+            pv, vq_buf[slot].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return m_new, l, acc
+
+    m0 = jnp.full((rep, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((rep, 1), jnp.float32)
+    acc0 = jnp.zeros((rep, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(first, n_chunks, body, (m0, l0, acc0))
+    o_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "softcap", "interpret")
+)
+def flash_decode_paged_q8(
+    q: jax.Array,  # [B, H, D]
+    k_qs: jax.Array,  # [P, Hkv, ps, D] int8
+    k_d: jax.Array,  # [P, Hkv, 1, ps] f32
+    v_qs: jax.Array,
+    v_d: jax.Array,
+    tables: jax.Array,
+    lengths: jax.Array,
+    starts: jax.Array | None = None,
+    *,
+    scale: float,
+    softcap: float = 0.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Paged + Q8-quantized decode attention: page pools stay int8 in HBM,
+    per-row scales fold into score/prob scaling, block tables ride the
+    scalar prefetch."""
+    bsz, hq, d = q.shape
+    n_pages, hkv, ps, _ = k_qs.shape
+    rep = hq // hkv
+    if starts is None:
+        starts = jnp.zeros_like(lengths)
+    tables = jnp.minimum(tables, n_pages - 1)
+
+    qg = q.reshape(bsz, hkv, rep, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(bsz, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, d), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, d), lambda b, h, *_: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, ps, d), jnp.int8),
+            pltpu.VMEM((2, 1, ps), jnp.float32),
+            pltpu.VMEM((2, ps, d), jnp.int8),
+            pltpu.VMEM((2, 1, ps), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_paged_q8, scale=scale, page=ps,
+                          softcap=softcap),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
+        interpret=interpret,
+    )(tables.astype(jnp.int32), lengths.astype(jnp.int32),
+      starts.astype(jnp.int32), qg, k_qs, k_d, v_qs, v_d)
+    return out.reshape(bsz, hq, d)

@@ -123,7 +123,9 @@ class Engine:
             kv_dtype = {jnp.float32: "f32", jnp.bfloat16: "bf16",
                         jnp.float16: "f16"}.get(kv_dtype, "bf16")
         if kv_layout == "paged":
-            from .paged_kv import PageAllocator, PagedKVCache, PagedSeq
+            from .paged_kv import (
+                PageAllocator, PagedKVCache, PagedQuantKVCache, PagedSeq,
+            )
 
             blocks = -(-n_ctx_per_slot // page_size)
             self.n_ctx = n_ctx_per_slot = blocks * page_size
@@ -131,12 +133,20 @@ class Engine:
             self._page_alloc = PageAllocator(n_pages)
             self._seqs = [PagedSeq(self._page_alloc, blocks)
                           for _ in range(n_slots)]
-            dt = {"f32": jnp.float32, "bf16": jnp.bfloat16,
-                  "f16": jnp.float16}.get(kv_dtype, jnp.bfloat16)
-            self.cache = PagedKVCache.create(
-                cfg.n_layers, n_pages, n_slots, blocks, cfg.kv_cache_heads,
-                cfg.kv_cache_dim, page_size=page_size, dtype=dt,
-            )
+            if kv_dtype in ("q8_0", "q8"):
+                self.cache = PagedQuantKVCache.create(
+                    cfg.n_layers, n_pages, n_slots, blocks,
+                    cfg.kv_cache_heads, cfg.kv_cache_dim,
+                    page_size=page_size,
+                )
+            else:
+                dt = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                      "f16": jnp.float16}.get(kv_dtype, jnp.bfloat16)
+                self.cache = PagedKVCache.create(
+                    cfg.n_layers, n_pages, n_slots, blocks,
+                    cfg.kv_cache_heads, cfg.kv_cache_dim,
+                    page_size=page_size, dtype=dt,
+                )
         else:
             self.cache = make_kv_cache(
                 cfg.n_layers, n_slots, n_ctx_per_slot, cfg.kv_cache_heads,

@@ -142,6 +142,151 @@ class PagedKVCache:
         )
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PagedQuantKVCache:
+    """Q8_0-quantized paged cache — pages of int8 rows with per-row scales
+    (same relayout as QuantKVCache: scales lane-oriented [..., 1, ps] so the
+    paged q8 flash kernel folds dequant into score/prob scaling)."""
+
+    k_qs: jax.Array  # [L, P, Hkv, ps, D] int8
+    k_d: jax.Array  # [L, P, Hkv, 1, ps] f32
+    v_qs: jax.Array
+    v_d: jax.Array
+    tables: jax.Array  # [B, max_blocks] int32
+
+    def tree_flatten(self):
+        return (self.k_qs, self.k_d, self.v_qs, self.v_d, self.tables), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def create(cls, n_layers, n_pages, n_seqs, max_blocks, n_kv_heads,
+               head_dim, page_size=128, dtype=None):
+        shape = (n_layers, n_pages, n_kv_heads, page_size, head_dim)
+        dshape = (n_layers, n_pages, n_kv_heads, 1, page_size)
+        return cls(
+            jnp.zeros(shape, jnp.int8), jnp.zeros(dshape, jnp.float32),
+            jnp.zeros(shape, jnp.int8), jnp.zeros(dshape, jnp.float32),
+            jnp.full((n_seqs, max_blocks), n_pages, jnp.int32),
+        )
+
+    @property
+    def page_size(self) -> int:
+        return self.k_qs.shape[3]
+
+    @property
+    def n_pages(self) -> int:
+        return self.k_qs.shape[1]
+
+    @property
+    def capacity(self) -> int:
+        return self.tables.shape[1] * self.page_size
+
+    def write_packed(self, layer: int, k_new, v_new, slot_ids, rows):
+        from .kv_cache import _q8_quant
+
+        ps = self.page_size
+        blk = jnp.minimum(rows // ps, self.tables.shape[1] - 1)
+        pages = self.tables[slot_ids, blk]
+        pages = jnp.where(rows < self.capacity, pages, self.n_pages)
+        rin = rows % ps
+        kq, kd = _q8_quant(k_new)  # [Ptok, Hkv, D], [Ptok, Hkv]
+        vq, vd = _q8_quant(v_new)
+        return PagedQuantKVCache(
+            self.k_qs.at[layer, pages, :, rin].set(kq, mode="drop"),
+            self.k_d.at[layer, pages, :, 0, rin].set(kd, mode="drop"),
+            self.v_qs.at[layer, pages, :, rin].set(vq, mode="drop"),
+            self.v_d.at[layer, pages, :, 0, rin].set(vd, mode="drop"),
+            self.tables,
+        )
+
+    def write(self, layer: int, k_new, v_new, offset):
+        b, t = k_new.shape[:2]
+        off = jnp.asarray(offset, jnp.int32)
+        if off.ndim == 0:
+            off = jnp.full((b,), off, jnp.int32)
+        rows = off[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        slot_ids = jnp.broadcast_to(
+            jnp.arange(b, dtype=jnp.int32)[:, None], (b, t))
+        return self.write_packed(
+            layer, k_new.reshape(b * t, *k_new.shape[2:]),
+            v_new.reshape(b * t, *v_new.shape[2:]),
+            slot_ids.reshape(-1), rows.reshape(-1),
+        )
+
+    def layer(self, i: int):
+        """Dequantized dense gather view [B, Hkv, S, D] (XLA fallback)."""
+        from .kv_cache import _q8_dequant
+
+        safe = jnp.minimum(self.tables, self.n_pages - 1)
+        kq = self.k_qs[i][safe]  # [B, blocks, Hkv, ps, D]
+        kd = self.k_d[i][safe][:, :, :, 0, :]  # [B, blocks, Hkv, ps]
+        vq = self.v_qs[i][safe]
+        vd = self.v_d[i][safe][:, :, :, 0, :]
+        b, nb, hkv, ps, d = kq.shape
+        k = _q8_dequant(kq, kd, jnp.bfloat16).transpose(0, 2, 1, 3, 4)
+        v = _q8_dequant(vq, vd, jnp.bfloat16).transpose(0, 2, 1, 3, 4)
+        return k.reshape(b, hkv, nb * ps, d), v.reshape(b, hkv, nb * ps, d)
+
+    def packed_pages(self, i: int):
+        """(k_qs, k_d, v_qs, v_d) page pools for the paged q8 flash kernel."""
+        return self.k_qs[i], self.k_d[i], self.v_qs[i], self.v_d[i]
+
+    def gather_seq(self, seq: int):
+        """Dense bf16 KV [L, 1, Hkv, S, D] for sequence surgery."""
+        from .kv_cache import _q8_dequant
+
+        safe = jnp.minimum(self.tables[seq], self.n_pages - 1)
+        kq = self.k_qs[:, safe]
+        kd = self.k_d[:, safe][:, :, :, 0, :]
+        vq = self.v_qs[:, safe]
+        vd = self.v_d[:, safe][:, :, :, 0, :]
+        l, nb, hkv, ps, d = kq.shape
+        k = _q8_dequant(kq, kd, jnp.bfloat16).transpose(0, 2, 1, 3, 4)
+        v = _q8_dequant(vq, vd, jnp.bfloat16).transpose(0, 2, 1, 3, 4)
+        return (k.reshape(l, 1, hkv, nb * ps, d),
+                v.reshape(l, 1, hkv, nb * ps, d))
+
+    def scatter_seq(self, seq: int, k, v):
+        from .kv_cache import _q8_quant
+
+        l, _, hkv, s, d = k.shape
+        ps = self.page_size
+        nb = s // ps
+        pages = jnp.minimum(self.tables[seq, :nb], self.n_pages - 1)
+        kq, kd = _q8_quant(k[:, 0])  # [L, Hkv, S, D] → int8 + [L, Hkv, S]
+        vq, vd = _q8_quant(v[:, 0])
+        kqp = kq.reshape(l, hkv, nb, ps, d).transpose(0, 2, 1, 3, 4)
+        kdp = kd.reshape(l, hkv, nb, ps).transpose(0, 2, 1, 3)[:, :, :, None, :]
+        vqp = vq.reshape(l, hkv, nb, ps, d).transpose(0, 2, 1, 3, 4)
+        vdp = vd.reshape(l, hkv, nb, ps).transpose(0, 2, 1, 3)[:, :, :, None, :]
+        return PagedQuantKVCache(
+            self.k_qs.at[:, pages].set(kqp),
+            self.k_d.at[:, pages].set(kdp),
+            self.v_qs.at[:, pages].set(vqp),
+            self.v_d.at[:, pages].set(vdp),
+            self.tables,
+        )
+
+    def copy_page(self, src: int, dst: int):
+        return PagedQuantKVCache(
+            self.k_qs.at[:, dst].set(self.k_qs[:, src]),
+            self.k_d.at[:, dst].set(self.k_d[:, src]),
+            self.v_qs.at[:, dst].set(self.v_qs[:, src]),
+            self.v_d.at[:, dst].set(self.v_d[:, src]),
+            self.tables,
+        )
+
+    def set_table_row(self, seq: int, row: np.ndarray):
+        return PagedQuantKVCache(
+            self.k_qs, self.k_d, self.v_qs, self.v_d,
+            self.tables.at[seq].set(jnp.asarray(row, jnp.int32)),
+        )
+
+
 class PageAllocator:
     """Host-side page bookkeeping: free list + refcounts (shared-prefix
     pages are referenced by several sequences; freed when the last drops)."""

@@ -457,6 +457,9 @@ def main(argv=None) -> int:
     ap.add_argument("--kv-layout", default="slots", choices=("slots", "paged"),
                     help="paged = shared-prefix page-aliased KV cache")
     ap.add_argument("--kv-page-size", type=int, default=128)
+    ap.add_argument("-ctk", "--cache-type-k", default="bf16",
+                    choices=("f32", "bf16", "f16", "q8_0"),
+                    help="KV cache data type (reference --cache-type-k)")
     from ..utils.args import parse_with_env
 
     args = parse_with_env(ap, argv)
@@ -478,7 +481,8 @@ def main(argv=None) -> int:
         engine = Engine(model, n_slots=args.parallel,
                         n_ctx_per_slot=args.ctx_size,
                         kv_layout=args.kv_layout,
-                        page_size=args.kv_page_size)
+                        page_size=args.kv_page_size,
+                        kv_dtype=args.cache_type_k)
     engine.start()
     server = Server(engine, model_name=args.alias or args.model, api_key=args.api_key)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)

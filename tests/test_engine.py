@@ -279,6 +279,23 @@ def test_paged_engine_mixed_concurrent(paged_engine):
     assert r2.result_tokens == solo2.result_tokens
 
 
+def test_paged_q8_engine_matches_dense_q8(engine):
+    """kv_layout='paged' + kv_dtype='q8_0' (PagedQuantKVCache) matches the
+    contiguous QuantKVCache engine's greedy streams — quantization happens
+    per cached row in both, so numerics are identical."""
+    dense = Engine(engine.model, n_slots=2, n_ctx_per_slot=64,
+                   prefill_buckets=(16,), use_pallas=False, kv_dtype="q8_0")
+    paged = Engine(engine.model, n_slots=2, n_ctx_per_slot=64,
+                   prefill_buckets=(16,), use_pallas=False,
+                   kv_layout="paged", page_size=8, kv_dtype="q8_0")
+    for prompt in ([83, 89, 97], [2, 3, 5, 7, 11, 13, 17, 19, 23, 29]):
+        a = dense.generate_sync(list(prompt), max_new_tokens=6,
+                                sampler=greedy())
+        b = paged.generate_sync(list(prompt), max_new_tokens=6,
+                                sampler=greedy())
+        assert a.result_tokens == b.result_tokens, prompt
+
+
 def test_mixed_multi_prompt_chunks(engine):
     """Several prompt slots' chunks pack into ONE program alongside decode
     (full update_slots packing): identical streams to solo runs. f32 and

@@ -147,3 +147,115 @@ def test_forward_packed_with_paged_cache():
                             compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got)[0], np.asarray(ref)[0],
                                rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Q8-quantized paged cache
+
+
+def _fill_q8(rng, seqs_tokens, ps=PS, max_blocks=MAX_BLOCKS,
+             n_pages=N_PAGES):
+    """Write per-seq random K/V rows into paged-q8 and dense-q8 caches."""
+    from llama_cpp_dsp_tpu.runtime.kv_cache import QuantKVCache
+    from llama_cpp_dsp_tpu.runtime.paged_kv import PagedQuantKVCache
+
+    alloc = PageAllocator(n_pages)
+    seqs = [PagedSeq(alloc, max_blocks) for _ in range(N_SEQS)]
+    paged = PagedQuantKVCache.create(L, n_pages, N_SEQS, max_blocks, HKV, D,
+                                     page_size=ps)
+    dense = QuantKVCache.create(L, N_SEQS, max_blocks * ps, HKV, D)
+    for s, n in enumerate(seqs_tokens):
+        if seqs[s].ensure(n, ps):
+            paged = paged.set_table_row(s, seqs[s].table_row(n_pages))
+        k = rng.standard_normal((L, n, HKV, D)).astype(np.float32)
+        v = rng.standard_normal((L, n, HKV, D)).astype(np.float32)
+        rows = jnp.asarray(np.arange(n, dtype=np.int32))
+        sid = jnp.full(n, s, jnp.int32)
+        for layer in range(L):
+            paged = paged.write_packed(layer, jnp.asarray(k[layer]),
+                                       jnp.asarray(v[layer]), sid, rows)
+            dense = dense.write_packed(layer, jnp.asarray(k[layer]),
+                                       jnp.asarray(v[layer]), sid, rows)
+    return alloc, seqs, paged, dense
+
+
+def test_paged_q8_write_matches_dense_q8():
+    rng = np.random.default_rng(5)
+    lens = [5, 13, 20]
+    _, _, paged, dense, = _fill_q8(rng, lens)
+    for layer in range(L):
+        kp, vp = paged.layer(layer)
+        kd, vd = dense.layer(layer)
+        for s, n in enumerate(lens):
+            np.testing.assert_allclose(np.asarray(kp[s, :, :n]),
+                                       np.asarray(kd[s, :, :n]), atol=0)
+            np.testing.assert_allclose(np.asarray(vp[s, :, :n]),
+                                       np.asarray(vd[s, :, :n]), atol=0)
+
+
+def test_paged_q8_flash_matches_dense_q8_flash():
+    from llama_cpp_dsp_tpu.ops.pallas.attention import (
+        flash_decode_paged_q8, flash_decode_q8,
+    )
+
+    rng = np.random.default_rng(6)
+    lens = [70, 150, 250]  # dense q8 kernel needs 128-aligned chunks
+    _, _, paged, dense = _fill_q8(rng, lens, ps=128, max_blocks=2, n_pages=8)
+    q = jnp.asarray(rng.standard_normal((N_SEQS, HKV * 2, D)).astype(np.float32))
+    lengths = jnp.asarray(np.asarray(lens, np.int32))
+    ref = flash_decode_q8(q, *dense.packed_layer(0), lengths,
+                          scale=0.2, interpret=True)
+    got = flash_decode_paged_q8(q, *paged.packed_pages(0), paged.tables,
+                                lengths, scale=0.2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_paged_q8_gather_scatter_roundtrip():
+    rng = np.random.default_rng(7)
+    _, _, paged, _ = _fill_q8(rng, [PS * 2, 0, 0])
+    k, v = paged.gather_seq(0)
+    paged2 = paged.scatter_seq(0, k, v)
+    k2, v2 = paged2.gather_seq(0)
+    # requantizing already-quantized rows is idempotent up to f32 rounding
+    np.testing.assert_allclose(np.asarray(k2, np.float32),
+                               np.asarray(k, np.float32), rtol=1e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(v2, np.float32),
+                               np.asarray(v, np.float32), rtol=1e-2, atol=2e-2)
+
+
+def test_forward_packed_with_paged_q8_cache():
+    from llama_cpp_dsp_tpu.runtime.kv_cache import QuantKVCache
+    from llama_cpp_dsp_tpu.runtime.paged_kv import PagedQuantKVCache
+
+    cfg = synth_config("llama")
+    params = synth_params(cfg, GGMLType.Q8_0, seed=8, tie=False)
+    rng = np.random.default_rng(9)
+    prompt = list(rng.integers(1, cfg.n_vocab, 9))
+
+    n_ctx = MAX_BLOCKS * PS
+    dense = QuantKVCache.create(cfg.n_layers, 2, n_ctx, cfg.kv_cache_heads,
+                                cfg.kv_cache_dim)
+    alloc = PageAllocator(N_PAGES)
+    seq = PagedSeq(alloc, MAX_BLOCKS)
+    paged = PagedQuantKVCache.create(cfg.n_layers, N_PAGES, 2, MAX_BLOCKS,
+                                     cfg.kv_cache_heads, cfg.kv_cache_dim,
+                                     page_size=PS)
+    seq.ensure(len(prompt), PS)
+    paged = paged.set_table_row(0, seq.table_row(N_PAGES))
+
+    p = 16
+    tokens = np.zeros(p, np.int32)
+    slot_ids = np.zeros(p, np.int32)
+    rows = np.full(p, n_ctx, np.int32)
+    tokens[: len(prompt)] = prompt
+    rows[: len(prompt)] = np.arange(len(prompt))
+    out_idx = np.array([len(prompt) - 1, 0], np.int32)
+
+    args = (jnp.asarray(tokens), jnp.asarray(slot_ids), jnp.asarray(rows))
+    ref, _ = forward_packed(params, cfg, *args, dense, jnp.asarray(out_idx),
+                            compute_dtype=jnp.float32)
+    got, _ = forward_packed(params, cfg, *args, paged, jnp.asarray(out_idx),
+                            compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got)[0], np.asarray(ref)[0],
+                               rtol=2e-4, atol=2e-4)
