@@ -167,7 +167,11 @@ def to_kernel_layout(qt: QTensor, tile_k: int | None = None) -> KernelWeights:
         s = _as_tiles(qt["d"].astype(np.float32), nk)
         return KernelWeights(kind, (n, k), {"qs": qs, "s": s}, tile_k)
 
-    if kind in (GGMLType.Q4_0, GGMLType.Q4_1):
+    if kind in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.IQ4_NL,
+                GGMLType.IQ4_XS):
+        # IQ4 kinds share q4_0's plane-16 layout; scales are already the
+        # per-32 effective values (see qtensor.repack) and the nonlinear
+        # codebook is applied inside the kernel body
         tile_p = tile_k // 2
         qs = _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_p, 16)
         out = {"qs": qs, "s": _as_tiles(qt["d"].astype(np.float32), nk)}
@@ -260,13 +264,17 @@ def prepare_x(x, kind: GGMLType, tile_k: int):
     nk = k // tile_k
     if kind == GGMLType.Q8_0:
         return (tile_transpose_x(xb, tile_k, 32),)
-    if kind in (GGMLType.Q4_0, GGMLType.Q4_1):
+    if kind in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.IQ4_NL,
+                GGMLType.IQ4_XS):
         xr = xb.reshape(*shp, k // 32, 32)
         lo = xr[..., :16].reshape(*shp, k // 2)
         hi = xr[..., 16:].reshape(*shp, k // 2)
         tp = tile_k // 2
+        planes = (tile_transpose_x(lo, tp, 16), tile_transpose_x(hi, tp, 16))
+        if kind in (GGMLType.IQ4_NL, GGMLType.IQ4_XS):
+            return planes  # codebook has no affine offset — no sum fold
         xs = _tiles_x(xf.reshape(*shp, k // 32, 32).sum(-1), nk)
-        return (tile_transpose_x(lo, tp, 16), tile_transpose_x(hi, tp, 16), xs)
+        return planes + (xs,)
     if kind in (GGMLType.Q4_K, GGMLType.Q5_K):
         xr = xb.reshape(*shp, k // 64, 64)
         lo = xr[..., :32].reshape(*shp, k // 2)

@@ -106,6 +106,29 @@ def _body_q4_1(acc, x_lo, x_hi, xs, qs, s, m):
     acc[...] += _dot_xt_w(xs, m)
 
 
+# kvalues_iq4nl (ggml/src/ggml-common.h): the 16-entry nonlinear codebook
+# shared by IQ4_NL and IQ4_XS. Applied as a select chain — the kernels are
+# DMA-latency-bound (see CLAUDE.md ablation), so the extra VPU compares are
+# hidden behind the page DMAs.
+_IQ4_VALUES = (-127.0, -104.0, -83.0, -65.0, -49.0, -35.0, -22.0, -10.0,
+               1.0, 13.0, 25.0, 38.0, 53.0, 69.0, 89.0, 113.0)
+
+
+def _iq4_map(q):
+    w = jnp.full(q.shape, _IQ4_VALUES[0], F32)
+    for j in range(1, 16):
+        w = jnp.where(q == j, _IQ4_VALUES[j], w)
+    return w
+
+
+def _body_iq4(acc, x_lo, x_hi, qs, s):
+    sf = _expand(s, 16)
+    lo, hi = _nibbles_i32(qs)
+    w_lo = (_iq4_map(lo) * sf).astype(BF16)
+    w_hi = (_iq4_map(hi) * sf).astype(BF16)
+    acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
+
+
 def _split4(sc4):
     gt = sc4.shape[-1] // 4
     return sc4[:, :gt], sc4[:, gt : 2 * gt], sc4[:, 2 * gt : 3 * gt], sc4[:, 3 * gt :]
@@ -162,6 +185,8 @@ _BODIES = {
     GGMLType.Q4_K: _body_q4_K,
     GGMLType.Q5_K: _body_q5_K,
     GGMLType.Q6_K: _body_q6_K,
+    GGMLType.IQ4_NL: _body_iq4,
+    GGMLType.IQ4_XS: _body_iq4,
 }
 
 # per-kind (x-input specs, weight-field order); "xs*" fields are per-group
@@ -173,6 +198,8 @@ _X_FIELDS = {
     GGMLType.Q4_K: ("x_lo", "x_hi", "xs_lo", "xs_hi"),
     GGMLType.Q5_K: ("x_lo", "x_hi", "xs_lo", "xs_hi"),
     GGMLType.Q6_K: ("x1", "x2", "x3", "x4", "xs1", "xs2", "xs3", "xs4"),
+    GGMLType.IQ4_NL: ("x_lo", "x_hi"),
+    GGMLType.IQ4_XS: ("x_lo", "x_hi"),
 }
 _W_FIELDS = {
     GGMLType.Q8_0: ("qs", "s"),
@@ -181,6 +208,8 @@ _W_FIELDS = {
     GGMLType.Q4_K: ("qs", "sc4"),
     GGMLType.Q5_K: ("qs", "sc4", "hlo", "hhi"),
     GGMLType.Q6_K: ("qla", "qlb", "qha", "qhb", "sc4"),
+    GGMLType.IQ4_NL: ("qs", "s"),
+    GGMLType.IQ4_XS: ("qs", "s"),
 }
 # divisor of K for each x field's last dim
 _X_DIV = {"x": 1, "x_lo": 2, "x_hi": 2, "x1": 4, "x2": 4, "x3": 4, "x4": 4}
@@ -310,7 +339,8 @@ def qmm_fused(
             # nibble-packed kinds (qs at K/2 keeps the VMEM budget; Q6_K's
             # four byte-planes and Q8_0's full-width qs would overflow)
             nibble = kw.kind in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
-                                 GGMLType.Q5_1, GGMLType.Q4_K, GGMLType.Q5_K)
+                                 GGMLType.Q5_1, GGMLType.Q4_K, GGMLType.Q5_K,
+                                 GGMLType.IQ4_NL, GGMLType.IQ4_XS)
             default_wide = 1024 if (nibble and tile_k <= 4096) else 0
             wide = int(os.environ.get("LLAMA_TPU_TILE_N_WIDE", default_wide))
             if wide and n % wide == 0:

@@ -24,8 +24,13 @@ Layouts (per 2-D weight [N, K], rows contiguous like ggml):
 Nibble packing is kept exactly as in the GGUF blocks; unpack rules live in
 `dequant_*` (quant/jax_dequant.py) and in the Pallas kernels.
 
-Q2_K/Q3_K/IQ* fall back to dense bf16 at load (capability preserved; packed
-kernels can be added per-kind later).
+- kind=iq4_nl/iq4_xs: qs u8 [N, K/2], d f32/f16 [N, K/32] per-32 effective
+              scales (x = d*kvalues_iq4nl[q]; IQ4_XS's 6-bit sub-scales are
+              folded into d at load)
+
+Q2_K/Q3_K and the grid-codebook IQ kinds (IQ1-IQ3) requantize to packed
+Q8_0 at load (capability preserved at 8.25 bpw; their decode error dwarfs
+q8's ~0.2%).
 """
 
 from __future__ import annotations
@@ -50,6 +55,8 @@ PACKED_KINDS = {
     GGMLType.Q4_K,
     GGMLType.Q5_K,
     GGMLType.Q6_K,
+    GGMLType.IQ4_NL,
+    GGMLType.IQ4_XS,
 }
 
 
@@ -135,6 +142,28 @@ def repack(raw: np.ndarray, kind: GGMLType, shape: tuple[int, ...]) -> QTensor:
             "qh": b["qh"].reshape(n, k // 4),
             "sc": b["scales"].reshape(n, s, 16),
             "d": refq._f32(b["d"]).reshape(n, s),
+        })
+    if kind == GGMLType.IQ4_NL:
+        b = refq._blocks(raw, kind)
+        return QTensor(kind, (n, k), {
+            "qs": b["qs"].reshape(n, k // 2),
+            "d": b["d"].reshape(n, k // 32),
+        })
+    if kind == GGMLType.IQ4_XS:
+        # per-32-group effective scales d·(ls−32) precomputed to f32 — after
+        # that the layout is identical to IQ4_NL (the 16-byte/group qs order
+        # matches, dequantize_row_iq4_xs ggml-quants.c)
+        b = refq._blocks(raw, kind)
+        nb = len(b)
+        d = refq._f32(b["d"])
+        ib = np.arange(8)
+        ls_l = (b["scales_l"][:, ib // 2] >> (4 * (ib % 2))[None, :]) & 0x0F
+        ls_h = (b["scales_h"][:, None] >> (2 * ib)[None, :]) & 3
+        ls = (ls_l | (ls_h << 4)).astype(np.int32) - 32
+        dl = d[:, None] * ls.astype(np.float32)  # [nb, 8]
+        return QTensor(kind, (n, k), {
+            "qs": b["qs"].reshape(n, k // 2),
+            "d": dl.reshape(n, k // 32),
         })
     raise NotImplementedError(f"repack {kind.name}")
 

@@ -91,4 +91,11 @@ def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
         dl = qt["d"].astype(F32)[:, :, None] * qt["sc"].astype(F32)  # [N,S,16]
         y = q.astype(F32) * dl[..., None]
         return y.reshape(n, k).astype(dtype)
+    if kind in (GGMLType.IQ4_NL, GGMLType.IQ4_XS):
+        from .ref_numpy import KVALUES_IQ4NL
+
+        lut = jnp.asarray(KVALUES_IQ4NL, F32)
+        q = lut[_nibbles(qt["qs"], n, k, "legacy").astype(jnp.int32)]
+        y = q.reshape(n, k // 32, 32) * qt["d"].astype(F32)[:, :, None]
+        return y.reshape(n, k).astype(dtype)
     raise NotImplementedError(f"jax dequant {kind.name}")
