@@ -179,6 +179,29 @@ def to_kernel_layout(qt: QTensor, tile_k: int | None = None) -> KernelWeights:
             out["m"] = _as_tiles(qt["m"].astype(np.float32), nk)
         return KernelWeights(kind, (n, k), out, tile_k)
 
+    if kind in (GGMLType.Q5_0, GGMLType.Q5_1):
+        # q4_0's plane-16 layout + two bit-planes for the 5th bit: the qh
+        # u32's bits 0..15 gate the lo plane, 16..31 the hi plane
+        # (dequantize_row_q5_0, ggml-quants.c)
+        tile_p = tile_k // 2
+        qs = _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_p, 16)
+        qh = qt["qh"].reshape(n, k // 32, 4)
+        sh = np.arange(8, dtype=np.uint8)
+        bits = ((qh[..., None] >> sh) & 1).reshape(n, k // 32, 32)
+        lo_bits = np.ascontiguousarray(bits[:, :, :16].reshape(n, k // 2))
+        hi_bits = np.ascontiguousarray(bits[:, :, 16:].reshape(n, k // 2))
+        lo_t = _tile_transpose_np(lo_bits.astype(np.uint8), tile_p, 16)
+        hi_t = _tile_transpose_np(hi_bits.astype(np.uint8), tile_p, 16)
+        out = {
+            "qs": qs,
+            "s": _as_tiles(qt["d"].astype(np.float32), nk),
+            "hlo": _as_tiles(_pack_bits_transposed(lo_t, tile_p), nk),
+            "hhi": _as_tiles(_pack_bits_transposed(hi_t, tile_p), nk),
+        }
+        if kind == GGMLType.Q5_1:
+            out["m"] = _as_tiles(qt["m"].astype(np.float32), nk)
+        return KernelWeights(kind, (n, k), out, tile_k)
+
     if kind in (GGMLType.Q4_K, GGMLType.Q5_K):
         tile_p = tile_k // 2
         s_groups = qt["d"][:, :, None] * qt["sc"].astype(np.float32)  # [N,S,8]
@@ -275,6 +298,13 @@ def prepare_x(x, kind: GGMLType, tile_k: int):
             return planes  # codebook has no affine offset — no sum fold
         xs = _tiles_x(xf.reshape(*shp, k // 32, 32).sum(-1), nk)
         return planes + (xs,)
+    if kind in (GGMLType.Q5_0, GGMLType.Q5_1):
+        xr = xb.reshape(*shp, k // 32, 32)
+        lo = xr[..., :16].reshape(*shp, k // 2)
+        hi = xr[..., 16:].reshape(*shp, k // 2)
+        tp = tile_k // 2
+        xs = _tiles_x(xf.reshape(*shp, k // 32, 32).sum(-1), nk)
+        return (tile_transpose_x(lo, tp, 16), tile_transpose_x(hi, tp, 16), xs)
     if kind in (GGMLType.Q4_K, GGMLType.Q5_K):
         xr = xb.reshape(*shp, k // 64, 64)
         lo = xr[..., :32].reshape(*shp, k // 2)

@@ -106,6 +106,28 @@ def _body_q4_1(acc, x_lo, x_hi, xs, qs, s, m):
     acc[...] += _dot_xt_w(xs, m)
 
 
+def _body_q5_0(acc, x_lo, x_hi, xs, qs, s, hlo, hhi):
+    sf = _expand(s, 16)
+    lo, hi = _nibbles_i32(qs)
+    blo = _unpack_bits(hlo)
+    bhi = _unpack_bits(hhi)
+    w_lo = ((lo + blo * 16).astype(F32) * sf).astype(BF16)
+    w_hi = ((hi + bhi * 16).astype(F32) * sf).astype(BF16)
+    acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
+    acc[...] -= 16.0 * _dot_xt_w(xs, s)
+
+
+def _body_q5_1(acc, x_lo, x_hi, xs, qs, s, hlo, hhi, m):
+    sf = _expand(s, 16)
+    lo, hi = _nibbles_i32(qs)
+    blo = _unpack_bits(hlo)
+    bhi = _unpack_bits(hhi)
+    w_lo = ((lo + blo * 16).astype(F32) * sf).astype(BF16)
+    w_hi = ((hi + bhi * 16).astype(F32) * sf).astype(BF16)
+    acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
+    acc[...] += _dot_xt_w(xs, m)
+
+
 # kvalues_iq4nl (ggml/src/ggml-common.h): the 16-entry nonlinear codebook
 # shared by IQ4_NL and IQ4_XS. Applied as a select chain — the kernels are
 # DMA-latency-bound (see CLAUDE.md ablation), so the extra VPU compares are
@@ -182,6 +204,8 @@ _BODIES = {
     GGMLType.Q8_0: _body_q8_0,
     GGMLType.Q4_0: _body_q4_0,
     GGMLType.Q4_1: _body_q4_1,
+    GGMLType.Q5_0: _body_q5_0,
+    GGMLType.Q5_1: _body_q5_1,
     GGMLType.Q4_K: _body_q4_K,
     GGMLType.Q5_K: _body_q5_K,
     GGMLType.Q6_K: _body_q6_K,
@@ -195,6 +219,8 @@ _X_FIELDS = {
     GGMLType.Q8_0: ("x",),
     GGMLType.Q4_0: ("x_lo", "x_hi", "xs"),
     GGMLType.Q4_1: ("x_lo", "x_hi", "xs"),
+    GGMLType.Q5_0: ("x_lo", "x_hi", "xs"),
+    GGMLType.Q5_1: ("x_lo", "x_hi", "xs"),
     GGMLType.Q4_K: ("x_lo", "x_hi", "xs_lo", "xs_hi"),
     GGMLType.Q5_K: ("x_lo", "x_hi", "xs_lo", "xs_hi"),
     GGMLType.Q6_K: ("x1", "x2", "x3", "x4", "xs1", "xs2", "xs3", "xs4"),
@@ -205,6 +231,8 @@ _W_FIELDS = {
     GGMLType.Q8_0: ("qs", "s"),
     GGMLType.Q4_0: ("qs", "s"),
     GGMLType.Q4_1: ("qs", "s", "m"),
+    GGMLType.Q5_0: ("qs", "s", "hlo", "hhi"),
+    GGMLType.Q5_1: ("qs", "s", "hlo", "hhi", "m"),
     GGMLType.Q4_K: ("qs", "sc4"),
     GGMLType.Q5_K: ("qs", "sc4", "hlo", "hhi"),
     GGMLType.Q6_K: ("qla", "qlb", "qha", "qhb", "sc4"),

@@ -16,6 +16,8 @@ KINDS = [
     GGMLType.Q8_0,
     GGMLType.Q4_0,
     GGMLType.Q4_1,
+    GGMLType.Q5_0,
+    GGMLType.Q5_1,
     GGMLType.Q4_K,
     GGMLType.Q5_K,
     GGMLType.Q6_K,
