@@ -101,7 +101,8 @@ def default_tile_k(k: int, kind: GGMLType, want: int = 0) -> int:
     env = os.environ.get("LLAMA_TPU_TILE_K_BIG")
     if env and k >= 8192:
         want = int(env)
-    mult = 256 if kind in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K) else 32
+    mult = 256 if kind in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+                           GGMLType.Q2_K, GGMLType.Q3_K) else 32
     t = min(want, k)
     t = t // mult * mult
     while t > mult and k % t:
@@ -232,6 +233,41 @@ def to_kernel_layout(qt: QTensor, tile_k: int | None = None) -> KernelWeights:
             out["hhi"] = _as_tiles(_pack_bits_transposed(hi_t, tile_p), nk)
         return KernelWeights(kind, (n, k), out, tile_k)
 
+    if kind in (GGMLType.Q2_K, GGMLType.Q3_K):
+        # Q6_K's quarter-plane geometry, but ONE byte field serves all four
+        # shift-planes ((qs >> 2p) & 3); 16-elem group scales pack as four
+        # per-plane lane-concatenated planes like Q6_K's sc4
+        # (dequantize_row_q2_K/q3_K, ggml-quants.c)
+        tile_p = tile_k // 4
+        qs = _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_p, 16)
+        s_groups = qt["d"][:, :, None] * qt["sc"].astype(np.float32)
+        sh = s_groups.reshape(n, k // 128, 8)
+        plane_pairs = [(0, 1), (2, 3), (4, 5), (6, 7)]
+        sc4 = np.concatenate([
+            _as_tiles(np.ascontiguousarray(sh[:, :, list(p)].reshape(n, -1)), nk)
+            for p in plane_pairs
+        ], axis=2)
+        out = {"qs": qs, "sc4": sc4}
+        if kind == GGMLType.Q2_K:
+            m_groups = qt["dmin"][:, :, None] * qt["mn"].astype(np.float32)
+            mh = m_groups.reshape(n, k // 128, 8)
+            out["mn4"] = np.concatenate([
+                _as_tiles(np.ascontiguousarray(mh[:, :, list(p)].reshape(n, -1)), nk)
+                for p in plane_pairs
+            ], axis=2)
+        else:
+            # hmask bit-planes: element j of plane p of half h ↔ byte j,
+            # bit 4h+p (quantize_row_q3_K_ref hm layout)
+            hm = qt["hmask"]  # [N, S, 32]
+            for p in range(4):
+                bits = np.stack(
+                    [(hm >> (4 * h + p)) & 1 for h in range(2)], axis=2
+                )  # [N, S, 2, 32]
+                bits = bits.reshape(n, k // 4).astype(np.uint8)
+                bt = _tile_transpose_np(bits, tile_p, 16)
+                out[f"h{p + 1}"] = _as_tiles(_pack_bits_transposed(bt, tile_p), nk)
+        return KernelWeights(kind, (n, k), out, tile_k)
+
     if kind == GGMLType.Q6_K:
         tile_p = tile_k // 4
         ql = qt["ql"].reshape(n, -1, 2, 32)  # [N, K/128, {a,b}, 32]
@@ -317,7 +353,7 @@ def prepare_x(x, kind: GGMLType, tile_k: int):
             _tiles_x(xg[..., 0], nk),
             _tiles_x(xg[..., 1], nk),
         )
-    if kind == GGMLType.Q6_K:
+    if kind in (GGMLType.Q6_K, GGMLType.Q2_K, GGMLType.Q3_K):
         xr = xb.reshape(*shp, k // 128, 4, 32)
         quarters = [xr[..., i, :].reshape(*shp, k // 4) for i in range(4)]
         tp = tile_k // 4

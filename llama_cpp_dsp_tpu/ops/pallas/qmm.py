@@ -200,6 +200,32 @@ def _body_q6_K(acc, x1, x2, x3, x4, xs1, xs2, xs3, xs4,
     )
 
 
+def _body_q2_K(acc, x1, x2, x3, x4, xs1, xs2, xs3, xs4, qs, sc4, mn4):
+    s1, s2, s3, s4 = _split4(sc4)
+    m1, m2, m3, m4 = _split4(mn4)
+    q = qs.astype(jnp.int32)
+    for p, (x, xs, s, m) in enumerate(
+        ((x1, xs1, s1, m1), (x2, xs2, s2, m2),
+         (x3, xs3, s3, m3), (x4, xs4, s4, m4))
+    ):
+        qp = (q >> (2 * p)) & 3
+        acc[...] += _dot_xt_w(x, (qp.astype(F32) * _expand(s, 16)).astype(BF16))
+        acc[...] -= _dot_xt_w(xs, m)
+
+
+def _body_q3_K(acc, x1, x2, x3, x4, xs1, xs2, xs3, xs4,
+               qs, h1, h2, h3, h4, sc4):
+    s1, s2, s3, s4 = _split4(sc4)
+    q = qs.astype(jnp.int32)
+    for p, (x, xs, hp, s) in enumerate(
+        ((x1, xs1, h1, s1), (x2, xs2, h2, s2),
+         (x3, xs3, h3, s3), (x4, xs4, h4, s4))
+    ):
+        qp = ((q >> (2 * p)) & 3) + 4 * _unpack_bits(hp)
+        acc[...] += _dot_xt_w(x, (qp.astype(F32) * _expand(s, 16)).astype(BF16))
+        acc[...] -= 4.0 * _dot_xt_w(xs, s)
+
+
 _BODIES = {
     GGMLType.Q8_0: _body_q8_0,
     GGMLType.Q4_0: _body_q4_0,
@@ -209,6 +235,8 @@ _BODIES = {
     GGMLType.Q4_K: _body_q4_K,
     GGMLType.Q5_K: _body_q5_K,
     GGMLType.Q6_K: _body_q6_K,
+    GGMLType.Q2_K: _body_q2_K,
+    GGMLType.Q3_K: _body_q3_K,
     GGMLType.IQ4_NL: _body_iq4,
     GGMLType.IQ4_XS: _body_iq4,
 }
@@ -224,6 +252,8 @@ _X_FIELDS = {
     GGMLType.Q4_K: ("x_lo", "x_hi", "xs_lo", "xs_hi"),
     GGMLType.Q5_K: ("x_lo", "x_hi", "xs_lo", "xs_hi"),
     GGMLType.Q6_K: ("x1", "x2", "x3", "x4", "xs1", "xs2", "xs3", "xs4"),
+    GGMLType.Q2_K: ("x1", "x2", "x3", "x4", "xs1", "xs2", "xs3", "xs4"),
+    GGMLType.Q3_K: ("x1", "x2", "x3", "x4", "xs1", "xs2", "xs3", "xs4"),
     GGMLType.IQ4_NL: ("x_lo", "x_hi"),
     GGMLType.IQ4_XS: ("x_lo", "x_hi"),
 }
@@ -236,6 +266,8 @@ _W_FIELDS = {
     GGMLType.Q4_K: ("qs", "sc4"),
     GGMLType.Q5_K: ("qs", "sc4", "hlo", "hhi"),
     GGMLType.Q6_K: ("qla", "qlb", "qha", "qhb", "sc4"),
+    GGMLType.Q2_K: ("qs", "sc4", "mn4"),
+    GGMLType.Q3_K: ("qs", "h1", "h2", "h3", "h4", "sc4"),
     GGMLType.IQ4_NL: ("qs", "s"),
     GGMLType.IQ4_XS: ("qs", "s"),
 }

@@ -55,6 +55,8 @@ PACKED_KINDS = {
     GGMLType.Q4_K,
     GGMLType.Q5_K,
     GGMLType.Q6_K,
+    GGMLType.Q2_K,
+    GGMLType.Q3_K,
     GGMLType.IQ4_NL,
     GGMLType.IQ4_XS,
 }
@@ -141,6 +143,26 @@ def repack(raw: np.ndarray, kind: GGMLType, shape: tuple[int, ...]) -> QTensor:
             "ql": b["ql"].reshape(n, k // 2),
             "qh": b["qh"].reshape(n, k // 4),
             "sc": b["scales"].reshape(n, s, 16),
+            "d": refq._f32(b["d"]).reshape(n, s),
+        })
+    if kind == GGMLType.Q2_K:
+        b = refq._blocks(raw, kind)
+        s = k // QK_K
+        return QTensor(kind, (n, k), {
+            "qs": b["qs"].reshape(n, k // 4),
+            "sc": (b["scales"] & 0x0F).reshape(n, s, 16),
+            "mn": (b["scales"] >> 4).reshape(n, s, 16),
+            "d": refq._f32(b["d"]).reshape(n, s),
+            "dmin": refq._f32(b["dmin"]).reshape(n, s),
+        })
+    if kind == GGMLType.Q3_K:
+        b = refq._blocks(raw, kind)
+        s = k // QK_K
+        sc = refq.unpack_q3_K_scales(b["scales"])  # [nb,16] int32, -32 applied
+        return QTensor(kind, (n, k), {
+            "qs": b["qs"].reshape(n, k // 4),
+            "hmask": b["hmask"].reshape(n, s, 32),
+            "sc": sc.astype(np.int8).reshape(n, s, 16),
             "d": refq._f32(b["d"]).reshape(n, s),
         })
     if kind == GGMLType.IQ4_NL:

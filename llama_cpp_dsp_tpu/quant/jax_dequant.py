@@ -91,6 +91,34 @@ def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
         dl = qt["d"].astype(F32)[:, :, None] * qt["sc"].astype(F32)  # [N,S,16]
         y = q.astype(F32) * dl[..., None]
         return y.reshape(n, k).astype(dtype)
+    if kind == GGMLType.Q2_K:
+        s = k // QK_K
+        qs = qt["qs"].reshape(n, s, 2, 32)  # two 128-halves, 32 bytes each
+        shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+        q = (qs[:, :, :, None, :] >> shifts[None, None, None, :, None]) & 3
+        q = q.reshape(n, s, 16, 16).astype(F32)
+        dl = qt["d"].astype(F32)[:, :, None] * qt["sc"].astype(F32)
+        ml = qt["dmin"].astype(F32)[:, :, None] * qt["mn"].astype(F32)
+        y = q * dl[..., None] - ml[..., None]
+        return y.reshape(n, k).astype(dtype)
+    if kind == GGMLType.Q3_K:
+        s = k // QK_K
+        qs = qt["qs"].reshape(n, s, 2, 32)
+        shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+        q = ((qs[:, :, :, None, :] >> shifts[None, None, None, :, None]) & 3)
+        q = q.astype(jnp.int32)  # [n, s, half, plane, 32]
+        hm = qt["hmask"]  # [n, s, 32]; element j of plane p half h ↔ bit 4h+p
+        half = jnp.arange(2)[:, None]
+        plane = jnp.arange(4)[None, :]
+        bit = (4 * half + plane).astype(jnp.uint8)  # [2, 4]
+        hbit = (hm[:, :, None, None, :] >> bit[None, None, :, :, None]) & 1
+        q = q + 4 * hbit.astype(jnp.int32) - 4
+        dl = qt["d"].astype(F32)[:, :, None] * qt["sc"].astype(F32)  # [n,s,16]
+        # plane-row g=4h+p covers groups (2g, 2g+1), 16 elements each
+        dlp = jnp.broadcast_to(
+            dl.reshape(n, s, 8, 2, 1), (n, s, 8, 2, 16)).reshape(n, s, 8, 32)
+        y = q.reshape(n, s, 8, 32).astype(F32) * dlp
+        return y.reshape(n, k).astype(dtype)
     if kind in (GGMLType.IQ4_NL, GGMLType.IQ4_XS):
         from .ref_numpy import KVALUES_IQ4NL
 

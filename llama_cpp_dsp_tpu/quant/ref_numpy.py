@@ -954,6 +954,132 @@ def quant_q6_K(x: np.ndarray) -> np.ndarray:
     return out.view(np.uint8).reshape(-1)
 
 
+def quant_q2_K(x: np.ndarray) -> np.ndarray:
+    """quantize_row_q2_K_ref (ggml-quants.c:642)."""
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    groups = x.reshape(-1, 16)  # [nb*16, 16]
+    Lq, scales, mins = make_qkx2_quants(groups, np.abs(groups), 3, -0.5, 0.1, 15, True)
+    Lq = Lq.reshape(nb, 16, 16)
+    scales = scales.reshape(nb, 16)
+    mins = mins.reshape(nb, 16)
+    max_scale = scales.max(axis=1)
+    max_min = mins.max(axis=1)
+    q4scale = F32(15)
+    isc = np.where(max_scale > 0,
+                   q4scale / np.where(max_scale > 0, max_scale, F32(1)),
+                   F32(0)).astype(F32)
+    imn = np.where(max_min > 0,
+                   q4scale / np.where(max_min > 0, max_min, F32(1)),
+                   F32(0)).astype(F32)
+    ls = np.where(max_scale[:, None] > 0,
+                  nearest_int(isc[:, None] * scales), 0).astype(np.uint8)
+    lm = np.where(max_min[:, None] > 0,
+                  nearest_int(imn[:, None] * mins), 0).astype(np.uint8)
+    sc_packed = (ls | (lm << 4)).astype(np.uint8)
+    d = np.where(max_scale > 0, max_scale / q4scale, F32(0)).astype(np.float16)
+    dmin = np.where(max_min > 0, max_min / q4scale, F32(0)).astype(np.float16)
+    dd = _f32(d)[:, None] * (sc_packed & 0x0F).astype(F32)  # [nb,16]
+    dm = _f32(dmin)[:, None] * (sc_packed >> 4).astype(F32)
+    xg = x.reshape(nb, 16, 16)
+    dd_safe = np.where(dd == 0, F32(1), dd)
+    L = np.clip(nearest_int((xg + dm[:, :, None]) / dd_safe[:, :, None]), 0, 3)
+    L = np.where((dd == 0)[:, :, None], Lq, L).astype(np.uint8)
+    Lp = L.reshape(nb, 2, 4, 32)  # [nb, half, shift-plane, 32]
+    qs = (Lp[:, :, 0] | (Lp[:, :, 1] << 2) | (Lp[:, :, 2] << 4)
+          | (Lp[:, :, 3] << 6))
+    out = np.zeros(nb, dtype=DT[GGMLType.Q2_K])
+    out["scales"] = sc_packed
+    out["qs"] = qs.reshape(nb, 64)
+    out["d"] = d
+    out["dmin"] = dmin
+    return out.view(np.uint8).reshape(-1)
+
+
+def make_q3_quants_rmse(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized make_q3_quants(n=16, nmax=4, do_rmse=True)
+    (ggml-quants.c:448). x: [G, 16]. Returns (L[G,16] int32 0..7 biased,
+    scale[G])."""
+    g, n = x.shape
+    nmax = 4
+    amax = np.abs(x).max(axis=1)
+    aidx = np.argmax(np.abs(x), axis=1)
+    mx = x[np.arange(g), aidx]
+    dead = amax < GROUP_MAX_EPS
+    iscale = (F32(-nmax) / np.where(dead, F32(1), mx)).astype(F32)
+    L = np.clip(nearest_int(iscale[:, None] * x), -nmax, nmax - 1)
+    w = x * x
+    sumlx = (w * x * L).sum(axis=1, dtype=np.float32)
+    suml2 = (w * L * L).sum(axis=1, dtype=np.float32)
+    # 5 greedy coordinate-descent sweeps; converged groups are fixpoints so
+    # running all sweeps unconditionally matches the reference's early break
+    for _ in range(5):
+        for i in range(n):
+            wi = w[:, i]
+            xi = x[:, i]
+            li = L[:, i]
+            slx = sumlx - wi * xi * li
+            ok = slx > 0
+            sl2 = suml2 - wi * li * li
+            slx_safe = np.where(ok, slx, F32(1))
+            new_l = np.clip(nearest_int(xi * sl2 / slx_safe), -nmax, nmax - 1)
+            changed = ok & (new_l != li)
+            slx2 = slx + wi * xi * new_l
+            sl22 = sl2 + wi * new_l * new_l
+            accept = changed & (sl22 > 0) & (slx2 * slx2 * suml2 > sumlx * sumlx * sl22)
+            L[:, i] = np.where(accept, new_l, li)
+            sumlx = np.where(accept, slx2, sumlx).astype(F32)
+            suml2 = np.where(accept, sl22, suml2).astype(F32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.where(dead, F32(0), sumlx / suml2).astype(F32)
+    L = np.where(dead[:, None], 0, L + nmax)
+    return L.astype(np.int32), scale
+
+
+def quant_q3_K(x: np.ndarray) -> np.ndarray:
+    """quantize_row_q3_K_ref (ggml-quants.c:980)."""
+    x = _f32(x).reshape(-1, QK_K)
+    nb = len(x)
+    Lq, scales = make_q3_quants_rmse(x.reshape(-1, 16))
+    Lq = Lq.reshape(nb, 16, 16)
+    scales = scales.reshape(nb, 16)
+    aidx = np.argmax(np.abs(scales), axis=1)
+    max_scale = scales[np.arange(nb), aidx]
+    live = max_scale != 0
+    iscale = (F32(-32) / np.where(live, max_scale, F32(1))).astype(F32)
+    l6 = np.clip(nearest_int(iscale[:, None] * scales), -32, 31) + 32
+    l6 = np.where(live[:, None], l6, 0).astype(np.uint8)  # dead → memset(0)
+    # pack 16 6-bit scales into 12 bytes (inverse of unpack_q3_K_scales)
+    packed = np.zeros((nb, 12), dtype=np.uint8)
+    packed[:, :8] = (l6[:, :8] & 0x0F) | ((l6[:, 8:] & 0x0F) << 4)
+    hi = l6 >> 4  # [nb, 16] 2-bit
+    for j in range(16):
+        packed[:, 8 + j % 4] |= hi[:, j] << (2 * (j // 4))
+    d = np.where(live, (F32(1) / iscale), F32(0)).astype(np.float16)
+    sc = unpack_q3_K_scales(packed).reshape(nb, 16)  # [nb,16] signed
+    dd = _f32(d)[:, None] * sc.astype(F32)
+    xg = x.reshape(nb, 16, 16)
+    dd_safe = np.where(dd == 0, F32(1), dd)
+    L = np.clip(nearest_int(xg / dd_safe[:, :, None]), -4, 3) + 4
+    L = np.where((dd == 0)[:, :, None], Lq, L).astype(np.int32)  # [nb,16,16]
+    # hmask: element j (0..255) → byte j%32, bit j//32
+    Lf = L.reshape(nb, QK_K)
+    high = (Lf > 3).astype(np.uint8).reshape(nb, 8, 32)
+    hmask = np.zeros((nb, 32), dtype=np.uint8)
+    for b in range(8):
+        hmask |= high[:, b, :] << b
+    Lf = np.where(Lf > 3, Lf - 4, Lf).astype(np.uint8)
+    Lp = Lf.reshape(nb, 2, 4, 32)
+    qs = (Lp[:, :, 0] | (Lp[:, :, 1] << 2) | (Lp[:, :, 2] << 4)
+          | (Lp[:, :, 3] << 6))
+    out = np.zeros(nb, dtype=DT[GGMLType.Q3_K])
+    out["hmask"] = hmask
+    out["qs"] = qs.reshape(nb, 64)
+    out["scales"] = packed
+    out["d"] = d
+    return out.view(np.uint8).reshape(-1)
+
+
 def quant_f16(x: np.ndarray) -> np.ndarray:
     return _f32(x).astype(np.float16).view(np.uint8).reshape(-1)
 
@@ -1614,6 +1740,8 @@ _QUANT = {
     GGMLType.Q8_0: quant_q8_0,
     GGMLType.Q8_1: quant_q8_1,
     GGMLType.Q8_K: quant_q8_K,
+    GGMLType.Q2_K: quant_q2_K,
+    GGMLType.Q3_K: quant_q3_K,
     GGMLType.Q4_K: quant_q4_K,
     GGMLType.Q5_K: quant_q5_K,
     GGMLType.Q6_K: quant_q6_K,

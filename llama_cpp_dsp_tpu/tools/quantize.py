@@ -32,6 +32,11 @@ FTYPE_DEFAULT_TYPE: dict[FType, GGMLType] = {
     FType.MOSTLY_Q5_0: GGMLType.Q5_0,
     FType.MOSTLY_Q5_1: GGMLType.Q5_1,
     FType.MOSTLY_Q8_0: GGMLType.Q8_0,
+    FType.MOSTLY_Q2_K: GGMLType.Q2_K,
+    FType.MOSTLY_Q2_K_S: GGMLType.Q2_K,
+    FType.MOSTLY_Q3_K_S: GGMLType.Q3_K,
+    FType.MOSTLY_Q3_K_M: GGMLType.Q3_K,
+    FType.MOSTLY_Q3_K_L: GGMLType.Q3_K,
     FType.MOSTLY_Q4_K_S: GGMLType.Q4_K,
     FType.MOSTLY_Q4_K_M: GGMLType.Q4_K,
     FType.MOSTLY_Q5_K_S: GGMLType.Q5_K,
@@ -58,6 +63,9 @@ FTYPE_NAMES = {
     "Q4_0": FType.MOSTLY_Q4_0, "Q4_1": FType.MOSTLY_Q4_1,
     "Q5_0": FType.MOSTLY_Q5_0, "Q5_1": FType.MOSTLY_Q5_1,
     "Q8_0": FType.MOSTLY_Q8_0,
+    "Q2_K": FType.MOSTLY_Q2_K, "Q2_K_S": FType.MOSTLY_Q2_K_S,
+    "Q3_K_S": FType.MOSTLY_Q3_K_S, "Q3_K_M": FType.MOSTLY_Q3_K_M,
+    "Q3_K_L": FType.MOSTLY_Q3_K_L, "Q3_K": FType.MOSTLY_Q3_K_M,
     "Q4_K_S": FType.MOSTLY_Q4_K_S, "Q4_K_M": FType.MOSTLY_Q4_K_M,
     "Q5_K_S": FType.MOSTLY_Q5_K_S, "Q5_K_M": FType.MOSTLY_Q5_K_M,
     "Q6_K": FType.MOSTLY_Q6_K,
@@ -145,7 +153,14 @@ def tensor_get_type(qs: _QuantizeState, new_type: GGMLType, name: str, ne0: int,
     elif name == "token_embd.weight":
         pass  # keep default for supported ftypes
     elif "attn_v.weight" in name:
-        if ftype in (FType.MOSTLY_Q4_K_M, FType.MOSTLY_Q5_K_M) and use_more_bits(
+        if ftype == FType.MOSTLY_Q2_K:
+            new_type = GGMLType.Q4_K if qs.n_gqa >= 4 else GGMLType.Q3_K
+        elif ftype == FType.MOSTLY_Q3_K_M:
+            new_type = (GGMLType.Q5_K if qs.i_attention_wv < 2
+                        else GGMLType.Q4_K)
+        elif ftype == FType.MOSTLY_Q3_K_L:
+            new_type = GGMLType.Q5_K
+        elif ftype in (FType.MOSTLY_Q4_K_M, FType.MOSTLY_Q5_K_M) and use_more_bits(
             qs.i_attention_wv, qs.n_attention_wv
         ):
             new_type = GGMLType.Q6_K
@@ -159,7 +174,17 @@ def tensor_get_type(qs: _QuantizeState, new_type: GGMLType, name: str, ne0: int,
             new_type = GGMLType.Q8_0
     elif "ffn_down" in name:
         i_layer = layer_of(name) if qs.n_expert > 1 else qs.i_ffn_down
-        if ftype == FType.MOSTLY_Q4_K_M:
+        if ftype == FType.MOSTLY_Q2_K:
+            new_type = GGMLType.Q3_K
+        elif ftype == FType.MOSTLY_Q3_K_M:
+            new_type = (GGMLType.Q5_K if i_layer < n_layer // 16
+                        else GGMLType.Q4_K
+                        if qs.arch != "falcon" or use_more_bits(i_layer, n_layer)
+                        else GGMLType.Q3_K)
+        elif ftype == FType.MOSTLY_Q3_K_L:
+            new_type = (GGMLType.Q4_K if qs.arch == "falcon"
+                        else GGMLType.Q5_K)
+        elif ftype == FType.MOSTLY_Q4_K_M:
             if use_more_bits(i_layer, n_layer):
                 new_type = GGMLType.Q6_K
         elif ftype == FType.MOSTLY_Q5_K_M and use_more_bits(i_layer, n_layer):
@@ -175,10 +200,20 @@ def tensor_get_type(qs: _QuantizeState, new_type: GGMLType, name: str, ne0: int,
         qs.i_ffn_down += 1
     elif "attn_output.weight" in name:
         if qs.n_expert == 8:
-            if ftype in (FType.MOSTLY_Q4_K_S, FType.MOSTLY_Q4_K_M):
+            if ftype in (FType.MOSTLY_Q4_K_S, FType.MOSTLY_Q4_K_M,
+                         FType.MOSTLY_Q2_K, FType.MOSTLY_Q3_K_S,
+                         FType.MOSTLY_Q3_K_M):
                 new_type = GGMLType.Q5_K
+        elif ftype == FType.MOSTLY_Q2_K:
+            new_type = GGMLType.Q3_K
+        elif ftype == FType.MOSTLY_Q3_K_M:
+            new_type = GGMLType.Q4_K
+        elif ftype == FType.MOSTLY_Q3_K_L:
+            new_type = GGMLType.Q5_K
     elif "attn_qkv.weight" in name:
-        if ftype == FType.MOSTLY_Q4_K_M:
+        if ftype in (FType.MOSTLY_Q3_K_M, FType.MOSTLY_Q3_K_L):
+            new_type = GGMLType.Q4_K
+        elif ftype == FType.MOSTLY_Q4_K_M:
             new_type = GGMLType.Q5_K
         elif ftype == FType.MOSTLY_Q5_K_M:
             new_type = GGMLType.Q6_K

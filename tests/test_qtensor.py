@@ -22,7 +22,9 @@ def test_jax_dequant_bit_exact(kind, rng):
     np.testing.assert_array_equal(got, want, err_msg=kind.name)
 
 
-@pytest.mark.parametrize("kind", [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K])
+@pytest.mark.parametrize("kind", [GGMLType.Q2_K, GGMLType.Q3_K,
+                                  GGMLType.Q4_K, GGMLType.Q5_K,
+                                  GGMLType.Q6_K])
 def test_jax_dequant_random_bits(kind, rng):
     """Arbitrary packed bits (not from our quantizer) must decode identically."""
     n, k = 2, 1024
@@ -38,25 +40,27 @@ def test_jax_dequant_random_bits(kind, rng):
 
 
 def test_kernel_less_kinds_requantize_to_q8(rng):
-    """Kinds without a fused kernel (Q2_K/IQ*/TQ*) requantize to packed
-    Q8_0 at load so they still stream through the Pallas kernels (8.25 bpw
-    instead of the old 16-bpw dense fallback)."""
+    """Kinds without a fused kernel (grid-codebook IQ*/TQ*) requantize to
+    packed Q8_0 at load so they still stream through the Pallas kernels
+    (8.25 bpw instead of the old 16-bpw dense fallback)."""
     import llama_cpp_dsp_tpu.quant.ref_numpy as refq
 
-    raw2 = rng.integers(0, 256, size=2 * 256 // 256 * 84, dtype=np.uint8)
-    qt = from_gguf_tensor(raw2, GGMLType.Q2_K, (2, 256))
+    tr = GGML_TYPE_TRAITS[GGMLType.TQ1_0]
+    raw2 = rng.integers(0, 256, size=2 * 256 // tr.block_size * tr.type_size,
+                        dtype=np.uint8)
+    qt = from_gguf_tensor(raw2, GGMLType.TQ1_0, (2, 256))
     assert isinstance(qt, QTensor) and qt.kind == GGMLType.Q8_0
     # decode fidelity: q8 of the dequantized values, near-exact
     import jax.numpy as jnp
 
     from llama_cpp_dsp_tpu.quant.jax_dequant import dequant
 
-    want = refq.dequantize(raw2, GGMLType.Q2_K).reshape(2, 256)
+    want = refq.dequantize(raw2, GGMLType.TQ1_0).reshape(2, 256)
     got = np.asarray(dequant(qt, jnp.float32))
     ok = np.isfinite(want)
     denom = max(1e-9, float(np.abs(want[ok]).max()))
     assert np.abs(got[ok] - want[ok]).max() / denom < 0.01
 
     # 1-D tensors stay dense
-    arr = from_gguf_tensor(raw2, GGMLType.Q2_K, (512,))
+    arr = from_gguf_tensor(raw2, GGMLType.TQ1_0, (512,))
     assert isinstance(arr, np.ndarray)
