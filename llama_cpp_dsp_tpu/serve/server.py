@@ -440,7 +440,7 @@ class Server:
         return app
 
 
-def main(argv=None) -> int:
+def build_arg_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="llama-server", description=__doc__)
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("--host", default="127.0.0.1")
@@ -460,9 +460,13 @@ def main(argv=None) -> int:
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
                     choices=("f32", "bf16", "f16", "q8_0"),
                     help="KV cache data type (reference --cache-type-k)")
+    return ap
+
+
+def main(argv=None) -> int:
     from ..utils.args import parse_with_env
 
-    args = parse_with_env(ap, argv)
+    args = parse_with_env(build_arg_parser(), argv)
 
     logging.basicConfig(level=logging.INFO)
     from ..utils.jax_setup import setup_jax

@@ -107,3 +107,38 @@ def test_retrieval_chunking():
     chunks = chunk_file(text, 8, "\n")
     assert all(chunks)
     assert "".join(c.replace("\n", "") for c in chunks) == text.replace("\n", "")
+
+
+def test_gen_docs_markdown(tmp_path):
+    """gen-docs parity: every front-end flag appears in the generated
+    markdown (reference examples/gen-docs)."""
+    from llama_cpp_dsp_tpu.tools.gen_docs import main as gen_docs_main
+
+    gen_docs_main(["-o", str(tmp_path)])
+    cli_md = (tmp_path / "cli.md").read_text()
+    srv_md = (tmp_path / "server.md").read_text()
+    for flag in ("--model", "--ctx-size", "--cache-type-k", "--grammar"):
+        assert flag in cli_md
+    for flag in ("--parallel", "--kv-layout", "--api-key"):
+        assert flag in srv_md
+    assert "LLAMA_ARG_MODEL" in cli_md
+
+
+def test_compare_bench(tmp_path, capsys):
+    import json
+    import sys
+
+    sys.path.insert(0, "scripts")
+    try:
+        from compare_bench import main as cmp_main
+    finally:
+        sys.path.pop(0)
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps({"metric": "decode_tps", "value": 90.0,
+                             "unit": "t/s", "vs_baseline": 0.68}))
+    b.write_text(json.dumps({"metric": "decode_tps", "value": 99.0,
+                             "unit": "t/s", "vs_baseline": 0.75}))
+    assert cmp_main([str(a), str(b)]) == 0
+    out = capsys.readouterr().out
+    assert "+10.0%" in out and "faster" in out
