@@ -90,6 +90,34 @@ class Server:
             "chat_template": self.engine.vocab.chat_template or "",
         })
 
+    async def apply_template(self, request: web.Request) -> web.Response:
+        """POST /apply-template — render the chat template without running
+        inference (reference server.cpp handle_apply_template)."""
+        from ..serve.chat import apply_chat_template
+
+        body = await request.json()
+        text = apply_chat_template(
+            self.engine.vocab.chat_template, body.get("messages", []),
+        )
+        return web.json_response({"prompt": text})
+
+    async def api_show(self, request: web.Request) -> web.Response:
+        """POST /api/show — ollama-compatible model info (reference
+        server.cpp handle_api_show)."""
+        return web.json_response({
+            "template": self.engine.vocab.chat_template or "",
+            "model_info": {"llama.context_length": self.engine.n_ctx},
+        })
+
+    async def index(self, request: web.Request) -> web.Response:
+        return web.Response(
+            text="<html><body><h1>llama_cpp_dsp_tpu server</h1>"
+                 "<p>OpenAI-compatible API: POST /v1/chat/completions, "
+                 "/v1/completions, /v1/embeddings. Native: /completion, "
+                 "/infill, /rerank, /tokenize, /props, /slots, /metrics."
+                 "</p></body></html>",
+            content_type="text/html")
+
     async def models(self, request: web.Request) -> web.Response:
         return web.json_response({
             "object": "list",
@@ -429,10 +457,17 @@ class Server:
         app.router.add_post("/completions", self.completions)
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/v1/chat/completions", self.chat_completions)
+        app.router.add_post("/chat/completions", self.chat_completions)
         app.router.add_post("/v1/embeddings", self.embeddings)
         app.router.add_post("/embedding", self.embeddings)
+        app.router.add_post("/embeddings", self.embeddings)
         app.router.add_post("/v1/rerank", self.rerank)
         app.router.add_post("/rerank", self.rerank)
+        app.router.add_post("/reranking", self.rerank)
+        app.router.add_post("/v1/reranking", self.rerank)
+        app.router.add_post("/apply-template", self.apply_template)
+        app.router.add_post("/api/show", self.api_show)
+        app.router.add_get("/", self.index)
         app.router.add_post("/infill", self.infill)
         app.router.add_post("/slots/{slot_id}", self.slot_action)
         app.router.add_get("/lora-adapters", self.lora_adapters_get)

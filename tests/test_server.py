@@ -301,3 +301,24 @@ def test_grammar_constrained_completion(server_setup):
         assert text and all(ch.isdigit() for ch in text), text
 
     _run(server_setup, go)
+
+
+def test_apply_template_api_show_index(server_setup):
+    async def go(client):
+        r = await client.post("/apply-template", json={
+            "messages": [{"role": "user", "content": "hi"}]}, headers=AUTH)
+        assert r.status == 200
+        assert "prompt" in await r.json()
+        r = await client.post("/api/show", json={}, headers=AUTH)
+        info = await r.json()
+        assert info["model_info"]["llama.context_length"] == 64
+        r = await client.get("/")
+        assert r.status == 200
+        assert "server" in await r.text()
+        # route aliases resolve
+        r = await client.post("/chat/completions", json={
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 2, "temperature": 0}, headers=AUTH)
+        assert r.status == 200
+
+    _run(server_setup, go)
