@@ -87,14 +87,40 @@ def load_state(ctx, path: str) -> list[int]:
     return [int(t) for t in meta["tokens"]]
 
 
+def _slot_kv_dense(engine, slot_idx: int, n: int):
+    """Dense [L, 1, Hkv, n, D] view of one slot's cached K/V, regardless of
+    the engine's cache layout (contiguous / quantized / paged) — the role of
+    the reference's cross-type state_seq re-read paths
+    (src/llama-kv-cache.cpp:154-198)."""
+    cache = engine.cache
+    if hasattr(cache, "gather_seq"):  # paged layouts
+        engine._ensure_pages([(slot_idx, max(n, 1))])
+        k, v = cache.gather_seq(slot_idx)
+        return k[:, :, :, :n], v[:, :, :, :n]
+    if hasattr(cache, "k"):  # contiguous dense
+        return (cache.k[:, slot_idx: slot_idx + 1, :, :n],
+                cache.v[:, slot_idx: slot_idx + 1, :, :n])
+    # quantized contiguous: dequantize layer views
+    n_layers = engine.cfg.n_layers
+    ks, vs = [], []
+    for i in range(n_layers):
+        kl, vl = cache.layer(i)
+        ks.append(kl[slot_idx: slot_idx + 1, :, :n])
+        vs.append(vl[slot_idx: slot_idx + 1, :, :n])
+    return jnp.stack(ks), jnp.stack(vs)
+
+
 def save_slot(engine, slot_idx: int, path: str, tokens: list[int]) -> None:
     """Per-slot (per-sequence) state export — server slot save equivalent."""
     slot = engine.slots[slot_idx]
     n = slot.n_past
-    k = _to_storable(np.asarray(engine.cache.k[:, slot_idx : slot_idx + 1, :, :n]))
-    v = _to_storable(np.asarray(engine.cache.v[:, slot_idx : slot_idx + 1, :, :n]))
+    k, v = _slot_kv_dense(engine, slot_idx, n)
+    k = _to_storable(np.asarray(k))
+    v = _to_storable(np.asarray(v))
+    dtype = (_from_storable(k, "bfloat16").dtype.name
+             if k.dtype == np.uint16 else k.dtype.name)
     np.savez_compressed(
-        open(path, "wb"), meta=_meta(engine.cfg, n, tokens, engine.cache.k.dtype.name), k=k, v=v
+        open(path, "wb"), meta=_meta(engine.cfg, n, tokens, dtype), k=k, v=v
     )
 
 
@@ -108,9 +134,30 @@ def load_slot(engine, slot_idx: int, path: str) -> list[int]:
         raise ValueError(f"state has {n} cells, slot context is {engine.n_ctx}")
     k = jnp.asarray(_from_storable(data["k"], meta["dtype"]))
     v = jnp.asarray(_from_storable(data["v"], meta["dtype"]))
-    engine.cache = type(engine.cache)(
-        engine.cache.k.at[:, slot_idx : slot_idx + 1, :, :n].set(k),
-        engine.cache.v.at[:, slot_idx : slot_idx + 1, :, :n].set(v),
-    )
+    cache = engine.cache
+    if hasattr(cache, "scatter_seq"):  # paged: COW then page-scatter
+        engine._ensure_pages([(slot_idx, engine.n_ctx)])
+        engine._cow_from(slot_idx, 0)
+        cap = engine.n_ctx
+        pad = cap - n
+        if pad:
+            padding = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)]
+            k = jnp.pad(k, padding)
+            v = jnp.pad(v, padding)
+        engine.cache = cache.scatter_seq(slot_idx, k, v)
+    elif hasattr(cache, "k"):
+        engine.cache = type(cache)(
+            cache.k.at[:, slot_idx: slot_idx + 1, :, :n].set(
+                k.astype(cache.k.dtype)),
+            cache.v.at[:, slot_idx: slot_idx + 1, :, :n].set(
+                v.astype(cache.v.dtype)),
+        )
+    else:  # quantized contiguous: re-quantize rows through the write path
+        sub = cache.slot_view(jnp.int32(slot_idx))
+        for layer in range(engine.cfg.n_layers):
+            sub = sub.write(layer,
+                            k[layer].transpose(0, 2, 1, 3),  # → [1,n,Hkv,D]
+                            v[layer].transpose(0, 2, 1, 3), 0)
+        engine.cache = cache.merge_slot(sub, jnp.int32(slot_idx))
     engine.slots[slot_idx].n_past = n
     return [int(t) for t in meta["tokens"]]

@@ -65,3 +65,45 @@ def test_state_mismatch_rejected(model, tmp_path):
     b = _ctx(model)
     with pytest.raises(ValueError):
         load_state(b, data_path)
+
+
+@pytest.mark.parametrize("engine_kw", [
+    {"kv_dtype": "q8_0"},
+    {"kv_layout": "paged", "page_size": 8},
+    {"kv_layout": "paged", "page_size": 8, "kv_dtype": "q8_0"},
+])
+def test_slot_save_restore_layouts(model, tmp_path, engine_kw):
+    """Slot save/restore must work for quantized and paged cache layouts
+    (reference cross-type state_seq re-read, llama-kv-cache.cpp:154-198):
+    restore into a poisoned slot, continuation matches the solo run."""
+    from llama_cpp_dsp_tpu.runtime.engine import Engine
+    from llama_cpp_dsp_tpu.runtime.sampling import Greedy, SamplerChain
+    from llama_cpp_dsp_tpu.runtime.state_io import load_slot, save_slot
+
+    def greedy():
+        return SamplerChain([Greedy()])
+
+    eng = Engine(model, n_slots=2, n_ctx_per_slot=64, prefill_buckets=(16,),
+                 use_pallas=False, **engine_kw)
+    prompt = [11, 7, 3, 13, 2]
+    ref = eng.generate_sync(list(prompt), max_new_tokens=8, sampler=greedy())
+
+    # prefill + 3 tokens into slot 0, save it
+    r1 = eng.generate_sync(list(prompt), max_new_tokens=3, sampler=greedy())
+    assert r1.result_tokens == ref.result_tokens[:3]
+    slot = max(eng.slots, key=lambda s: s.n_past)
+    tokens = list(prompt) + r1.result_tokens
+    f = tmp_path / "slot.npz"
+    save_slot(eng, slot.idx, str(f), tokens)
+
+    # poison the slot's cache, then restore
+    eng.generate_sync([99, 98, 97, 96], max_new_tokens=2, sampler=greedy())
+    eng.generate_sync([89, 88, 87, 86], max_new_tokens=2, sampler=greedy())
+    got_tokens = load_slot(eng, slot.idx, str(f))
+    assert got_tokens == tokens
+    slot.cache_tokens = got_tokens[:]
+
+    # continue from the restored state: submit the same prefix — the engine
+    # reuses the restored cache (prefix match) and must produce the tail
+    r2 = eng.generate_sync(list(tokens), max_new_tokens=5, sampler=greedy())
+    assert r2.result_tokens == ref.result_tokens[3:8]
