@@ -164,7 +164,8 @@ def to_kernel_layout(qt: QTensor, tile_k: int | None = None) -> KernelWeights:
 
     nk = k // tile_k
     if kind == GGMLType.Q8_0:
-        qs = _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_k, 32)
+        g = k // qt["d"].shape[-1]  # 32, or 16 for exact-IQ repacks
+        qs = _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_k, g)
         s = _as_tiles(qt["d"].astype(np.float32), nk)
         return KernelWeights(kind, (n, k), {"qs": qs, "s": s}, tile_k)
 
@@ -311,9 +312,10 @@ def _tiles_x(sums, nk: int):
     return sums.reshape(b, nk, g_total // nk).swapaxes(0, 1)
 
 
-def prepare_x(x, kind: GGMLType, tile_k: int):
+def prepare_x(x, kind: GGMLType, tile_k: int, q8_group: int = 32):
     """Split x into format planes (tile-transposed, bf16) plus per-group
-    f32 sums ("xs*") that the kernels dot against the folded-out offsets."""
+    f32 sums ("xs*") that the kernels dot against the folded-out offsets.
+    q8_group: scale group of a q8_0 layout (16 for exact-IQ repacks)."""
     import jax.numpy as jnp
 
     xb = x.astype(jnp.bfloat16)
@@ -322,7 +324,7 @@ def prepare_x(x, kind: GGMLType, tile_k: int):
     k = x.shape[-1]
     nk = k // tile_k
     if kind == GGMLType.Q8_0:
-        return (tile_transpose_x(xb, tile_k, 32),)
+        return (tile_transpose_x(xb, tile_k, q8_group),)
     if kind in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.IQ4_NL,
                 GGMLType.IQ4_XS):
         xr = xb.reshape(*shp, k // 32, 32)

@@ -78,7 +78,10 @@ def _dot_xt_w(x, w):
 
 
 def _body_q8_0(acc, x, qs, s):
-    w = (qs.astype(jnp.int32).astype(F32) * _expand(s, 32)).astype(BF16)
+    # group size derives from the field shapes (32, or 16 for exact-IQ
+    # repacks whose native scales are per-16)
+    w = (qs.astype(jnp.int32).astype(F32)
+         * _expand(s, qs.shape[-1] // s.shape[-1])).astype(BF16)
     acc[...] += _dot_xt_w(x, w)
 
 
@@ -417,7 +420,11 @@ def qmm_fused(
     if b_pad != b_real:
         x2 = jnp.pad(x2, ((0, b_pad - b_real), (0, 0)))
 
-    x_fields = prepare_x(x2, kw.kind, tile_k)
+    q8_group = 32
+    if kw.kind == GGMLType.Q8_0:
+        s_arr = kw.arrays["s"]  # [nk, N, K/g/nk]
+        q8_group = k // (s_arr.shape[0] * s_arr.shape[2])
+    x_fields = prepare_x(x2, kw.kind, tile_k, q8_group)
     w_fields = tuple(kw.arrays[name] for name in _W_FIELDS[kw.kind])
     y = _qmm_call(
         x_fields, w_fields, kind=kw.kind, n=n, k=k,

@@ -211,10 +211,23 @@ def from_gguf_tensor(
         return np.ascontiguousarray(raw).view(ml_dtypes.bfloat16).reshape(np_shape)
     if kind in PACKED_KINDS and len(np_shape) in (1, 2):
         return repack(raw, kind, np_shape)
-    # kinds without a fused kernel (Q2_K/Q3_K/IQ*/TQ*): requantize matrices
-    # to Q8_0 at load so they still stream packed through the Pallas kernel
-    # (8.25 bpw instead of 16 for the dense fallback — the IQ decode error
-    # already dwarfs q8's ~0.2%); non-matrix tensors stay dense
+    # grid-codebook IQ kinds: EXACT repack into the q8 kernel layout — the
+    # integer payload (grid*sign; IQ1: 8*grid±1) with per-group f32 scales
+    # reproduces dequantize_row_* bit-for-bit
+    # (quant/ref_numpy.iq_int_decompose)
+    _IQ_EXACT = (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+                 GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
+                 GGMLType.IQ1_M)
+    if kind in _IQ_EXACT and len(np_shape) == 2 and np_shape[-1] % 256 == 0:
+        n, k = np_shape
+        q, s, g = refq.iq_int_decompose(raw, kind)
+        return QTensor(GGMLType.Q8_0, (n, k), {
+            "qs": q.reshape(n, k),
+            "d": s.reshape(n, k // g),
+        })
+    # kinds without a fused kernel (TQ*): requantize matrices to Q8_0 at
+    # load so they still stream packed through the Pallas kernel (8.25 bpw
+    # instead of 16 for the dense fallback); non-matrix tensors stay dense
     tr = GGML_TYPE_TRAITS.get(kind)
     if (tr is not None and len(np_shape) == 2 and np_shape[-1] % 32 == 0
             and kind not in (GGMLType.Q8_K,)):

@@ -33,8 +33,9 @@ def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
     n, k = qt.shape
     kind = qt.kind
     if kind == GGMLType.Q8_0:
-        d = qt["d"].astype(F32)  # [N, K/32]
-        q = qt["qs"].astype(F32).reshape(n, k // 32, 32)
+        d = qt["d"].astype(F32)  # [N, K/g] (g=32; exact-IQ repacks use 16)
+        g = k // d.shape[-1]
+        q = qt["qs"].astype(F32).reshape(n, k // g, g)
         return (q * d[:, :, None]).reshape(n, k).astype(dtype)
     if kind in (GGMLType.Q4_0, GGMLType.Q4_1):
         q = _nibbles(qt["qs"], n, k, "legacy").astype(F32).reshape(n, k // 32, 32)

@@ -1080,6 +1080,105 @@ def quant_q3_K(x: np.ndarray) -> np.ndarray:
     return out.view(np.uint8).reshape(-1)
 
 
+def iq_int_decompose(raw: np.ndarray, t: GGMLType):
+    """Grid-codebook IQ blocks → (q int8 [n], s f32 [n/g], g): the exact
+    integer payload and per-group f32 scale such that s.repeat(g) * q
+    reproduces dequantize() bit-for-bit (signs commute exactly; IQ1's
+    ±0.125 delta folds into payload 8*grid±1 with a power-of-2 scale).
+    Lets IQ1/IQ2/IQ3 stream through the q8 Pallas kernel losslessly."""
+    from .iq_grids import grids, sign_table, byte_sign_table
+
+    b = _blocks(raw, t)
+    nb = len(b)
+    d = _f32(b["d"]) if "d" in (b.dtype.names or ()) else None
+    if t == GGMLType.IQ2_XXS:
+        q32 = np.ascontiguousarray(b["qs"]).view("<u4").reshape(nb, 8, 2)
+        a0, a1 = q32[..., 0], q32[..., 1]
+        s = (d[:, None] * (F32(0.5) + (a1 >> 28).astype(F32)) * F32(0.25))
+        grid = grids()["iq2xxs_grid"][_u8cols(a0)].astype(np.int32)
+        sidx = (a1[..., None] >> (7 * np.arange(4, dtype=np.uint32))) & 127
+        signs = sign_table()[sidx].astype(np.int32)
+        return ((grid * signs).reshape(nb * 256).astype(np.int8),
+                s.reshape(-1), 32)
+    if t == GGMLType.IQ2_XS:
+        q = b["qs"].reshape(nb, 8, 4)
+        sc = b["scales"]
+        nib = np.stack([sc & 0xF, sc >> 4], axis=-1)  # [nb,8,2] per 16
+        s = d[:, None, None] * (F32(0.5) + nib.astype(F32)) * F32(0.25)
+        grid = grids()["iq2xs_grid"][q & 511].astype(np.int32)
+        signs = sign_table()[q >> 9].astype(np.int32)
+        return ((grid * signs).reshape(nb * 256).astype(np.int8),
+                s.reshape(-1), 16)
+    if t == GGMLType.IQ2_S:
+        ql = b["qs"][:, :32].reshape(nb, 8, 4).astype(np.uint16)
+        sbytes = b["qs"][:, 32:].reshape(nb, 8, 4)
+        qh = b["qh"].astype(np.uint16)
+        high = (qh[:, :, None] >> (2 * np.arange(4))) & 3
+        grid = grids()["iq2s_grid"][ql | (high << 8)].astype(np.int32)
+        signs = byte_sign_table()[sbytes].astype(np.int32)
+        sc = b["scales"]
+        nib = np.stack([sc & 0xF, sc >> 4], axis=-1)
+        s = d[:, None, None] * (F32(0.5) + nib.astype(F32)) * F32(0.25)
+        return ((grid * signs).reshape(nb * 256).astype(np.int8),
+                s.reshape(-1), 16)
+    if t == GGMLType.IQ3_XXS:
+        qs = b["qs"][:, :64].reshape(nb, 8, 8)
+        aux = np.ascontiguousarray(b["qs"][:, 64:]).view("<u4").reshape(nb, 8)
+        s = d[:, None] * (F32(0.5) + (aux >> 28).astype(F32)) * F32(0.5)
+        grid = grids()["iq3xxs_grid"][qs].astype(np.int32).reshape(nb, 8, 32)
+        sidx = (aux[..., None] >> (7 * np.arange(4, dtype=np.uint32))) & 127
+        signs = sign_table()[sidx].reshape(nb, 8, 32).astype(np.int32)
+        return ((grid * signs).reshape(nb * 256).astype(np.int8),
+                s.reshape(-1), 32)
+    if t == GGMLType.IQ3_S:
+        qs = b["qs"].reshape(nb, 8, 8).astype(np.uint16)
+        qh = b["qh"].astype(np.uint16)
+        high = ((qh[:, :, None] >> np.arange(8)) & 1) << 8
+        grid = grids()["iq3s_grid"][qs | high].astype(np.int32).reshape(nb, 8, 32)
+        signs = byte_sign_table()[b["signs"].reshape(nb, 8, 4)].reshape(
+            nb, 8, 32).astype(np.int32)
+        sc = b["scales"]
+        nib = np.stack([sc & 0xF, sc >> 4], axis=-1).reshape(nb, 8)
+        s = d[:, None] * (F32(1) + F32(2) * nib.astype(F32))
+        return ((grid * signs).reshape(nb * 256).astype(np.int8),
+                s.reshape(-1), 32)
+    if t == GGMLType.IQ1_S:
+        from .iq_grids import IQ1S_DELTA  # noqa: F401 — 0.125 = 2^-3
+
+        qs = b["qs"].reshape(nb, 8, 4).astype(np.uint16)
+        qh = b["qh"]
+        dl = d[:, None] * (2 * ((qh >> 12) & 7).astype(F32) + 1)
+        dsign = np.where((qh & 0x8000) != 0, -1, 1).astype(np.int32)
+        high = (qh[:, :, None].astype(np.uint32) >> (3 * np.arange(4))) & 7
+        grid = grids()["iq1s_grid"][qs | (high << 8).astype(np.uint16)]
+        q = 8 * grid.astype(np.int32) + dsign[:, :, None, None]
+        return (q.reshape(nb * 256).astype(np.int8),
+                (dl * F32(0.125)).reshape(-1), 32)
+    if t == GGMLType.IQ1_M:
+        sc = np.ascontiguousarray(b["scales"]).view("<u2").reshape(nb, 4)
+        d_bits = ((sc[:, 0] >> 12) | ((sc[:, 1] >> 8) & 0x00F0)
+                  | ((sc[:, 2] >> 4) & 0x0F00) | (sc[:, 3] & 0xF000)
+                  ).astype(np.uint16)
+        dm = d_bits.view("<f2").astype(F32)
+        qs = b["qs"].reshape(nb, 8, 4).astype(np.uint16)
+        qh = b["qh"].reshape(nb, 8, 2).astype(np.uint16)
+        high = np.stack([qh[..., 0] & 7, (qh[..., 0] >> 4) & 7,
+                         qh[..., 1] & 7, (qh[..., 1] >> 4) & 7], axis=-1)
+        grid = grids()["iq1s_grid"][qs | (high << 8)]
+        hb = np.stack([qh[..., 0], qh[..., 0], qh[..., 1], qh[..., 1]], axis=-1)
+        mask = np.where(np.arange(4)[None, None, :] % 2 == 0, 0x08, 0x80)
+        dsign = np.where((hb & mask) != 0, -1, 1).astype(np.int32)
+        q = 8 * grid.astype(np.int32) + dsign[..., None]
+        ib = np.arange(8)
+        shift = 6 * (ib % 2)
+        sc_ib = sc[:, ib // 2]
+        dl12 = np.stack([(sc_ib >> shift) & 7, (sc_ib >> (shift + 3)) & 7],
+                        axis=-1)  # [nb,8,2] — per 16 elements
+        s = dm[:, None, None] * (2 * dl12.astype(F32) + 1) * F32(0.125)
+        return (q.reshape(nb * 256).astype(np.int8), s.reshape(-1), 16)
+    raise NotImplementedError(f"iq_int_decompose {t.name}")
+
+
 def quant_f16(x: np.ndarray) -> np.ndarray:
     return _f32(x).astype(np.float16).view(np.uint8).reshape(-1)
 

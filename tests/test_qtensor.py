@@ -64,3 +64,53 @@ def test_kernel_less_kinds_requantize_to_q8(rng):
     # 1-D tensors stay dense
     arr = from_gguf_tensor(raw2, GGMLType.TQ1_0, (512,))
     assert isinstance(arr, np.ndarray)
+
+
+IQ_EXACT_KINDS = [GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+                  GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
+                  GGMLType.IQ1_M]
+
+
+@pytest.mark.parametrize("kind", IQ_EXACT_KINDS)
+def test_iq_exact_q8_repack(kind, rng):
+    """Grid-codebook IQ matrices repack EXACTLY into the q8 kernel layout
+    (int payload x per-group f32 scale) — decode is bit-identical to the
+    reference dequantize_row_*, unlike the old lossy requant."""
+    import llama_cpp_dsp_tpu.quant.ref_numpy as refq
+    from llama_cpp_dsp_tpu.quant.jax_dequant import dequant as jdequant
+
+    n, k = 4, 512
+    tr = GGML_TYPE_TRAITS[kind]
+    try:
+        raw = quantize((rng.standard_normal((n, k)) * 2).astype(np.float32),
+                       kind)
+    except NotImplementedError:
+        raw = rng.integers(0, 256, size=n * k // tr.block_size * tr.type_size,
+                           dtype=np.uint8)
+    qt = from_gguf_tensor(raw, kind, (n, k))
+    assert isinstance(qt, QTensor) and qt.kind == GGMLType.Q8_0
+    want = refq.dequantize(raw, kind).reshape(n, k)
+    got = np.asarray(jdequant(qt))
+    ok = np.isfinite(want)
+    np.testing.assert_array_equal(got[ok], want[ok], err_msg=kind.name)
+
+
+def test_iq_exact_repack_kernel_matmul(rng):
+    """The g=16 exact-IQ q8 layout runs through the fused kernel."""
+    import jax.numpy as jnp
+
+    from llama_cpp_dsp_tpu.ops.pallas.layouts import to_kernel_layout
+    from llama_cpp_dsp_tpu.ops.pallas.qmm import qmm_fused
+    from llama_cpp_dsp_tpu.quant.jax_dequant import dequant as jdequant
+
+    n, k = 128, 512
+    raw = quantize((rng.standard_normal((n, k)) * 2).astype(np.float32),
+                   GGMLType.IQ2_XS)  # per-16 scales
+    qt = from_gguf_tensor(raw, GGMLType.IQ2_XS, (n, k))
+    kw = to_kernel_layout(qt)
+    x = rng.standard_normal((2, k)).astype(np.float32)
+    got = np.asarray(qmm_fused(jnp.asarray(x), kw, tile_b=8, tile_n=128,
+                               tile_k=256))
+    want = x @ np.asarray(jdequant(qt, jnp.float32)).T
+    d = got - want
+    assert float((d * d).mean() / ((want * want).mean() + 1e-12)) < 5e-4
