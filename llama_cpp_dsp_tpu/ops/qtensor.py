@@ -217,7 +217,7 @@ def from_gguf_tensor(
     # (quant/ref_numpy.iq_int_decompose)
     _IQ_EXACT = (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
                  GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
-                 GGMLType.IQ1_M)
+                 GGMLType.IQ1_M, GGMLType.TQ1_0, GGMLType.TQ2_0)
     if kind in _IQ_EXACT and len(np_shape) == 2 and np_shape[-1] % 256 == 0:
         n, k = np_shape
         q, s, g = refq.iq_int_decompose(raw, kind)

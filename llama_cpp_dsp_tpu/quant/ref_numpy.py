@@ -1176,6 +1176,25 @@ def iq_int_decompose(raw: np.ndarray, t: GGMLType):
                         axis=-1)  # [nb,8,2] — per 16 elements
         s = dm[:, None, None] * (2 * dl12.astype(F32) + 1) * F32(0.125)
         return (q.reshape(nb * 256).astype(np.int8), s.reshape(-1), 16)
+    if t == GGMLType.TQ1_0:
+        pow3 = np.array([1, 3, 9, 27, 81], dtype=np.uint16)
+
+        def trits(bytes_, npow):
+            q = (bytes_[:, None, :] * pow3[None, :npow, None]).astype(np.uint8)
+            return ((q.astype(np.uint16) * 3) >> 8).astype(np.int32) - 1
+
+        y1 = trits(b["qs"][:, :32], 5).reshape(nb, 160)
+        y2 = trits(b["qs"][:, 32:48], 5).reshape(nb, 80)
+        y3 = trits(b["qh"], 4).reshape(nb, 16)
+        q = np.concatenate([y1, y2, y3], axis=1)  # [nb, 256] in {-1,0,1}
+        s = np.repeat(d[:, None], 8, axis=1)  # per-block scale at g=32
+        return q.reshape(nb * 256).astype(np.int8), s.reshape(-1), 32
+    if t == GGMLType.TQ2_0:
+        qs = b["qs"].reshape(nb, 2, 1, 32)
+        shifts = (2 * np.arange(4)).reshape(1, 1, 4, 1)
+        q = ((qs >> shifts) & 3).astype(np.int32) - 1
+        s = np.repeat(d[:, None], 8, axis=1)
+        return q.reshape(nb * 256).astype(np.int8), s.reshape(-1), 32
     raise NotImplementedError(f"iq_int_decompose {t.name}")
 
 

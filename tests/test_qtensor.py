@@ -40,9 +40,8 @@ def test_jax_dequant_random_bits(kind, rng):
 
 
 def test_kernel_less_kinds_requantize_to_q8(rng):
-    """Kinds without a fused kernel (grid-codebook IQ*/TQ*) requantize to
-    packed Q8_0 at load so they still stream through the Pallas kernels
-    (8.25 bpw instead of the old 16-bpw dense fallback)."""
+    """Every codebook/ternary kind streams through the Pallas q8 kernel
+    after load (TQ via the exact ternary decompose)."""
     import llama_cpp_dsp_tpu.quant.ref_numpy as refq
 
     tr = GGML_TYPE_TRAITS[GGMLType.TQ1_0]
@@ -68,7 +67,7 @@ def test_kernel_less_kinds_requantize_to_q8(rng):
 
 IQ_EXACT_KINDS = [GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
                   GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
-                  GGMLType.IQ1_M]
+                  GGMLType.IQ1_M, GGMLType.TQ1_0, GGMLType.TQ2_0]
 
 
 @pytest.mark.parametrize("kind", IQ_EXACT_KINDS)
