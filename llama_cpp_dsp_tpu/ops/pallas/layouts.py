@@ -30,11 +30,28 @@ Field summary (W [N, K] row-major; P = K/2 plane positions for 4/5-bit):
 
 from __future__ import annotations
 
+import os
+
 import jax
+import ml_dtypes
 import numpy as np
 
 from ...gguf.constants import GGMLType
 from ..qtensor import QTensor
+
+# Per-group scale fields ship as bf16 by default: the kernels round the
+# dequantized weights to bf16 before the MXU contraction anyway, so f32
+# scales pay 2x the HBM bytes for precision the dot immediately discards
+# (decode is HBM-bound; for Q4_K this is 1/3 of all weight-side bytes).
+# Products are computed in f32 and rounded once. Q8_0 keeps f32 scales —
+# it is the carrier layout for the bit-exact IQ/TQ repacks (qtensor.py).
+# LLAMA_TPU_SCALE_F32=1 restores f32 everywhere (A/B and exactness runs).
+_SCALE_DTYPE = (np.float32 if os.environ.get("LLAMA_TPU_SCALE_F32") == "1"
+                else np.dtype(ml_dtypes.bfloat16))
+
+
+def _scale(a: np.ndarray) -> np.ndarray:
+    return a.astype(_SCALE_DTYPE)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -157,7 +174,48 @@ def _as_tiles(a: np.ndarray, nk: int) -> np.ndarray:
     return np.ascontiguousarray(a.reshape(n, nk, gt).transpose(1, 0, 2))
 
 
+_WIDE_KINDS = (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
+               GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.IQ4_NL, GGMLType.IQ4_XS)
+
+# max padded-rows overhead (percent) _maybe_pad_rows will accept
+PAD_ROWS_MAX_PCT = 1.0
+
+
+def _maybe_pad_rows(qt: QTensor, tile_k: int) -> QTensor:
+    """Zero-pad N to a wide-tile multiple when the overhead is <1%.
+
+    The llama3 vocab head (N=128256) is not divisible by 512, which used to
+    force 256-row tiles → 501 tiny grid cells at ~440 GB/s (DMA-latency
+    bound, profiled). +0.6% padded rows buys 1024-row tiles at full stream
+    rate. Every QTensor field carries N on axis 0, so padding is generic."""
+    n = qt.shape[0]
+    mults = ((1024, 512) if qt.kind in _WIDE_KINDS and tile_k <= 4096
+             else (512,))
+    for mult in mults:
+        if n % mult == 0:
+            return qt  # already wide-tileable at this multiple
+        n_pad = -(-n // mult) * mult
+        if n > mult and (n_pad - n) * 100 <= n * PAD_ROWS_MAX_PCT:
+            arrays = {
+                key: np.concatenate(
+                    [np.asarray(a),
+                     np.zeros((n_pad - n,) + a.shape[1:], a.dtype)], axis=0)
+                for key, a in qt.arrays.items()
+            }
+            return QTensor(qt.kind, (n_pad, qt.shape[1]), arrays)
+    return qt
+
+
 def to_kernel_layout(qt: QTensor, tile_k: int | None = None) -> KernelWeights:
+    n_logical, _ = qt.shape
+    tile_k_pick = tile_k or default_tile_k(qt.shape[1], qt.kind)
+    qt = _maybe_pad_rows(qt, tile_k_pick)
+    kw = _to_kernel_layout_padded(qt, tile_k_pick)
+    kw.shape = (n_logical, kw.shape[1])  # logical rows; arrays may be padded
+    return kw
+
+
+def _to_kernel_layout_padded(qt: QTensor, tile_k: int | None = None) -> KernelWeights:
     n, k = qt.shape
     kind = qt.kind
     tile_k = tile_k or default_tile_k(k, kind)
@@ -176,9 +234,9 @@ def to_kernel_layout(qt: QTensor, tile_k: int | None = None) -> KernelWeights:
         # codebook is applied inside the kernel body
         tile_p = tile_k // 2
         qs = _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_p, 16)
-        out = {"qs": qs, "s": _as_tiles(qt["d"].astype(np.float32), nk)}
+        out = {"qs": qs, "s": _as_tiles(_scale(qt["d"].astype(np.float32)), nk)}
         if kind == GGMLType.Q4_1:
-            out["m"] = _as_tiles(qt["m"].astype(np.float32), nk)
+            out["m"] = _as_tiles(_scale(qt["m"].astype(np.float32)), nk)
         return KernelWeights(kind, (n, k), out, tile_k)
 
     if kind in (GGMLType.Q5_0, GGMLType.Q5_1):
@@ -196,12 +254,12 @@ def to_kernel_layout(qt: QTensor, tile_k: int | None = None) -> KernelWeights:
         hi_t = _tile_transpose_np(hi_bits.astype(np.uint8), tile_p, 16)
         out = {
             "qs": qs,
-            "s": _as_tiles(qt["d"].astype(np.float32), nk),
+            "s": _as_tiles(_scale(qt["d"].astype(np.float32)), nk),
             "hlo": _as_tiles(_pack_bits_transposed(lo_t, tile_p), nk),
             "hhi": _as_tiles(_pack_bits_transposed(hi_t, tile_p), nk),
         }
         if kind == GGMLType.Q5_1:
-            out["m"] = _as_tiles(qt["m"].astype(np.float32), nk)
+            out["m"] = _as_tiles(_scale(qt["m"].astype(np.float32)), nk)
         return KernelWeights(kind, (n, k), out, tile_k)
 
     if kind in (GGMLType.Q4_K, GGMLType.Q5_K):
@@ -212,12 +270,12 @@ def to_kernel_layout(qt: QTensor, tile_k: int | None = None) -> KernelWeights:
         # the minor dim is 128 (4×tile_k/64) — narrow f32 minors make XLA
         # choose a transposed layout and insert a conversion copy per call,
         # which costs more HBM traffic than the weights themselves
-        sc4 = np.concatenate([
+        sc4 = _scale(np.concatenate([
             _as_tiles(np.ascontiguousarray(s_groups[:, :, 0::2].reshape(n, -1)), nk),
             _as_tiles(np.ascontiguousarray(s_groups[:, :, 1::2].reshape(n, -1)), nk),
             _as_tiles(np.ascontiguousarray(m_groups[:, :, 0::2].reshape(n, -1)), nk),
             _as_tiles(np.ascontiguousarray(m_groups[:, :, 1::2].reshape(n, -1)), nk),
-        ], axis=2)
+        ], axis=2))
         out = {
             "qs": _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_p, 32),
             "sc4": sc4,
@@ -244,18 +302,18 @@ def to_kernel_layout(qt: QTensor, tile_k: int | None = None) -> KernelWeights:
         s_groups = qt["d"][:, :, None] * qt["sc"].astype(np.float32)
         sh = s_groups.reshape(n, k // 128, 8)
         plane_pairs = [(0, 1), (2, 3), (4, 5), (6, 7)]
-        sc4 = np.concatenate([
+        sc4 = _scale(np.concatenate([
             _as_tiles(np.ascontiguousarray(sh[:, :, list(p)].reshape(n, -1)), nk)
             for p in plane_pairs
-        ], axis=2)
+        ], axis=2))
         out = {"qs": qs, "sc4": sc4}
         if kind == GGMLType.Q2_K:
             m_groups = qt["dmin"][:, :, None] * qt["mn"].astype(np.float32)
             mh = m_groups.reshape(n, k // 128, 8)
-            out["mn4"] = np.concatenate([
+            out["mn4"] = _scale(np.concatenate([
                 _as_tiles(np.ascontiguousarray(mh[:, :, list(p)].reshape(n, -1)), nk)
                 for p in plane_pairs
-            ], axis=2)
+            ], axis=2))
         else:
             # hmask bit-planes: element j of plane p of half h ↔ byte j,
             # bit 4h+p (quantize_row_q3_K_ref hm layout)
@@ -289,15 +347,16 @@ def to_kernel_layout(qt: QTensor, tile_k: int | None = None) -> KernelWeights:
         h2 = ((qh >> 2) & 3).astype(np.uint8)
         h3 = ((qh >> 4) & 3).astype(np.uint8)
         h4 = ((qh >> 6) & 3).astype(np.uint8)
-        # repack two plane-high-fields per byte: plane a (q1,q3) and b (q2,q4)
-        out["qha"] = _tile_transpose_np(np.ascontiguousarray(h1 | (h3 << 4)), tile_p, 16)
-        out["qhb"] = _tile_transpose_np(np.ascontiguousarray(h2 | (h4 << 4)), tile_p, 16)
-        out["sc4"] = np.concatenate([
+        # all four 2-bit plane-high fields share one position ordering, so
+        # they pack fully into ONE byte field (native density, one DMA)
+        qh4 = np.ascontiguousarray(h1 | (h2 << 2) | (h3 << 4) | (h4 << 6))
+        out["qh4"] = _tile_transpose_np(qh4, tile_p, 16)
+        out["sc4"] = _scale(np.concatenate([
             _as_tiles(
                 np.ascontiguousarray(sh[:, :, list(idx)].reshape(n, -1)), nk
             )
             for idx in [(0, 1), (2, 3), (4, 5), (6, 7)]
-        ], axis=2)
+        ], axis=2))
         return KernelWeights(kind, (n, k), out, tile_k)
 
     raise NotImplementedError(f"kernel layout for {kind.name}")

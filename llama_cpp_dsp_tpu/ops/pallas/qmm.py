@@ -183,16 +183,15 @@ def _body_q5_K(acc, x_lo, x_hi, xs_lo, xs_hi, qs, sc4, hlo, hhi):
 
 
 def _body_q6_K(acc, x1, x2, x3, x4, xs1, xs2, xs3, xs4,
-               a, b, ha, hb, sc4):
+               a, b, h4, sc4):
     s1, s2, s3, s4 = _split4(sc4)
     a = a.astype(jnp.int32)
     b = b.astype(jnp.int32)
-    ha = ha.astype(jnp.int32)
-    hb = hb.astype(jnp.int32)
-    q1 = (a & 0x0F) | ((ha & 3) << 4)
-    q2 = (b & 0x0F) | ((hb & 3) << 4)
-    q3 = ((a >> 4) & 0x0F) | (((ha >> 4) & 3) << 4)
-    q4 = ((b >> 4) & 0x0F) | (((hb >> 4) & 3) << 4)
+    h = h4.astype(jnp.int32)
+    q1 = (a & 0x0F) | ((h & 3) << 4)
+    q2 = (b & 0x0F) | (((h >> 2) & 3) << 4)
+    q3 = ((a >> 4) & 0x0F) | (((h >> 4) & 3) << 4)
+    q4 = ((b >> 4) & 0x0F) | (((h >> 6) & 3) << 4)
     acc[...] += _dot_xt_w(x1, (q1.astype(F32) * _expand(s1, 16)).astype(BF16))
     acc[...] += _dot_xt_w(x2, (q2.astype(F32) * _expand(s2, 16)).astype(BF16))
     acc[...] += _dot_xt_w(x3, (q3.astype(F32) * _expand(s3, 16)).astype(BF16))
@@ -268,7 +267,7 @@ _W_FIELDS = {
     GGMLType.Q5_1: ("qs", "s", "hlo", "hhi", "m"),
     GGMLType.Q4_K: ("qs", "sc4"),
     GGMLType.Q5_K: ("qs", "sc4", "hlo", "hhi"),
-    GGMLType.Q6_K: ("qla", "qlb", "qha", "qhb", "sc4"),
+    GGMLType.Q6_K: ("qla", "qlb", "qh4", "sc4"),
     GGMLType.Q2_K: ("qs", "sc4", "mn4"),
     GGMLType.Q3_K: ("qs", "h1", "h2", "h3", "h4", "sc4"),
     GGMLType.IQ4_NL: ("qs", "s"),
@@ -289,6 +288,11 @@ def _kernel(kind, nk, *refs):
         acc[...] = jnp.zeros_like(acc)
 
     vals = [r[0] if r.ndim == 3 else r[...] for r in refs[:-2]]
+    # weight-side scale fields ship bf16 (layouts._SCALE_DTYPE) to halve
+    # their HBM bytes; upcast once here so the bodies stay dtype-agnostic
+    # (x-side planes are bf16 on purpose — only w-fields are touched)
+    nx = len(_X_FIELDS[kind])
+    vals[nx:] = [v.astype(F32) if v.dtype == BF16 else v for v in vals[nx:]]
     body = _BODIES[kind]
     body(acc, *vals)
 
@@ -377,6 +381,10 @@ def qmm_fused(
 ) -> jax.Array:
     """Fused y = x @ dequant(W)^T. Pads B to the tile, pads/validates N, K."""
     n, k = kw.shape
+    # arrays may carry zero-padded rows (layouts._maybe_pad_rows) so big
+    # ragged-N weights tile wide; tile over the padded count, slice after
+    n_rows = max(a.shape[0] if a.ndim == 2 else a.shape[1]
+                 for a in kw.arrays.values())
     lead = x.shape[:-1]
     b_real = 1
     for d in lead:
@@ -391,7 +399,7 @@ def qmm_fused(
         # 512-row n-tiles keep the DMA pipeline at HBM speed-of-light on
         # v5e (679-712 GB/s measured vs ~490 at 256); whole-K tiles
         # (tile_k ≥ 8192) clamp to 256 for VMEM (tg64 95.9→100.0 net win)
-        tile_n = 512 if n % 512 == 0 else _largest_tile(n, 256)
+        tile_n = 512 if n_rows % 512 == 0 else _largest_tile(n_rows, 256)
         import os
 
         if tile_k >= 8192:
@@ -406,7 +414,7 @@ def qmm_fused(
                                  GGMLType.IQ4_NL, GGMLType.IQ4_XS)
             default_wide = 1024 if (nibble and tile_k <= 4096) else 0
             wide = int(os.environ.get("LLAMA_TPU_TILE_N_WIDE", default_wide))
-            if wide and n % wide == 0:
+            if wide and n_rows % wide == 0:
                 tile_n = wide
     # VMEM fit: prefill-sized tile_b with big k-tiles blows the 16MB scoped
     # limit (x blocks + dequant temporaries scale with tile_b/tile_n)
@@ -427,10 +435,10 @@ def qmm_fused(
     x_fields = prepare_x(x2, kw.kind, tile_k, q8_group)
     w_fields = tuple(kw.arrays[name] for name in _W_FIELDS[kw.kind])
     y = _qmm_call(
-        x_fields, w_fields, kind=kw.kind, n=n, k=k,
+        x_fields, w_fields, kind=kw.kind, n=n_rows, k=k,
         tile_b=tile_b, tile_n=tile_n, tile_k=tile_k,
     )
-    return y[:b_real].reshape(*lead, n)
+    return y[:b_real, :n].reshape(*lead, n)
 
 
 _KQ = {GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K}

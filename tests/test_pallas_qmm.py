@@ -78,3 +78,22 @@ def test_qmm_3d_input(rng):
     assert y.shape == (2, 3, n)
     want = x.reshape(6, k) @ np.asarray(dequant(qt, jnp.float32)).T
     assert nmse(y, want.reshape(2, 3, n)) < 1e-4
+
+
+def test_ragged_n_row_padding(rng, monkeypatch):
+    """N not divisible by 512 (the llama3 vocab head case) pads rows at
+    layout time so wide tiles apply; output is sliced back to logical N."""
+    from llama_cpp_dsp_tpu.ops.pallas import layouts
+
+    monkeypatch.setattr(layouts, "PAD_ROWS_MAX_PCT", 10.0)
+    n, k = 1408, 512  # 1408 % 512 = 384 → pads to 1536 under the 10% cap
+    w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    qt = from_gguf_tensor(quantize(w, GGMLType.Q4_K), GGMLType.Q4_K, (n, k))
+    kw = to_kernel_layout(qt)
+    assert kw.shape == (n, k)
+    assert kw.arrays["qs"].shape[0] == 1536  # padded rows
+    x = rng.standard_normal((3, k)).astype(np.float32)
+    got = np.asarray(qmm_fused(jnp.asarray(x), kw))
+    assert got.shape == (3, n)
+    want = x @ np.asarray(dequant(qt, jnp.float32)).T
+    assert nmse(got, want) < 5e-4
