@@ -66,6 +66,20 @@ def bert_forward(
     xf = x.astype(jnp.float32)
     if pooling == "cls":
         return xf[:, 0]
+    if pooling == "rank":
+        # classification head on the CLS token (reference build_pooling
+        # LLAMA_POOLING_TYPE_RANK, src/llama-graph.cpp): optional
+        # cls dense+tanh, then optional cls.output projection — rerank
+        # models carry either or both (bge-reranker: both; jina: cls only)
+        h = xf[:, 0]
+        if "cls" in params:
+            h = _mm(h.astype(compute_dtype), params, "cls",
+                    compute_dtype).astype(jnp.float32)
+            h = jnp.tanh(h)
+        if "cls_output" in params:
+            h = _mm(h.astype(compute_dtype), params, "cls_output",
+                    compute_dtype).astype(jnp.float32)
+        return h  # [B, 1] (or [B, C] when only a cls dense exists)
     if pooling == "mean":
         m = attn_mask.astype(jnp.float32)[:, :, None]
         return (xf * m).sum(1) / jnp.maximum(m.sum(1), 1e-6)

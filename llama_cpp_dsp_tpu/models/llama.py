@@ -48,6 +48,7 @@ class LlamaConfig:
     tie_embeddings: bool = False
     # --- arch-zoo flags (defaults = plain llama) ---
     norm_type: str = "rms"  # "rms" | "ln"
+    pooling: str = ""  # GGUF pooling_type: "" | "none" | "mean" | "cls" | "last" | "rank"
     parallel_residual: bool = False  # gptneox/phi2/gptj: attn+ffn from same input
     pos_embd_type: str = "rope"  # "rope" | "learned" | "alibi" | "none"
     act: str = "silu"  # "silu" | "gelu" | "relu2"

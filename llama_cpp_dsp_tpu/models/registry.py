@@ -44,6 +44,23 @@ def _llama(get):
     return {}
 
 
+# GGUF llama_pooling_type enum (reference llama.h LLAMA_POOLING_TYPE_*)
+_POOLING_NAMES = {0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}
+
+
+def _bert(get):
+    over = {
+        "norm_type": "ln",
+        "pos_embd_type": "learned",
+        "act": "gelu",
+        "gated_ffn": False,
+    }
+    pt = get("{arch}.pooling_type")
+    if pt is not None:
+        over["pooling"] = _POOLING_NAMES.get(int(pt), "mean")
+    return over
+
+
 def _granite(get):
     # reference llm_build_granite: 4 scalar scales from GGUF
     return {
@@ -462,9 +479,9 @@ for _spec in [
     ArchSpec("wavtokenizer-dec", None, builder="wavtokenizer"),
     ArchSpec("t5", _llama, builder="t5"),
     ArchSpec("t5encoder", _llama, builder="t5"),
-    ArchSpec("bert", _llama, builder="encoder"),
-    ArchSpec("nomic-bert", _llama, builder="encoder"),
-    ArchSpec("jina-bert-v2", _llama, builder="encoder"),
+    ArchSpec("bert", _bert, builder="encoder"),
+    ArchSpec("nomic-bert", _bert, builder="encoder"),
+    ArchSpec("jina-bert-v2", _bert, builder="encoder"),
 ]:
     register(_spec)
 

@@ -371,9 +371,29 @@ def _tiles_x(sums, nk: int):
     return sums.reshape(b, nk, g_total // nk).swapaxes(0, 1)
 
 
+def _interleave_planes(planes, tile_p: int, group: int):
+    """Per-k-tile concat of P tile-transposed planes into ONE [B, K] field:
+    tile t carries [plane_0 tile | plane_1 tile | …]. One HBM operand (one
+    DMA per grid step) instead of P; the kernel slices planes back out at
+    tile_p boundaries (lane-aligned for every tile_k the layouts emit)."""
+    import jax.numpy as jnp
+
+    shp = planes[0].shape[:-1]
+    p_total = planes[0].shape[-1]
+    nk = p_total // tile_p
+    tiled = [
+        tile_transpose_x(p, tile_p, group).reshape(*shp, nk, tile_p)
+        for p in planes
+    ]
+    return jnp.concatenate(tiled, axis=-1).reshape(*shp, len(planes) * p_total)
+
+
 def prepare_x(x, kind: GGMLType, tile_k: int, q8_group: int = 32):
-    """Split x into format planes (tile-transposed, bf16) plus per-group
-    f32 sums ("xs*") that the kernels dot against the folded-out offsets.
+    """Split x into format planes (tile-transposed, bf16, interleaved into
+    one field per k-tile) plus per-group f32 sums ("xs") that the kernels
+    dot against the folded-out offsets. The sum planes concatenate along
+    lanes in the SAME order as the packed scale fields (sc4/mn4), so each
+    offset fold is a single GEMM against a slice of the scale block.
     q8_group: scale group of a q8_0 layout (16 for exact-IQ repacks)."""
     import jax.numpy as jnp
 
@@ -384,44 +404,34 @@ def prepare_x(x, kind: GGMLType, tile_k: int, q8_group: int = 32):
     nk = k // tile_k
     if kind == GGMLType.Q8_0:
         return (tile_transpose_x(xb, tile_k, q8_group),)
-    if kind in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.IQ4_NL,
-                GGMLType.IQ4_XS):
+    if kind in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
+                GGMLType.IQ4_NL, GGMLType.IQ4_XS):
         xr = xb.reshape(*shp, k // 32, 32)
         lo = xr[..., :16].reshape(*shp, k // 2)
         hi = xr[..., 16:].reshape(*shp, k // 2)
-        tp = tile_k // 2
-        planes = (tile_transpose_x(lo, tp, 16), tile_transpose_x(hi, tp, 16))
+        x2 = _interleave_planes((lo, hi), tile_k // 2, 16)
         if kind in (GGMLType.IQ4_NL, GGMLType.IQ4_XS):
-            return planes  # codebook has no affine offset — no sum fold
+            return (x2,)  # codebook has no affine offset — no sum fold
         xs = _tiles_x(xf.reshape(*shp, k // 32, 32).sum(-1), nk)
-        return planes + (xs,)
-    if kind in (GGMLType.Q5_0, GGMLType.Q5_1):
-        xr = xb.reshape(*shp, k // 32, 32)
-        lo = xr[..., :16].reshape(*shp, k // 2)
-        hi = xr[..., 16:].reshape(*shp, k // 2)
-        tp = tile_k // 2
-        xs = _tiles_x(xf.reshape(*shp, k // 32, 32).sum(-1), nk)
-        return (tile_transpose_x(lo, tp, 16), tile_transpose_x(hi, tp, 16), xs)
+        return (x2, xs)
     if kind in (GGMLType.Q4_K, GGMLType.Q5_K):
         xr = xb.reshape(*shp, k // 64, 64)
         lo = xr[..., :32].reshape(*shp, k // 2)
         hi = xr[..., 32:].reshape(*shp, k // 2)
-        tp = tile_k // 2
+        x2 = _interleave_planes((lo, hi), tile_k // 2, 32)
         xg = xf.reshape(*shp, k // 64, 2, 32).sum(-1)  # [B, K/64, {lo,hi}]
-        return (
-            tile_transpose_x(lo, tp, 32),
-            tile_transpose_x(hi, tp, 32),
-            _tiles_x(xg[..., 0], nk),
-            _tiles_x(xg[..., 1], nk),
-        )
+        xs2 = jnp.concatenate(
+            [_tiles_x(xg[..., 0], nk), _tiles_x(xg[..., 1], nk)], axis=-1
+        )  # lane order matches sc4's [slo|shi|mlo|mhi] halves
+        return (x2, xs2)
     if kind in (GGMLType.Q6_K, GGMLType.Q2_K, GGMLType.Q3_K):
         xr = xb.reshape(*shp, k // 128, 4, 32)
         quarters = [xr[..., i, :].reshape(*shp, k // 4) for i in range(4)]
-        tp = tile_k // 4
-        planes = tuple(tile_transpose_x(q, tp, 16) for q in quarters)
+        x4 = _interleave_planes(quarters, tile_k // 4, 16)
         xq = xf.reshape(*shp, k // 128, 4, 2, 16).sum(-1)  # [B,K/128,4,2]
-        sums = tuple(
-            _tiles_x(xq[..., i, :].reshape(*shp, k // 64), nk) for i in range(4)
-        )
-        return planes + sums
+        xs4 = jnp.concatenate(
+            [_tiles_x(xq[..., i, :].reshape(*shp, k // 64), nk) for i in range(4)],
+            axis=-1,
+        )  # lane order matches sc4 (and mn4) plane concat
+        return (x4, xs4)
     raise NotImplementedError(kind)

@@ -91,7 +91,15 @@ def _nibbles_i32(qs):
     return q & 0x0F, q >> 4
 
 
-def _body_q4_0(acc, x_lo, x_hi, xs, qs, s):
+def _planes2(x2):
+    """Split the interleaved 2-plane activation field back out (the slice
+    boundary is tile_k/2, lane-aligned for every emitted tile_k)."""
+    tp = x2.shape[-1] // 2
+    return x2[:, :tp], x2[:, tp:]
+
+
+def _body_q4_0(acc, x2, xs, qs, s):
+    x_lo, x_hi = _planes2(x2)
     sf = _expand(s, 16)
     lo, hi = _nibbles_i32(qs)
     w_lo = (lo.astype(F32) * sf).astype(BF16)
@@ -100,7 +108,8 @@ def _body_q4_0(acc, x_lo, x_hi, xs, qs, s):
     acc[...] -= 8.0 * _dot_xt_w(xs, s)
 
 
-def _body_q4_1(acc, x_lo, x_hi, xs, qs, s, m):
+def _body_q4_1(acc, x2, xs, qs, s, m):
+    x_lo, x_hi = _planes2(x2)
     sf = _expand(s, 16)
     lo, hi = _nibbles_i32(qs)
     w_lo = (lo.astype(F32) * sf).astype(BF16)
@@ -109,7 +118,8 @@ def _body_q4_1(acc, x_lo, x_hi, xs, qs, s, m):
     acc[...] += _dot_xt_w(xs, m)
 
 
-def _body_q5_0(acc, x_lo, x_hi, xs, qs, s, hlo, hhi):
+def _body_q5_0(acc, x2, xs, qs, s, hlo, hhi):
+    x_lo, x_hi = _planes2(x2)
     sf = _expand(s, 16)
     lo, hi = _nibbles_i32(qs)
     blo = _unpack_bits(hlo)
@@ -120,7 +130,8 @@ def _body_q5_0(acc, x_lo, x_hi, xs, qs, s, hlo, hhi):
     acc[...] -= 16.0 * _dot_xt_w(xs, s)
 
 
-def _body_q5_1(acc, x_lo, x_hi, xs, qs, s, hlo, hhi, m):
+def _body_q5_1(acc, x2, xs, qs, s, hlo, hhi, m):
+    x_lo, x_hi = _planes2(x2)
     sf = _expand(s, 16)
     lo, hi = _nibbles_i32(qs)
     blo = _unpack_bits(hlo)
@@ -146,7 +157,8 @@ def _iq4_map(q):
     return w
 
 
-def _body_iq4(acc, x_lo, x_hi, qs, s):
+def _body_iq4(acc, x2, qs, s):
+    x_lo, x_hi = _planes2(x2)
     sf = _expand(s, 16)
     lo, hi = _nibbles_i32(qs)
     w_lo = (_iq4_map(lo) * sf).astype(BF16)
@@ -159,8 +171,9 @@ def _split4(sc4):
     return sc4[:, :gt], sc4[:, gt : 2 * gt], sc4[:, 2 * gt : 3 * gt], sc4[:, 3 * gt :]
 
 
-def _body_q4_K(acc, x_lo, x_hi, xs_lo, xs_hi, qs, sc4):
-    slo, shi, mlo, mhi = _split4(sc4)
+def _body_q4_K(acc, x2, xs2, qs, sc4):
+    x_lo, x_hi = _planes2(x2)
+    slo, shi, _, _ = _split4(sc4)
     lo, hi = _nibbles_i32(qs)
     # bf16 contraction like q5_K: the 4-bit q × 6-bit scale product fits
     # bf16's mantissa budget at reference NMSE tolerance (backend-ops gate);
@@ -168,22 +181,30 @@ def _body_q4_K(acc, x_lo, x_hi, xs_lo, xs_hi, qs, sc4):
     w_lo = (lo.astype(F32) * _expand(slo, 32)).astype(BF16)
     w_hi = (hi.astype(F32) * _expand(shi, 32)).astype(BF16)
     acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
-    acc[...] -= _dot_xt_w(xs_lo, mlo) + _dot_xt_w(xs_hi, mhi)
+    # xs2 lanes = [lo-group sums | hi-group sums] = sc4's [mlo|mhi] order:
+    # both min folds collapse into ONE GEMM against the scale block's tail
+    acc[...] -= _dot_xt_w(xs2, sc4[:, sc4.shape[-1] // 2:])
 
 
-def _body_q5_K(acc, x_lo, x_hi, xs_lo, xs_hi, qs, sc4, hlo, hhi):
-    slo, shi, mlo, mhi = _split4(sc4)
+def _body_q5_K(acc, x2, xs2, qs, sc4, hlo, hhi):
+    x_lo, x_hi = _planes2(x2)
+    slo, shi, _, _ = _split4(sc4)
     blo = _unpack_bits(hlo)
     bhi = _unpack_bits(hhi)
     lo, hi = _nibbles_i32(qs)
     w_lo = ((lo + blo * 16).astype(F32) * _expand(slo, 32)).astype(BF16)
     w_hi = ((hi + bhi * 16).astype(F32) * _expand(shi, 32)).astype(BF16)
     acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
-    acc[...] -= _dot_xt_w(xs_lo, mlo) + _dot_xt_w(xs_hi, mhi)
+    acc[...] -= _dot_xt_w(xs2, sc4[:, sc4.shape[-1] // 2:])
 
 
-def _body_q6_K(acc, x1, x2, x3, x4, xs1, xs2, xs3, xs4,
-               a, b, h4, sc4):
+def _planes4(x4):
+    tp = x4.shape[-1] // 4
+    return tuple(x4[:, i * tp:(i + 1) * tp] for i in range(4))
+
+
+def _body_q6_K(acc, x4c, xs4, a, b, h4, sc4):
+    x1, x2, x3, x4 = _planes4(x4c)
     s1, s2, s3, s4 = _split4(sc4)
     a = a.astype(jnp.int32)
     b = b.astype(jnp.int32)
@@ -196,36 +217,28 @@ def _body_q6_K(acc, x1, x2, x3, x4, xs1, xs2, xs3, xs4,
     acc[...] += _dot_xt_w(x2, (q2.astype(F32) * _expand(s2, 16)).astype(BF16))
     acc[...] += _dot_xt_w(x3, (q3.astype(F32) * _expand(s3, 16)).astype(BF16))
     acc[...] += _dot_xt_w(x4, (q4.astype(F32) * _expand(s4, 16)).astype(BF16))
-    acc[...] -= 32.0 * (
-        _dot_xt_w(xs1, s1) + _dot_xt_w(xs2, s2)
-        + _dot_xt_w(xs3, s3) + _dot_xt_w(xs4, s4)
-    )
+    # xs4 lanes follow sc4's plane concat: one fused fold GEMM
+    acc[...] -= 32.0 * _dot_xt_w(xs4, sc4)
 
 
-def _body_q2_K(acc, x1, x2, x3, x4, xs1, xs2, xs3, xs4, qs, sc4, mn4):
+def _body_q2_K(acc, x4c, xs4, qs, sc4, mn4):
     s1, s2, s3, s4 = _split4(sc4)
-    m1, m2, m3, m4 = _split4(mn4)
     q = qs.astype(jnp.int32)
-    for p, (x, xs, s, m) in enumerate(
-        ((x1, xs1, s1, m1), (x2, xs2, s2, m2),
-         (x3, xs3, s3, m3), (x4, xs4, s4, m4))
-    ):
+    for p, (x, s) in enumerate(zip(_planes4(x4c), (s1, s2, s3, s4))):
         qp = (q >> (2 * p)) & 3
         acc[...] += _dot_xt_w(x, (qp.astype(F32) * _expand(s, 16)).astype(BF16))
-        acc[...] -= _dot_xt_w(xs, m)
+    acc[...] -= _dot_xt_w(xs4, mn4)
 
 
-def _body_q3_K(acc, x1, x2, x3, x4, xs1, xs2, xs3, xs4,
-               qs, h1, h2, h3, h4, sc4):
+def _body_q3_K(acc, x4c, xs4, qs, h1, h2, h3, h4, sc4):
     s1, s2, s3, s4 = _split4(sc4)
     q = qs.astype(jnp.int32)
-    for p, (x, xs, hp, s) in enumerate(
-        ((x1, xs1, h1, s1), (x2, xs2, h2, s2),
-         (x3, xs3, h3, s3), (x4, xs4, h4, s4))
+    for p, (x, hp, s) in enumerate(
+        zip(_planes4(x4c), (h1, h2, h3, h4), (s1, s2, s3, s4))
     ):
         qp = ((q >> (2 * p)) & 3) + 4 * _unpack_bits(hp)
         acc[...] += _dot_xt_w(x, (qp.astype(F32) * _expand(s, 16)).astype(BF16))
-        acc[...] -= 4.0 * _dot_xt_w(xs, s)
+    acc[...] -= 4.0 * _dot_xt_w(xs4, sc4)
 
 
 _BODIES = {
@@ -244,20 +257,21 @@ _BODIES = {
 }
 
 # per-kind (x-input specs, weight-field order); "xs*" fields are per-group
-# activation sums shipped as k-tiled 3-D arrays [nk, B, gt]
+# activation sums shipped as k-tiled 3-D arrays [nk, B, gt]; plane fields
+# ("x2"/"x4") interleave all planes per k-tile into one full-K operand
 _X_FIELDS = {
     GGMLType.Q8_0: ("x",),
-    GGMLType.Q4_0: ("x_lo", "x_hi", "xs"),
-    GGMLType.Q4_1: ("x_lo", "x_hi", "xs"),
-    GGMLType.Q5_0: ("x_lo", "x_hi", "xs"),
-    GGMLType.Q5_1: ("x_lo", "x_hi", "xs"),
-    GGMLType.Q4_K: ("x_lo", "x_hi", "xs_lo", "xs_hi"),
-    GGMLType.Q5_K: ("x_lo", "x_hi", "xs_lo", "xs_hi"),
-    GGMLType.Q6_K: ("x1", "x2", "x3", "x4", "xs1", "xs2", "xs3", "xs4"),
-    GGMLType.Q2_K: ("x1", "x2", "x3", "x4", "xs1", "xs2", "xs3", "xs4"),
-    GGMLType.Q3_K: ("x1", "x2", "x3", "x4", "xs1", "xs2", "xs3", "xs4"),
-    GGMLType.IQ4_NL: ("x_lo", "x_hi"),
-    GGMLType.IQ4_XS: ("x_lo", "x_hi"),
+    GGMLType.Q4_0: ("x2", "xs"),
+    GGMLType.Q4_1: ("x2", "xs"),
+    GGMLType.Q5_0: ("x2", "xs"),
+    GGMLType.Q5_1: ("x2", "xs"),
+    GGMLType.Q4_K: ("x2", "xs2"),
+    GGMLType.Q5_K: ("x2", "xs2"),
+    GGMLType.Q6_K: ("x4", "xs4"),
+    GGMLType.Q2_K: ("x4", "xs4"),
+    GGMLType.Q3_K: ("x4", "xs4"),
+    GGMLType.IQ4_NL: ("x2",),
+    GGMLType.IQ4_XS: ("x2",),
 }
 _W_FIELDS = {
     GGMLType.Q8_0: ("qs", "s"),
@@ -273,8 +287,9 @@ _W_FIELDS = {
     GGMLType.IQ4_NL: ("qs", "s"),
     GGMLType.IQ4_XS: ("qs", "s"),
 }
-# divisor of K for each x field's last dim
-_X_DIV = {"x": 1, "x_lo": 2, "x_hi": 2, "x1": 4, "x2": 4, "x3": 4, "x4": 4}
+# divisor of K for each x field's last dim (interleaved plane fields span
+# the full tile_k)
+_X_DIV = {"x": 1, "x2": 1, "x4": 1}
 
 
 def _kernel(kind, nk, *refs):

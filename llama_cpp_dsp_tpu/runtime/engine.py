@@ -218,6 +218,7 @@ class Engine:
         from ..models.registry import arch_spec
 
         spec = arch_spec(self.cfg.arch)
+        self._builder = spec.builder
         self._mixed_ok = (
             spec.builder == "decoder"
             and not self.cfg.kv_lora_rank
@@ -662,8 +663,49 @@ class Engine:
         log.info("slot %d: context shift (-%d tokens)", slot.idx, n_discard)
 
     # -- embeddings (reference server /v1/embeddings, pooling_type) ----------
-    def embed(self, tokens: list[int], pooling: str = "mean") -> np.ndarray:
-        """Hidden-state embedding with pooling (mean | last | cls)."""
+    def _encode(self, tokens: list[int], pooling: str) -> np.ndarray:
+        """Encoder-arch (bert family) forward: bidirectional attention with
+        a padding mask; pooling none/mean/cls/rank handled in-model."""
+        from ..models.bert import bert_forward
+
+        if not hasattr(self, "_encode_fn"):
+            @partial(jax.jit, static_argnames=("t", "pooling"))
+            def _enc(params, toks, mask, t, pooling):
+                return bert_forward(params, self.cfg, toks, mask,
+                                    compute_dtype=self.compute_dtype,
+                                    pooling=pooling)
+
+            self._encode_fn = _enc
+        n = len(tokens)
+        tpad = self._bucket(n)
+        if tpad < n:
+            tpad = -(-n // tpad) * tpad
+        buf = np.zeros((1, tpad), np.int32)
+        buf[0, :n] = tokens
+        mask = np.zeros((1, tpad), bool)
+        mask[0, :n] = True
+        out = np.asarray(self._encode_fn(
+            self.params, jnp.asarray(buf), jnp.asarray(mask), tpad, pooling))
+        return out[0, :n] if pooling == "none" else out[0]
+
+    @property
+    def has_rank_head(self) -> bool:
+        """True when the model carries a rerank classification head
+        (cls / cls.output tensors — reference pooling_type RANK)."""
+        return "cls" in self.params or "cls_output" in self.params
+
+    def rank(self, tokens: list[int]) -> float:
+        """Cross-encoder relevance score for one query+document sequence."""
+        if self._builder != "encoder" or not self.has_rank_head:
+            raise ValueError("model has no rerank classification head")
+        return float(np.asarray(self._encode(tokens, "rank")).reshape(-1)[0])
+
+    def embed(self, tokens: list[int], pooling: str | None = None) -> np.ndarray:
+        """Hidden-state embedding with pooling (mean | last | cls); default
+        comes from the GGUF pooling_type when present."""
+        pooling = pooling or getattr(self.cfg, "pooling", "") or "mean"
+        if getattr(self, "_builder", "decoder") == "encoder":
+            return self._encode(tokens, pooling)
         if not hasattr(self, "_embed_fn"):
             @partial(jax.jit, static_argnames=("t",))
             def _embed(params, toks, t):

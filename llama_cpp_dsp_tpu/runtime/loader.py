@@ -151,6 +151,12 @@ _GLOBAL_TENSORS = {
     "rope_freqs.weight": "rope_freqs",
     "rope_factors_long.weight": "rope_freqs",  # phi3 long factors
     "token_types.weight": "token_types",
+    # rerank classification head (reference LLM_TENSOR_CLS/CLS_OUT,
+    # pooling_type RANK)
+    "cls.weight": "cls",
+    "cls.bias": "cls_bias",
+    "cls.output.weight": "cls_output",
+    "cls.output.bias": "cls_output_bias",
 }
 
 

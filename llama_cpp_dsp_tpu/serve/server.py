@@ -188,14 +188,39 @@ class Server:
         })
 
     async def rerank(self, request: web.Request) -> web.Response:
-        """Embedding-similarity reranker (the reference uses rank-head
-        models; cosine over pooled embeddings is the capability fallback)."""
+        """Reranker: cross-encoder scoring through the model's rank head
+        (cls/cls.output tensors — reference pooling_type RANK + server
+        format_rerank pairing); cosine over pooled embeddings when the
+        model carries no head."""
         if not self._check_auth(request):
             return self._deny()
         body = await request.json()
         query = body.get("query", "")
         docs = body.get("documents", [])
         loop = asyncio.get_running_loop()
+
+        if getattr(self.engine, "has_rank_head", False):
+            vocab = self.engine.vocab
+            tok = self.engine.tokenizer
+
+            def _pair_ids(doc: str) -> list[int]:
+                # reference format_rerank: bos query eos sep doc eos
+                null = -1
+                bos = [vocab.bos_id] if getattr(vocab, "bos_id", null) >= 0 else []
+                eos = [vocab.eos_id] if getattr(vocab, "eos_id", null) >= 0 else []
+                sep = [vocab.sep_id] if getattr(vocab, "sep_id", null) >= 0 else eos
+                return (bos + tok.encode(query, add_special=False) + eos + sep
+                        + tok.encode(doc, add_special=False) + eos)
+
+            results = []
+            for i, doc in enumerate(docs):
+                score = await loop.run_in_executor(
+                    None, self.engine.rank, _pair_ids(doc))
+                results.append({"index": i, "relevance_score": score})
+            results.sort(key=lambda r: -r["relevance_score"])
+            top_n = int(body.get("top_n", len(results)))
+            return web.json_response({"model": self.model_name,
+                                      "results": results[:top_n]})
 
         def emb(text):
             ids = self.engine.tokenizer.encode(text, add_special=True,

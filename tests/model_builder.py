@@ -90,3 +90,59 @@ def build_tiny_llama(
         add_q("output.weight", rand(v, c))
     w.write()
     return hp
+
+
+def build_tiny_bert(
+    path: str,
+    *,
+    seed: int = 0,
+    with_cls: bool = True,
+    pooling_type: int = 4,  # LLAMA_POOLING_TYPE_RANK
+) -> dict:
+    """Tiny random BERT GGUF (reference LLM_ARCH_BERT tensor names) with an
+    optional rerank classification head (cls / cls.output)."""
+    hp = dict(n_layers=2, n_embd=64, n_heads=4, n_ff=128, n_vocab=256,
+              n_ctx=64, eps=1e-12)
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter(path, "bert")
+    w.add_uint32("bert.block_count", hp["n_layers"])
+    w.add_uint32("bert.context_length", hp["n_ctx"])
+    w.add_uint32("bert.embedding_length", hp["n_embd"])
+    w.add_uint32("bert.feed_forward_length", hp["n_ff"])
+    w.add_uint32("bert.attention.head_count", hp["n_heads"])
+    w.add_float32("bert.attention.layer_norm_epsilon", hp["eps"])
+    w.add_uint32("bert.vocab_size", hp["n_vocab"])
+    w.add_uint32("bert.pooling_type", pooling_type)
+    tokens = ["<unk>", "<s>", "</s>"] + [f"<0x{i:02X}>" for i in range(253)]
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens[: hp["n_vocab"]])
+    w.add_kv("tokenizer.ggml.scores", [0.0] * hp["n_vocab"])
+    w.add_kv("tokenizer.ggml.token_type", [2] + [3] * 2 + [6] * (hp["n_vocab"] - 3))
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    c, ff, v = hp["n_embd"], hp["n_ff"], hp["n_vocab"]
+    w.add_tensor("token_embd.weight", rand(v, c))
+    w.add_tensor("token_types.weight", rand(2, c))
+    w.add_tensor("position_embd.weight", rand(hp["n_ctx"], c))
+    w.add_tensor("token_embd_norm.weight", np.ones(c, np.float32))
+    w.add_tensor("token_embd_norm.bias", rand(c))
+    for i in range(hp["n_layers"]):
+        p = f"blk.{i}."
+        for nm, shape in (
+            ("attn_q", (c, c)), ("attn_k", (c, c)), ("attn_v", (c, c)),
+            ("attn_output", (c, c)), ("ffn_up", (ff, c)), ("ffn_down", (c, ff)),
+        ):
+            w.add_tensor(p + nm + ".weight", rand(*shape))
+            w.add_tensor(p + nm + ".bias", rand(shape[0]))
+        for nm in ("attn_output_norm", "layer_output_norm"):
+            w.add_tensor(p + nm + ".weight", np.ones(c, np.float32))
+            w.add_tensor(p + nm + ".bias", rand(c))
+    if with_cls:
+        w.add_tensor("cls.weight", rand(c, c))
+        w.add_tensor("cls.bias", rand(c))
+        w.add_tensor("cls.output.weight", rand(1, c))
+        w.add_tensor("cls.output.bias", rand(1))
+    w.write()
+    return hp

@@ -83,3 +83,59 @@ def test_bert_padding_mask_and_pooling(bert_pair):
     m = mask[:, :, None]
     want = (h * m).sum(1) / m.sum(1)
     np.testing.assert_allclose(ours, want, rtol=2e-3, atol=2e-3)
+
+
+def test_bert_rank_head_parity(bert_pair):
+    """pooling="rank" == HF BertForSequenceClassification (pooler dense+tanh
+    -> classifier) — the reference's LLAMA_POOLING_TYPE_RANK cls/cls.output."""
+    cfg, params, hf = bert_pair
+    torch.manual_seed(1)
+    clf_cfg = transformers.BertConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64, type_vocab_size=2,
+        hidden_act="gelu", layer_norm_eps=1e-12, num_labels=1,
+    )
+    clf = transformers.BertForSequenceClassification(clf_cfg).eval()
+    clf.bert.load_state_dict(hf.state_dict(), strict=False)
+    params = dict(params)
+    params["cls"] = _t2n(clf.bert.pooler.dense.weight)
+    params["cls_bias"] = _t2n(clf.bert.pooler.dense.bias)
+    params["cls_output"] = _t2n(clf.classifier.weight)
+    params["cls_output_bias"] = _t2n(clf.classifier.bias)
+
+    toks = np.array([[2, 45, 99, 7, 3]], np.int32)
+    ours = np.asarray(bert_forward(params, cfg, jnp.asarray(toks), pooling="rank"))
+    with torch.no_grad():
+        want = _t2n(clf(torch.tensor(toks, dtype=torch.long)).logits)
+    np.testing.assert_allclose(ours, want, rtol=2e-3, atol=2e-3)
+
+
+def test_bert_engine_rank(tmp_path):
+    """GGUF -> Engine end-to-end for an encoder model: pooled embeddings and
+    cross-encoder rank scores through the loaded cls head."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from model_builder import build_tiny_bert
+
+    from llama_cpp_dsp_tpu.runtime.engine import Engine
+    from llama_cpp_dsp_tpu.runtime.loader import load_model
+
+    path = str(tmp_path / "bert.gguf")
+    build_tiny_bert(path)
+    model = load_model(path)
+    assert model.cfg.pooling == "rank"
+    eng = Engine(model, n_slots=1, n_ctx_per_slot=64, prefill_buckets=(16,))
+    assert eng.has_rank_head
+    vec = eng.embed([1, 5, 9, 2], pooling="mean")
+    assert vec.shape == (64,)
+    s1 = eng.rank([1, 5, 9, 2, 7, 2])
+    s2 = eng.rank([1, 5, 9, 2, 8, 2])
+    assert np.isfinite(s1) and np.isfinite(s2) and s1 != s2
+    # scores match a direct bert_forward with the same ids
+    direct = np.asarray(bert_forward(
+        model.params, model.cfg,
+        jnp.asarray(np.array([[1, 5, 9, 2, 7, 2]], np.int32)),
+        pooling="rank", compute_dtype=jnp.bfloat16))
+    np.testing.assert_allclose(s1, float(direct[0, 0]), rtol=2e-2, atol=2e-2)
