@@ -188,9 +188,12 @@ class Engine:
             slots. tokens/positions [B, 1]; per-slot KV writes at positions."""
             mask = _slot_mask(positions, cache.capacity, None)
             mask = mask & active[:, None, None]
+            # idle slots write at capacity (OOB-dropped) — a 0 offset would
+            # clobber row 0 of their prompt caches every decode round
+            offs = jnp.where(active, positions[:, 0], cache.capacity)
             logits, cache = forward(
                 params, self.cfg, tokens, positions, cache,
-                positions[:, 0], mask, compute_dtype=self.compute_dtype,
+                offs, mask, compute_dtype=self.compute_dtype,
                 flash=use_flash,
             )
             return logits, cache

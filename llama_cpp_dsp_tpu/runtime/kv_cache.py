@@ -55,9 +55,13 @@ class KVCache:
         kn = k_new.transpose(0, 2, 1, 3).astype(self.k.dtype)  # [B,Hkv,T,D]
         vn = v_new.transpose(0, 2, 1, 3).astype(self.v.dtype)
         if off.ndim == 1:
+            # mode="drop": inactive slots write at offset == capacity so
+            # their rows are untouched (the engine's batched decode carries
+            # every slot; a 0 offset would clobber row 0 of idle slots'
+            # prompt caches)
             bi = jnp.arange(k_new.shape[0])
-            k = self.k.at[layer, bi, :, off].set(kn[:, :, 0])
-            v = self.v.at[layer, bi, :, off].set(vn[:, :, 0])
+            k = self.k.at[layer, bi, :, off].set(kn[:, :, 0], mode="drop")
+            v = self.v.at[layer, bi, :, off].set(vn[:, :, 0], mode="drop")
             return KVCache(k, v)
         zero = jnp.zeros((), jnp.int32)
         start = (zero + layer, zero, zero, off, zero)
@@ -153,12 +157,14 @@ class QuantKVCache:
         kq, kd = _q8_quant(k_new.transpose(0, 2, 1, 3))  # [B,Hkv,T,D], [B,Hkv,T]
         vq, vd = _q8_quant(v_new.transpose(0, 2, 1, 3))
         if off.ndim == 1:
+            # mode="drop": see KVCache.write — offset == capacity rows are
+            # idle slots and must not be scattered (clamping hits row S-1)
             bi = jnp.arange(k_new.shape[0])
             return QuantKVCache(
-                self.k_qs.at[layer, bi, :, off].set(kq[:, :, 0]),
-                self.k_d.at[layer, bi, :, 0, off].set(kd[:, :, 0]),
-                self.v_qs.at[layer, bi, :, off].set(vq[:, :, 0]),
-                self.v_d.at[layer, bi, :, 0, off].set(vd[:, :, 0]),
+                self.k_qs.at[layer, bi, :, off].set(kq[:, :, 0], mode="drop"),
+                self.k_d.at[layer, bi, :, 0, off].set(kd[:, :, 0], mode="drop"),
+                self.v_qs.at[layer, bi, :, off].set(vq[:, :, 0], mode="drop"),
+                self.v_d.at[layer, bi, :, 0, off].set(vd[:, :, 0], mode="drop"),
             )
         zero = jnp.zeros((), jnp.int32)
         start = (zero + layer, zero, zero, off, zero)

@@ -337,3 +337,30 @@ def test_paged_context_shift(engine):
         eng.step()
     assert req.error is None
     assert len(req.result_tokens) == 60
+
+
+def test_idle_slot_rows_survive_decode(tmp_path):
+    """Batched decode must not write into idle slots' caches: row 0 of a
+    FREE slot holds prompt-cache KV that reuse trusts (regression: inactive
+    slots wrote token-0 KV at offset 0 every round)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from model_builder import build_tiny_llama
+
+    from llama_cpp_dsp_tpu.runtime.loader import load_model
+    from llama_cpp_dsp_tpu.runtime.sampling import Greedy, SamplerChain
+
+    path = str(tmp_path / "m.gguf")
+    build_tiny_llama(path, qtype=8)
+    model = load_model(path)
+    eng = Engine(model, n_slots=2, n_ctx_per_slot=64, prefill_buckets=(16,),
+                 use_pallas=False)
+    eng.generate_sync([3, 5, 7, 9, 11], max_new_tokens=3,
+                      sampler=SamplerChain([Greedy()]))
+    s0 = next(s for s in eng.slots if s.cache_tokens)
+    k_before = np.asarray(eng.cache.k[0, s0.idx, :, 0]).copy()
+    eng.generate_sync([4, 6, 8], max_new_tokens=4,
+                      sampler=SamplerChain([Greedy()]))
+    np.testing.assert_array_equal(
+        k_before, np.asarray(eng.cache.k[0, s0.idx, :, 0]))
