@@ -79,6 +79,9 @@ class _Slot:
     # tokens whose KV rows are valid in this slot (survives slot FREE —
     # the per-slot prompt cache, reference server slot.cache_tokens)
     cache_tokens: list[int] = field(default_factory=list)
+    # tokens whose DRAFT-cache rows are valid (speculative decoding);
+    # healed against cache_tokens by common-prefix catch-up each round
+    draft_tokens: list[int] = field(default_factory=list)
 
 
 class Engine:
@@ -97,6 +100,10 @@ class Engine:
         context_shift: bool = True,  # per-slot shift when a slot fills
         kv_layout: str = "slots",  # "slots" | "paged" (shared-prefix pages)
         page_size: int = 128,
+        draft_model: LoadedModel | None = None,  # in-engine speculative
+        # decoding across ALL slots (reference server.cpp per-slot spec)
+        n_draft: int = 8,
+        p_min: float = 0.75,
     ):
         self.kv_layout = kv_layout
         self.context_shift = context_shift
@@ -235,6 +242,83 @@ class Engine:
         self._decode_fn = _decode
         self._decode_argmax_fn = _decode_argmax
         self._mixed_fn = _mixed
+
+        # -- in-engine speculative decoding (reference server.cpp:1249 per-
+        # slot draft contexts inside update_slots): a draft model proposes
+        # greedily for every generating slot in one batched loop; the target
+        # verifies all slots' candidates in ONE packed program. Works with
+        # any kv_layout (paged included — only the target cache pages).
+        self.has_draft = draft_model is not None
+        if self.has_draft:
+            if not self._mixed_ok:
+                raise ValueError(
+                    "speculative decoding requires the packed decoder path "
+                    f"(arch {self.cfg.arch} uses builder={spec.builder})")
+            if use_pallas:
+                draft_model = _convert_to_kernel_weights(draft_model)
+            dcfg = draft_model.cfg
+            if dcfg.n_vocab != cfg.n_vocab:
+                log.warning("draft vocab (%d) != target vocab (%d)",
+                            dcfg.n_vocab, cfg.n_vocab)
+            self.draft_cfg = dcfg
+            self.draft_params = jax.tree.map(jnp.asarray, draft_model.params)
+            self.n_draft = n_draft
+            self.p_min = p_min
+            self.draft_cache = make_kv_cache(
+                dcfg.n_layers, n_slots, self.n_ctx, dcfg.kv_cache_heads,
+                dcfg.kv_cache_dim, "bf16",
+            )
+            if self.context_shift:
+                # rolled rows lose their token identity; the draft cache
+                # could no longer be caught up from cache_tokens
+                log.info("speculative decoding: context shift disabled")
+                self.context_shift = False
+            self.metrics["draft_proposed_total"] = 0
+            self.metrics["draft_accepted_total"] = 0
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def _draft_prefill(dparams, dcache, tokens, positions, slot,
+                               n_past):
+                mask = _slot_mask(positions, dcache.capacity, n_past)
+                sub = dcache.slot_view(slot)
+                _, sub = forward(
+                    dparams, dcfg, tokens, positions, sub, n_past, mask,
+                    compute_dtype=self.compute_dtype,
+                )
+                return dcache.merge_slot(sub, slot)
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def _draft_step(dparams, dcache, tokens, positions, active):
+                """One greedy draft step for all generating slots: returns
+                (argmax ids [B], their draft probabilities [B], cache)."""
+                mask = _slot_mask(positions, dcache.capacity, None)
+                mask = mask & active[:, None, None]
+                offs = jnp.where(active, positions[:, 0], dcache.capacity)
+                logits, dcache = forward(
+                    dparams, dcfg, tokens, positions, dcache, offs, mask,
+                    compute_dtype=self.compute_dtype, flash=use_flash,
+                )
+                lg = logits[:, 0, :]
+                ids = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                probs = jnp.take_along_axis(
+                    jax.nn.softmax(lg, axis=-1), ids[:, None], axis=1)[:, 0]
+                return ids, probs, dcache
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def _verify(params, cache, tokens, slot_ids, rows):
+                """Packed target pass over every slot's draft candidates,
+                returning logits at EVERY packed position [P, V]."""
+                from ..models.llama import forward_packed
+
+                return forward_packed(
+                    params, self.cfg, tokens, slot_ids, rows, cache,
+                    jnp.arange(tokens.shape[0], dtype=jnp.int32),
+                    compute_dtype=self.compute_dtype,
+                )
+
+            self._draft_prefill_fn = _draft_prefill
+            self._draft_step_fn = _draft_step
+            self._verify_fn = _verify
 
     # -- request API --------------------------------------------------------
     def submit(self, req: Request) -> Request:
@@ -394,6 +478,9 @@ class Engine:
 
         # 2. batched decode for all generating slots
         gen = [s for s in self.slots if s.state == SlotState.GENERATING]
+        if gen and getattr(self, "has_draft", False):
+            self._spec_decode(gen)
+            return True
         if gen:
             self._ensure_pages([(s.idx, s.n_past + 1) for s in gen])
             tokens = np.zeros((self.n_slots, 1), np.int32)
@@ -429,6 +516,130 @@ class Engine:
                     self._emit_token(s, token)
             worked = True
         return worked
+
+    def _spec_decode(self, gen: list["_Slot"]) -> None:
+        """One speculative decode round across ALL generating slots
+        (reference server.cpp:1249/common/speculative.cpp, batched): catch
+        the draft cache up from each slot's token history, draft up to
+        n_draft greedy tokens per slot in lock-step batched draft passes
+        (per-slot p_min confidence stop), verify every slot's candidates in
+        ONE packed target program, and accept per slot the longest prefix
+        matching the target sampler's own decisions plus one bonus token.
+        Greedy requests therefore emit byte-identical output to plain
+        decode, only faster. Works with paged target KV (the draft cache
+        stays dense)."""
+        cap = self.n_ctx
+        # 1. draft catch-up: evaluate rows the draft hasn't seen (prompt
+        # chunks, prefix-reused rows, post-rejection divergence)
+        for s in gen:
+            hist = s.cache_tokens
+            common = 0
+            for a, b in zip(s.draft_tokens, hist):
+                if a != b:
+                    break
+                common += 1
+            pos = common
+            while pos < len(hist):
+                chunk = hist[pos:pos + self.prefill_buckets[-1]]
+                n = len(chunk)
+                tpad = self._bucket(n)
+                toks = np.zeros((1, tpad), np.int32)
+                toks[0, :n] = chunk
+                ps = np.full((1, tpad), pos, np.int32)
+                ps[0, :n] = pos + np.arange(n)
+                self.draft_cache = self._draft_prefill_fn(
+                    self.draft_params, self.draft_cache, jnp.asarray(toks),
+                    jnp.asarray(ps), jnp.int32(s.idx), jnp.int32(pos))
+                pos += n
+            s.draft_tokens = list(hist)
+
+        # 2. lock-step batched greedy drafting
+        limits = {s.idx: max(0, min(self.n_draft, cap - s.n_past - 1))
+                  for s in gen}
+        drafted: dict[int, list[int]] = {s.idx: [] for s in gen}
+        stopped = {s.idx: limits[s.idx] == 0 for s in gen}
+        fed = {s.idx: 0 for s in gen}  # inputs the draft consumed (its
+        # KV rows end at n_past + fed; the LAST drafted token is proposed
+        # but never consumed when drafting stops at the limit)
+        tokens = np.zeros((self.n_slots, 1), np.int32)
+        positions = np.zeros((self.n_slots, 1), np.int32)
+        active = np.zeros(self.n_slots, bool)
+        for s in gen:
+            tokens[s.idx, 0] = s.last_token
+            positions[s.idx, 0] = s.n_past
+            active[s.idx] = not stopped[s.idx]
+        for _ in range(max(limits.values())):
+            if not active.any():
+                break
+            ids, probs, self.draft_cache = self._draft_step_fn(
+                self.draft_params, self.draft_cache, jnp.asarray(tokens),
+                jnp.asarray(positions), jnp.asarray(active))
+            ids_np = np.asarray(ids)
+            probs_np = np.asarray(probs)
+            for s in gen:
+                i = s.idx
+                if stopped[i]:
+                    continue
+                fed[i] += 1
+                tid = int(ids_np[i])
+                # reference p_min rule: a low-confidence draft token is
+                # dropped and ends this slot's drafting
+                if probs_np[i] < self.p_min:
+                    stopped[i] = True
+                else:
+                    drafted[i].append(tid)
+                    stopped[i] = len(drafted[i]) >= limits[i]
+                active[i] = not stopped[i]
+                tokens[i, 0] = tid
+                positions[i, 0] += 1
+
+        # 3. ONE packed target pass over every slot's [last_token]+drafts
+        total = sum(1 + len(drafted[s.idx]) for s in gen)
+        p = self._bucket(total)
+        if p < total:
+            p = -(-total // p) * p
+        toks = np.zeros(p, np.int32)
+        sids = np.zeros(p, np.int32)
+        rows = np.full(p, cap, np.int32)  # capacity ⇒ padding dropped
+        spans: dict[int, tuple[int, int]] = {}
+        i = 0
+        for s in gen:
+            seq = [s.last_token] + drafted[s.idx]
+            spans[s.idx] = (i, len(seq))
+            for j, t in enumerate(seq):
+                toks[i] = t
+                sids[i] = s.idx
+                rows[i] = s.n_past + j
+                i += 1
+        self._ensure_pages(
+            [(s.idx, s.n_past + 1 + len(drafted[s.idx])) for s in gen])
+        logits, self.cache = self._verify_fn(
+            self.params, self.cache, jnp.asarray(toks), jnp.asarray(sids),
+            jnp.asarray(rows))
+        logits_np = np.asarray(logits)
+
+        # 4. per-slot acceptance walk with the slot's own sampler chain
+        for s in gen:
+            start, ln = spans[s.idx]
+            cand = drafted[s.idx]
+            # exactly the tokens whose draft-KV rows were written this
+            # round: [last_token] + the drafted tokens the draft consumed
+            draft_seen = (s.draft_tokens + [s.last_token]
+                          + cand[:max(0, fed[s.idx] - 1)])
+            self.metrics["draft_proposed_total"] += len(cand)
+            for j in range(ln):
+                if s.state != SlotState.GENERATING:
+                    break  # a stop condition fired mid-acceptance
+                token = s.req.sampler.sample(logits_np[start + j])
+                s.cache_tokens.append(s.last_token)
+                s.n_past += 1
+                if j < len(cand) and token == cand[j]:
+                    self.metrics["draft_accepted_total"] += 1
+                    self._emit_token(s, token)  # accepted draft token
+                    continue
+                self._emit_token(s, token)  # bonus / correction token
+                break
+            s.draft_tokens = draft_seen
 
     def _ensure_pages(self, needs: list[tuple[int, int]]) -> None:
         """Paged mode: grow block tables to cover (slot, n_tokens) writes."""

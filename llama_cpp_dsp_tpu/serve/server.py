@@ -535,18 +535,17 @@ def main(argv=None) -> int:
     from ..runtime.loader import load_model
 
     model = load_model(args.model)
-    if args.model_draft:
-        from .spec_engine import SpecEngine
-
-        draft = load_model(args.model_draft)
-        engine = SpecEngine(model, draft, n_ctx_per_slot=args.ctx_size,
-                            n_draft=args.draft_max, p_min=args.draft_p_min)
-    else:
-        engine = Engine(model, n_slots=args.parallel,
-                        n_ctx_per_slot=args.ctx_size,
-                        kv_layout=args.kv_layout,
-                        page_size=args.kv_page_size,
-                        kv_dtype=args.cache_type_k)
+    # in-engine speculative decoding: drafting + packed verify run inside
+    # the continuous-batching engine (all slots, any kv_layout) — the
+    # reference's per-slot spec inside update_slots, batched
+    draft = load_model(args.model_draft) if args.model_draft else None
+    engine = Engine(model, n_slots=args.parallel,
+                    n_ctx_per_slot=args.ctx_size,
+                    kv_layout=args.kv_layout,
+                    page_size=args.kv_page_size,
+                    kv_dtype=args.cache_type_k,
+                    draft_model=draft, n_draft=args.draft_max,
+                    p_min=args.draft_p_min)
     engine.start()
     server = Server(engine, model_name=args.alias or args.model, api_key=args.api_key)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
