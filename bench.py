@@ -36,6 +36,13 @@ def main() -> int:
                     help="write a jax.profiler trace of the timed region "
                          "(sched eval-callback/llama-bench tracing role; may "
                          "be unsupported on remote-relay platforms)")
+    ap.add_argument("--pp", type=int, default=0,
+                    help="measure prompt-processing throughput for one "
+                         "prefill of this many tokens instead of decode")
+    ap.add_argument("--layers", type=int, default=0,
+                    help="override layer count (two depths separate per-layer "
+                         "streaming cost from fixed per-token overhead: "
+                         "t(L) = fixed + L*per_layer)")
     args = ap.parse_args()
 
     from llama_cpp_dsp_tpu.utils.jax_setup import setup_jax
@@ -50,6 +57,10 @@ def main() -> int:
     from llama_cpp_dsp_tpu.tools.synth import CONFIGS, synth_params
 
     cfg = CONFIGS[args.model]
+    if args.layers:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, n_layers=args.layers)
     print(f"bench: {args.model} Q4_K synth, {len(jax.devices())} device(s) "
           f"[{jax.devices()[0].platform}]", file=sys.stderr)
 
@@ -65,6 +76,41 @@ def main() -> int:
 
     use_flash = (not args.no_fused and jax.devices()[0].platform == "tpu"
                  and cfg.head_dim % 128 == 0 and args.n_ctx % 128 == 0)
+
+    if args.pp:
+        # prompt-processing throughput: time one prefill call of --pp tokens
+        # (reference llama-bench pp rows; one big dispatch, latency amortized)
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill(params, cache, tokens, positions):
+            mask = causal_mask(positions, cache.capacity, 0)
+            logits, cache = forward(params, cfg, tokens, positions, cache, 0,
+                                    mask)
+            return logits, cache
+
+        import numpy as np
+
+        toks = jnp.zeros((args.batch, args.pp), jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(args.pp, dtype=jnp.int32)[None],
+                               (args.batch, args.pp))
+        logits, cache = prefill(params, cache, toks, pos)  # compile + warm
+        float(np.asarray(logits[0, 0, 0]))
+        best = 0.0
+        for i in range(3):
+            # fresh token values every run — the axon runtime memoizes
+            # repeated executions with identical (executable, args)
+            cache2 = KVCache.create(cfg.n_layers, args.batch, args.n_ctx,
+                                    cfg.n_kv_heads, cfg.head_dim)
+            t0 = time.perf_counter()
+            logits, cache2 = prefill(params, cache2, toks + (i + 1), pos)
+            float(np.asarray(logits[0, 0, 0]))
+            best = max(best, args.pp * args.batch / (time.perf_counter() - t0))
+        print(json.dumps({
+            "metric": f"prefill tokens/s/chip ({args.model} Q4_K, pp{args.pp})",
+            "value": round(best, 2),
+            "unit": "tokens/s",
+            "vs_baseline": round(best / 2498.61, 4),
+        }))
+        return 0
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def decode_step(params, cache, tokens, positions, n_past):
