@@ -322,3 +322,32 @@ def test_apply_template_api_show_index(server_setup):
         assert r.status == 200
 
     _run(server_setup, go)
+
+
+def test_rerank_cross_encoder(tmp_path_factory):
+    """/rerank through a bert model with a cls rank head: scores come from
+    the cross-encoder head, not embedding cosine."""
+    from model_builder import build_tiny_bert
+
+    path = tmp_path_factory.mktemp("models") / "tiny_bert.gguf"
+    build_tiny_bert(str(path))
+    model = load_model(str(path))
+    engine = Engine(model, n_slots=1, n_ctx_per_slot=64,
+                    prefill_buckets=(16,), use_pallas=False)
+    server = Server(engine, model_name="tiny-rerank")
+
+    async def go(client):
+        r = await client.post("/v1/rerank", json={
+            "query": "hello", "documents": ["aa bb", "cc dd", "ee"],
+            "top_n": 2,
+        })
+        body = await r.json()
+        assert len(body["results"]) == 2
+        scores = [x["relevance_score"] for x in body["results"]]
+        assert scores == sorted(scores, reverse=True)
+        import math
+
+        assert all(math.isfinite(s) for s in scores)
+
+    _run(server, go)
+
