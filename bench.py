@@ -43,6 +43,9 @@ def main() -> int:
                     help="override layer count (two depths separate per-layer "
                          "streaming cost from fixed per-token overhead: "
                          "t(L) = fixed + L*per_layer)")
+    ap.add_argument("--vocab", type=int, default=0,
+                    help="override vocab size (two vocabs separate the "
+                         "lm_head share of the fixed per-token cost)")
     args = ap.parse_args()
 
     from llama_cpp_dsp_tpu.utils.jax_setup import setup_jax
@@ -57,10 +60,13 @@ def main() -> int:
     from llama_cpp_dsp_tpu.tools.synth import CONFIGS, synth_params
 
     cfg = CONFIGS[args.model]
-    if args.layers:
+    if args.layers or args.vocab:
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, n_layers=args.layers)
+        if args.layers:
+            cfg = dataclasses.replace(cfg, n_layers=args.layers)
+        if args.vocab:
+            cfg = dataclasses.replace(cfg, n_vocab=args.vocab)
     print(f"bench: {args.model} Q4_K synth, {len(jax.devices())} device(s) "
           f"[{jax.devices()[0].platform}]", file=sys.stderr)
 

@@ -32,8 +32,8 @@ def _decode_kernel(
     start_ref,  # SMEM [B] int32: first valid kv index (SWA start)
     len_ref,  # SMEM [B] int32: one past last valid kv index
     q_ref,  # VMEM [1, 1, rep, D]
-    k_hbm,  # ANY  [B, Hkv, S, D]
-    v_hbm,  # ANY  [B, Hkv, S, D]
+    k_hbm,  # ANY  [B, Hkv, S, D] (or [L, B, Hkv, S, D] with layer set)
+    v_hbm,  # ANY  same
     o_ref,  # VMEM [1, 1, rep, D] f32
     k_buf,  # VMEM [2, CHUNK, D]
     v_buf,  # VMEM [2, CHUNK, D]
@@ -42,6 +42,7 @@ def _decode_kernel(
     scale: float,
     chunk: int,
     softcap: float,
+    layer: int | None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -52,15 +53,21 @@ def _decode_kernel(
 
     q = q_ref[0, 0].astype(jnp.float32) * scale  # [rep, D]
     rep, d = q.shape
+    # whole-cache operand + static layer index: the model passes the stacked
+    # [L, ...] cache array untouched, so XLA never materializes per-layer
+    # slice copies as kernel operands (64 slice copies/step on llama3-8b)
+    pre = () if layer is None else (layer,)
 
     def k_dma(slot, ci):
         return pltpu.make_async_copy(
-            k_hbm.at[b, h, pl.ds(ci * chunk, chunk), :], k_buf.at[slot], sem.at[slot, 0]
+            k_hbm.at[(*pre, b, h, pl.ds(ci * chunk, chunk), slice(None))],
+            k_buf.at[slot], sem.at[slot, 0]
         )
 
     def v_dma(slot, ci):
         return pltpu.make_async_copy(
-            v_hbm.at[b, h, pl.ds(ci * chunk, chunk), :], v_buf.at[slot], sem.at[slot, 1]
+            v_hbm.at[(*pre, b, h, pl.ds(ci * chunk, chunk), slice(None))],
+            v_buf.at[slot], sem.at[slot, 1]
         )
 
     @pl.when(first < n_chunks)
@@ -111,12 +118,12 @@ def _decode_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "chunk", "softcap", "interpret")
+    jax.jit, static_argnames=("scale", "chunk", "softcap", "interpret", "layer")
 )
 def flash_decode(
     q: jax.Array,  # [B, H, D] single-step queries (roped)
-    k: jax.Array,  # [B, Hkv, S, D]
-    v: jax.Array,  # [B, Hkv, S, D]
+    k: jax.Array,  # [B, Hkv, S, D] — or [L, B, Hkv, S, D] with layer given
+    v: jax.Array,  # same
     lengths: jax.Array,  # [B] int32 — valid kv cells per slot
     starts: jax.Array | None = None,  # [B] int32 — SWA window start (default 0)
     *,
@@ -124,10 +131,11 @@ def flash_decode(
     chunk: int = 512,
     softcap: float = 0.0,
     interpret: bool = False,
+    layer: int | None = None,  # static index into a stacked [L, ...] cache
 ) -> jax.Array:
     """Returns [B, H, D] f32 attention output."""
     bsz, hq, d = q.shape
-    _, hkv, s, _ = k.shape
+    hkv, s = (k.shape[1], k.shape[2]) if layer is None else (k.shape[2], k.shape[3])
     rep = hq // hkv
     chunk = min(chunk, s)
     while s % chunk:  # largest power-of-two-ish divisor of the capacity
@@ -153,7 +161,8 @@ def flash_decode(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, scale=scale, chunk=chunk, softcap=softcap),
+        functools.partial(_decode_kernel, scale=scale, chunk=chunk,
+                          softcap=softcap, layer=layer),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
         interpret=interpret,
@@ -175,7 +184,7 @@ def _decode_kernel_q8(
     kq_hbm, kd_hbm, vq_hbm, vd_hbm,
     o_ref,
     kq_buf, kd_buf, vq_buf, vd_buf, sem,
-    *, scale: float, chunk: int, softcap: float,
+    *, scale: float, chunk: int, softcap: float, layer: int | None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -186,24 +195,25 @@ def _decode_kernel_q8(
 
     q = q_ref[0, 0].astype(jnp.float32) * scale
     rep, d = q.shape
+    pre = () if layer is None else (layer,)
 
     def dmas(slot, ci):
         return [
             pltpu.make_async_copy(
-                kq_hbm.at[b, h, pl.ds(ci * chunk, chunk), :], kq_buf.at[slot],
-                sem.at[slot, 0],
+                kq_hbm.at[(*pre, b, h, pl.ds(ci * chunk, chunk), slice(None))],
+                kq_buf.at[slot], sem.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                kd_hbm.at[b, h, :, pl.ds(ci * chunk, chunk)], kd_buf.at[slot],
-                sem.at[slot, 1],
+                kd_hbm.at[(*pre, b, h, slice(None), pl.ds(ci * chunk, chunk))],
+                kd_buf.at[slot], sem.at[slot, 1],
             ),
             pltpu.make_async_copy(
-                vq_hbm.at[b, h, pl.ds(ci * chunk, chunk), :], vq_buf.at[slot],
-                sem.at[slot, 2],
+                vq_hbm.at[(*pre, b, h, pl.ds(ci * chunk, chunk), slice(None))],
+                vq_buf.at[slot], sem.at[slot, 2],
             ),
             pltpu.make_async_copy(
-                vd_hbm.at[b, h, :, pl.ds(ci * chunk, chunk)], vd_buf.at[slot],
-                sem.at[slot, 3],
+                vd_hbm.at[(*pre, b, h, slice(None), pl.ds(ci * chunk, chunk))],
+                vd_buf.at[slot], sem.at[slot, 3],
             ),
         ]
 
@@ -257,12 +267,12 @@ def _decode_kernel_q8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "chunk", "softcap", "interpret")
+    jax.jit, static_argnames=("scale", "chunk", "softcap", "interpret", "layer")
 )
 def flash_decode_q8(
     q: jax.Array,  # [B, H, D]
-    k_qs: jax.Array,  # [B, Hkv, S, D] int8
-    k_d: jax.Array,  # [B, Hkv, 1, S] f32 per-row scales
+    k_qs: jax.Array,  # [B, Hkv, S, D] int8 (or [L, B, ...] with layer given)
+    k_d: jax.Array,  # [B, Hkv, 1, S] f32 per-row scales (same)
     v_qs: jax.Array,
     v_d: jax.Array,
     lengths: jax.Array,
@@ -272,9 +282,11 @@ def flash_decode_q8(
     chunk: int = 512,
     softcap: float = 0.0,
     interpret: bool = False,
+    layer: int | None = None,
 ) -> jax.Array:
     bsz, hq, d = q.shape
-    _, hkv, s, _ = k_qs.shape
+    hkv, s = ((k_qs.shape[1], k_qs.shape[2]) if layer is None
+              else (k_qs.shape[2], k_qs.shape[3]))
     rep = hq // hkv
     chunk = min(chunk, s)
     while s % chunk:
@@ -305,7 +317,8 @@ def flash_decode_q8(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_decode_kernel_q8, scale=scale, chunk=chunk, softcap=softcap),
+        functools.partial(_decode_kernel_q8, scale=scale, chunk=chunk,
+                          softcap=softcap, layer=layer),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
         interpret=interpret,
@@ -336,6 +349,7 @@ def _decode_kernel_paged(
     scale: float,
     page: int,
     softcap: float,
+    layer: int | None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -346,15 +360,16 @@ def _decode_kernel_paged(
 
     q = q_ref[0, 0].astype(jnp.float32) * scale
     rep, d = q.shape
+    pre = () if layer is None else (layer,)
 
     def k_dma(slot, ci):
         return pltpu.make_async_copy(
-            k_hbm.at[tables_ref[b, ci], h], k_buf.at[slot], sem.at[slot, 0]
+            k_hbm.at[(*pre, tables_ref[b, ci], h)], k_buf.at[slot], sem.at[slot, 0]
         )
 
     def v_dma(slot, ci):
         return pltpu.make_async_copy(
-            v_hbm.at[tables_ref[b, ci], h], v_buf.at[slot], sem.at[slot, 1]
+            v_hbm.at[(*pre, tables_ref[b, ci], h)], v_buf.at[slot], sem.at[slot, 1]
         )
 
     @pl.when(first < n_chunks)
@@ -405,11 +420,11 @@ def _decode_kernel_paged(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "softcap", "interpret")
+    jax.jit, static_argnames=("scale", "softcap", "interpret", "layer")
 )
 def flash_decode_paged(
     q: jax.Array,  # [B, H, D]
-    k_pages: jax.Array,  # [P, Hkv, ps, D]
+    k_pages: jax.Array,  # [P, Hkv, ps, D] — or [L, P, ...] with layer given
     v_pages: jax.Array,
     tables: jax.Array,  # [B, max_blocks] int32
     lengths: jax.Array,  # [B]
@@ -418,10 +433,12 @@ def flash_decode_paged(
     scale: float,
     softcap: float = 0.0,
     interpret: bool = False,
+    layer: int | None = None,
 ) -> jax.Array:
     """Returns [B, H, D] f32 attention over paged KV."""
     bsz, hq, d = q.shape
-    n_pages, hkv, ps, _ = k_pages.shape
+    n_pages, hkv, ps = (k_pages.shape[:3] if layer is None
+                        else k_pages.shape[1:4])
     rep = hq // hkv
     if starts is None:
         starts = jnp.zeros_like(lengths)
@@ -447,7 +464,7 @@ def flash_decode_paged(
     )
     out = pl.pallas_call(
         functools.partial(_decode_kernel_paged, scale=scale, page=ps,
-                          softcap=softcap),
+                          softcap=softcap, layer=layer),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
         interpret=interpret,
@@ -463,7 +480,7 @@ def _decode_kernel_paged_q8(
     vq_hbm, vd_hbm,
     o_ref,
     kq_buf, kd_buf, vq_buf, vd_buf, sem,
-    *, scale: float, page: int, softcap: float,
+    *, scale: float, page: int, softcap: float, layer: int | None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -474,17 +491,18 @@ def _decode_kernel_paged_q8(
 
     q = q_ref[0, 0].astype(jnp.float32) * scale
     rep, d = q.shape
+    pre = () if layer is None else (layer,)
 
     def dmas(slot, ci):
         pg = tables_ref[b, ci]
         return [
-            pltpu.make_async_copy(kq_hbm.at[pg, h], kq_buf.at[slot],
+            pltpu.make_async_copy(kq_hbm.at[(*pre, pg, h)], kq_buf.at[slot],
                                   sem.at[slot, 0]),
-            pltpu.make_async_copy(kd_hbm.at[pg, h], kd_buf.at[slot],
+            pltpu.make_async_copy(kd_hbm.at[(*pre, pg, h)], kd_buf.at[slot],
                                   sem.at[slot, 1]),
-            pltpu.make_async_copy(vq_hbm.at[pg, h], vq_buf.at[slot],
+            pltpu.make_async_copy(vq_hbm.at[(*pre, pg, h)], vq_buf.at[slot],
                                   sem.at[slot, 2]),
-            pltpu.make_async_copy(vd_hbm.at[pg, h], vd_buf.at[slot],
+            pltpu.make_async_copy(vd_hbm.at[(*pre, pg, h)], vd_buf.at[slot],
                                   sem.at[slot, 3]),
         ]
 
@@ -538,12 +556,12 @@ def _decode_kernel_paged_q8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "softcap", "interpret")
+    jax.jit, static_argnames=("scale", "softcap", "interpret", "layer")
 )
 def flash_decode_paged_q8(
     q: jax.Array,  # [B, H, D]
-    k_qs: jax.Array,  # [P, Hkv, ps, D] int8
-    k_d: jax.Array,  # [P, Hkv, 1, ps] f32
+    k_qs: jax.Array,  # [P, Hkv, ps, D] int8 — or [L, P, ...] with layer given
+    k_d: jax.Array,  # [P, Hkv, 1, ps] f32 (same)
     v_qs: jax.Array,
     v_d: jax.Array,
     tables: jax.Array,
@@ -553,12 +571,14 @@ def flash_decode_paged_q8(
     scale: float,
     softcap: float = 0.0,
     interpret: bool = False,
+    layer: int | None = None,
 ) -> jax.Array:
     """Paged + Q8-quantized decode attention: page pools stay int8 in HBM,
     per-row scales fold into score/prob scaling, block tables ride the
     scalar prefetch."""
     bsz, hq, d = q.shape
-    n_pages, hkv, ps, _ = k_qs.shape
+    n_pages, hkv, ps = (k_qs.shape[:3] if layer is None
+                        else k_qs.shape[1:4])
     rep = hq // hkv
     if starts is None:
         starts = jnp.zeros_like(lengths)
@@ -586,7 +606,7 @@ def flash_decode_paged_q8(
     )
     out = pl.pallas_call(
         functools.partial(_decode_kernel_paged_q8, scale=scale, page=ps,
-                          softcap=softcap),
+                          softcap=softcap, layer=layer),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
         interpret=interpret,

@@ -80,3 +80,27 @@ def test_flash_decode_bf16_kv():
     ref = _ref(q, np.asarray(kb, np.float32), np.asarray(vb, np.float32),
                lengths, scale)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_decode_stacked_layer_index():
+    """layer= static index into a stacked [L, B, Hkv, S, D] cache must match
+    slicing the layer out first (the model passes the whole cache array so
+    XLA never materializes per-layer slice copies)."""
+    rng = np.random.default_rng(7)
+    L, b, hq, hkv, d, s = 3, 2, 4, 2, 64, 256
+    q = rng.standard_normal((b, hq, d)).astype(np.float32)
+    k = rng.standard_normal((L, b, hkv, s, d)).astype(np.float32)
+    v = rng.standard_normal((L, b, hkv, s, d)).astype(np.float32)
+    lengths = np.array([s // 2, s], np.int32)
+    scale = 1.0 / np.sqrt(d)
+    for layer in (0, 2):
+        out = flash_decode(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(lengths), scale=scale, chunk=128, interpret=True,
+            layer=layer,
+        )
+        ref = flash_decode(
+            jnp.asarray(q), jnp.asarray(k[layer]), jnp.asarray(v[layer]),
+            jnp.asarray(lengths), scale=scale, chunk=128, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
