@@ -37,7 +37,7 @@ import ml_dtypes
 import numpy as np
 
 from ...gguf.constants import GGMLType
-from ..qtensor import QTensor
+from ..qtensor import TABLE_KINDS, QTensor
 
 # Per-group scale fields ship as bf16 by default: the kernels round the
 # dequantized weights to bf16 before the MXU contraction anyway, so f32
@@ -175,7 +175,8 @@ def _as_tiles(a: np.ndarray, nk: int) -> np.ndarray:
 
 
 _WIDE_KINDS = (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
-               GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.IQ4_NL, GGMLType.IQ4_XS)
+               GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.IQ4_NL, GGMLType.IQ4_XS,
+               *TABLE_KINDS)
 
 # max padded-rows overhead (percent) _maybe_pad_rows will accept
 PAD_ROWS_MAX_PCT = 1.0
@@ -226,6 +227,24 @@ def _to_kernel_layout_padded(qt: QTensor, tile_k: int | None = None) -> KernelWe
         qs = _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_k, g)
         s = _as_tiles(qt["d"].astype(np.float32), nk)
         return KernelWeights(kind, (n, k), {"qs": qs, "s": s}, tile_k)
+
+    if kind in TABLE_KINDS:
+        # table carrier (IQ1/IQ2/IQ3/TQ): IQ4_NL's plane-16 nibble geometry;
+        # scales are per-32 ("s", expand ×16 in the body) or per-16 ("s2":
+        # [lo-half | hi-half] per-32-block scales lane-concatenated per
+        # k-tile, sliced back out in the body like Q4_K's sc4 halves)
+        tile_p = tile_k // 2
+        qs = _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_p, 16)
+        d = qt["d"].astype(np.float32)
+        g = k // d.shape[-1]
+        out = {"qs": qs}
+        if g == 32:
+            out["s"] = _as_tiles(_scale(d), nk)
+        else:  # g == 16
+            out["s2"] = _scale(np.concatenate(
+                [_as_tiles(np.ascontiguousarray(d[:, 0::2]), nk),
+                 _as_tiles(np.ascontiguousarray(d[:, 1::2]), nk)], axis=2))
+        return KernelWeights(kind, (n, k), out, tile_k)
 
     if kind in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.IQ4_NL,
                 GGMLType.IQ4_XS):
@@ -405,13 +424,14 @@ def prepare_x(x, kind: GGMLType, tile_k: int, q8_group: int = 32):
     if kind == GGMLType.Q8_0:
         return (tile_transpose_x(xb, tile_k, q8_group),)
     if kind in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
-                GGMLType.IQ4_NL, GGMLType.IQ4_XS):
+                GGMLType.IQ4_NL, GGMLType.IQ4_XS) or kind in TABLE_KINDS:
         xr = xb.reshape(*shp, k // 32, 32)
         lo = xr[..., :16].reshape(*shp, k // 2)
         hi = xr[..., 16:].reshape(*shp, k // 2)
         x2 = _interleave_planes((lo, hi), tile_k // 2, 16)
-        if kind in (GGMLType.IQ4_NL, GGMLType.IQ4_XS):
-            return (x2,)  # codebook has no affine offset — no sum fold
+        if kind not in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
+                        GGMLType.Q5_1):
+            return (x2,)  # codebook/table has no affine offset — no sum fold
         xs = _tiles_x(xf.reshape(*shp, k // 32, 32).sum(-1), nk)
         return (x2, xs)
     if kind in (GGMLType.Q4_K, GGMLType.Q5_K):

@@ -150,11 +150,17 @@ _IQ4_VALUES = (-127.0, -104.0, -83.0, -65.0, -49.0, -35.0, -22.0, -10.0,
                1.0, 13.0, 25.0, 38.0, 53.0, 69.0, 89.0, 113.0)
 
 
-def _iq4_map(q):
-    w = jnp.full(q.shape, _IQ4_VALUES[0], F32)
-    for j in range(1, 16):
-        w = jnp.where(q == j, _IQ4_VALUES[j], w)
+def _table_map(q, table):
+    """int32 indices → f32 values via a static select chain (the kernels are
+    DMA-bound; ≤15 extra VPU compares hide behind the page DMAs)."""
+    w = jnp.full(q.shape, table[0], F32)
+    for j in range(1, len(table)):
+        w = jnp.where(q == j, table[j], w)
     return w
+
+
+def _iq4_map(q):
+    return _table_map(q, _IQ4_VALUES)
 
 
 def _body_iq4(acc, x2, qs, s):
@@ -163,6 +169,28 @@ def _body_iq4(acc, x2, qs, s):
     lo, hi = _nibbles_i32(qs)
     w_lo = (_iq4_map(lo) * sf).astype(BF16)
     w_hi = (_iq4_map(hi) * sf).astype(BF16)
+    acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
+
+
+def _body_tab32(table, acc, x2, qs, s):
+    """Table carrier, per-32 scales (IQ2_XXS/IQ3_XXS/IQ3_S/IQ1_S/TQ*):
+    w = s_group · table[nibble]; same geometry as _body_iq4."""
+    x_lo, x_hi = _planes2(x2)
+    sf = _expand(s, 16)
+    lo, hi = _nibbles_i32(qs)
+    acc[...] += _dot_xt_w(x_lo, (_table_map(lo, table) * sf).astype(BF16))
+    acc[...] += _dot_xt_w(x_hi, (_table_map(hi, table) * sf).astype(BF16))
+
+
+def _body_tab16(table, acc, x2, qs, s2):
+    """Table carrier, per-16 scales (IQ2_XS/IQ2_S/IQ1_M): s2 lanes are the
+    [lo-half | hi-half] per-32-block scales (each expands ×16 over its
+    plane, like _body_tab32's s)."""
+    x_lo, x_hi = _planes2(x2)
+    half = s2.shape[-1] // 2
+    lo, hi = _nibbles_i32(qs)
+    w_lo = (_table_map(lo, table) * _expand(s2[:, :half], 16)).astype(BF16)
+    w_hi = (_table_map(hi, table) * _expand(s2[:, half:], 16)).astype(BF16)
     acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
 
 
@@ -241,7 +269,17 @@ def _body_q3_K(acc, x4c, xs4, qs, h1, h2, h3, h4, sc4):
     acc[...] -= 4.0 * _dot_xt_w(xs4, sc4)
 
 
+from ..qtensor import IQ_TABLES
+
+# g=16 table-carrier kinds carry the "s2" split-scale field (per-16 native
+# scales); the rest of IQ_TABLES are per-32 ("s")
+_TAB16_KINDS = (GGMLType.IQ2_XS, GGMLType.IQ2_S, GGMLType.IQ1_M)
+
 _BODIES = {
+    **{kind: functools.partial(
+        _body_tab16 if kind in _TAB16_KINDS else _body_tab32,
+        tuple(float(v) for v in table))
+       for kind, table in IQ_TABLES.items()},
     GGMLType.Q8_0: _body_q8_0,
     GGMLType.Q4_0: _body_q4_0,
     GGMLType.Q4_1: _body_q4_1,
@@ -260,6 +298,7 @@ _BODIES = {
 # activation sums shipped as k-tiled 3-D arrays [nk, B, gt]; plane fields
 # ("x2"/"x4") interleave all planes per k-tile into one full-K operand
 _X_FIELDS = {
+    **{kind: ("x2",) for kind in IQ_TABLES},
     GGMLType.Q8_0: ("x",),
     GGMLType.Q4_0: ("x2", "xs"),
     GGMLType.Q4_1: ("x2", "xs"),
@@ -274,6 +313,8 @@ _X_FIELDS = {
     GGMLType.IQ4_XS: ("x2",),
 }
 _W_FIELDS = {
+    **{kind: ("qs", "s2" if kind in _TAB16_KINDS else "s")
+       for kind in IQ_TABLES},
     GGMLType.Q8_0: ("qs", "s"),
     GGMLType.Q4_0: ("qs", "s"),
     GGMLType.Q4_1: ("qs", "s", "m"),
@@ -426,7 +467,8 @@ def qmm_fused(
             # four byte-planes and Q8_0's full-width qs would overflow)
             nibble = kw.kind in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
                                  GGMLType.Q5_1, GGMLType.Q4_K, GGMLType.Q5_K,
-                                 GGMLType.IQ4_NL, GGMLType.IQ4_XS)
+                                 GGMLType.IQ4_NL, GGMLType.IQ4_XS,
+                                 *IQ_TABLES)
             default_wide = 1024 if (nibble and tile_k <= 4096) else 0
             wide = int(os.environ.get("LLAMA_TPU_TILE_N_WIDE", default_wide))
             if wide and n_rows % wide == 0:

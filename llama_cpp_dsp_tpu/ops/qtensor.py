@@ -28,9 +28,15 @@ Nibble packing is kept exactly as in the GGUF blocks; unpack rules live in
               scales (x = d*kvalues_iq4nl[q]; IQ4_XS's 6-bit sub-scales are
               folded into d at load)
 
-Q2_K/Q3_K and the grid-codebook IQ kinds (IQ1-IQ3) requantize to packed
-Q8_0 at load (capability preserved at 8.25 bpw; their decode error dwarfs
-q8's ~0.2%).
+The grid-codebook / ternary kinds (IQ1-IQ3, TQ1/TQ2) repack at load into a
+**table carrier**: every per-element value of these formats is
+scale × v with v drawn from a per-kind set of ≤16 integers (the grid byte
+magnitudes × sign; IQ1's ±0.125 delta folds in as 8·grid±1 — see
+quant/ref_numpy.iq_int_decompose). The carrier stores the 4-bit index into
+that table (IQ4_NL-shaped nibble field) plus per-group f32 scales, so these
+kinds stream through the fused Pallas kernels at ~4.5-6 bpw instead of the
+8.25 bpw q8 fallback, still decoding bit-identically to the reference
+dequantize_row_* (ggml/src/ggml-quants.c).
 """
 
 from __future__ import annotations
@@ -60,6 +66,32 @@ PACKED_KINDS = {
     GGMLType.IQ4_NL,
     GGMLType.IQ4_XS,
 }
+
+# Integer value tables of the table-carrier kinds: the exact signed values
+# iq_int_decompose emits (grid magnitudes {8,25,43} / {4..62} / {1..15 odd}
+# × sign; IQ1: 8·grid±1; TQ: trits). Sorted; ≤16 entries ⇒ a nibble indexes
+# them. The kernels re-materialize values with a static select chain
+# (ops/pallas/qmm._table_map) — same pattern as IQ4_NL's codebook.
+_T_IQ2 = (-43, -25, -8, 8, 25, 43)
+_T_IQ3_XXS = (-62, -52, -44, -36, -28, -20, -12, -4, 4, 12, 20, 28, 36, 44, 52, 62)
+_T_IQ3_S = (-15, -13, -11, -9, -7, -5, -3, -1, 1, 3, 5, 7, 9, 11, 13, 15)
+_T_IQ1 = (-9, -7, -1, 1, 7, 9)
+_T_TERNARY = (-1, 0, 1)
+IQ_TABLES: dict[GGMLType, tuple[int, ...]] = {
+    GGMLType.IQ2_XXS: _T_IQ2,
+    GGMLType.IQ2_XS: _T_IQ2,
+    GGMLType.IQ2_S: _T_IQ2,
+    GGMLType.IQ3_XXS: _T_IQ3_XXS,
+    GGMLType.IQ3_S: _T_IQ3_S,
+    GGMLType.IQ1_S: _T_IQ1,
+    GGMLType.IQ1_M: _T_IQ1,
+    GGMLType.TQ1_0: _T_TERNARY,
+    # TQ2_0's raw 2-bit field decodes (q&3)−1 ∈ {−1,0,1,2}: the encoder
+    # never emits 3, but arbitrary packed bits are decodable (reference
+    # dequantize_row_tq2_0) — keep the 2 so decode stays total
+    GGMLType.TQ2_0: (-1, 0, 1, 2),
+}
+TABLE_KINDS = frozenset(IQ_TABLES)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -211,18 +243,22 @@ def from_gguf_tensor(
         return np.ascontiguousarray(raw).view(ml_dtypes.bfloat16).reshape(np_shape)
     if kind in PACKED_KINDS and len(np_shape) in (1, 2):
         return repack(raw, kind, np_shape)
-    # grid-codebook IQ kinds: EXACT repack into the q8 kernel layout — the
-    # integer payload (grid*sign; IQ1: 8*grid±1) with per-group f32 scales
-    # reproduces dequantize_row_* bit-for-bit
+    # grid-codebook / ternary kinds: EXACT repack into the table carrier —
+    # the integer payload (grid*sign; IQ1: 8*grid±1) indexes the ≤16-entry
+    # IQ_TABLES set, stored as IQ4_NL-shaped nibbles + per-group f32 scales;
+    # decode reproduces dequantize_row_* bit-for-bit
     # (quant/ref_numpy.iq_int_decompose)
-    _IQ_EXACT = (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
-                 GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
-                 GGMLType.IQ1_M, GGMLType.TQ1_0, GGMLType.TQ2_0)
-    if kind in _IQ_EXACT and len(np_shape) == 2 and np_shape[-1] % 256 == 0:
+    if kind in TABLE_KINDS and len(np_shape) == 2 and np_shape[-1] % 256 == 0:
         n, k = np_shape
         q, s, g = refq.iq_int_decompose(raw, kind)
-        return QTensor(GGMLType.Q8_0, (n, k), {
-            "qs": q.reshape(n, k),
+        table = np.asarray(IQ_TABLES[kind], np.int8)
+        u = np.searchsorted(table, q).astype(np.uint8)
+        # exactness guard: every payload value must be a table entry
+        assert (table[u] == q).all(), f"{kind.name}: payload outside table"
+        ub = u.reshape(n, k // 32, 32)
+        qs = ub[..., :16] | (ub[..., 16:] << 4)  # legacy nibble order
+        return QTensor(kind, (n, k), {
+            "qs": np.ascontiguousarray(qs.reshape(n, k // 2)),
             "d": s.reshape(n, k // g),
         })
     # kinds without a fused kernel (TQ*): requantize matrices to Q8_0 at

@@ -127,4 +127,15 @@ def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
         q = lut[_nibbles(qt["qs"], n, k, "legacy").astype(jnp.int32)]
         y = q.reshape(n, k // 32, 32) * qt["d"].astype(F32)[:, :, None]
         return y.reshape(n, k).astype(dtype)
+    from ..ops.qtensor import IQ_TABLES
+
+    if kind in IQ_TABLES:
+        # table carrier (IQ1/IQ2/IQ3/TQ): value = d_group · table[nibble];
+        # the integer table + f32 group scales reproduce the reference
+        # dequantize_row_* exactly (ops/qtensor.IQ_TABLES)
+        lut = jnp.asarray(IQ_TABLES[kind], F32)
+        g = k // qt["d"].shape[-1]
+        q = lut[_nibbles(qt["qs"], n, k, "legacy").astype(jnp.int32)]
+        y = q.reshape(n, k // g, g) * qt["d"].astype(F32)[:, :, None]
+        return y.reshape(n, k).astype(dtype)
     raise NotImplementedError(f"jax dequant {kind.name}")

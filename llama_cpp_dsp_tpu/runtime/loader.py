@@ -18,7 +18,7 @@ import numpy as np
 from ..gguf.constants import GGMLType
 from ..gguf.reader import GGUFModel
 from ..models.llama import LlamaConfig
-from ..ops.qtensor import PACKED_KINDS, QTensor, from_gguf_tensor
+from ..ops.qtensor import PACKED_KINDS, TABLE_KINDS, QTensor, from_gguf_tensor
 from ..tokenizer import Tokenizer, Vocab
 
 log = logging.getLogger(__name__)
@@ -161,7 +161,7 @@ _GLOBAL_TENSORS = {
 
 
 def _convert(raw: np.ndarray, kind: GGMLType, np_shape: tuple[int, ...]):
-    if len(np_shape) == 3 and kind in PACKED_KINDS:
+    if len(np_shape) == 3 and (kind in PACKED_KINDS or kind in TABLE_KINDS):
         # expert-stacked weights [E, N, K]: repack as (E*N, K), then add the
         # expert axis back onto every field
         e, n, k = np_shape

@@ -71,13 +71,24 @@ def synth_qtensor(
     n = int(np.prod(shape))
     tr = GGML_TYPE_TRAITS[kind]
     raw = rng.integers(0, 256, size=n // tr.block_size * tr.type_size, dtype=np.uint8)
+    from ..ops.qtensor import TABLE_KINDS, from_gguf_tensor
+
+    def _pack(raw, kind, shape2):
+        if kind in TABLE_KINDS:  # table carrier builds via the decompose
+            qt = from_gguf_tensor(raw, kind, shape2)
+            # random f16 block scales may be inf/nan — replaced below
+            qt.arrays["d"] = np.nan_to_num(qt.arrays["d"], nan=0.0,
+                                           posinf=0.0, neginf=0.0)
+            return qt
+        return repack(raw, kind, shape2)
+
     if len(shape) == 3:
         e, rows, k = shape
-        qt = repack(raw, kind, (e * rows, k))
+        qt = _pack(raw, kind, (e * rows, k))
         arrays = {key: a.reshape(e, rows, *a.shape[1:]) for key, a in qt.arrays.items()}
         qt = QTensor(kind, (rows, k), arrays, n_expert=e)
     else:
-        qt = repack(raw, kind, shape)
+        qt = _pack(raw, kind, shape)
     # overwrite scale fields with small positive halves so activations stay finite
     for name in ("d", "dmin", "m"):
         if name in qt.arrays:

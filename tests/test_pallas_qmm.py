@@ -25,6 +25,16 @@ KINDS = [
     GGMLType.Q6_K,
     GGMLType.IQ4_NL,
     GGMLType.IQ4_XS,
+    # table-carrier kinds (exact nibble-index decompose, ops/qtensor.py)
+    GGMLType.IQ2_XXS,
+    GGMLType.IQ2_XS,
+    GGMLType.IQ2_S,
+    GGMLType.IQ3_XXS,
+    GGMLType.IQ3_S,
+    GGMLType.IQ1_S,
+    GGMLType.IQ1_M,
+    GGMLType.TQ1_0,
+    GGMLType.TQ2_0,
 ]
 
 

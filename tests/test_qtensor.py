@@ -40,16 +40,14 @@ def test_jax_dequant_random_bits(kind, rng):
 
 
 def test_kernel_less_kinds_requantize_to_q8(rng):
-    """Every codebook/ternary kind streams through the Pallas q8 kernel
-    after load (TQ via the exact ternary decompose)."""
+    """Ternary kinds load as the table carrier (exact); 1-D stays dense."""
     import llama_cpp_dsp_tpu.quant.ref_numpy as refq
 
     tr = GGML_TYPE_TRAITS[GGMLType.TQ1_0]
     raw2 = rng.integers(0, 256, size=2 * 256 // tr.block_size * tr.type_size,
                         dtype=np.uint8)
     qt = from_gguf_tensor(raw2, GGMLType.TQ1_0, (2, 256))
-    assert isinstance(qt, QTensor) and qt.kind == GGMLType.Q8_0
-    # decode fidelity: q8 of the dequantized values, near-exact
+    assert isinstance(qt, QTensor) and qt.kind == GGMLType.TQ1_0
     import jax.numpy as jnp
 
     from llama_cpp_dsp_tpu.quant.jax_dequant import dequant
@@ -57,8 +55,7 @@ def test_kernel_less_kinds_requantize_to_q8(rng):
     want = refq.dequantize(raw2, GGMLType.TQ1_0).reshape(2, 256)
     got = np.asarray(dequant(qt, jnp.float32))
     ok = np.isfinite(want)
-    denom = max(1e-9, float(np.abs(want[ok]).max()))
-    assert np.abs(got[ok] - want[ok]).max() / denom < 0.01
+    np.testing.assert_array_equal(got[ok], want[ok])
 
     # 1-D tensors stay dense
     arr = from_gguf_tensor(raw2, GGMLType.TQ1_0, (512,))
@@ -71,10 +68,10 @@ IQ_EXACT_KINDS = [GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
 
 
 @pytest.mark.parametrize("kind", IQ_EXACT_KINDS)
-def test_iq_exact_q8_repack(kind, rng):
-    """Grid-codebook IQ matrices repack EXACTLY into the q8 kernel layout
-    (int payload x per-group f32 scale) — decode is bit-identical to the
-    reference dequantize_row_*, unlike the old lossy requant."""
+def test_iq_exact_table_repack(kind, rng):
+    """Grid-codebook / ternary matrices repack EXACTLY into the table
+    carrier (4-bit table index × per-group f32 scale) — decode is
+    bit-identical to the reference dequantize_row_*."""
     import llama_cpp_dsp_tpu.quant.ref_numpy as refq
     from llama_cpp_dsp_tpu.quant.jax_dequant import dequant as jdequant
 
@@ -87,7 +84,8 @@ def test_iq_exact_q8_repack(kind, rng):
         raw = rng.integers(0, 256, size=n * k // tr.block_size * tr.type_size,
                            dtype=np.uint8)
     qt = from_gguf_tensor(raw, kind, (n, k))
-    assert isinstance(qt, QTensor) and qt.kind == GGMLType.Q8_0
+    assert isinstance(qt, QTensor) and qt.kind == kind
+    assert qt["qs"].shape == (n, k // 2)  # nibble density, not q8 bytes
     want = refq.dequantize(raw, kind).reshape(n, k)
     got = np.asarray(jdequant(qt))
     ok = np.isfinite(want)
