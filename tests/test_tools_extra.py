@@ -142,3 +142,33 @@ def test_compare_bench(tmp_path, capsys):
     assert cmp_main([str(a), str(b)]) == 0
     out = capsys.readouterr().out
     assert "+10.0%" in out and "faster" in out
+
+
+def test_gbnf_validator(tmp_path, capsys):
+    from llama_cpp_dsp_tpu.tools.gbnf_validator import main as gv
+
+    g = tmp_path / "g.gbnf"
+    g.write_text('root ::= "ab" num\nnum ::= [0-9]+\n')
+    ok = tmp_path / "ok.txt"
+    ok.write_text("ab123")
+    bad = tmp_path / "bad.txt"
+    bad.write_text("ax1")
+    inc = tmp_path / "inc.txt"
+    inc.write_text("ab")
+    assert gv([str(g), str(ok)]) == 0
+    assert gv([str(g), str(bad)]) == 1
+    assert "codepoint 1" in capsys.readouterr().out
+    assert gv([str(g), str(inc)]) == 1
+    assert "incomplete" in capsys.readouterr().out
+
+
+def test_quantize_stats(tiny, capsys):
+    from llama_cpp_dsp_tpu.tools.quantize_stats import main as qsm
+
+    assert qsm(["-m", tiny, "-t", "q4_0", "-t", "q8_0"]) == 0
+    out = capsys.readouterr().out
+    assert "Q4_0" in out and "Q8_0" in out and "rmse" in out
+    # f32 source quantized to q8_0 must show a small nonzero rmse
+    q8_line = [ln for ln in out.splitlines() if "Q8_0" in ln][-1]
+    rmse = float(q8_line.split("rmse")[1].split()[0])
+    assert 0 < rmse < 0.01
