@@ -521,11 +521,11 @@ def _cached_attention(
                 starts = jnp.maximum(lengths - cfg.swa_window, 0)
         # paged-q8 scale DMAs slice the lane dim by page → ps must be
         # 128-aligned; otherwise fall through to the dense-gather path
-        # NOTE: the kernels also accept the stacked [L, ...] cache with a
-        # static layer= index (no per-layer slice operand), but the measured
-        # e2e decode REGRESSED ~5% that way (106.1 → 100.1 t/s tg64) — the
-        # whole-cache operand appears to force copy-insertion against the
-        # in-place cache update. Keep passing per-layer slices.
+        # NOTE: the contiguous caches hold per-layer buffers, so
+        # cache.layer(i) IS the kernel operand — no slice copy. (A stacked
+        # [L, ...] cache either forced a 2 MB slice copy per layer per step
+        # or, with the kernels' static layer= index, whole-cache
+        # copy-insertion against the in-place update: −5% e2e.)
         if (isinstance(cache, PagedQuantKVCache)
                 and cache.page_size % 128 == 0):
             attn = flash_decode_paged_q8(

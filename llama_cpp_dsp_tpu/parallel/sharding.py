@@ -147,8 +147,9 @@ def shard_params(params: dict, cfg: LlamaConfig, mesh: Mesh) -> dict:
 
 
 def cache_sharding(mesh: Mesh) -> NamedSharding:
-    """KV cache [L, B, Hkv, S, D]: batch on dp, kv heads on tp."""
-    return NamedSharding(mesh, P(None, "dp", "tp", None, None))
+    """KV cache layers [B, Hkv, S, D]: batch on dp, kv heads on tp (applied
+    to every per-layer leaf of the cache pytree)."""
+    return NamedSharding(mesh, P("dp", "tp", None, None))
 
 
 def activation_sharding(mesh: Mesh) -> NamedSharding:

@@ -30,7 +30,7 @@ from .kv_cache import KVCache, QuantKVCache, _q8_dequant, _q8_quant
 def _rotate_cached_k(
     k: jax.Array, deltas: jax.Array, rope: RopeParams, freq_factors=None
 ) -> jax.Array:
-    """k [L, B, H, S, D], deltas [B, S] int32 → K rotated by rope(delta).
+    """k [B, H, S, D], deltas [B, S] int32 → K rotated by rope(delta).
 
     Mirrors ggml_rope_ext applied to the cache in the reference's K-shift
     graph (build_rope_shift): only the first rope.n_dims dims rotate. The
@@ -43,8 +43,8 @@ def _rotate_cached_k(
         return k
     rope = dataclasses.replace(rope, attn_factor=1.0)
     cos, sin = _rope_angles(deltas.astype(jnp.float32), rope, freq_factors)
-    cos = cos[None, :, None, :, :]  # [1,B,1,S,n/2]
-    sin = sin[None, :, None, :, :]
+    cos = cos[:, None, :, :]  # [B,1,S,n/2]
+    sin = sin[:, None, :, :]
     kf = k.astype(jnp.float32)
     rot, rest = kf[..., :n], kf[..., n:]
     if rope.mode == "norm":
@@ -62,31 +62,37 @@ def _rotate_cached_k(
 
 
 def _gather_seq(a: jax.Array, idx: jax.Array) -> jax.Array:
-    """a [L, B, H, S, ...], idx [B, S] → rows reordered along S per batch."""
-    return jax.vmap(  # over B (axis 1 of a, axis 0 of idx)
-        lambda ab, ib: jnp.take(ab, ib, axis=2), in_axes=(1, 0), out_axes=1
+    """a [B, H, S, ...], idx [B, S] → rows reordered along S per batch."""
+    return jax.vmap(  # over B
+        lambda ab, ib: jnp.take(ab, ib, axis=1), in_axes=(0, 0)
     )(a, idx)
 
 
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("rope",))
 def _shift_kv(cache: KVCache, src_idx, deltas, rope: RopeParams, freq_factors=None):
-    k = _gather_seq(cache.k, src_idx)
-    v = _gather_seq(cache.v, src_idx)
-    k = _rotate_cached_k(k, deltas, rope, freq_factors)
+    k = tuple(
+        _rotate_cached_k(_gather_seq(kl, src_idx), deltas, rope, freq_factors)
+        for kl in cache.k
+    )
+    v = tuple(_gather_seq(vl, src_idx) for vl in cache.v)
     return KVCache(k, v)
 
 
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("rope",))
 def _shift_qkv(cache: QuantKVCache, src_idx, deltas, rope: RopeParams, freq_factors=None):
-    k_qs = _gather_seq(cache.k_qs, src_idx)
-    v_qs = _gather_seq(cache.v_qs, src_idx)
-    k_d = _gather_seq(cache.k_d.swapaxes(3, 4), src_idx).swapaxes(3, 4)
-    v_d = _gather_seq(cache.v_d.swapaxes(3, 4), src_idx).swapaxes(3, 4)
-    # rotate: dequant → rope(Δ) → requant (scales refresh)
-    kf = _q8_dequant(k_qs, k_d[:, :, :, 0, :], jnp.float32)
-    kf = _rotate_cached_k(kf, deltas, rope, freq_factors)
-    k_qs, kd = _q8_quant(kf)
-    return QuantKVCache(k_qs, kd[:, :, :, None, :], v_qs, v_d)
+    k_qs, k_d, v_qs, v_d = [], [], [], []
+    for kql, kdl, vql, vdl in zip(cache.k_qs, cache.k_d, cache.v_qs, cache.v_d):
+        kq = _gather_seq(kql, src_idx)
+        kd = _gather_seq(kdl.swapaxes(2, 3), src_idx).swapaxes(2, 3)
+        # rotate: dequant → rope(Δ) → requant (scales refresh)
+        kf = _q8_dequant(kq, kd[:, :, 0, :], jnp.float32)
+        kf = _rotate_cached_k(kf, deltas, rope, freq_factors)
+        kq, kd2 = _q8_quant(kf)
+        k_qs.append(kq)
+        k_d.append(kd2[:, :, None, :])
+        v_qs.append(_gather_seq(vql, src_idx))
+        v_d.append(_gather_seq(vdl.swapaxes(2, 3), src_idx).swapaxes(2, 3))
+    return QuantKVCache(tuple(k_qs), tuple(k_d), tuple(v_qs), tuple(v_d))
 
 
 def apply_seq_edit(cache, src_idx, deltas, rope: RopeParams, freq_factors=None):
@@ -126,16 +132,17 @@ def self_extend_indices(capacity: int, n_past: int, ga_i: int, ga_n: int, ga_w: 
     return j[None, :], deltas[None, :]
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _copy_slot_jit(cache, src_slot, dst_slot):
+    def cp(a):
+        row = jax.lax.dynamic_slice_in_dim(a, src_slot, 1, axis=0)
+        return jax.lax.dynamic_update_slice_in_dim(a, row, dst_slot, axis=0)
+
+    return jax.tree.map(cp, cache)
+
+
 def copy_slot(cache, src_slot: int, dst_slot: int):
     """seq_cp: duplicate one slot's cells into another slot (prompt-cache
-    reuse across slots, reference llama_kv_self_seq_cp)."""
-    if isinstance(cache, QuantKVCache):
-        arrays = [
-            a.at[:, dst_slot].set(a[:, src_slot])
-            for a in (cache.k_qs, cache.k_d, cache.v_qs, cache.v_d)
-        ]
-        return QuantKVCache(*arrays)
-    return KVCache(
-        cache.k.at[:, dst_slot].set(cache.k[:, src_slot]),
-        cache.v.at[:, dst_slot].set(cache.v[:, src_slot]),
-    )
+    reuse across slots, reference llama_kv_self_seq_cp). One jitted dispatch
+    over all per-layer buffers (host-side callers pay one launch, not 2L)."""
+    return _copy_slot_jit(cache, jnp.int32(src_slot), jnp.int32(dst_slot))

@@ -861,9 +861,11 @@ class Engine:
             # would clamp onto other sequences' pages
             self._ensure_pages([(slot.idx, self.n_ctx)])
             self._cow_from(slot.idx, 0)
-            k, v = self.cache.gather_seq(slot.idx)
-            tmp = apply_seq_edit(KVCache(k, v), src1, deltas1, self.cfg.rope, ff)
-            self.cache = self.cache.scatter_seq(slot.idx, tmp.k, tmp.v)
+            k, v = self.cache.gather_seq(slot.idx)  # stacked [L,1,Hkv,S,D]
+            tmp = apply_seq_edit(
+                KVCache(tuple(k), tuple(v)), src1, deltas1, self.cfg.rope, ff)
+            self.cache = self.cache.scatter_seq(
+                slot.idx, jnp.stack(tmp.k), jnp.stack(tmp.v))
         else:
             src = np.tile(np.arange(self.n_ctx, dtype=np.int64),
                           (self.n_slots, 1))

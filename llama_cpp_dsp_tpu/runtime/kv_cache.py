@@ -9,10 +9,14 @@ in device arrays so masks are computed on device; the host-side engine
 (seq_rm/cp/add/div) by rewriting the metadata arrays — the K/V payload never
 round-trips to host.
 
-Layout: [L, B, Hkv, S, D] — the sequence axis is innermost-but-one so each
-(slot, head) streams contiguously from HBM into the flash-attention kernel.
-The paged multi-sequence unified cache (seq_id sets per cell) arrives with
-the batch engine.
+Layout: per-layer tuples of [B, Hkv, S, D] (the reference's per-layer
+`k_l/v_l` tensors, src/llama-kv-cache.h:184-185). Each layer is its own
+buffer so (a) the flash-decode kernel's operand IS the layer array — a
+stacked [L, ...] cache forced either a 2 MB slice copy per layer per step
+or whole-cache copy-insertion against the in-place update (both measured
+regressions), and (b) donation aliases layer-by-layer. The sequence axis
+is innermost-but-one so each (slot, head) streams contiguously from HBM
+into the flash-attention kernel.
 """
 
 from __future__ import annotations
@@ -26,11 +30,11 @@ import jax.numpy as jnp
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    k: jax.Array  # [L, B, Hkv, S, D]
-    v: jax.Array  # [L, B, Hkv, S, D]
+    k: tuple  # L × [B, Hkv, S, D]
+    v: tuple  # L × [B, Hkv, S, D]
 
     def tree_flatten(self):
-        return (self.k, self.v), None
+        return (tuple(self.k), tuple(self.v)), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -38,12 +42,30 @@ class KVCache:
 
     @classmethod
     def create(cls, n_layers, n_batch, n_ctx, n_kv_heads, head_dim, dtype=jnp.bfloat16):
-        shape = (n_layers, n_batch, n_kv_heads, n_ctx, head_dim)
-        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        shape = (n_batch, n_kv_heads, n_ctx, head_dim)
+        return cls(
+            tuple(jnp.zeros(shape, dtype) for _ in range(n_layers)),
+            tuple(jnp.zeros(shape, dtype) for _ in range(n_layers)),
+        )
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.k)
+
+    @property
+    def dtype(self):
+        return self.k[0].dtype
 
     @property
     def capacity(self) -> int:
-        return self.k.shape[3]
+        return self.k[0].shape[2]
+
+    def _replace_layer(self, layer: int, k_l, v_l) -> "KVCache":
+        k = list(self.k)
+        v = list(self.v)
+        k[layer] = k_l
+        v[layer] = v_l
+        return KVCache(tuple(k), tuple(v))
 
     def write(self, layer: int, k_new: jax.Array, v_new: jax.Array, offset) -> "KVCache":
         """Insert [B, T, Hkv, D] at sequence offset.
@@ -52,22 +74,27 @@ class KVCache:
         single-sequence decode) or an int32 [B] vector (per-slot offsets for
         batched continuous decode, T must be 1)."""
         off = jnp.asarray(offset, jnp.int32)
-        kn = k_new.transpose(0, 2, 1, 3).astype(self.k.dtype)  # [B,Hkv,T,D]
-        vn = v_new.transpose(0, 2, 1, 3).astype(self.v.dtype)
+        kl, vl = self.k[layer], self.v[layer]
+        kn = k_new.transpose(0, 2, 1, 3).astype(kl.dtype)  # [B,Hkv,T,D]
+        vn = v_new.transpose(0, 2, 1, 3).astype(vl.dtype)
         if off.ndim == 1:
             # mode="drop": inactive slots write at offset == capacity so
             # their rows are untouched (the engine's batched decode carries
             # every slot; a 0 offset would clobber row 0 of idle slots'
             # prompt caches)
             bi = jnp.arange(k_new.shape[0])
-            k = self.k.at[layer, bi, :, off].set(kn[:, :, 0], mode="drop")
-            v = self.v.at[layer, bi, :, off].set(vn[:, :, 0], mode="drop")
-            return KVCache(k, v)
+            return self._replace_layer(
+                layer,
+                kl.at[bi, :, off].set(kn[:, :, 0], mode="drop"),
+                vl.at[bi, :, off].set(vn[:, :, 0], mode="drop"),
+            )
         zero = jnp.zeros((), jnp.int32)
-        start = (zero + layer, zero, zero, off, zero)
-        k = jax.lax.dynamic_update_slice(self.k, kn[None], start)
-        v = jax.lax.dynamic_update_slice(self.v, vn[None], start)
-        return KVCache(k, v)
+        start = (zero, zero, off, zero)
+        return self._replace_layer(
+            layer,
+            jax.lax.dynamic_update_slice(kl, kn, start),
+            jax.lax.dynamic_update_slice(vl, vn, start),
+        )
 
     def write_packed(self, layer: int, k_new: jax.Array, v_new: jax.Array,
                      slot_ids: jax.Array, rows: jax.Array) -> "KVCache":
@@ -75,30 +102,39 @@ class KVCache:
         prompt+decode ubatch (reference update_slots packs generating slots'
         tokens and prompt chunks into one llama_decode). Padding tokens carry
         rows == capacity and are dropped by the OOB scatter mode."""
-        kn = k_new.astype(self.k.dtype)
-        vn = v_new.astype(self.v.dtype)
-        k = self.k.at[layer, slot_ids, :, rows].set(kn, mode="drop")
-        v = self.v.at[layer, slot_ids, :, rows].set(vn, mode="drop")
-        return KVCache(k, v)
+        kl, vl = self.k[layer], self.v[layer]
+        return self._replace_layer(
+            layer,
+            kl.at[slot_ids, :, rows].set(k_new.astype(kl.dtype), mode="drop"),
+            vl.at[slot_ids, :, rows].set(v_new.astype(vl.dtype), mode="drop"),
+        )
 
     def layer(self, i: int) -> tuple[jax.Array, jax.Array]:
-        """Returns (k, v) as [B, Hkv, S, D]."""
+        """Returns (k, v) as [B, Hkv, S, D] — the layer's own buffer, no
+        slice copy."""
         return self.k[i], self.v[i]
 
     def slot_view(self, slot) -> "KVCache":
-        """Single-slot [L, 1, ...] view for per-slot prefill."""
+        """Single-slot [1, ...] per-layer views for per-slot prefill."""
         sl = jnp.asarray(slot, jnp.int32)
         return KVCache(
-            jax.lax.dynamic_slice_in_dim(self.k, sl, 1, axis=1),
-            jax.lax.dynamic_slice_in_dim(self.v, sl, 1, axis=1),
+            tuple(jax.lax.dynamic_slice_in_dim(a, sl, 1, axis=0) for a in self.k),
+            tuple(jax.lax.dynamic_slice_in_dim(a, sl, 1, axis=0) for a in self.v),
         )
 
     def merge_slot(self, sub: "KVCache", slot) -> "KVCache":
         sl = jnp.asarray(slot, jnp.int32)
         return KVCache(
-            jax.lax.dynamic_update_slice_in_dim(self.k, sub.k, sl, axis=1),
-            jax.lax.dynamic_update_slice_in_dim(self.v, sub.v, sl, axis=1),
+            tuple(jax.lax.dynamic_update_slice_in_dim(a, s, sl, axis=0)
+                  for a, s in zip(self.k, sub.k)),
+            tuple(jax.lax.dynamic_update_slice_in_dim(a, s, sl, axis=0)
+                  for a, s in zip(self.v, sub.v)),
         )
+
+    # -- host-side (de)serialization helpers (state_io) ----------------------
+    def stacked(self) -> tuple[jax.Array, jax.Array]:
+        """([L,B,Hkv,S,D] k, v) — for host-side state export only."""
+        return jnp.stack(self.k), jnp.stack(self.v)
 
 
 def _q8_quant(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -124,16 +160,17 @@ def _q8_dequant(qs: jax.Array, d: jax.Array, dtype) -> jax.Array:
 class QuantKVCache:
     """Q8_0-quantized KV cache — the reference's type_k/type_v=q8_0 option
     (src/llama-kv-cache.h:188-189, common/arg.cpp:699). Same interface as
-    KVCache; payload is int8 + per-32-block scales (half the HBM traffic of
-    bf16 at ~0.1% attention error)."""
+    KVCache; payload is int8 + per-row scales (half the HBM traffic of
+    bf16 at ~0.1% attention error). Per-layer tuples like KVCache."""
 
-    k_qs: jax.Array  # [L, B, Hkv, S, D] int8
-    k_d: jax.Array  # [L, B, Hkv, 1, S] f32 — lane-oriented for the kernel
-    v_qs: jax.Array
-    v_d: jax.Array
+    k_qs: tuple  # L × [B, Hkv, S, D] int8
+    k_d: tuple  # L × [B, Hkv, 1, S] f32 — lane-oriented for the kernel
+    v_qs: tuple
+    v_d: tuple
 
     def tree_flatten(self):
-        return (self.k_qs, self.k_d, self.v_qs, self.v_d), None
+        return (tuple(self.k_qs), tuple(self.k_d),
+                tuple(self.v_qs), tuple(self.v_d)), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -141,39 +178,55 @@ class QuantKVCache:
 
     @classmethod
     def create(cls, n_layers, n_batch, n_ctx, n_kv_heads, head_dim, dtype=None):
-        shape = (n_layers, n_batch, n_kv_heads, n_ctx, head_dim)
-        dshape = (n_layers, n_batch, n_kv_heads, 1, n_ctx)
+        shape = (n_batch, n_kv_heads, n_ctx, head_dim)
+        dshape = (n_batch, n_kv_heads, 1, n_ctx)
         return cls(
-            jnp.zeros(shape, jnp.int8), jnp.zeros(dshape, jnp.float32),
-            jnp.zeros(shape, jnp.int8), jnp.zeros(dshape, jnp.float32),
+            tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layers)),
+            tuple(jnp.zeros(dshape, jnp.float32) for _ in range(n_layers)),
+            tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layers)),
+            tuple(jnp.zeros(dshape, jnp.float32) for _ in range(n_layers)),
         )
 
     @property
+    def n_layers(self) -> int:
+        return len(self.k_qs)
+
+    @property
     def capacity(self) -> int:
-        return self.k_qs.shape[3]
+        return self.k_qs[0].shape[2]
+
+    def _replace_layer(self, layer: int, kq, kd, vq, vd) -> "QuantKVCache":
+        arrays = [list(self.k_qs), list(self.k_d), list(self.v_qs), list(self.v_d)]
+        for lst, a in zip(arrays, (kq, kd, vq, vd)):
+            lst[layer] = a
+        return QuantKVCache(*(tuple(lst) for lst in arrays))
 
     def write(self, layer: int, k_new: jax.Array, v_new: jax.Array, offset) -> "QuantKVCache":
         off = jnp.asarray(offset, jnp.int32)
         kq, kd = _q8_quant(k_new.transpose(0, 2, 1, 3))  # [B,Hkv,T,D], [B,Hkv,T]
         vq, vd = _q8_quant(v_new.transpose(0, 2, 1, 3))
+        kql, kdl, vql, vdl = (self.k_qs[layer], self.k_d[layer],
+                              self.v_qs[layer], self.v_d[layer])
         if off.ndim == 1:
             # mode="drop": see KVCache.write — offset == capacity rows are
             # idle slots and must not be scattered (clamping hits row S-1)
             bi = jnp.arange(k_new.shape[0])
-            return QuantKVCache(
-                self.k_qs.at[layer, bi, :, off].set(kq[:, :, 0], mode="drop"),
-                self.k_d.at[layer, bi, :, 0, off].set(kd[:, :, 0], mode="drop"),
-                self.v_qs.at[layer, bi, :, off].set(vq[:, :, 0], mode="drop"),
-                self.v_d.at[layer, bi, :, 0, off].set(vd[:, :, 0], mode="drop"),
+            return self._replace_layer(
+                layer,
+                kql.at[bi, :, off].set(kq[:, :, 0], mode="drop"),
+                kdl.at[bi, :, 0, off].set(kd[:, :, 0], mode="drop"),
+                vql.at[bi, :, off].set(vq[:, :, 0], mode="drop"),
+                vdl.at[bi, :, 0, off].set(vd[:, :, 0], mode="drop"),
             )
         zero = jnp.zeros((), jnp.int32)
-        start = (zero + layer, zero, zero, off, zero)
-        dstart = (zero + layer, zero, zero, zero, off)
-        return QuantKVCache(
-            jax.lax.dynamic_update_slice(self.k_qs, kq[None], start),
-            jax.lax.dynamic_update_slice(self.k_d, kd[:, :, None][None], dstart),
-            jax.lax.dynamic_update_slice(self.v_qs, vq[None], start),
-            jax.lax.dynamic_update_slice(self.v_d, vd[:, :, None][None], dstart),
+        start = (zero, zero, off, zero)
+        dstart = (zero, zero, zero, off)
+        return self._replace_layer(
+            layer,
+            jax.lax.dynamic_update_slice(kql, kq, start),
+            jax.lax.dynamic_update_slice(kdl, kd[:, :, None], dstart),
+            jax.lax.dynamic_update_slice(vql, vq, start),
+            jax.lax.dynamic_update_slice(vdl, vd[:, :, None], dstart),
         )
 
     def write_packed(self, layer: int, k_new: jax.Array, v_new: jax.Array,
@@ -181,11 +234,12 @@ class QuantKVCache:
         """Packed-ubatch scatter (see KVCache.write_packed), quantizing rows."""
         kq, kd = _q8_quant(k_new)  # [P, Hkv, D], [P, Hkv]
         vq, vd = _q8_quant(v_new)
-        return QuantKVCache(
-            self.k_qs.at[layer, slot_ids, :, rows].set(kq, mode="drop"),
-            self.k_d.at[layer, slot_ids, :, 0, rows].set(kd, mode="drop"),
-            self.v_qs.at[layer, slot_ids, :, rows].set(vq, mode="drop"),
-            self.v_d.at[layer, slot_ids, :, 0, rows].set(vd, mode="drop"),
+        return self._replace_layer(
+            layer,
+            self.k_qs[layer].at[slot_ids, :, rows].set(kq, mode="drop"),
+            self.k_d[layer].at[slot_ids, :, 0, rows].set(kd, mode="drop"),
+            self.v_qs[layer].at[slot_ids, :, rows].set(vq, mode="drop"),
+            self.v_d[layer].at[slot_ids, :, 0, rows].set(vd, mode="drop"),
         )
 
     def layer(self, i: int) -> tuple[jax.Array, jax.Array]:
@@ -204,15 +258,16 @@ class QuantKVCache:
     def slot_view(self, slot) -> "QuantKVCache":
         sl = jnp.asarray(slot, jnp.int32)
         return QuantKVCache(
-            *(jax.lax.dynamic_slice_in_dim(a, sl, 1, axis=1)
-              for a in (self.k_qs, self.k_d, self.v_qs, self.v_d))
+            *(tuple(jax.lax.dynamic_slice_in_dim(a, sl, 1, axis=0) for a in field)
+              for field in (self.k_qs, self.k_d, self.v_qs, self.v_d))
         )
 
     def merge_slot(self, sub: "QuantKVCache", slot) -> "QuantKVCache":
         sl = jnp.asarray(slot, jnp.int32)
         return QuantKVCache(
-            *(jax.lax.dynamic_update_slice_in_dim(a, s, sl, axis=1)
-              for a, s in zip(
+            *(tuple(jax.lax.dynamic_update_slice_in_dim(a, s, sl, axis=0)
+                    for a, s in zip(field, sfield))
+              for field, sfield in zip(
                   (self.k_qs, self.k_d, self.v_qs, self.v_d),
                   (sub.k_qs, sub.k_d, sub.v_qs, sub.v_d)))
         )

@@ -1,7 +1,10 @@
 """Paged KV cache with shared-prefix page aliasing.
 
 The BASELINE north-star's "llama_kv_cache paged KV-cache" TPU-natively:
-K/V live in fixed page pools `[L, P, Hkv, page_size, D]`; each sequence owns
+K/V live in fixed per-layer page pools `[P, Hkv, page_size, D]` (a tuple of
+L buffers — like runtime/kv_cache.py, each layer owns its buffer so the
+paged flash kernel's pool operand needs no per-layer slice copy and the
+per-step scatter updates alias in place under donation); each sequence owns
 a block table of page ids. Shared prompt prefixes alias the same pages
 (reference llama_kv_self_seq_cp's cell sharing, src/llama-kv-cache.h:46-65
 seq_id sets) with host-side refcounts and copy-on-write for the first
@@ -16,21 +19,35 @@ prefetch); the XLA fallback gathers pages into a dense view.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _copy_page_jit(cache, src, dst):
+    """One dispatch copying page src → dst in every per-layer pool buffer
+    (COW is on the serving hot path; 2L host launches would swamp it)."""
+
+    def cp(a):
+        row = jax.lax.dynamic_slice_in_dim(a, src, 1, axis=0)
+        return jax.lax.dynamic_update_slice_in_dim(a, row, dst, axis=0)
+
+    pools, tables = cache
+    return jax.tree.map(cp, pools), tables
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class PagedKVCache:
-    k: jax.Array  # [L, P, Hkv, ps, D] — page pool ("P" includes no sentinel)
-    v: jax.Array
+    k: tuple  # L × [P, Hkv, ps, D] — page pools ("P" includes no sentinel)
+    v: tuple
     tables: jax.Array  # [B, max_blocks] int32 page ids (P = unmapped)
 
     def tree_flatten(self):
-        return (self.k, self.v, self.tables), None
+        return (tuple(self.k), tuple(self.v), self.tables), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -39,24 +56,36 @@ class PagedKVCache:
     @classmethod
     def create(cls, n_layers, n_pages, n_seqs, max_blocks, n_kv_heads,
                head_dim, page_size=128, dtype=jnp.bfloat16):
-        shape = (n_layers, n_pages, n_kv_heads, page_size, head_dim)
+        shape = (n_pages, n_kv_heads, page_size, head_dim)
         return cls(
-            jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+            tuple(jnp.zeros(shape, dtype) for _ in range(n_layers)),
+            tuple(jnp.zeros(shape, dtype) for _ in range(n_layers)),
             jnp.full((n_seqs, max_blocks), n_pages, jnp.int32),
         )
 
     @property
     def page_size(self) -> int:
-        return self.k.shape[3]
+        return self.k[0].shape[2]
 
     @property
     def n_pages(self) -> int:
-        return self.k.shape[1]
+        return self.k[0].shape[0]
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.k)
 
     @property
     def capacity(self) -> int:
         """Max per-sequence length (max_blocks × page_size)."""
         return self.tables.shape[1] * self.page_size
+
+    def _replace_layer(self, layer: int, k_l, v_l) -> "PagedKVCache":
+        k = list(self.k)
+        v = list(self.v)
+        k[layer] = k_l
+        v[layer] = v_l
+        return PagedKVCache(tuple(k), tuple(v), self.tables)
 
     def write_packed(self, layer: int, k_new: jax.Array, v_new: jax.Array,
                      slot_ids: jax.Array, rows: jax.Array) -> "PagedKVCache":
@@ -68,11 +97,12 @@ class PagedKVCache:
         pages = self.tables[slot_ids, blk]  # [Ptok]
         pages = jnp.where(rows < self.capacity, pages, self.n_pages)
         rin = rows % ps
-        k = self.k.at[layer, pages, :, rin].set(
-            k_new.astype(self.k.dtype), mode="drop")
-        v = self.v.at[layer, pages, :, rin].set(
-            v_new.astype(self.v.dtype), mode="drop")
-        return PagedKVCache(k, v, self.tables)
+        kl, vl = self.k[layer], self.v[layer]
+        return self._replace_layer(
+            layer,
+            kl.at[pages, :, rin].set(k_new.astype(kl.dtype), mode="drop"),
+            vl.at[pages, :, rin].set(v_new.astype(vl.dtype), mode="drop"),
+        )
 
     def write(self, layer: int, k_new: jax.Array, v_new: jax.Array,
               offset) -> "PagedKVCache":
@@ -106,11 +136,14 @@ class PagedKVCache:
         """One sequence's dense KV [L, 1, Hkv, S, D] (for sequence surgery —
         context shift gathers, edits, then scatter_seq writes back)."""
         safe = jnp.minimum(self.tables[seq], self.n_pages - 1)
-        kg = self.k[:, safe]  # [L, blocks, Hkv, ps, D]
-        vg = self.v[:, safe]
-        l, nb, hkv, ps, d = kg.shape
-        return (kg.transpose(0, 2, 1, 3, 4).reshape(l, 1, hkv, nb * ps, d),
-                vg.transpose(0, 2, 1, 3, 4).reshape(l, 1, hkv, nb * ps, d))
+
+        def one(pool):
+            g = pool[safe]  # [blocks, Hkv, ps, D]
+            nb, hkv, ps, d = g.shape
+            return g.transpose(1, 0, 2, 3).reshape(1, hkv, nb * ps, d)
+
+        return (jnp.stack([one(kl) for kl in self.k]),
+                jnp.stack([one(vl) for vl in self.v]))
 
     def scatter_seq(self, seq: int, k: jax.Array, v: jax.Array) -> "PagedKVCache":
         """Write a dense [L, 1, Hkv, S, D] view back into the sequence's
@@ -119,21 +152,19 @@ class PagedKVCache:
         ps = self.page_size
         nb = s // ps
         pages = jnp.minimum(self.tables[seq, :nb], self.n_pages - 1)
-        kp = k.reshape(l, hkv, nb, ps, d).transpose(0, 2, 1, 3, 4)
-        vp = v.reshape(l, hkv, nb, ps, d).transpose(0, 2, 1, 3, 4)
-        return PagedKVCache(
-            self.k.at[:, pages].set(kp.astype(self.k.dtype)),
-            self.v.at[:, pages].set(vp.astype(self.v.dtype)),
-            self.tables,
-        )
+        ks, vs = [], []
+        for i in range(l):
+            kp = k[i, 0].reshape(hkv, nb, ps, d).transpose(1, 0, 2, 3)
+            vp = v[i, 0].reshape(hkv, nb, ps, d).transpose(1, 0, 2, 3)
+            ks.append(self.k[i].at[pages].set(kp.astype(self.k[i].dtype)))
+            vs.append(self.v[i].at[pages].set(vp.astype(self.v[i].dtype)))
+        return PagedKVCache(tuple(ks), tuple(vs), self.tables)
 
     def copy_page(self, src: int, dst: int) -> "PagedKVCache":
         """Copy-on-write support: duplicate one page's payload."""
-        return PagedKVCache(
-            self.k.at[:, dst].set(self.k[:, src]),
-            self.v.at[:, dst].set(self.v[:, src]),
-            self.tables,
-        )
+        (k, v), tables = _copy_page_jit(
+            ((self.k, self.v), self.tables), jnp.int32(src), jnp.int32(dst))
+        return PagedKVCache(k, v, tables)
 
     def set_table_row(self, seq: int, row: np.ndarray) -> "PagedKVCache":
         return PagedKVCache(
@@ -147,16 +178,18 @@ class PagedKVCache:
 class PagedQuantKVCache:
     """Q8_0-quantized paged cache — pages of int8 rows with per-row scales
     (same relayout as QuantKVCache: scales lane-oriented [..., 1, ps] so the
-    paged q8 flash kernel folds dequant into score/prob scaling)."""
+    paged q8 flash kernel folds dequant into score/prob scaling). Per-layer
+    pool tuples like PagedKVCache."""
 
-    k_qs: jax.Array  # [L, P, Hkv, ps, D] int8
-    k_d: jax.Array  # [L, P, Hkv, 1, ps] f32
-    v_qs: jax.Array
-    v_d: jax.Array
+    k_qs: tuple  # L × [P, Hkv, ps, D] int8
+    k_d: tuple  # L × [P, Hkv, 1, ps] f32
+    v_qs: tuple
+    v_d: tuple
     tables: jax.Array  # [B, max_blocks] int32
 
     def tree_flatten(self):
-        return (self.k_qs, self.k_d, self.v_qs, self.v_d, self.tables), None
+        return (tuple(self.k_qs), tuple(self.k_d),
+                tuple(self.v_qs), tuple(self.v_d), self.tables), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -165,25 +198,37 @@ class PagedQuantKVCache:
     @classmethod
     def create(cls, n_layers, n_pages, n_seqs, max_blocks, n_kv_heads,
                head_dim, page_size=128, dtype=None):
-        shape = (n_layers, n_pages, n_kv_heads, page_size, head_dim)
-        dshape = (n_layers, n_pages, n_kv_heads, 1, page_size)
+        shape = (n_pages, n_kv_heads, page_size, head_dim)
+        dshape = (n_pages, n_kv_heads, 1, page_size)
         return cls(
-            jnp.zeros(shape, jnp.int8), jnp.zeros(dshape, jnp.float32),
-            jnp.zeros(shape, jnp.int8), jnp.zeros(dshape, jnp.float32),
+            tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layers)),
+            tuple(jnp.zeros(dshape, jnp.float32) for _ in range(n_layers)),
+            tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layers)),
+            tuple(jnp.zeros(dshape, jnp.float32) for _ in range(n_layers)),
             jnp.full((n_seqs, max_blocks), n_pages, jnp.int32),
         )
 
     @property
     def page_size(self) -> int:
-        return self.k_qs.shape[3]
+        return self.k_qs[0].shape[2]
 
     @property
     def n_pages(self) -> int:
-        return self.k_qs.shape[1]
+        return self.k_qs[0].shape[0]
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.k_qs)
 
     @property
     def capacity(self) -> int:
         return self.tables.shape[1] * self.page_size
+
+    def _replace_layer(self, layer: int, kq, kd, vq, vd) -> "PagedQuantKVCache":
+        arrays = [list(self.k_qs), list(self.k_d), list(self.v_qs), list(self.v_d)]
+        for lst, a in zip(arrays, (kq, kd, vq, vd)):
+            lst[layer] = a
+        return PagedQuantKVCache(*(tuple(lst) for lst in arrays), self.tables)
 
     def write_packed(self, layer: int, k_new, v_new, slot_ids, rows):
         from .kv_cache import _q8_quant
@@ -195,12 +240,12 @@ class PagedQuantKVCache:
         rin = rows % ps
         kq, kd = _q8_quant(k_new)  # [Ptok, Hkv, D], [Ptok, Hkv]
         vq, vd = _q8_quant(v_new)
-        return PagedQuantKVCache(
-            self.k_qs.at[layer, pages, :, rin].set(kq, mode="drop"),
-            self.k_d.at[layer, pages, :, 0, rin].set(kd, mode="drop"),
-            self.v_qs.at[layer, pages, :, rin].set(vq, mode="drop"),
-            self.v_d.at[layer, pages, :, 0, rin].set(vd, mode="drop"),
-            self.tables,
+        return self._replace_layer(
+            layer,
+            self.k_qs[layer].at[pages, :, rin].set(kq, mode="drop"),
+            self.k_d[layer].at[pages, :, 0, rin].set(kd, mode="drop"),
+            self.v_qs[layer].at[pages, :, rin].set(vq, mode="drop"),
+            self.v_d[layer].at[pages, :, 0, rin].set(vd, mode="drop"),
         )
 
     def write(self, layer: int, k_new, v_new, offset):
@@ -240,15 +285,16 @@ class PagedQuantKVCache:
         from .kv_cache import _q8_dequant
 
         safe = jnp.minimum(self.tables[seq], self.n_pages - 1)
-        kq = self.k_qs[:, safe]
-        kd = self.k_d[:, safe][:, :, :, 0, :]
-        vq = self.v_qs[:, safe]
-        vd = self.v_d[:, safe][:, :, :, 0, :]
-        l, nb, hkv, ps, d = kq.shape
-        k = _q8_dequant(kq, kd, jnp.bfloat16).transpose(0, 2, 1, 3, 4)
-        v = _q8_dequant(vq, vd, jnp.bfloat16).transpose(0, 2, 1, 3, 4)
-        return (k.reshape(l, 1, hkv, nb * ps, d),
-                v.reshape(l, 1, hkv, nb * ps, d))
+
+        def one(qpool, dpool):
+            q = qpool[safe]  # [blocks, Hkv, ps, D]
+            d_ = dpool[safe][:, :, 0, :]  # [blocks, Hkv, ps]
+            nb, hkv, ps, d = q.shape
+            out = _q8_dequant(q, d_, jnp.bfloat16).transpose(1, 0, 2, 3)
+            return out.reshape(1, hkv, nb * ps, d)
+
+        return (jnp.stack([one(q, s) for q, s in zip(self.k_qs, self.k_d)]),
+                jnp.stack([one(q, s) for q, s in zip(self.v_qs, self.v_d)]))
 
     def scatter_seq(self, seq: int, k, v):
         from .kv_cache import _q8_quant
@@ -257,28 +303,27 @@ class PagedQuantKVCache:
         ps = self.page_size
         nb = s // ps
         pages = jnp.minimum(self.tables[seq, :nb], self.n_pages - 1)
-        kq, kd = _q8_quant(k[:, 0])  # [L, Hkv, S, D] → int8 + [L, Hkv, S]
-        vq, vd = _q8_quant(v[:, 0])
-        kqp = kq.reshape(l, hkv, nb, ps, d).transpose(0, 2, 1, 3, 4)
-        kdp = kd.reshape(l, hkv, nb, ps).transpose(0, 2, 1, 3)[:, :, :, None, :]
-        vqp = vq.reshape(l, hkv, nb, ps, d).transpose(0, 2, 1, 3, 4)
-        vdp = vd.reshape(l, hkv, nb, ps).transpose(0, 2, 1, 3)[:, :, :, None, :]
-        return PagedQuantKVCache(
-            self.k_qs.at[:, pages].set(kqp),
-            self.k_d.at[:, pages].set(kdp),
-            self.v_qs.at[:, pages].set(vqp),
-            self.v_d.at[:, pages].set(vdp),
-            self.tables,
-        )
+        kqs, kds, vqs, vds = (list(self.k_qs), list(self.k_d),
+                              list(self.v_qs), list(self.v_d))
+        for i in range(l):
+            kq, kd = _q8_quant(k[i, 0])  # [Hkv, S, D] → int8 + [Hkv, S]
+            vq, vd = _q8_quant(v[i, 0])
+            kqp = kq.reshape(hkv, nb, ps, d).transpose(1, 0, 2, 3)
+            kdp = kd.reshape(hkv, nb, ps).transpose(1, 0, 2)[:, :, None, :]
+            vqp = vq.reshape(hkv, nb, ps, d).transpose(1, 0, 2, 3)
+            vdp = vd.reshape(hkv, nb, ps).transpose(1, 0, 2)[:, :, None, :]
+            kqs[i] = kqs[i].at[pages].set(kqp)
+            kds[i] = kds[i].at[pages].set(kdp)
+            vqs[i] = vqs[i].at[pages].set(vqp)
+            vds[i] = vds[i].at[pages].set(vdp)
+        return PagedQuantKVCache(tuple(kqs), tuple(kds), tuple(vqs),
+                                 tuple(vds), self.tables)
 
     def copy_page(self, src: int, dst: int):
-        return PagedQuantKVCache(
-            self.k_qs.at[:, dst].set(self.k_qs[:, src]),
-            self.k_d.at[:, dst].set(self.k_d[:, src]),
-            self.v_qs.at[:, dst].set(self.v_qs[:, src]),
-            self.v_d.at[:, dst].set(self.v_d[:, src]),
-            self.tables,
-        )
+        pools = (self.k_qs, self.k_d, self.v_qs, self.v_d)
+        pools, tables = _copy_page_jit(
+            (pools, self.tables), jnp.int32(src), jnp.int32(dst))
+        return PagedQuantKVCache(*pools, tables)
 
     def set_table_row(self, seq: int, row: np.ndarray):
         return PagedQuantKVCache(

@@ -58,10 +58,10 @@ def _from_storable(a: np.ndarray, dtype_name: str):
 def save_state(ctx, path: str, tokens: list[int]) -> None:
     """Save a LlamaContext's session (tokens + populated KV rows)."""
     n = ctx.n_past
-    k = _to_storable(np.asarray(ctx.cache.k[:, :, :, :n]))
-    v = _to_storable(np.asarray(ctx.cache.v[:, :, :, :n]))
+    k = _to_storable(np.stack([np.asarray(kl[:, :, :n]) for kl in ctx.cache.k]))
+    v = _to_storable(np.stack([np.asarray(vl[:, :, :n]) for vl in ctx.cache.v]))
     np.savez_compressed(
-        open(path, "wb"), meta=_meta(ctx.cfg, n, tokens, ctx.cache.k.dtype.name), k=k, v=v
+        open(path, "wb"), meta=_meta(ctx.cfg, n, tokens, ctx.cache.dtype.name), k=k, v=v
     )
 
 
@@ -81,7 +81,8 @@ def load_state(ctx, path: str) -> list[int]:
     k = jnp.asarray(_from_storable(data["k"], meta["dtype"]))
     v = jnp.asarray(_from_storable(data["v"], meta["dtype"]))
     ctx.cache = type(ctx.cache)(
-        ctx.cache.k.at[:, :, :, :n].set(k), ctx.cache.v.at[:, :, :, :n].set(v)
+        tuple(kl.at[:, :, :n].set(k[i]) for i, kl in enumerate(ctx.cache.k)),
+        tuple(vl.at[:, :, :n].set(v[i]) for i, vl in enumerate(ctx.cache.v)),
     )
     ctx.n_past = n
     return [int(t) for t in meta["tokens"]]
@@ -98,8 +99,10 @@ def _slot_kv_dense(engine, slot_idx: int, n: int):
         k, v = cache.gather_seq(slot_idx)
         return k[:, :, :, :n], v[:, :, :, :n]
     if hasattr(cache, "k"):  # contiguous dense
-        return (cache.k[:, slot_idx: slot_idx + 1, :, :n],
-                cache.v[:, slot_idx: slot_idx + 1, :, :n])
+        return (
+            jnp.stack([kl[slot_idx: slot_idx + 1, :, :n] for kl in cache.k]),
+            jnp.stack([vl[slot_idx: slot_idx + 1, :, :n] for vl in cache.v]),
+        )
     # quantized contiguous: dequantize layer views
     n_layers = engine.cfg.n_layers
     ks, vs = [], []
@@ -146,11 +149,12 @@ def load_slot(engine, slot_idx: int, path: str) -> list[int]:
             v = jnp.pad(v, padding)
         engine.cache = cache.scatter_seq(slot_idx, k, v)
     elif hasattr(cache, "k"):
+        dt = cache.dtype
         engine.cache = type(cache)(
-            cache.k.at[:, slot_idx: slot_idx + 1, :, :n].set(
-                k.astype(cache.k.dtype)),
-            cache.v.at[:, slot_idx: slot_idx + 1, :, :n].set(
-                v.astype(cache.v.dtype)),
+            tuple(kl.at[slot_idx: slot_idx + 1, :, :n].set(k[i].astype(dt))
+                  for i, kl in enumerate(cache.k)),
+            tuple(vl.at[slot_idx: slot_idx + 1, :, :n].set(v[i].astype(dt))
+                  for i, vl in enumerate(cache.v)),
         )
     else:  # quantized contiguous: re-quantize rows through the write path
         sub = cache.slot_view(jnp.int32(slot_idx))

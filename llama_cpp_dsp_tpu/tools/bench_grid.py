@@ -150,6 +150,38 @@ def _markdown(rows: list[dict]) -> str:
     return "\n".join(out)
 
 
+def _csv(rows: list[dict]) -> str:
+    if not rows:
+        return ""
+    import csv as _csvmod
+    import io
+
+    buf = io.StringIO()
+    w = _csvmod.DictWriter(buf, fieldnames=list(rows[0]))
+    w.writeheader()
+    w.writerows(rows)
+    return buf.getvalue().rstrip("\n")
+
+
+def _sql(rows: list[dict]) -> str:
+    """INSERT statements (reference llama-bench -o sql; consumed by
+    scripts/compare-llama-bench.py upstream — ours also reads the json)."""
+    if not rows:
+        return ""
+    cols = list(rows[0])
+
+    def q(c):
+        return c.replace(" ", "_").replace("/", "_per_")
+
+    out = ["CREATE TABLE IF NOT EXISTS test ("
+           + ", ".join(f"{q(c)} TEXT" for c in cols) + ");"]
+    for r in rows:
+        vals = ", ".join(f"'{r[c]}'" for c in cols)
+        out.append(f"INSERT INTO test ({', '.join(q(c) for c in cols)}) "
+                   f"VALUES ({vals});")
+    return "\n".join(out)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="llama-bench", description=__doc__)
     ap.add_argument("-m", "--model")
@@ -160,7 +192,8 @@ def main(argv=None) -> int:
     ap.add_argument("-npl", "--npl", default="1", help="batch sizes (batched mode)")
     ap.add_argument("-r", "--reps", type=int, default=3)
     ap.add_argument("--batched", action="store_true")
-    ap.add_argument("-o", "--output", default="md", choices=["md", "json"])
+    ap.add_argument("-o", "--output", default="md",
+                    choices=["md", "json", "csv", "sql"])
     from ..utils.args import parse_with_env
 
     args = parse_with_env(ap, argv)
@@ -176,6 +209,10 @@ def main(argv=None) -> int:
     rows = run_batched(args) if args.batched else run_grid(args)
     if args.output == "json":
         print(json.dumps(rows, indent=2))
+    elif args.output == "csv":
+        print(_csv(rows))
+    elif args.output == "sql":
+        print(_sql(rows))
     else:
         print(_markdown(rows))
     return 0

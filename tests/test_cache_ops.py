@@ -114,5 +114,6 @@ def test_copy_slot():
     k = jnp.ones((3, 2, 2, 32)) * jnp.arange(1, 4).reshape(3, 1, 1, 1)
     cache = cache.write(0, k, k, 0)
     cache = copy_slot(cache, 0, 2)
-    np.testing.assert_array_equal(np.asarray(cache.k[:, 2]), np.asarray(cache.k[:, 0]))
-    assert np.asarray(cache.k[0, 1, 0, 0, 0]) == 2.0
+    for kl in cache.k:
+        np.testing.assert_array_equal(np.asarray(kl[2]), np.asarray(kl[0]))
+    assert np.asarray(cache.k[0][1, 0, 0, 0]) == 2.0

@@ -359,8 +359,8 @@ def test_idle_slot_rows_survive_decode(tmp_path):
     eng.generate_sync([3, 5, 7, 9, 11], max_new_tokens=3,
                       sampler=SamplerChain([Greedy()]))
     s0 = next(s for s in eng.slots if s.cache_tokens)
-    k_before = np.asarray(eng.cache.k[0, s0.idx, :, 0]).copy()
+    k_before = np.asarray(eng.cache.k[0][s0.idx, :, 0]).copy()
     eng.generate_sync([4, 6, 8], max_new_tokens=4,
                       sampler=SamplerChain([Greedy()]))
     np.testing.assert_array_equal(
-        k_before, np.asarray(eng.cache.k[0, s0.idx, :, 0]))
+        k_before, np.asarray(eng.cache.k[0][s0.idx, :, 0]))

@@ -44,7 +44,8 @@ def test_packed_matches_sequential(kv_dtype):
     cache = make_kv_cache(cfg.n_layers, N_SLOTS, N_CTX, cfg.kv_cache_heads,
                           cfg.kv_cache_dim, kv_dtype)
     if kv_dtype == "f32" and isinstance(cache, KVCache):
-        cache = KVCache(cache.k.astype(jnp.float32), cache.v.astype(jnp.float32))
+        cache = KVCache(tuple(a.astype(jnp.float32) for a in cache.k),
+                        tuple(a.astype(jnp.float32) for a in cache.v))
     rng = np.random.default_rng(0)
     hist0 = list(rng.integers(1, cfg.n_vocab, 5))
     hist1 = list(rng.integers(1, cfg.n_vocab, 3))
@@ -98,9 +99,11 @@ def test_packed_matches_sequential(kv_dtype):
 
     # cache payloads must match the sequential path (written rows only)
     if isinstance(new_cache, QuantKVCache):
-        got_k, want_k = np.asarray(new_cache.k_qs), np.asarray(ref_cache.k_qs)
+        got_k = np.stack([np.asarray(a) for a in new_cache.k_qs])
+        want_k = np.stack([np.asarray(a) for a in ref_cache.k_qs])
     else:
-        got_k, want_k = np.asarray(new_cache.k), np.asarray(ref_cache.k)
+        got_k = np.stack([np.asarray(a) for a in new_cache.k])
+        want_k = np.stack([np.asarray(a) for a in ref_cache.k])
     for slot, n in ((0, len(hist0) + 1), (1, len(hist1) + 1), (2, len(prompt2))):
         np.testing.assert_allclose(
             got_k[:, slot, :, :n], want_k[:, slot, :, :n], rtol=2e-2, atol=2e-2,
