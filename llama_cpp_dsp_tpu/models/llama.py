@@ -563,6 +563,49 @@ def _cached_attention(
             tap(f"blk.{layer_idx}.attn_output.weight", attn)
         return _mm(attn, layer, "attn_output", compute_dtype), cache
 
+    if (
+        flash
+        and t > 1
+        and not cfg.n_kv_heads_l
+        and cache is not None
+        and cfg.pos_embd_type != "alibi"
+        and h % hkv == 0
+        and d % 128 == 0
+        and cache.capacity % 128 == 0
+        and jnp.asarray(n_past).ndim == 0  # prefill is single-offset
+    ):
+        from ..runtime.kv_cache import KVCache as _DenseKV
+
+        import os as _os
+
+        # opt-in until validated on the real chip (LLAMA_TPU_FLASH_PREFILL=1;
+        # interpret-mode parity is covered by tests/test_flash_attention.py)
+        if (isinstance(cache, _DenseKV)
+                and _os.environ.get("LLAMA_TPU_FLASH_PREFILL") == "1"):
+            from ..ops.pallas.attention import flash_prefill
+
+            # prefill rows are contiguous from n_past (context.eval_tokens*
+            # pads the tail; padded queries attend ≤ their row and are
+            # discarded by the caller) — reference fattn prefill tile path
+            swa_w = attn_ck = 0
+            if cfg.is_swa_layer(layer_idx):
+                if cfg.attn_chunk:
+                    attn_ck = cfg.attn_chunk
+                else:
+                    swa_w = cfg.swa_window
+            np_vec = jnp.full((b,), jnp.asarray(n_past, jnp.int32))
+            attn = flash_prefill(
+                q, *cache.layer(layer_idx), np_vec,
+                scale=float(scale0), softcap=float(cfg.attn_logit_softcap),
+                swa_window=int(swa_w), attn_chunk=int(attn_ck),
+            )
+            attn = attn.reshape(b, t, h * d).astype(compute_dtype)
+            if cfg.sub_norms:
+                attn = norm(attn, layer, "attn_sub_norm", cfg)
+            if tap is not None:
+                tap(f"blk.{layer_idx}.attn_output.weight", attn)
+            return _mm(attn, layer, "attn_output", compute_dtype), cache
+
     if cache is not None:
         k_all, v_all = cache.layer(layer_idx)  # [B,Hkv,S,D]
         if hkv < cache_heads:

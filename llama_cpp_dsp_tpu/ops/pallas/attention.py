@@ -28,6 +28,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+def _resolve_interpret(interpret):
+    """None → interpret on non-TPU platforms (CPU tests drive the same
+    model-integrated kernel path the TPU runs compiled)."""
+    if interpret is None:
+        return jax.devices()[0].platform != "tpu"
+    return interpret
+
+
 def _decode_kernel(
     start_ref,  # SMEM [B] int32: first valid kv index (SWA start)
     len_ref,  # SMEM [B] int32: one past last valid kv index
@@ -130,7 +138,7 @@ def flash_decode(
     scale: float,
     chunk: int = 512,
     softcap: float = 0.0,
-    interpret: bool = False,
+    interpret: bool | None = None,
     layer: int | None = None,  # static index into a stacked [L, ...] cache
 ) -> jax.Array:
     """Returns [B, H, D] f32 attention output."""
@@ -165,7 +173,7 @@ def flash_decode(
                           softcap=softcap, layer=layer),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(starts.astype(jnp.int32), lengths.astype(jnp.int32), qg, k, v)
     return out.reshape(bsz, hq, d)
 
@@ -281,7 +289,7 @@ def flash_decode_q8(
     scale: float,
     chunk: int = 512,
     softcap: float = 0.0,
-    interpret: bool = False,
+    interpret: bool | None = None,
     layer: int | None = None,
 ) -> jax.Array:
     bsz, hq, d = q.shape
@@ -321,7 +329,7 @@ def flash_decode_q8(
                           softcap=softcap, layer=layer),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(starts.astype(jnp.int32), lengths.astype(jnp.int32), qg, k_qs, k_d, v_qs, v_d)
     return out.reshape(bsz, hq, d)
 
@@ -432,7 +440,7 @@ def flash_decode_paged(
     *,
     scale: float,
     softcap: float = 0.0,
-    interpret: bool = False,
+    interpret: bool | None = None,
     layer: int | None = None,
 ) -> jax.Array:
     """Returns [B, H, D] f32 attention over paged KV."""
@@ -467,7 +475,7 @@ def flash_decode_paged(
                           softcap=softcap, layer=layer),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(tables.astype(jnp.int32), lengths.astype(jnp.int32),
       starts.astype(jnp.int32), qg, k_pages, v_pages)
     return out.reshape(bsz, hq, d)
@@ -570,7 +578,7 @@ def flash_decode_paged_q8(
     *,
     scale: float,
     softcap: float = 0.0,
-    interpret: bool = False,
+    interpret: bool | None = None,
     layer: int | None = None,
 ) -> jax.Array:
     """Paged + Q8-quantized decode attention: page pools stay int8 in HBM,
@@ -609,7 +617,182 @@ def flash_decode_paged_q8(
                           softcap=softcap, layer=layer),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(tables.astype(jnp.int32), lengths.astype(jnp.int32),
       starts.astype(jnp.int32), qg, k_qs, k_d, v_qs, v_d)
     return out.reshape(bsz, hq, d)
+
+
+# ---------------------------------------------------------------------------
+# Prefill (T > 1) flash attention — the reference's full FlashAttention
+# prefill path (ggml-cuda/fattn-mma-f16.cuh tile kernels). TPU-native form:
+# grid (B, Hkv, q-tiles); each program owns one (slot, kv-head, TQ-row query
+# tile) and its GQA group packed as a [TQ*rep, D] MXU operand. K/V chunks
+# stream HBM→VMEM double-buffered; HBM traffic stops at the tile's causal
+# limit, so chunked long-context prefill reads each written row once instead
+# of the cache capacity (the jnp fallback computes the full [T, S] mask).
+# ---------------------------------------------------------------------------
+
+
+def _prefill_kernel(
+    start_ref,  # SMEM [B] int32: query-0 absolute position (= n_past)
+    q_ref,  # VMEM [1, 1, TQ, rep, D]
+    k_hbm,  # ANY [B, Hkv, S, D]
+    v_hbm,  # ANY
+    o_ref,  # VMEM [1, 1, TQ, rep, D] f32
+    k_buf,  # VMEM [2, CHUNK, D]
+    v_buf,
+    sem,
+    *,
+    scale: float,
+    chunk: int,
+    tq: int,
+    softcap: float,
+    swa_window: int,
+    attn_chunk: int,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    ti = pl.program_id(2)
+    n_past = start_ref[b]
+    q0 = n_past + ti * tq  # absolute position of the tile's first query row
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # [TQ, rep, D]
+    tq_, rep, d = q.shape
+    qf = q.reshape(tq_ * rep, d)  # row r ↔ query i = r // rep
+    # rows beyond the last valid query are padding; their outputs are
+    # discarded by the caller (they still attend [0, length) — no NaNs)
+    row_pos = q0 + jax.lax.broadcasted_iota(jnp.int32, (tq_ * rep, 1), 0) // rep
+
+    limit = q0 + tq_  # causal bound for the whole tile (last row's pos + 1)
+    first = jnp.int32(0)
+    if swa_window:
+        first = jnp.maximum(q0 - swa_window + 1, 0) // chunk
+    elif attn_chunk:
+        first = (q0 // attn_chunk) * attn_chunk // chunk
+    n_chunks = pl.cdiv(limit, chunk)
+
+    def k_dma(slot, ci):
+        return pltpu.make_async_copy(
+            k_hbm.at[b, h, pl.ds(ci * chunk, chunk), :],
+            k_buf.at[slot], sem.at[slot, 0])
+
+    def v_dma(slot, ci):
+        return pltpu.make_async_copy(
+            v_hbm.at[b, h, pl.ds(ci * chunk, chunk), :],
+            v_buf.at[slot], sem.at[slot, 1])
+
+    @pl.when(first < n_chunks)
+    def _():
+        k_dma(first % 2, first).start()
+        v_dma(first % 2, first).start()
+
+    def body(ci, carry):
+        m, l, acc = carry  # [R,1], [R,1], [R,D] f32 (R = TQ*rep)
+        slot = ci % 2
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            k_dma((ci + 1) % 2, ci + 1).start()
+            v_dma((ci + 1) % 2, ci + 1).start()
+
+        k_dma(slot, ci).wait()
+        v_dma(slot, ci).wait()
+
+        kc = k_buf[slot].astype(jnp.float32)
+        vc = v_buf[slot].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qf, kc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [R, CHUNK]
+        if softcap:
+            s = jnp.tanh(s / softcap) * softcap
+        col = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        ok = col <= row_pos  # causal (cache rows beyond n_past+T unwritten)
+        if swa_window:
+            ok &= col > row_pos - swa_window
+        elif attn_chunk:
+            ok &= col >= (row_pos // attn_chunk) * attn_chunk
+        s = jnp.where(ok, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, vc, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return m_new, l, acc
+
+    r = tq_ * rep
+    m0 = jnp.full((r, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((r, 1), jnp.float32)
+    acc0 = jnp.zeros((r, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(first, n_chunks, body, (m0, l0, acc0))
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(tq_, rep, d)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "chunk", "tile_q", "softcap", "swa_window",
+                     "attn_chunk", "interpret"),
+)
+def flash_prefill(
+    q: jax.Array,  # [B, T, H, D] roped queries
+    k: jax.Array,  # [B, Hkv, S, D] cache (rows [0, n_past+T) written)
+    v: jax.Array,
+    n_past: jax.Array,  # [B] int32 — first query's absolute position
+    *,
+    scale: float,
+    chunk: int = 512,
+    tile_q: int = 0,
+    softcap: float = 0.0,
+    swa_window: int = 0,
+    attn_chunk: int = 0,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Returns [B, T, H, D] f32. Queries at absolute positions
+    n_past[b] + t attend causally to cache rows [start, pos]."""
+    bsz, t, hq, d = q.shape
+    hkv, s = k.shape[1], k.shape[2]
+    rep = hq // hkv
+    chunk = min(chunk, s)
+    while s % chunk:
+        chunk //= 2
+    assert chunk >= 8, (s, chunk)
+    if tile_q == 0:  # auto: ~1024 packed rows per tile keeps VMEM ≤ ~8 MB
+        tile_q = max(8, 1024 // rep)
+    tq = min(tile_q, t)
+    while t % tq:
+        tq -= 1  # largest divisor ≤ tile_q (T is bucket-padded upstream)
+
+    # [B, Hkv, T, rep, D]: tile queries along T with the GQA group adjacent
+    qg = q.reshape(bsz, t, hkv, rep, d).transpose(0, 2, 1, 3, 4)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, hkv, t // tq),
+        in_specs=[
+            pl.BlockSpec((1, 1, tq, rep, d), lambda b, h, i, *_: (b, h, i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tq, rep, d), lambda b, h, i, *_: (b, h, i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, d), k.dtype),
+            pltpu.VMEM((2, chunk, d), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _prefill_kernel, scale=scale, chunk=chunk, tq=tq,
+            softcap=softcap, swa_window=swa_window, attn_chunk=attn_chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, hkv, t, rep, d), jnp.float32),
+        interpret=_resolve_interpret(interpret),
+    )(n_past.astype(jnp.int32), qg, k, v)
+    return out.transpose(0, 2, 1, 3, 4).reshape(bsz, t, hq, d)

@@ -104,3 +104,115 @@ def test_flash_decode_stacked_layer_index():
             jnp.asarray(lengths), scale=scale, chunk=128, interpret=True,
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# flash_prefill (T > 1 tiles) vs the jnp reference
+# ---------------------------------------------------------------------------
+
+from llama_cpp_dsp_tpu.ops.pallas.attention import flash_prefill
+
+
+def _ref_prefill(q, k, v, n_past, scale, softcap=0.0, swa=0, attn_chunk=0):
+    """q [B,T,H,D]; queries at abs pos n_past+t attend rows [start, pos]."""
+    b, t, hq, d = q.shape
+    s = k.shape[2]
+    j = np.arange(s)
+    pos = n_past[:, None] + np.arange(t)[None, :]  # [B,T]
+    mask = j[None, None, :] <= pos[:, :, None]
+    if swa:
+        mask &= j[None, None, :] > pos[:, :, None] - swa
+    if attn_chunk:
+        mask &= j[None, None, :] >= (pos[:, :, None] // attn_chunk) * attn_chunk
+    out = attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                    jnp.asarray(mask), scale, logit_softcap=softcap)
+    return np.asarray(out).reshape(b, t, hq, d)
+
+
+@pytest.mark.parametrize("hq,hkv,d,t,s,np0", [
+    (8, 2, 64, 16, 256, 0),     # GQA, fresh prefill
+    (4, 4, 128, 24, 512, 100),  # MHA, chunked continuation (n_past > 0)
+    (8, 1, 32, 8, 128, 64),     # MQA
+])
+def test_flash_prefill_matches_ref(hq, hkv, d, t, s, np0):
+    rng = np.random.default_rng(3)
+    b = 2
+    q = rng.standard_normal((b, t, hq, d)).astype(np.float32)
+    k = np.zeros((b, hkv, s, d), np.float32)
+    v = np.zeros((b, hkv, s, d), np.float32)
+    # rows [0, n_past + t) are written; beyond is stale garbage the causal
+    # mask must never read
+    k[:, :, : np0 + t] = rng.standard_normal((b, hkv, np0 + t, d))
+    v[:, :, : np0 + t] = rng.standard_normal((b, hkv, np0 + t, d))
+    k[:, :, np0 + t:] = 1e30
+    v[:, :, np0 + t:] = 1e30
+    n_past = np.full(b, np0, np.int32)
+    scale = 1.0 / np.sqrt(d)
+    out = flash_prefill(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(n_past),
+        scale=scale, chunk=64, tile_q=8, interpret=True,
+    )
+    ref = _ref_prefill(q, np.where(np.abs(k) > 1e29, 0, k),
+                       np.where(np.abs(v) > 1e29, 0, v), n_past, scale)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_prefill_swa_softcap_chunked():
+    rng = np.random.default_rng(4)
+    b, hq, hkv, d, t, s = 1, 4, 2, 64, 32, 256
+    np0 = 40
+    q = rng.standard_normal((b, t, hq, d)).astype(np.float32)
+    k = rng.standard_normal((b, hkv, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, hkv, s, d)).astype(np.float32)
+    n_past = np.full(b, np0, np.int32)
+    # sliding window
+    out = flash_prefill(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        jnp.asarray(n_past), scale=0.125, chunk=32, tile_q=16,
+                        softcap=30.0, swa_window=24, interpret=True)
+    ref = _ref_prefill(q, k, v, n_past, 0.125, softcap=30.0, swa=24)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-5, atol=3e-5)
+    # llama4-style chunked attention
+    out = flash_prefill(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        jnp.asarray(n_past), scale=0.125, chunk=32, tile_q=16,
+                        attn_chunk=64, interpret=True)
+    ref = _ref_prefill(q, k, v, n_past, 0.125, attn_chunk=64)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-5, atol=3e-5)
+
+
+def test_flash_prefill_model_integration():
+    """forward(flash=True) prefill == forward(flash=False) on CPU (the
+    kernels auto-interpret off-TPU) — exercises the t>1 dispatch branch."""
+    import jax
+
+    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
+    from llama_cpp_dsp_tpu.models.llama import forward
+    from llama_cpp_dsp_tpu.runtime.kv_cache import KVCache, causal_mask
+    from llama_cpp_dsp_tpu.tools.synth import synth_params, tiny_config
+
+    cfg = tiny_config(n_heads=4, n_kv_heads=2, head_dim=128, n_embd=256,
+                      n_ff=256, n_vocab=256)  # gate: d % 128 == 0
+    params = jax.tree.map(jnp.asarray,
+                          synth_params(cfg, GGMLType.Q8_0, seed=5))
+
+    t, n_ctx = 8, 128
+    toks = jnp.asarray(np.arange(1, t + 1)[None], jnp.int32)
+    pos = jnp.asarray(np.arange(t)[None], jnp.int32)
+    mask = causal_mask(pos, n_ctx, 0)
+    import os
+
+    outs = {}
+    os.environ["LLAMA_TPU_FLASH_PREFILL"] = "1"
+    try:
+        for fl in (False, True):
+            cache = KVCache.create(cfg.n_layers, 1, n_ctx, cfg.n_kv_heads,
+                                   cfg.head_dim)
+            logits, _ = forward(params, cfg, toks, pos, cache, 0, mask,
+                                flash=fl)
+            outs[fl] = np.asarray(logits)
+    finally:
+        del os.environ["LLAMA_TPU_FLASH_PREFILL"]
+    # bf16 layers amplify the f32 softmax-reassociation difference between
+    # the chunked online softmax and the one-shot einsum; the greedy token
+    # stream (user-visible contract) and scale-relative logits must agree
+    np.testing.assert_array_equal(outs[True].argmax(-1), outs[False].argmax(-1))
+    np.testing.assert_allclose(outs[True], outs[False], rtol=5e-2, atol=0.25)
