@@ -50,6 +50,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="chat-template conversation mode (reference -cnv)")
     p.add_argument("-sys", "--system-prompt", default=None)
     p.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("-fa", "--flash-attn", dest="flash_attn", default=None,
+                   action="store_true",
+                   help="force fused kernels on (reference -fa; default "
+                        "auto: on for TPU, off elsewhere)")
+    p.add_argument("--no-flash-attn", dest="flash_attn", action="store_false")
     p.add_argument("--grammar", default=None,
                    help="GBNF grammar string constraining generation")
     p.add_argument("--grammar-file", default=None)
@@ -118,6 +123,7 @@ def main(argv=None) -> int:
         n_ctx=args.ctx_size,
         compute_dtype=jnp.float32 if args.compute_dtype == "float32" else jnp.bfloat16,
         kv_dtype=args.cache_type_k,
+        use_pallas=args.flash_attn,
     )
     grammar_sampler = None
     gtext = args.grammar

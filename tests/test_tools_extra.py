@@ -172,3 +172,43 @@ def test_quantize_stats(tiny, capsys):
     q8_line = [ln for ln in out.splitlines() if "Q8_0" in ln][-1]
     rmse = float(q8_line.split("rmse")[1].split()[0])
     assert 0 < rmse < 0.01
+
+
+def test_embedding_tool(tiny, capsys):
+    from llama_cpp_dsp_tpu.tools.embedding import main, normalize
+
+    v = np.array([3.0, 4.0])
+    assert np.allclose(normalize(v, 2), v / 5.0)
+    assert np.allclose(normalize(v, -1), v)
+    assert np.allclose(normalize(v, 0), v / 4.0)
+    assert main(["-m", tiny, "-p", "hello\nworld", "-c", "64",
+                 "--embd-output-format", "json+"]) == 0
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out)
+    assert len(out["data"]) == 2
+    sims = np.array(out["cosine_similarity"])
+    assert np.allclose(np.diag(sims), 1.0, atol=1e-4)
+
+
+def test_parallel_sim(tiny, capsys):
+    from llama_cpp_dsp_tpu.tools.parallel_sim import main
+
+    assert main(["-m", tiny, "-np", "2", "-ns", "3", "-n", "4",
+                 "-c", "128"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("client") == 3
+
+
+def test_gritlm_encode(tiny):
+    """Instruction-span exclusion: the pooled vector must ignore the
+    instruction prefix tokens (reference gritlm.cpp:20-60)."""
+    from llama_cpp_dsp_tpu.runtime.engine import Engine
+    from llama_cpp_dsp_tpu.tools.gritlm import encode, gritlm_instruction
+
+    model = load_model(tiny)
+    engine = Engine(model, n_slots=1, n_ctx_per_slot=64)
+    vs = encode(engine, model.tokenizer, ["hello world"], "an instruction")
+    assert vs.shape[0] == 1
+    assert np.isclose(np.linalg.norm(vs[0]), 1.0, atol=1e-4)
+    assert gritlm_instruction("") == "<|embed|>\n"
