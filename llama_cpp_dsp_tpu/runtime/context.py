@@ -172,6 +172,19 @@ class LlamaContext:
             return logits, cache
 
         self._step = _step
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def _step_embd(params, cache, embd, positions, n_past, pos_delta):
+            mask = causal_mask(positions, cache.capacity, n_past)
+            tokens = jnp.zeros(positions.shape, jnp.int32)
+            logits, cache = forward(
+                params, self.cfg, tokens, positions, cache, n_past, mask,
+                compute_dtype=compute_dtype, flash=use_flash,
+                rope_positions=positions + pos_delta, input_embd=embd,
+            )
+            return logits, cache
+
+        self._step_embd = _step_embd
         self._seen_shapes: set[int] = set()
         self.perf.t_load_ms = (time.perf_counter() - t0) * 1000
 
@@ -199,6 +212,31 @@ class LlamaContext:
             jnp.int32(self.n_past), jnp.int32(self.pos_delta),
         )
         out = np.asarray(logits[0, :n])
+        self.n_past += n
+        return out
+
+    def eval_embd(self, embd: np.ndarray) -> np.ndarray:
+        """Feed raw input embeddings [T, n_embd] (llava image patches —
+        reference llava_eval_image_embed, examples/llava/llava.cpp); returns
+        logits of the last row [vocab]."""
+        n = embd.shape[0]
+        if self.n_past + n > self.n_ctx:
+            raise RuntimeError(f"context overflow: {self.n_past}+{n} > {self.n_ctx}")
+        tpad = _bucket(n, self.prefill_buckets)
+        if tpad < n:
+            out = None
+            for i in range(0, n, tpad):
+                out = self.eval_embd(embd[i : i + tpad])
+            return out
+        buf = np.zeros((1, tpad, embd.shape[1]), np.float32)
+        buf[0, :n] = embd
+        pos = np.full((1, tpad), self.n_past, np.int32)
+        pos[0, :n] = self.n_past + np.arange(n)
+        logits, self.cache = self._step_embd(
+            self.params, self.cache, jnp.asarray(buf), jnp.asarray(pos),
+            jnp.int32(self.n_past), jnp.int32(self.pos_delta),
+        )
+        out = np.asarray(logits[0, n - 1])
         self.n_past += n
         return out
 

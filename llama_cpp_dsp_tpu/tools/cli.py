@@ -80,6 +80,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="control-vector GGUF (reference --control-vector)")
     p.add_argument("--control-vector-scaled", nargs=2, action="append",
                    default=[], metavar=("PATH", "SCALE"))
+    p.add_argument("-md", "--model-draft", default=None,
+                   help="draft model GGUF for speculative decoding "
+                        "(reference -md, examples/speculative)")
+    p.add_argument("--draft-max", type=int, default=16,
+                   help="max tokens drafted per round (reference --draft-max)")
+    p.add_argument("--draft-min", type=int, default=0)
+    p.add_argument("--draft-p-min", type=float, default=0.75,
+                   help="stop drafting below this confidence")
     return p
 
 
@@ -125,6 +133,26 @@ def main(argv=None) -> int:
         kv_dtype=args.cache_type_k,
         use_pallas=args.flash_attn,
     )
+    spec = None
+    if args.model_draft:
+        from ..runtime.speculative import SpecParams, SpeculativeDecoder
+
+        try:
+            draft_model = load_model(args.model_draft)
+        except Exception as e:
+            print(f"error: failed to load draft model: {e}", file=sys.stderr)
+            return 1
+        draft_ctx = LlamaContext(
+            draft_model, n_ctx=args.ctx_size, kv_dtype=args.cache_type_k,
+            use_pallas=args.flash_attn,
+        )
+        spec = SpeculativeDecoder(ctx, draft_ctx, SpecParams(
+            n_draft=args.draft_max, n_min=args.draft_min,
+            p_min=args.draft_p_min))
+        print(f"speculative: draft {args.model_draft} "
+              f"(n_draft={args.draft_max}, p_min={args.draft_p_min})",
+              file=sys.stderr)
+
     grammar_sampler = None
     gtext = args.grammar
     if args.grammar_file:
@@ -224,10 +252,16 @@ def main(argv=None) -> int:
         if args.prompt_cache and not cached:
             full_ids = list(ids)
         gen_ids: list = []
-        for t in ctx.generate(ids, max_new_tokens=args.n_predict, sampler=sampler,
-                              context_shift=not args.no_context_shift,
-                              n_keep=args.keep, ga_n=args.grp_attn_n,
-                              ga_w=args.grp_attn_w):
+        if spec is not None:
+            stream = spec.generate(ids, max_new_tokens=args.n_predict,
+                                   sampler=sampler)
+        else:
+            stream = ctx.generate(ids, max_new_tokens=args.n_predict,
+                                  sampler=sampler,
+                                  context_shift=not args.no_context_shift,
+                                  n_keep=args.keep, ga_n=args.grp_attn_n,
+                                  ga_w=args.grp_attn_w)
+        for t in stream:
             gen_ids.append(t)
             piece = tok.token_to_piece(t, special=False)
             sys.stdout.write(piece.decode("utf-8", errors="replace"))
@@ -241,6 +275,12 @@ def main(argv=None) -> int:
             print(f"prompt-cache: saved {len(full_ids) + len(gen_ids)} tokens",
                   file=sys.stderr)
         print(ctx.perf.report(), file=sys.stderr)
+        if spec is not None:
+            s = spec.stats
+            print(f"speculative: {s.n_draft_accepted}/{s.n_draft_proposed} "
+                  f"drafted tokens accepted "
+                  f"({s.acceptance_rate * 100:.1f}%) over {s.n_rounds} rounds",
+                  file=sys.stderr)
 
     def run_conversation() -> None:
         """Chat-template multi-turn loop — reference llama-cli -cnv: the
@@ -307,6 +347,8 @@ def main(argv=None) -> int:
             if not line:
                 break
             ctx.reset()
+            if spec is not None:
+                spec.draft.reset()
             sampler.reset()
             run_once(line)
     else:
