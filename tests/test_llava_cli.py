@@ -115,3 +115,31 @@ def test_cli_speculative_greedy_identical(tiny, tmp_path, capsys, monkeypatch):
     cap = capsys.readouterr()
     assert cap.out == plain
     assert "drafted tokens accepted" in cap.err
+
+
+def test_infill_fim_tokens(tiny):
+    """FIM sequence construction + the no-FIM-tokens error path
+    (reference examples/infill/infill.cpp)."""
+    import pytest as _pytest
+
+    from llama_cpp_dsp_tpu.runtime.loader import load_model
+    from llama_cpp_dsp_tpu.tools.infill import build_fim_tokens, main
+
+    model = load_model(tiny)
+    with _pytest.raises(ValueError):
+        build_fim_tokens(model.vocab, model.tokenizer, "a", "b")
+    model.vocab.fim_pre_id = 3
+    model.vocab.fim_suf_id = 4
+    model.vocab.fim_mid_id = 5
+    pre = model.tokenizer.encode("aa", add_special=False)
+    suf = model.tokenizer.encode("bb", add_special=False)
+    bos = ([model.vocab.bos_id]
+           if model.vocab.bos_id >= 0 and model.vocab.add_bos else [])
+    ids = build_fim_tokens(model.vocab, model.tokenizer, "aa", "bb")
+    assert ids == bos + [3] + pre + [4] + suf + [5]
+    ids_spm = build_fim_tokens(model.vocab, model.tokenizer, "aa", "bb",
+                               spm=True)
+    assert ids_spm == bos + [4] + suf + [3] + pre + [5]
+    # CLI on a FIM-less model exits 1 cleanly
+    with _pytest.raises(SystemExit):
+        main(["-m", tiny, "--in-prefix", "x", "--in-suffix", "y", "-n", "2"])
