@@ -62,23 +62,34 @@ class KernelWeights:
     kernel call (QKV / gate+up fusion amortizes per-launch overhead)."""
 
     def __init__(self, kind: GGMLType, shape: tuple[int, int], arrays: dict,
-                 tile_k: int, sections: tuple[int, ...] | None = None):
+                 tile_k: int, sections: tuple[int, ...] | None = None,
+                 n_expert: int = 0):
         self.kind = kind
         self.shape = shape
         self.arrays = arrays
         self.tile_k = tile_k
         self.sections = sections
+        self.n_expert = n_expert  # >0: every field has a leading expert axis
 
     def tree_flatten(self):
         keys = tuple(sorted(self.arrays))
         return tuple(self.arrays[k] for k in keys), (
             self.kind, self.shape, keys, self.tile_k, self.sections,
+            self.n_expert,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        kind, shape, keys, tile_k, sections = aux
-        return cls(kind, shape, dict(zip(keys, children)), tile_k, sections)
+        kind, shape, keys, tile_k, sections, n_expert = aux
+        return cls(kind, shape, dict(zip(keys, children)), tile_k, sections,
+                   n_expert=n_expert)
+
+    def expert(self, eid: int) -> "KernelWeights":
+        """Static-index expert slice (dense-all prefill path)."""
+        assert self.n_expert
+        return KernelWeights(self.kind, self.shape,
+                             {k: a[eid] for k, a in self.arrays.items()},
+                             self.tile_k)
 
     @property
     def nbytes(self) -> int:
@@ -205,6 +216,27 @@ def _maybe_pad_rows(qt: QTensor, tile_k: int) -> QTensor:
             }
             return QTensor(qt.kind, (n_pad, qt.shape[1]), arrays)
     return qt
+
+
+def to_kernel_layout_experts(qt: QTensor, tile_k: int | None = None) -> KernelWeights:
+    """Expert QTensor ([E, ...]-leading fields) → KernelWeights whose fields
+    stack the per-expert kernel layouts on a leading E axis. The MoE kernels
+    (qmm.qmm_expert_rows) index that axis with scalar-prefetched expert ids
+    (the MUL_MAT_ID role, ggml/src/ggml.c ggml_mul_mat_id). No row padding:
+    expert matrices keep their native N so all experts share one geometry."""
+    assert qt.n_expert > 0
+    per = []
+    for e in range(qt.n_expert):
+        sub = QTensor(qt.kind, qt.shape,
+                      {k: np.asarray(a[e]) for k, a in qt.arrays.items()})
+        per.append(_to_kernel_layout_padded(
+            sub, tile_k or default_tile_k(qt.shape[1], qt.kind)))
+    arrays = {
+        key: np.stack([kw.arrays[key] for kw in per], axis=0)
+        for key in per[0].arrays
+    }
+    return KernelWeights(qt.kind, qt.shape, arrays, per[0].tile_k,
+                         n_expert=qt.n_expert)
 
 
 def to_kernel_layout(qt: QTensor, tile_k: int | None = None) -> KernelWeights:

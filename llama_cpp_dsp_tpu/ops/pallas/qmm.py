@@ -503,6 +503,126 @@ _KQ = {GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K}
 SUPPORTED_KINDS = frozenset(_BODIES)
 
 
+# -- MoE selected-expert GEMV (MUL_MAT_ID role, ggml_mul_mat_id) --------------
+#
+# Streams ONLY the selected experts' packed bytes: scalar-prefetched expert
+# ids drive the weight BlockSpec index maps (same idiom as the paged-KV
+# block tables, attention.flash_decode_paged), so slot s's grid steps DMA
+# expert sel[s]'s tiles straight from HBM. The dense-all-experts XLA path
+# (models/llama.ffn_moe) reads E/U× more weight bytes per decode step —
+# for Mixtral (E=8, U=2) this kernel cuts MoE FFN traffic 4×.
+
+
+def _kernel_experts(kind, nk, *refs):
+    """refs = (sel_ref, *x_refs, *w_refs, out_ref, acc_ref); slot rows are
+    tile_b=1 GEMVs; weight blocks carry a leading singleton expert axis."""
+    out_ref = refs[-2]
+    acc = refs[-1]
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    nx = len(_X_FIELDS[kind])
+    vals = []
+    for r in refs[1 : 1 + nx]:
+        vals.append(r[0] if r.ndim == 3 else r[...])  # xs [1,1,gt] → [1,gt]
+    for r in refs[1 + nx : -2]:
+        vals.append(r[0, 0] if r.ndim == 4 else r[0])  # drop expert axis
+    vals[nx:] = [v.astype(F32) if v.dtype == BF16 else v for v in vals[nx:]]
+    _BODIES[kind](acc, *vals)
+
+    @pl.when(k_idx == nk - 1)
+    def _():
+        out_ref[...] = acc[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "n", "k", "tile_n", "tile_k")
+)
+def _qmm_expert_call(sel, x_fields, w_fields, *, kind, n, k, tile_n, tile_k):
+    s = x_fields[0].shape[0]
+    nn, nk = n // tile_n, k // tile_k
+    x_names = _X_FIELDS[kind]
+
+    in_specs = []
+    for name, arr in zip(x_names, x_fields):
+        if name.startswith("xs"):  # [nk, S, gt]
+            in_specs.append(pl.BlockSpec(
+                (1, 1, arr.shape[2]),
+                lambda si, ni, ki, sel_ref: (ki, si, 0),
+                memory_space=pltpu.VMEM,
+            ))
+        else:  # [S, K']
+            in_specs.append(pl.BlockSpec(
+                (1, tile_k // _X_DIV[name]),
+                lambda si, ni, ki, sel_ref: (si, ki),
+                memory_space=pltpu.VMEM,
+            ))
+    for arr in w_fields:
+        if arr.ndim == 4:  # [E, nk, N, gt]
+            in_specs.append(pl.BlockSpec(
+                (1, 1, tile_n, arr.shape[3]),
+                lambda si, ni, ki, sel_ref: (sel_ref[si], ki, ni, 0),
+                memory_space=pltpu.VMEM,
+            ))
+        else:  # [E, N, K']
+            kdiv = arr.shape[2] // nk
+            in_specs.append(pl.BlockSpec(
+                (1, tile_n, kdiv),
+                lambda si, ni, ki, sel_ref: (sel_ref[si], ni, ki),
+                memory_space=pltpu.VMEM,
+            ))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s, nn, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tile_n), lambda si, ni, ki, sel_ref: (si, ni)
+        ),
+        scratch_shapes=[pltpu.VMEM((1, tile_n), F32)],
+    )
+    bytes_per = sum(a.size * a.dtype.itemsize // a.shape[0] for a in w_fields)
+    return pl.pallas_call(
+        functools.partial(_kernel_experts, kind, nk),
+        grid_spec=grid_spec,
+        interpret=_interpret_mode(),
+        out_shape=jax.ShapeDtypeStruct((s, n), F32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s * n * k, bytes_accessed=int(s * bytes_per),
+            transcendentals=0,
+        ),
+    )(sel.astype(jnp.int32), *x_fields, *w_fields)
+
+
+def qmm_expert_rows(x: jax.Array, kw: KernelWeights, sel: jax.Array,
+                    *, tile_n: int = 0) -> jax.Array:
+    """Per-row expert GEMV: y[s] = x[s] @ dequant(W[sel[s]])^T.
+
+    x [S, K], sel [S] int32 expert ids, kw from to_kernel_layout_experts.
+    Returns [S, N] f32. The caller repeats token rows per used expert."""
+    n, k = kw.shape
+    assert kw.n_expert and x.ndim == 2 and sel.shape == (x.shape[0],)
+    tile_k = kw.tile_k
+    if tile_n == 0:
+        tile_n = 512 if n % 512 == 0 else _largest_tile(n, 256)
+        if tile_k >= 8192:
+            tile_n = min(tile_n, 256)
+    q8_group = 32
+    if kw.kind == GGMLType.Q8_0:
+        s_arr = kw.arrays["s"]  # [E, nk, N, K/g/nk]
+        q8_group = k // (s_arr.shape[1] * s_arr.shape[3])
+    x_fields = prepare_x(x, kw.kind, tile_k, q8_group)
+    w_fields = tuple(kw.arrays[name] for name in _W_FIELDS[kw.kind])
+    return _qmm_expert_call(sel, x_fields, w_fields, kind=kw.kind, n=n, k=k,
+                            tile_n=tile_n, tile_k=tile_k)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 

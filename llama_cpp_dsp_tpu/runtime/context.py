@@ -35,11 +35,14 @@ def _bucket(n: int, buckets: list[int]) -> int:
 
 def convert_params_to_kernel(params: dict) -> dict:
     """Swap matmul QTensors for fused-kernel layouts (token_embd stays a
-    QTensor: it feeds the packed row-gather; expert tensors stay on the XLA
-    path for now). QKV and gate/up pairs are row-fused into single kernel
-    calls to amortize per-launch overhead (the reference gets this for free
-    from CUDA graphs; here fewer, larger Pallas calls serve the same role)."""
-    from ..ops.pallas.layouts import concat_qtensors, to_kernel_layout
+    QTensor: it feeds the packed row-gather; expert tensors become
+    expert-axis KernelWeights for the MUL_MAT_ID kernel). QKV and gate/up
+    pairs are row-fused into single kernel calls to amortize per-launch
+    overhead (the reference gets this for free from CUDA graphs; here
+    fewer, larger Pallas calls serve the same role)."""
+    from ..ops.pallas.layouts import (
+        concat_qtensors, to_kernel_layout, to_kernel_layout_experts,
+    )
     from ..ops.pallas.qmm import SUPPORTED_KINDS
     from ..ops.qtensor import QTensor
 
@@ -53,11 +56,9 @@ def convert_params_to_kernel(params: dict) -> dict:
         ) else None
 
     def conv(leaf):
-        if (
-            isinstance(leaf, QTensor)
-            and leaf.kind in SUPPORTED_KINDS
-            and leaf.n_expert == 0
-        ):
+        if isinstance(leaf, QTensor) and leaf.kind in SUPPORTED_KINDS:
+            if leaf.n_expert:
+                return to_kernel_layout_experts(leaf)
             return to_kernel_layout(leaf)
         return leaf
 

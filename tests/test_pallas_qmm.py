@@ -107,3 +107,83 @@ def test_ragged_n_row_padding(rng, monkeypatch):
     assert got.shape == (3, n)
     want = x @ np.asarray(dequant(qt, jnp.float32)).T
     assert nmse(got, want) < 5e-4
+
+
+def _expert_qtensor(rng, e, n, k, kind):
+    """Stacked per-expert QTensor (leading expert axis on every field)."""
+    from llama_cpp_dsp_tpu.ops.qtensor import QTensor
+
+    subs, dense = [], []
+    for _ in range(e):
+        w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+        qt = from_gguf_tensor(quantize(w, kind), kind, (n, k))
+        subs.append(qt)
+        dense.append(np.asarray(dequant(qt, jnp.float32)))
+    arrays = {key: np.stack([np.asarray(s.arrays[key]) for s in subs])
+              for key in subs[0].arrays}
+    return QTensor(kind, (n, k), arrays, n_expert=e), np.stack(dense)
+
+
+@pytest.mark.parametrize("kind", [GGMLType.Q8_0, GGMLType.Q4_0,
+                                  GGMLType.Q4_K, GGMLType.Q6_K])
+def test_qmm_expert_rows(rng, kind):
+    """Selected-expert GEMV (MUL_MAT_ID role): per-row expert id indexes the
+    stacked kernel layout via scalar prefetch."""
+    from llama_cpp_dsp_tpu.ops.pallas.layouts import to_kernel_layout_experts
+    from llama_cpp_dsp_tpu.ops.pallas.qmm import qmm_expert_rows
+
+    e, n, k, s = 4, 256, 512, 6
+    qt, dense = _expert_qtensor(rng, e, n, k, kind)
+    kw = to_kernel_layout_experts(qt, tile_k=256)
+    assert kw.n_expert == e
+    x = rng.standard_normal((s, k)).astype(np.float32)
+    sel = np.array([0, 3, 1, 1, 2, 0], np.int32)
+    got = np.asarray(qmm_expert_rows(jnp.asarray(x), kw, jnp.asarray(sel),
+                                     tile_n=128))
+    want = np.stack([x[i] @ dense[sel[i]].T for i in range(s)])
+    assert got.shape == (s, n)
+    assert nmse(got, want) < 5e-4
+
+
+def test_kernel_expert_static_slice(rng):
+    """kw.expert(eid) (dense-all prefill path) matches qmm_fused on the
+    per-expert layout."""
+    from llama_cpp_dsp_tpu.ops.pallas.layouts import to_kernel_layout_experts
+    from llama_cpp_dsp_tpu.ops.pallas.qmm import qmm_fused
+
+    e, n, k = 3, 128, 512
+    qt, dense = _expert_qtensor(rng, e, n, k, GGMLType.Q4_K)
+    kw = to_kernel_layout_experts(qt, tile_k=256)
+    x = rng.standard_normal((2, k)).astype(np.float32)
+    for eid in range(e):
+        got = np.asarray(qmm_fused(jnp.asarray(x), kw.expert(eid),
+                                   tile_b=8, tile_n=128, tile_k=256))
+        assert nmse(got, x @ dense[eid].T) < 5e-4
+
+
+@pytest.mark.parametrize("t", [1, 48])  # 1 → selected-expert kernel; 48 → dense-all
+def test_moe_forward_kernel_parity(rng, t):
+    """ffn_moe through expert KernelWeights (both decode GEMV and dense-all
+    prefill branches) matches the XLA QTensor path."""
+    from llama_cpp_dsp_tpu.models.llama import forward
+    from llama_cpp_dsp_tpu.models.registry import synth_config
+    from llama_cpp_dsp_tpu.runtime.context import convert_params_to_kernel
+    from llama_cpp_dsp_tpu.tools.synth import synth_params
+
+    cfg = synth_config("llama", n_embd=256, n_heads=4, n_kv_heads=2,
+                       head_dim=64, n_ff=512, n_vocab=128, n_expert=4,
+                       n_expert_used=2)
+    params = synth_params(cfg, GGMLType.Q4_K, seed=0, tie=False)
+    kparams = convert_params_to_kernel(params)
+    from llama_cpp_dsp_tpu.ops.pallas.layouts import KernelWeights
+
+    assert isinstance(kparams["layers"][0]["ffn_gate_exps"], KernelWeights)
+
+    toks = np.asarray(rng.integers(0, 128, (1, t)), np.int32)
+    pos = np.arange(t, dtype=np.int32)[None]
+    mask = np.tril(np.ones((1, t, t), bool))
+    l1, _ = forward(params, cfg, jnp.asarray(toks), jnp.asarray(pos),
+                    mask=jnp.asarray(mask), compute_dtype=jnp.float32)
+    l2, _ = forward(kparams, cfg, jnp.asarray(toks), jnp.asarray(pos),
+                    mask=jnp.asarray(mask), compute_dtype=jnp.float32)
+    assert nmse(np.asarray(l2), np.asarray(l1)) < 2e-4
