@@ -186,6 +186,26 @@ class LlamaContext:
             return logits, cache
 
         self._step_embd = _step_embd
+
+        @partial(jax.jit, donate_argnums=(1,), static_argnames=("top_k",))
+        def _step_sample(params, cache, tokens, positions, n_past, pos_delta,
+                         key, temp, top_p, min_p, *, top_k):
+            """Fused decode + on-device sampling: only the token id leaves
+            the device (the reference pulls full logits per token —
+            ops/device_sampling.py rationale)."""
+            from ..ops.device_sampling import sample_logits
+
+            mask = causal_mask(positions, cache.capacity, n_past)
+            logits, cache = forward(
+                params, self.cfg, tokens, positions, cache, n_past, mask,
+                compute_dtype=compute_dtype, flash=use_flash,
+                rope_positions=positions + pos_delta,
+            )
+            tok = sample_logits(logits[:, -1, :], key, temp, top_k=top_k,
+                                top_p=top_p, min_p=min_p)
+            return tok[0], cache
+
+        self._step_sample = _step_sample
         self._seen_shapes: set[int] = set()
         self.perf.t_load_ms = (time.perf_counter() - t0) * 1000
 
@@ -239,6 +259,32 @@ class LlamaContext:
         )
         out = np.asarray(logits[0, n - 1])
         self.n_past += n
+        return out
+
+    def _eval_sample_token(self, token: int, key, spec: dict) -> int:
+        """Feed `token`, sample the next one ON DEVICE (fused step; see
+        generate). Returns the sampled id; updates perf like eval_tokens."""
+        if self.n_past + 1 > self.n_ctx:
+            raise RuntimeError(f"context overflow at {self.n_past}")
+        t0 = time.perf_counter()
+        first = "sample1" not in self._seen_shapes
+        self._seen_shapes.add("sample1")
+        tok, self.cache = self._step_sample(
+            self.params, self.cache,
+            jnp.asarray([[token]], dtype=jnp.int32),
+            jnp.asarray([[self.n_past]], dtype=jnp.int32),
+            jnp.int32(self.n_past), jnp.int32(self.pos_delta), key,
+            jnp.float32(spec["temp"]), jnp.float32(spec["top_p"]),
+            jnp.float32(spec["min_p"]), top_k=spec["top_k"],
+        )
+        out = int(tok)
+        self.n_past += 1
+        dt = (time.perf_counter() - t0) * 1000
+        if first:
+            self.perf.t_compile_ms += dt
+        else:
+            self.perf.t_decode_ms += dt
+            self.perf.n_decode += 1
         return out
 
     def context_shift(self, n_keep: int, n_discard: int) -> None:
@@ -340,11 +386,21 @@ class LlamaContext:
         from .sampling import Greedy, SamplerChain as SC
 
         sampler = sampler or SC([Greedy()])
+        # stateless default chains sample ON DEVICE fused with the decode
+        # step: a 4-byte token id replaces the [V]-float logits pull
+        spec = getattr(sampler, "device_spec", None)
+        dev_key = None
+        if spec is not None:
+            import jax
+
+            dev_key = jax.random.PRNGKey(int(sampler.rng.integers(1 << 31)))
         ga_i = 0
         logits = self.eval_tokens(list(prompt_tokens))
-        for _ in range(max_new_tokens):
-            token = sampler.sample(logits)
+        token = sampler.sample(logits)  # first token: host (prefill logits)
+        for step in range(max_new_tokens):
             yield token
+            if step + 1 >= max_new_tokens:
+                return
             if stop_on_eog and self.vocab is not None and self.vocab.is_eog(token):
                 return
             if ga_n > 1:
@@ -359,4 +415,11 @@ class LlamaContext:
                 # evict half the non-kept context (examples/main/main.cpp:619)
                 n_discard = max(1, (self.n_ctx - n_keep) // 2)
                 self.context_shift(n_keep, n_discard)
-            logits = self.eval_tokens([token])
+            if spec is not None:
+                import jax
+
+                dev_key, sub = jax.random.split(dev_key)
+                token = self._eval_sample_token(token, sub, spec)
+            else:
+                logits = self.eval_tokens([token])
+                token = sampler.sample(logits)

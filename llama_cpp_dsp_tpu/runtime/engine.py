@@ -213,6 +213,19 @@ class Engine:
             logits, cache = _decode(params, cache, tokens, positions, active)
             return jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32), cache
 
+        @partial(jax.jit, donate_argnums=(1,), static_argnames=("top_k",))
+        def _decode_sample(params, cache, tokens, positions, active, key,
+                           temp, top_p, min_p, *, top_k):
+            """Stochastic fast path: the whole default sampler pipeline runs
+            on-chip (ops/device_sampling) — used when every active slot
+            shares one stateless device_spec."""
+            from ..ops.device_sampling import sample_logits
+
+            logits, cache = _decode(params, cache, tokens, positions, active)
+            ids = sample_logits(logits[:, 0, :], key, temp, top_k=top_k,
+                                top_p=top_p, min_p=min_p)
+            return ids, cache
+
         @partial(jax.jit, donate_argnums=(1,))
         def _mixed(params, cache, tokens, slot_ids, rows, out_idx):
             """Packed prompt+decode step (reference update_slots batch):
@@ -241,6 +254,8 @@ class Engine:
         self._prefill_fn = _prefill
         self._decode_fn = _decode
         self._decode_argmax_fn = _decode_argmax
+        self._decode_sample_fn = _decode_sample
+        self._dev_key = jax.random.PRNGKey(0)
         self._mixed_fn = _mixed
 
         # -- in-engine speculative decoding (reference server.cpp:1249 per-
@@ -495,6 +510,27 @@ class Engine:
                 ids, self.cache = self._decode_argmax_fn(
                     self.params, self.cache, jnp.asarray(tokens),
                     jnp.asarray(positions), jnp.asarray(active),
+                )
+                ids_np = np.asarray(ids)
+                for s in gen:
+                    s.cache_tokens.append(s.last_token)
+                    s.n_past += 1
+                    token = int(ids_np[s.idx])
+                    s.req.sampler.accept(token)
+                    self._emit_token(s, token)
+            elif (specs := [s.req.sampler.device_spec
+                            if s.req.sampler is not None else None
+                            for s in gen]) and all(
+                    sp is not None and sp == specs[0] for sp in specs):
+                # uniform stateless chains: sample ON DEVICE — only [B]
+                # token ids leave the chip (ops/device_sampling.py)
+                sp = specs[0]
+                self._dev_key, sub = jax.random.split(self._dev_key)
+                ids, self.cache = self._decode_sample_fn(
+                    self.params, self.cache, jnp.asarray(tokens),
+                    jnp.asarray(positions), jnp.asarray(active), sub,
+                    jnp.float32(sp["temp"]), jnp.float32(sp["top_p"]),
+                    jnp.float32(sp["min_p"]), top_k=sp["top_k"],
                 )
                 ids_np = np.asarray(ids)
                 for s in gen:

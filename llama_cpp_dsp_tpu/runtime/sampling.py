@@ -393,6 +393,44 @@ class SamplerChain:
         return (self.grammar is None and len(active) == 1
                 and isinstance(active[0], Greedy))
 
+    @property
+    def device_spec(self) -> dict | None:
+        """Parameters for on-device sampling (ops/device_sampling) when the
+        chain is the stateless default pipeline (top-k → top-p → min-p →
+        temp → dist) with no grammar, penalties, or exotic samplers; None
+        otherwise (host path)."""
+        from ..ops.device_sampling import MAX_DEVICE_TOP_K
+
+        if self.grammar is not None:
+            return None
+        spec = {"top_k": 0, "top_p": 1.0, "min_p": 0.0, "temp": 1.0}
+        seen_dist = False
+        for s in self.samplers:
+            if isinstance(s, Penalties) and (
+                s.penalty_repeat == 1.0 and s.penalty_freq == 0.0
+                and s.penalty_present == 0.0
+            ):
+                continue
+            if isinstance(s, Typical) and s.p >= 1.0:
+                continue
+            if isinstance(s, TopK):
+                spec["top_k"] = s.k
+            elif isinstance(s, TopP):
+                spec["top_p"] = float(s.p)
+            elif isinstance(s, MinP):
+                spec["min_p"] = float(s.p)
+            elif isinstance(s, Temp):
+                if s.t <= 0:
+                    return None  # argmax semantics — the greedy fast path
+                spec["temp"] = float(s.t)
+            elif isinstance(s, Dist):
+                seen_dist = True
+            else:
+                return None
+        if not seen_dist or not (0 < spec["top_k"] <= MAX_DEVICE_TOP_K):
+            return None
+        return spec
+
     def _run(self, cand) -> int:
         token: int | None = None
         for s in self.samplers:
