@@ -562,9 +562,9 @@ def _cached_attention(
     ):
         from ..ops.pallas.attention import (
             flash_decode, flash_decode_paged, flash_decode_paged_q8,
-            flash_decode_q8,
+            flash_decode_q4, flash_decode_q8,
         )
-        from ..runtime.kv_cache import QuantKVCache
+        from ..runtime.kv_cache import Q4KVCache, QuantKVCache
         from ..runtime.paged_kv import PagedKVCache, PagedQuantKVCache
 
         lengths = positions[:, 0] + 1
@@ -594,12 +594,17 @@ def _cached_attention(
                 cache.tables, lengths, starts,
                 scale=float(scale0), softcap=float(cfg.attn_logit_softcap),
             )
+        elif isinstance(cache, Q4KVCache) and cache.capacity % 256 == 0:
+            attn = flash_decode_q4(
+                q[:, 0], *cache.packed_layer(layer_idx), lengths, starts,
+                scale=float(scale0), softcap=float(cfg.attn_logit_softcap),
+            )
         elif isinstance(cache, QuantKVCache) and cache.capacity % 128 == 0:
             attn = flash_decode_q8(
                 q[:, 0], *cache.packed_layer(layer_idx), lengths, starts,
                 scale=float(scale0), softcap=float(cfg.attn_logit_softcap),
             )
-        elif isinstance(cache, QuantKVCache):
+        elif isinstance(cache, (QuantKVCache, Q4KVCache)):
             k_all, v_all = cache.layer(layer_idx)
             attn = flash_decode(
                 q[:, 0], k_all, v_all, lengths, starts,

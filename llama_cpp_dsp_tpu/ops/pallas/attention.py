@@ -335,6 +335,185 @@ def flash_decode_q8(
 
 
 # ---------------------------------------------------------------------------
+# Q4-quantized KV variant (reference --cache-type-k q4_0). Row-PAIR packing
+# (runtime/kv_cache.Q4KVCache): the byte plane is [B, Hkv, S/2, D] (row 2j
+# low nibble, 2j+1 high) so chunk DMAs keep the 128-lane D axis; scales are
+# parity-planar [B, Hkv, 2, S/2]. Scores for the even/odd halves are
+# computed separately and concatenated along the key axis — the online
+# softmax is order-invariant, so no column interleave is ever materialized
+# (element-order reshapes are unsupported Mosaic shape casts).
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel_q4(
+    start_ref, len_ref, q_ref,
+    kq_hbm, kd_hbm, vq_hbm, vd_hbm,
+    o_ref,
+    kq_buf, kd_buf, vq_buf, vd_buf, sem,
+    *, scale: float, chunk: int, softcap: float, layer: int | None,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    length = len_ref[b]
+    start = start_ref[b]
+    first = start // chunk
+    n_chunks = pl.cdiv(length, chunk)
+    ch2 = chunk // 2
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    rep, d = q.shape
+    pre = () if layer is None else (layer,)
+
+    def dmas(slot, ci):
+        return [
+            pltpu.make_async_copy(
+                kq_hbm.at[(*pre, b, h, pl.ds(ci * ch2, ch2), slice(None))],
+                kq_buf.at[slot], sem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                kd_hbm.at[(*pre, b, h, slice(None), pl.ds(ci * ch2, ch2))],
+                kd_buf.at[slot], sem.at[slot, 1],
+            ),
+            pltpu.make_async_copy(
+                vq_hbm.at[(*pre, b, h, pl.ds(ci * ch2, ch2), slice(None))],
+                vq_buf.at[slot], sem.at[slot, 2],
+            ),
+            pltpu.make_async_copy(
+                vd_hbm.at[(*pre, b, h, slice(None), pl.ds(ci * ch2, ch2))],
+                vd_buf.at[slot], sem.at[slot, 3],
+            ),
+        ]
+
+    @pl.when(first < n_chunks)
+    def _():
+        for dma in dmas(first % 2, first):
+            dma.start()
+
+    def body(ci, carry):
+        m, l, acc = carry
+        slot = ci % 2
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            for dma in dmas((ci + 1) % 2, ci + 1):
+                dma.start()
+
+        for dma in dmas(slot, ci):
+            dma.wait()
+
+        kq = kq_buf[slot].astype(jnp.int32)  # [CH2, D] packed bytes
+        klo = ((kq & 15) - 8).astype(jnp.float32)  # rows 2j
+        khi = ((kq >> 4) - 8).astype(jnp.float32)  # rows 2j+1
+        kd = kd_buf[slot]  # [2, CH2] parity-planar scales
+
+        def qk(km):
+            return jax.lax.dot_general(
+                q, km, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        # [rep, CHUNK]: first half = even rows of the chunk, second = odd
+        s = jnp.concatenate(
+            [qk(klo) * kd[0:1], qk(khi) * kd[1:2]], axis=1)
+        if softcap:
+            s = jnp.tanh(s / softcap) * softcap
+        lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col = ci * chunk + jnp.where(lane < ch2, 2 * lane,
+                                     2 * (lane - ch2) + 1)
+        s = jnp.where((col < length) & (col >= start), s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        vd = vd_buf[slot]  # [2, CH2]
+        pv = p * jnp.concatenate([vd[0:1], vd[1:2]], axis=1)
+        vq = vq_buf[slot].astype(jnp.int32)
+        vlo = ((vq & 15) - 8).astype(jnp.float32)
+        vhi = ((vq >> 4) - 8).astype(jnp.float32)
+
+        def pvdot(pm, vm):
+            return jax.lax.dot_general(
+                pm, vm, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        acc = acc * alpha + pvdot(pv[:, :ch2], vlo) + pvdot(pv[:, ch2:], vhi)
+        return m_new, l, acc
+
+    m0 = jnp.full((rep, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((rep, 1), jnp.float32)
+    acc0 = jnp.zeros((rep, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(first, n_chunks, body, (m0, l0, acc0))
+    o_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "chunk", "softcap", "interpret", "layer")
+)
+def flash_decode_q4(
+    q: jax.Array,  # [B, H, D]
+    k_qs: jax.Array,  # [B, Hkv, S/2, D] u8 row-pair packed
+    k_d: jax.Array,  # [B, Hkv, 2, S/2] f32 parity-planar scales
+    v_qs: jax.Array,
+    v_d: jax.Array,
+    lengths: jax.Array,
+    starts: jax.Array | None = None,
+    *,
+    scale: float,
+    chunk: int = 512,
+    softcap: float = 0.0,
+    interpret: bool | None = None,
+    layer: int | None = None,
+) -> jax.Array:
+    bsz, hq, d = q.shape
+    hkv, s2 = ((k_qs.shape[1], k_qs.shape[2]) if layer is None
+               else (k_qs.shape[2], k_qs.shape[3]))
+    s = 2 * s2
+    rep = hq // hkv
+    # scale DMAs slice the S/2 lane dim — chunk/2 needs 128 alignment, so
+    # chunk must be a 256-multiple divisor of s (dispatch gates capacity)
+    chunk = min(chunk, s)
+    while chunk >= 256 and (s % chunk or chunk % 256):
+        chunk -= 256
+    assert chunk >= 256 and s % chunk == 0, (s, chunk)
+    if starts is None:
+        starts = jnp.zeros_like(lengths)
+
+    qg = q.reshape(bsz, hkv, rep, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bsz, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, d), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, d), lambda b, h, *_: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk // 2, d), jnp.uint8),
+            pltpu.VMEM((2, 2, chunk // 2), jnp.float32),
+            pltpu.VMEM((2, chunk // 2, d), jnp.uint8),
+            pltpu.VMEM((2, 2, chunk // 2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_q4, scale=scale, chunk=chunk,
+                          softcap=softcap, layer=layer),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
+        interpret=_resolve_interpret(interpret),
+    )(starts.astype(jnp.int32), lengths.astype(jnp.int32), qg, k_qs, k_d,
+      v_qs, v_d)
+    return out.reshape(bsz, hq, d)
+
+
+# ---------------------------------------------------------------------------
 # Paged-KV variant: K/V live in page pools [P, Hkv, ps, D]; each sequence's
 # block table rides the scalar prefetch and indexes the page DMAs directly —
 # the TPU-native form of the reference's paged/unified cell cache, with no

@@ -95,10 +95,36 @@ def _shift_qkv(cache: QuantKVCache, src_idx, deltas, rope: RopeParams, freq_fact
     return QuantKVCache(tuple(k_qs), tuple(k_d), tuple(v_qs), tuple(v_d))
 
 
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("rope",))
+def _shift_q4(cache, src_idx, deltas, rope: RopeParams, freq_factors=None):
+    """Q4 cache surgery: dequant → gather/rotate → requant+repack. The
+    whole-cache round-trip is fine here — seq edits are rare control-path
+    events (context-shift/self-extend), not per-token."""
+    from .kv_cache import Q4KVCache, _q4_pack_rows, _q4_quant
+
+    k_qs, k_d, v_qs, v_d = [], [], [], []
+    for i in range(cache.n_layers):
+        kf, vf = cache.layer(i)  # [B,H,S,D] bf16
+        kf = _rotate_cached_k(_gather_seq(kf.astype(jnp.float32), src_idx),
+                              deltas, rope, freq_factors)
+        vf = _gather_seq(vf, src_idx)
+        for dst_q, dst_d, rows in ((k_qs, k_d, kf), (v_qs, v_d, vf)):
+            q, d = _q4_quant(rows)  # [B,H,S,D] nibbles, [B,H,S]
+            dst_q.append(_q4_pack_rows(q))
+            b, h, s = d.shape
+            dst_d.append(d.reshape(b, h, s // 2, 2).transpose(0, 1, 3, 2))
+    return Q4KVCache(tuple(k_qs), tuple(k_d), tuple(v_qs), tuple(v_d))
+
+
 def apply_seq_edit(cache, src_idx, deltas, rope: RopeParams, freq_factors=None):
     """Reorder cells (src_idx [B,S]: new row j takes old row src_idx[b,j])
     and rebase positions (deltas [B,S]: rope angle shift per NEW row)."""
-    fn = _shift_qkv if isinstance(cache, QuantKVCache) else _shift_kv
+    from .kv_cache import Q4KVCache
+
+    if isinstance(cache, Q4KVCache):
+        fn = _shift_q4
+    else:
+        fn = _shift_qkv if isinstance(cache, QuantKVCache) else _shift_kv
     return fn(cache, jnp.asarray(src_idx, jnp.int32),
               jnp.asarray(deltas, jnp.int32), rope, freq_factors)
 

@@ -273,10 +273,224 @@ class QuantKVCache:
         )
 
 
+def _q4_quant(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[..., D] → (nibbles u8 [..., D] ∈ [1,15], d f32 [...]).
+
+    Symmetric per-row 4-bit: q = round(x/d) ∈ [-7,7] stored +8 (the −8 code
+    is unused so unpack stays branch-free: (q&15)−8). Per-row scale like
+    _q8_quant — role of the reference's type_k=q4_0 (common/arg.cpp:699)
+    with the block spanning the head dim."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    d = amax / 7.0
+    inv = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-30), 0.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv[..., None]), -7, 7)
+    return (q + 8).astype(jnp.uint8), d
+
+
+def _q4_pack_rows(q: jax.Array) -> jax.Array:
+    """[..., 2*T2, D] nibbles → [..., T2, D] bytes: byte(s2,d) = row 2*s2
+    (low nibble) | row 2*s2+1 << 4 (row-pair packing keeps the byte plane's
+    lane dim = D, so flash DMAs stay 128-lane aligned)."""
+    shp = q.shape
+    pairs = q.reshape(*shp[:-2], shp[-2] // 2, 2, shp[-1])
+    return (pairs[..., 0, :] | (pairs[..., 1, :] << 4)).astype(jnp.uint8)
+
+
+def _q4_unpack_rows(b: jax.Array) -> jax.Array:
+    """[..., S2, D] bytes → [..., 2*S2, D] signed int32 rows (−8..7)."""
+    lo = (b.astype(jnp.int32) & 15) - 8
+    hi = (b.astype(jnp.int32) >> 4) - 8
+    shp = b.shape
+    inter = jnp.stack([lo, hi], axis=-2)  # [..., S2, 2, D]
+    return inter.reshape(*shp[:-2], shp[-2] * 2, shp[-1])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Q4KVCache:
+    """Q4_0-quantized KV cache (reference --cache-type-k q4_0) — quarter the
+    bf16 bytes. Payload packs ROW PAIRS: byte plane [B, Hkv, S/2, D] (row
+    2s2 in the low nibble, 2s2+1 high) so DMA slices keep the 128-lane D
+    axis; scales ride parity-planar [B, Hkv, 2, S/2] f32 ([.,.,p,s2] = row
+    2*s2+p). The flash q4 kernel consumes both directly; layer() unpacks
+    for the XLA path."""
+
+    k_qs: tuple  # L × [B, Hkv, S/2, D] u8
+    k_d: tuple  # L × [B, Hkv, 2, S/2] f32
+    v_qs: tuple
+    v_d: tuple
+
+    def tree_flatten(self):
+        return (tuple(self.k_qs), tuple(self.k_d),
+                tuple(self.v_qs), tuple(self.v_d)), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def create(cls, n_layers, n_batch, n_ctx, n_kv_heads, head_dim, dtype=None):
+        assert n_ctx % 2 == 0, n_ctx
+        shape = (n_batch, n_kv_heads, n_ctx // 2, head_dim)
+        dshape = (n_batch, n_kv_heads, 2, n_ctx // 2)
+        return cls(
+            tuple(jnp.zeros(shape, jnp.uint8) for _ in range(n_layers)),
+            tuple(jnp.zeros(dshape, jnp.float32) for _ in range(n_layers)),
+            tuple(jnp.zeros(shape, jnp.uint8) for _ in range(n_layers)),
+            tuple(jnp.zeros(dshape, jnp.float32) for _ in range(n_layers)),
+        )
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.k_qs)
+
+    @property
+    def capacity(self) -> int:
+        return self.k_qs[0].shape[2] * 2
+
+    def _replace_layer(self, layer: int, kq, kd, vq, vd) -> "Q4KVCache":
+        arrays = [list(self.k_qs), list(self.k_d), list(self.v_qs), list(self.v_d)]
+        for lst, a in zip(arrays, (kq, kd, vq, vd)):
+            lst[layer] = a
+        return Q4KVCache(*(tuple(lst) for lst in arrays))
+
+    @staticmethod
+    def _merge_row(qs, d, new_q, new_d, off):
+        """Merge T new nibble rows into the packed plane at scalar offset
+        `off` (traced): read the covering byte slab, unpack, splice, repack.
+        new_q [B,H,T,D] u8 nibbles, new_d [B,H,T]."""
+        bsz, hkv, t, dd = new_q.shape
+        s2 = qs.shape[2]
+        nb = min(t // 2 + 1, s2)  # byte rows covering T rows at either parity
+        # clamp so the slab never runs past the plane (dynamic_slice would
+        # silently shift it and misalign every row by 2)
+        start2 = jnp.clip(off // 2, 0, s2 - nb)
+        row_off = off - 2 * start2  # in-slab row index of the first new row
+        slab = jax.lax.dynamic_slice(qs, (0, 0, start2, 0), (bsz, hkv, nb, dd))
+        rows = _q4_unpack_rows(slab) + 8  # [B,H,2nb,D] back to nibble codes
+        rows = jax.lax.dynamic_update_slice(
+            rows, new_q.astype(jnp.int32), (0, 0, row_off, 0))
+        qs = jax.lax.dynamic_update_slice(
+            qs, _q4_pack_rows(rows.astype(jnp.uint8)), (0, 0, start2, 0))
+        dslab = jax.lax.dynamic_slice(d, (0, 0, 0, start2), (bsz, hkv, 2, nb))
+        drows = dslab.transpose(0, 1, 3, 2).reshape(bsz, hkv, 2 * nb)
+        drows = jax.lax.dynamic_update_slice(drows, new_d, (0, 0, row_off))
+        dslab = drows.reshape(bsz, hkv, nb, 2).transpose(0, 1, 3, 2)
+        d = jax.lax.dynamic_update_slice(d, dslab, (0, 0, 0, start2))
+        return qs, d
+
+    def write(self, layer: int, k_new: jax.Array, v_new: jax.Array, offset) -> "Q4KVCache":
+        off = jnp.asarray(offset, jnp.int32)
+        kq, kd = _q4_quant(k_new.transpose(0, 2, 1, 3))  # [B,H,T,D],[B,H,T]
+        vq, vd = _q4_quant(v_new.transpose(0, 2, 1, 3))
+        kql, kdl, vql, vdl = (self.k_qs[layer], self.k_d[layer],
+                              self.v_qs[layer], self.v_d[layer])
+        s2 = kql.shape[2]
+        if off.ndim == 1:
+            # batched decode: per-slot single rows; idle slots carry
+            # off == capacity → r2 == S/2 → dropped by the OOB scatter
+            bi = jnp.arange(k_new.shape[0])
+            r2 = off // 2
+            par = (off % 2)[:, None, None]  # [B,1,1]
+            safe = jnp.clip(r2, 0, s2 - 1)
+
+            def merge(plane, q1):
+                old = plane[bi, :, safe]  # [B,H,D]
+                q1 = q1[:, :, 0].astype(jnp.uint8)
+                byte = jnp.where(par == 0,
+                                 (old & 0xF0) | q1,
+                                 (old & 0x0F) | (q1 << 4))
+                return plane.at[bi, :, r2].set(byte, mode="drop")
+
+            return self._replace_layer(
+                layer,
+                merge(kql, kq),
+                kdl.at[bi, :, off % 2, r2].set(kd[:, :, 0], mode="drop"),
+                merge(vql, vq),
+                vdl.at[bi, :, off % 2, r2].set(vd[:, :, 0], mode="drop"),
+            )
+        kql, kdl = self._merge_row(kql, kdl, kq, kd, off)
+        vql, vdl = self._merge_row(vql, vdl, vq, vd, off)
+        return self._replace_layer(layer, kql, kdl, vql, vdl)
+
+    def write_packed(self, layer: int, k_new: jax.Array, v_new: jax.Array,
+                     slot_ids: jax.Array, rows: jax.Array) -> "Q4KVCache":
+        """Packed-ubatch scatter with in-batch sibling resolution: when both
+        rows of a byte land in one ubatch, each token takes its sibling's
+        nibble from the BATCH (a plain read-modify-write would race)."""
+        kq, kd = _q4_quant(k_new)  # [P,H,D] nibbles, [P,H]
+        vq, vd = _q4_quant(v_new)
+        kql, kdl, vql, vdl = (self.k_qs[layer], self.k_d[layer],
+                              self.v_qs[layer], self.v_d[layer])
+        s2 = kql.shape[2]
+        p = rows.shape[0]
+        r2 = rows // 2
+        par = (rows % 2)[:, None, None]
+        safe = jnp.clip(r2, 0, s2 - 1)
+        sib = ((slot_ids[:, None] == slot_ids[None, :])
+               & ((rows[:, None] ^ 1) == rows[None, :])
+               & (rows[:, None] < self.capacity))  # [P,P]
+        sibf = sib.astype(jnp.int32)
+        has_sib = sib.any(axis=1)[:, None, None]
+
+        def merge(plane, q):
+            q = q.astype(jnp.int32)
+            old = plane[slot_ids, :, safe].astype(jnp.int32)  # [P,H,D]
+            sib_q = jnp.einsum("ij,jhd->ihd", sibf, q)
+            other = jnp.where(has_sib, sib_q,
+                              jnp.where(par == 0, old >> 4, old & 0x0F))
+            byte = jnp.where(par == 0, q | (other << 4), other | (q << 4))
+            return plane.at[slot_ids, :, r2].set(byte.astype(jnp.uint8),
+                                                 mode="drop")
+
+        return self._replace_layer(
+            layer,
+            merge(kql, kq),
+            kdl.at[slot_ids, :, rows % 2, r2].set(kd, mode="drop"),
+            merge(vql, vq),
+            vdl.at[slot_ids, :, rows % 2, r2].set(vd, mode="drop"),
+        )
+
+    def layer(self, i: int) -> tuple[jax.Array, jax.Array]:
+        """Dequantized (k, v) [B, Hkv, S, D] bf16 for the XLA path."""
+
+        def deq(qs, d):
+            rows = _q4_unpack_rows(qs).astype(jnp.float32)  # [B,H,S,D]
+            bsz, hkv, two, s2 = d.shape
+            dr = d.transpose(0, 1, 3, 2).reshape(bsz, hkv, 2 * s2)
+            return (rows * dr[..., None]).astype(jnp.bfloat16)
+
+        return deq(self.k_qs[i], self.k_d[i]), deq(self.v_qs[i], self.v_d[i])
+
+    def packed_layer(self, i: int):
+        """(k_qs, k_d, v_qs, v_d) for the fused q4 flash kernel."""
+        return self.k_qs[i], self.k_d[i], self.v_qs[i], self.v_d[i]
+
+    def slot_view(self, slot) -> "Q4KVCache":
+        sl = jnp.asarray(slot, jnp.int32)
+        return Q4KVCache(
+            *(tuple(jax.lax.dynamic_slice_in_dim(a, sl, 1, axis=0) for a in field)
+              for field in (self.k_qs, self.k_d, self.v_qs, self.v_d))
+        )
+
+    def merge_slot(self, sub: "Q4KVCache", slot) -> "Q4KVCache":
+        sl = jnp.asarray(slot, jnp.int32)
+        return Q4KVCache(
+            *(tuple(jax.lax.dynamic_update_slice_in_dim(a, s, sl, axis=0)
+                    for a, s in zip(field, sfield))
+              for field, sfield in zip(
+                  (self.k_qs, self.k_d, self.v_qs, self.v_d),
+                  (sub.k_qs, sub.k_d, sub.v_qs, sub.v_d)))
+        )
+
+
 def make_kv_cache(n_layers, n_batch, n_ctx, n_kv_heads, head_dim, kv_type="bf16"):
-    """kv_type: 'f32' | 'bf16' | 'f16' | 'q8_0' — mirrors --cache-type-k."""
+    """kv_type: 'f32' | 'bf16' | 'f16' | 'q8_0' | 'q4_0' — mirrors
+    --cache-type-k."""
     if kv_type in ("q8_0", "q8"):
         return QuantKVCache.create(n_layers, n_batch, n_ctx, n_kv_heads, head_dim)
+    if kv_type in ("q4_0", "q4"):
+        return Q4KVCache.create(n_layers, n_batch, n_ctx, n_kv_heads, head_dim)
     dt = {"f32": jnp.float32, "f16": jnp.float16, "bf16": jnp.bfloat16}[kv_type]
     return KVCache.create(n_layers, n_batch, n_ctx, n_kv_heads, head_dim, dt)
 

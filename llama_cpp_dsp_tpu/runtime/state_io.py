@@ -56,12 +56,22 @@ def _from_storable(a: np.ndarray, dtype_name: str):
 
 
 def save_state(ctx, path: str, tokens: list[int]) -> None:
-    """Save a LlamaContext's session (tokens + populated KV rows)."""
+    """Save a LlamaContext's session (tokens + populated KV rows). Quantized
+    caches export dequantized rows (the reference's cross-type state re-read
+    paths, src/llama-kv-cache.cpp:154-198)."""
     n = ctx.n_past
-    k = _to_storable(np.stack([np.asarray(kl[:, :, :n]) for kl in ctx.cache.k]))
-    v = _to_storable(np.stack([np.asarray(vl[:, :, :n]) for vl in ctx.cache.v]))
+    if hasattr(ctx.cache, "k"):
+        kls, vls = ctx.cache.k, ctx.cache.v
+        dtype = ctx.cache.dtype.name
+    else:  # quantized: dequantized layer views
+        pairs = [ctx.cache.layer(i) for i in range(ctx.cache.n_layers)]
+        kls = [p[0] for p in pairs]
+        vls = [p[1] for p in pairs]
+        dtype = kls[0].dtype.name
+    k = _to_storable(np.stack([np.asarray(kl[:, :, :n]) for kl in kls]))
+    v = _to_storable(np.stack([np.asarray(vl[:, :, :n]) for vl in vls]))
     np.savez_compressed(
-        open(path, "wb"), meta=_meta(ctx.cfg, n, tokens, ctx.cache.dtype.name), k=k, v=v
+        open(path, "wb"), meta=_meta(ctx.cfg, n, tokens, dtype), k=k, v=v
     )
 
 
@@ -80,10 +90,17 @@ def load_state(ctx, path: str) -> list[int]:
         raise ValueError(f"state has {n} cells, context only {ctx.n_ctx}")
     k = jnp.asarray(_from_storable(data["k"], meta["dtype"]))
     v = jnp.asarray(_from_storable(data["v"], meta["dtype"]))
-    ctx.cache = type(ctx.cache)(
-        tuple(kl.at[:, :, :n].set(k[i]) for i, kl in enumerate(ctx.cache.k)),
-        tuple(vl.at[:, :, :n].set(v[i]) for i, vl in enumerate(ctx.cache.v)),
-    )
+    if hasattr(ctx.cache, "k"):
+        ctx.cache = type(ctx.cache)(
+            tuple(kl.at[:, :, :n].set(k[i]) for i, kl in enumerate(ctx.cache.k)),
+            tuple(vl.at[:, :, :n].set(v[i]) for i, vl in enumerate(ctx.cache.v)),
+        )
+    elif n:  # quantized: re-quantize rows through the write path
+        cache = ctx.cache
+        for i in range(cache.n_layers):
+            cache = cache.write(i, k[i].transpose(0, 2, 1, 3),
+                                v[i].transpose(0, 2, 1, 3), 0)
+        ctx.cache = cache
     ctx.n_past = n
     return [int(t) for t in meta["tokens"]]
 

@@ -518,7 +518,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="paged = shared-prefix page-aliased KV cache")
     ap.add_argument("--kv-page-size", type=int, default=128)
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
-                    choices=("f32", "bf16", "f16", "q8_0"),
+                    choices=("f32", "bf16", "f16", "q8_0", "q4_0"),
                     help="KV cache data type (reference --cache-type-k)")
     return ap
 

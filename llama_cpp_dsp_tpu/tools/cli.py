@@ -70,7 +70,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-gaw", "--grp-attn-w", type=int, default=512,
                    help="self-extend window (reference --grp-attn-w)")
     p.add_argument("-ctk", "--cache-type-k", default="bf16",
-                   choices=["f32", "f16", "bf16", "q8_0"],
+                   choices=["f32", "f16", "bf16", "q8_0", "q4_0"],
                    help="KV cache data type (reference --cache-type-k)")
     p.add_argument("--lora", action="append", default=[],
                    help="LoRA adapter GGUF (repeatable, scale 1.0)")
