@@ -276,3 +276,27 @@ def test_q4_context_shift_and_state_io(tmp_path):
     hist = load_state(ctx2, sp)
     assert hist[:3] == [3, 5, 7]
     assert ctx2.n_past == ctx.n_past
+
+
+def test_engine_q4_cache_generation(tmp_path):
+    """Continuous-batching engine on a q4_0 cache: two slots, mixed prefill
+    + batched decode + write_packed paths all through the packed planes."""
+    import sys
+    sys.path.insert(0, "tests")
+    from model_builder import build_tiny_llama
+    from llama_cpp_dsp_tpu.runtime.engine import Engine, Request
+    from llama_cpp_dsp_tpu.runtime.loader import load_model
+    from llama_cpp_dsp_tpu.runtime.sampling import make_chain
+
+    path = str(tmp_path / "tiny.gguf")
+    build_tiny_llama(path, qtype=0)
+    model = load_model(path)
+    engine = Engine(model, n_slots=2, n_ctx_per_slot=64, kv_dtype="q4_0")
+    reqs = [Request(rid=i, prompt_tokens=[3 + i, 5, 9], max_new_tokens=6,
+                    sampler=make_chain(temp=0.0)) for i in range(2)]
+    for r in reqs:
+        engine.submit(r)
+    while any(not r.done.is_set() for r in reqs):
+        engine.step()
+    for r in reqs:
+        assert len(r.result_tokens) >= 1 and r.error is None
