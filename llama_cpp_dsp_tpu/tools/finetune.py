@@ -113,3 +113,55 @@ def save_lora(path: str, lora, model, *, alpha: float = 16.0) -> None:
         w.add_tensor(f"blk.{il}.{t}.weight.lora_b",
                      np.asarray(ab["b"], np.float32))
     w.write()
+
+
+def main(argv=None) -> int:
+    """CLI (reference examples/finetune): LoRA-train on a text file and
+    save a reference-format adapter GGUF."""
+    import argparse
+    import sys
+
+    ap = argparse.ArgumentParser(
+        description="LoRA fine-tuning on next-token cross-entropy")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-f", "--file", required=True, help="training text file")
+    ap.add_argument("-o", "--lora-out", required=True,
+                    help="output adapter GGUF")
+    ap.add_argument("--rank", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--alpha", type=float, default=16.0)
+    ap.add_argument("--seq-len", type=int, default=128)
+    ap.add_argument("--targets", default="attn_q,attn_v",
+                    help="comma-separated weight names to adapt")
+    ap.add_argument("-s", "--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from ..runtime.loader import load_model
+    from ..utils.jax_setup import setup_jax
+
+    setup_jax()
+    model = load_model(args.model)
+    ids = model.tokenizer.encode(open(args.file, encoding="utf-8").read())
+    sl = args.seq_len
+    seqs = [ids[i: i + sl] for i in range(0, len(ids) - sl + 1, sl)]
+    if not seqs:
+        print(f"error: need at least {sl} tokens, got {len(ids)}",
+              file=sys.stderr)
+        return 1
+    print(f"training rank-{args.rank} LoRA on {len(seqs)} × {sl}-token "
+          f"sequences for {args.steps} steps", file=sys.stderr)
+    lora, losses = train_lora(
+        model, seqs, rank=args.rank, steps=args.steps, lr=args.lr,
+        alpha=args.alpha, targets=tuple(args.targets.split(",")),
+        seed=args.seed)
+    print(f"loss: {losses[0]:.4f} -> {losses[-1]:.4f}", file=sys.stderr)
+    save_lora(args.lora_out, lora, model, alpha=args.alpha)
+    print(f"wrote {args.lora_out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
