@@ -118,9 +118,14 @@ class LlamaConfig:
 
     @property
     def kv_cache_dim(self) -> int:
-        """KV-cache per-head dim: MLA caches [latent; roped-k]."""
+        """KV-cache per-head dim: MLA caches [latent; roped-k; 0-pad].
+
+        The MLA entry is padded up to a 128 multiple so the flash-MLA
+        decode kernel's chunk DMAs stay lane-aligned (Mosaic constraint);
+        the pad lanes are zero and drop out of every dot product."""
         if self.kv_lora_rank:
-            return self.kv_lora_rank + self.qk_rope_dim
+            w = self.kv_lora_rank + self.qk_rope_dim
+            return -(-w // 128) * 128
         return self.head_dim
 
     @property
@@ -809,7 +814,7 @@ def decode_layer(
 
         attn, cache = mla_impl(
             attn_in, layer, cfg, positions, cache, layer_idx, n_past, mask,
-            compute_dtype, tap,
+            compute_dtype, tap, flash=flash,
         )
     else:
         attn, cache = self_attention(

@@ -335,6 +335,117 @@ def flash_decode_q8(
 
 
 # ---------------------------------------------------------------------------
+# MLA latent-attention decode (DeepSeek-V2/V3, models/deepseek2.py). The
+# cache holds ONE latent "head" [B, 1, S, C] (C = kv_lora_rank + rope_dim,
+# zero-padded to a 128 multiple). score = [q_lat; q_rope]·row and the
+# attention output is Σ p·row[:r] — so ONE pass over the cached latents
+# yields both the scores and the weighted latent sum; the XLA einsum path
+# reads the cache twice. Grid (B,): all H query heads share the row stream.
+# ---------------------------------------------------------------------------
+
+
+def _mla_decode_kernel(
+    len_ref,  # SMEM [B] int32
+    q_ref,  # VMEM [1, H, C] (q_lat ⊕ q_rope ⊕ 0-pad)
+    c_hbm,  # ANY [B, 1, S, C]
+    o_ref,  # VMEM [1, H, R] f32
+    c_buf,  # VMEM [2, CHUNK, C]
+    sem,  # DMA sems [2]
+    *, scale: float, chunk: int, r: int,
+):
+    b = pl.program_id(0)
+    length = len_ref[b]
+    n_chunks = pl.cdiv(length, chunk)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # [H, C]
+    h = q.shape[0]
+
+    def dma(slot, ci):
+        return pltpu.make_async_copy(
+            c_hbm.at[b, 0, pl.ds(ci * chunk, chunk), slice(None)],
+            c_buf.at[slot], sem.at[slot],
+        )
+
+    dma(0, 0).start()
+
+    def body(ci, carry):
+        m, l, acc = carry
+        slot = ci % 2
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma((ci + 1) % 2, ci + 1).start()
+
+        dma(slot, ci).wait()
+        rows = c_buf[slot].astype(jnp.float32)  # [CHUNK, C]
+        s = jax.lax.dot_general(
+            q, rows, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [H, CHUNK]
+        col = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < length, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, rows[:, :r], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return m_new, l, acc
+
+    m0 = jnp.full((h, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((h, 1), jnp.float32)
+    acc0 = jnp.zeros((h, r), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+    o_ref[0] = acc / jnp.maximum(l, 1e-30)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "chunk", "r", "interpret")
+)
+def mla_flash_decode(
+    q: jax.Array,  # [B, H, C] — concat(q_lat, q_rope, 0-pad) f32
+    c: jax.Array,  # [B, 1, S, C] cached latents (bf16/f32)
+    lengths: jax.Array,  # [B] int32
+    *,
+    scale: float,
+    r: int,  # latent rank (the output keeps rows[:, :r])
+    chunk: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    bsz, h, cdim = q.shape
+    s = c.shape[2]
+    chunk = min(chunk, s)
+    while s % chunk:
+        chunk //= 2
+    assert chunk >= 128 and cdim % 128 == 0 and r % 128 == 0, (chunk, cdim, r)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, h, cdim), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, h, r), lambda b, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, cdim), c.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_mla_decode_kernel, scale=scale, chunk=chunk, r=r),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, h, r), jnp.float32),
+        interpret=_resolve_interpret(interpret),
+    )(lengths.astype(jnp.int32), q.astype(jnp.float32), c)
+
+
+# ---------------------------------------------------------------------------
 # Q4-quantized KV variant (reference --cache-type-k q4_0). Row-PAIR packing
 # (runtime/kv_cache.Q4KVCache): the byte plane is [B, Hkv, S/2, D] (row 2j
 # low nibble, 2j+1 high) so chunk DMAs keep the 128-lane D axis; scales are

@@ -158,7 +158,7 @@ class LlamaContext:
         self.n_past = 0
         self.pos_delta = 0  # rope position − cache row (self-extend)
         self.perf = PerfCounters()
-        use_flash = use_pallas and not self.cfg.kv_lora_rank
+        use_flash = use_pallas  # MLA now has its own fused decode path
 
         @partial(jax.jit, donate_argnums=(1,))
         def _step(params, cache, tokens, positions, n_past, pos_delta):

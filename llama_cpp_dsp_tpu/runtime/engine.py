@@ -187,7 +187,7 @@ class Engine:
             )
             return logits, cache.merge_slot(sub, slot)
 
-        use_flash = use_pallas and not self.cfg.kv_lora_rank
+        use_flash = use_pallas  # MLA now has its own fused decode path
 
         @partial(jax.jit, donate_argnums=(1,))
         def _decode(params, cache, tokens, positions, active):

@@ -520,6 +520,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
                     choices=("f32", "bf16", "f16", "q8_0", "q4_0"),
                     help="KV cache data type (reference --cache-type-k)")
+    # multi-host SPMD (the reference's rpc-server workflow dissolves into
+    # jax.distributed — parallel/distributed.py): every host runs THIS
+    # same command; host 0's HTTP endpoint serves
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="jax.distributed coordinator address (multi-host)")
+    ap.add_argument("--num-hosts", type=int, default=None)
+    ap.add_argument("--host-id", type=int, default=None)
     return ap
 
 
@@ -532,6 +539,13 @@ def main(argv=None) -> int:
     from ..utils.jax_setup import setup_jax
 
     setup_jax()
+    if args.coordinator or (args.num_hosts and args.num_hosts > 1):
+        from ..parallel.distributed import init_distributed
+
+        host_idx = init_distributed(args.coordinator, args.num_hosts,
+                                    args.host_id)
+        print(f"jax.distributed: host {host_idx}/{args.num_hosts}",
+              file=sys.stderr)
     from ..runtime.loader import load_model
 
     model = load_model(args.model)

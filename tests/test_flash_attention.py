@@ -216,3 +216,45 @@ def test_flash_prefill_model_integration():
     # stream (user-visible contract) and scale-relative logits must agree
     np.testing.assert_array_equal(outs[True].argmax(-1), outs[False].argmax(-1))
     np.testing.assert_allclose(outs[True], outs[False], rtol=5e-2, atol=0.25)
+
+
+def test_mla_flash_decode_matches_xla():
+    """Fused MLA latent attention (mla_flash_decode) vs the XLA einsum path
+    on a DeepSeek-style config with r=128 (kernel-eligible)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
+    from llama_cpp_dsp_tpu.models.llama import forward
+    from llama_cpp_dsp_tpu.models.registry import synth_config
+    from llama_cpp_dsp_tpu.runtime.kv_cache import KVCache, causal_mask
+    from llama_cpp_dsp_tpu.tools.synth import synth_params
+
+    cfg = synth_config(
+        "deepseek2", n_embd=128, n_heads=4, n_kv_heads=4, head_dim=32,
+        n_ff=256, n_vocab=128, kv_lora_rank=128, q_lora_rank=64,
+        qk_nope_dim=32, qk_rope_dim=64, v_head_dim=32,
+    )
+    assert cfg.kv_cache_dim == 256  # 128 + 64 → padded to 256
+    params = synth_params(cfg, GGMLType.Q8_0, seed=5, tie=False)
+    n, n_ctx = 5, 128
+    toks = np.asarray([[3, 9, 2, 7, 1]], np.int32)
+    pos = np.arange(n, dtype=np.int32)[None]
+    outs = {}
+    caches = {}
+    for flash in (False, True):
+        cache = KVCache.create(cfg.n_layers, 1, n_ctx, cfg.kv_cache_heads,
+                               cfg.kv_cache_dim)
+        mask = causal_mask(jnp.asarray(pos), n_ctx, 0)
+        _, cache = forward(params, cfg, jnp.asarray(toks), jnp.asarray(pos),
+                           cache, 0, mask, compute_dtype=jnp.float32,
+                           flash=flash)
+        t1 = np.asarray([[5]], np.int32)
+        p1 = np.asarray([[n]], np.int32)
+        m1 = causal_mask(jnp.asarray(p1), n_ctx, n)
+        logits, cache = forward(params, cfg, jnp.asarray(t1), jnp.asarray(p1),
+                                cache, n, m1, compute_dtype=jnp.float32,
+                                flash=flash)
+        outs[flash] = np.asarray(logits)[0, -1]
+        caches[flash] = cache
+    np.testing.assert_allclose(outs[True], outs[False], rtol=2e-4, atol=2e-4)
