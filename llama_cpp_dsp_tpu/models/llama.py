@@ -308,85 +308,58 @@ def ffn_moe(x: jax.Array, layer: Params, cfg: LlamaConfig, compute_dtype,
     if cfg.moe_norm_weights:
         weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
     weights = weights * cfg.moe_scale
-    # dense-gather formulation: one-hot dispatch (fine for small E; the
-    # sharded expert-parallel path lives in parallel/)
     gate_w, up_w, down_w = layer["ffn_gate_exps"], layer["ffn_up_exps"], layer["ffn_down_exps"]
     from ..ops.pallas.layouts import KernelWeights
 
-    if all(isinstance(w, KernelWeights) for w in (gate_w, up_w, down_w)):
-        b, t = x.shape[0], x.shape[1]
-        u = cfg.n_expert_used
-        if b * t * u <= 32:
-            # decode: selected-expert GEMV kernel streams only the chosen
-            # experts' packed bytes (MUL_MAT_ID role; E/U× less HBM traffic
-            # than dense-all). Rows repeat per used expert.
-            from ..ops.pallas.qmm import qmm_expert_rows
+    b, t = x.shape[0], x.shape[1]
+    u = cfg.n_expert_used
+    kernelized = all(isinstance(w, KernelWeights)
+                     for w in (gate_w, up_w, down_w))
+    if kernelized and b * t * u <= 32:
+        # decode: selected-expert GEMV kernel streams only the chosen
+        # experts' packed bytes (MUL_MAT_ID role; E/U× less HBM traffic
+        # than dense-all). Rows repeat per used expert.
+        from ..ops.pallas.qmm import qmm_expert_rows
 
-            xf = x.reshape(b * t, -1)
-            sel_flat = sel.reshape(-1)  # [M*U]
-            w_flat = weights.reshape(b * t * u).astype(jnp.float32)
-            xr = jnp.repeat(xf, u, axis=0)  # [M*U, K]
-            if cfg.moe_weight_before:
-                xr = (xr.astype(jnp.float32) * w_flat[:, None]).astype(
-                    compute_dtype)
-            g = qmm_expert_rows(xr.astype(compute_dtype), gate_w, sel_flat)
-            uu = qmm_expert_rows(xr.astype(compute_dtype), up_w, sel_flat)
-            h = (activate(g, cfg.act) * uu).astype(compute_dtype)
-            d = qmm_expert_rows(h, down_w, sel_flat)  # [M*U, D] f32
-            if not cfg.moe_weight_before:
-                d = d * w_flat[:, None]
-            mix = d.reshape(b, t, u, -1).sum(axis=2)
-        else:
-            # prefill: every expert is live across a big batch — dense-all
-            # with static per-expert kernel slices (weights stream once)
-            def kffn(xin, eid):
-                gk = qmm(xin, gate_w.expert(eid), compute_dtype=compute_dtype)
-                uk = qmm(xin, up_w.expert(eid), compute_dtype=compute_dtype)
-                return qmm((activate(gk, cfg.act) * uk).astype(compute_dtype),
-                           down_w.expert(eid), compute_dtype=compute_dtype)
-
-            onehot = jax.nn.one_hot(sel, e, dtype=jnp.float32) * weights[..., None]
-            if cfg.moe_weight_before:
-                w_full = onehot.sum(axis=2)
-                presence = (w_full != 0).astype(jnp.float32)
-                outs = jnp.stack(
-                    [kffn((x.astype(jnp.float32)
-                           * w_full[..., eid, None]).astype(compute_dtype), eid)
-                     for eid in range(e)], axis=2)
-                mix = jnp.einsum("bte,bted->btd", presence,
-                                 outs.astype(jnp.float32))
-            else:
-                outs = jnp.stack([kffn(x, eid) for eid in range(e)], axis=2)
-                mix = jnp.einsum("btue,bted->btd", onehot,
-                                 outs.astype(jnp.float32))
-        if cfg.moe_shared_expert:
-            sh = ffn_dense(x, layer, cfg, compute_dtype, tap, "_shexp", layer_idx)
-            if cfg.moe_gate_shexp:
-                g2 = qmm(x, layer["ffn_gate_inp_shexp"], compute_dtype=compute_dtype)
-                sh = sh * jax.nn.sigmoid(g2.astype(jnp.float32)).astype(sh.dtype)
-            mix = mix + sh.astype(jnp.float32)
-        return mix.astype(x.dtype)
-
-    def expert_ffn(xin, eid):
-        g = qmm(xin, _expert_slice(gate_w, eid), compute_dtype=compute_dtype)
-        u = qmm(xin, _expert_slice(up_w, eid), compute_dtype=compute_dtype)
-        return qmm((activate(g, cfg.act) * u).astype(compute_dtype),
-                   _expert_slice(down_w, eid), compute_dtype=compute_dtype)
-
-    onehot = jax.nn.one_hot(sel, e, dtype=jnp.float32) * weights[..., None]  # [B,T,U,E]
-    if cfg.moe_weight_before:
-        # llama4: router weights scale the expert INPUTS; outputs sum
-        # unweighted (build_moe_ffn weight_before_ffn, llama-graph.cpp:841)
-        w_full = onehot.sum(axis=2)  # [B,T,E]
-        presence = (w_full != 0).astype(jnp.float32)
-        outs = jnp.stack(
-            [expert_ffn((x.astype(jnp.float32)
-                         * w_full[..., eid, None]).astype(compute_dtype), eid)
-             for eid in range(e)], axis=2)  # [B,T,E,D]
-        mix = jnp.einsum("bte,bted->btd", presence, outs.astype(jnp.float32))
+        xf = x.reshape(b * t, -1)
+        sel_flat = sel.reshape(-1)  # [M*U]
+        w_flat = weights.reshape(b * t * u).astype(jnp.float32)
+        xr = jnp.repeat(xf, u, axis=0)  # [M*U, K]
+        if cfg.moe_weight_before:
+            xr = (xr.astype(jnp.float32) * w_flat[:, None]).astype(
+                compute_dtype)
+        g = qmm_expert_rows(xr.astype(compute_dtype), gate_w, sel_flat)
+        uu = qmm_expert_rows(xr.astype(compute_dtype), up_w, sel_flat)
+        h = (activate(g, cfg.act) * uu).astype(compute_dtype)
+        d = qmm_expert_rows(h, down_w, sel_flat)  # [M*U, D] f32
+        if not cfg.moe_weight_before:
+            d = d * w_flat[:, None]
+        mix = d.reshape(b, t, u, -1).sum(axis=2)
     else:
-        outs = jnp.stack([expert_ffn(x, eid) for eid in range(e)], axis=2)
-        mix = jnp.einsum("btue,bted->btd", onehot, outs.astype(jnp.float32))
+        # dense-gather formulation: one-hot dispatch over ALL experts (right
+        # for prefill, where every expert is live across the batch and the
+        # weights stream once; the sharded expert-parallel path shards the
+        # expert axis in parallel/)
+        def expert_ffn(xin, eid):
+            g = qmm(xin, _expert_slice(gate_w, eid), compute_dtype=compute_dtype)
+            uu = qmm(xin, _expert_slice(up_w, eid), compute_dtype=compute_dtype)
+            return qmm((activate(g, cfg.act) * uu).astype(compute_dtype),
+                       _expert_slice(down_w, eid), compute_dtype=compute_dtype)
+
+        onehot = jax.nn.one_hot(sel, e, dtype=jnp.float32) * weights[..., None]  # [B,T,U,E]
+        if cfg.moe_weight_before:
+            # llama4: router weights scale the expert INPUTS; outputs sum
+            # unweighted (build_moe_ffn weight_before_ffn, llama-graph.cpp:841)
+            w_full = onehot.sum(axis=2)  # [B,T,E]
+            presence = (w_full != 0).astype(jnp.float32)
+            outs = jnp.stack(
+                [expert_ffn((x.astype(jnp.float32)
+                             * w_full[..., eid, None]).astype(compute_dtype), eid)
+                 for eid in range(e)], axis=2)  # [B,T,E,D]
+            mix = jnp.einsum("bte,bted->btd", presence, outs.astype(jnp.float32))
+        else:
+            outs = jnp.stack([expert_ffn(x, eid) for eid in range(e)], axis=2)
+            mix = jnp.einsum("btue,bted->btd", onehot, outs.astype(jnp.float32))
     if cfg.moe_shared_expert:
         sh = ffn_dense(x, layer, cfg, compute_dtype, tap, "_shexp", layer_idx)
         if cfg.moe_gate_shexp:
@@ -397,8 +370,11 @@ def ffn_moe(x: jax.Array, layer: Params, cfg: LlamaConfig, compute_dtype,
 
 
 def _expert_slice(w, eid: int):
+    from ..ops.pallas.layouts import KernelWeights
     from ..ops.qtensor import QTensor
 
+    if isinstance(w, KernelWeights):
+        return w.expert(eid)
     if isinstance(w, QTensor):
         # 3-D expert weights are stored as a leading expert axis on each field
         return QTensor(w.kind, w.shape, {k: a[eid] for k, a in w.arrays.items()})
