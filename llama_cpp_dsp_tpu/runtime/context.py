@@ -129,10 +129,17 @@ class LlamaContext:
         prefill_buckets: tuple[int, ...] = (32, 128, 512, 2048),
         device=None,
         use_pallas: bool | None = None,
+        tp: int = 1,  # tensor-parallel over a ("dp","tp") mesh — the
+        # TPU-native split-mode ROW (parallel/sharding.py); GSPMD inserts
+        # the ICI collectives. Forces the XLA compute path (pallas_call is
+        # not GSPMD-partitionable).
     ):
         t0 = time.perf_counter()
         if use_pallas is None:
-            use_pallas = jax.devices()[0].platform == "tpu"
+            use_pallas = jax.devices()[0].platform == "tpu" and tp <= 1
+        if tp > 1 and use_pallas:
+            log.warning("tensor-parallel forces the XLA path (use_pallas off)")
+            use_pallas = False
         if use_pallas:
             model = _convert_to_kernel_weights(model)
         self.cfg = model.cfg
@@ -142,7 +149,15 @@ class LlamaContext:
         self.n_batch = n_batch
         self.compute_dtype = compute_dtype
         self.prefill_buckets = [b for b in prefill_buckets if b <= self.n_ctx] or [self.n_ctx]
-        if device is not None:
+        self._mesh = None
+        if tp > 1:
+            from ..parallel.sharding import (
+                ShardingConfig, make_mesh, shard_params,
+            )
+
+            self._mesh = make_mesh(ShardingConfig(tp=tp, dp=1))
+            self.params = shard_params(model.params, self.cfg, self._mesh)
+        elif device is not None:
             self.params = jax.device_put(model.params, device)
         else:
             self.params = jax.tree.map(jnp.asarray, model.params)
@@ -155,6 +170,16 @@ class LlamaContext:
             self.cfg.n_layers, n_batch, self.n_ctx, self.cfg.kv_cache_heads,
             self.cfg.kv_cache_dim, kv_dtype,
         )
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharding import cache_sharding
+
+            heads = self.cfg.kv_cache_heads
+            sh = (cache_sharding(self._mesh) if heads % tp == 0
+                  else NamedSharding(self._mesh, P()))  # replicate odd heads
+            self.cache = jax.tree.map(lambda a: jax.device_put(a, sh),
+                                      self.cache)
         self.n_past = 0
         self.pos_delta = 0  # rope position − cache row (self-extend)
         self.perf = PerfCounters()

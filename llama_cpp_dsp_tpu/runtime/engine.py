@@ -104,13 +104,17 @@ class Engine:
         # decoding across ALL slots (reference server.cpp per-slot spec)
         n_draft: int = 8,
         p_min: float = 0.75,
+        tp: int = 1,  # tensor-parallel serving (see LlamaContext tp)
     ):
         self.kv_layout = kv_layout
         self.context_shift = context_shift
         from .context import _convert_to_kernel_weights
 
         if use_pallas is None:
-            use_pallas = jax.devices()[0].platform == "tpu"
+            use_pallas = jax.devices()[0].platform == "tpu" and tp <= 1
+        if tp > 1 and use_pallas:
+            log.warning("tensor-parallel forces the XLA path (use_pallas off)")
+            use_pallas = False
         if use_pallas:
             model = _convert_to_kernel_weights(model)
         self.model = model
@@ -122,7 +126,16 @@ class Engine:
         self.prefill_buckets = [b for b in prefill_buckets if b <= n_ctx_per_slot] or [
             n_ctx_per_slot
         ]
-        self.params = jax.tree.map(jnp.asarray, model.params)
+        self._mesh = None
+        if tp > 1:
+            from ..parallel.sharding import (
+                ShardingConfig, make_mesh, shard_params,
+            )
+
+            self._mesh = make_mesh(ShardingConfig(tp=tp, dp=1))
+            self.params = shard_params(model.params, model.cfg, self._mesh)
+        else:
+            self.params = jax.tree.map(jnp.asarray, model.params)
         cfg = self.cfg
         from .kv_cache import make_kv_cache
 
@@ -159,6 +172,16 @@ class Engine:
                 cfg.n_layers, n_slots, n_ctx_per_slot, cfg.kv_cache_heads,
                 cfg.kv_cache_dim, kv_dtype,
             )
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharding import cache_sharding
+
+            sh = (cache_sharding(self._mesh)
+                  if cfg.kv_cache_heads % tp == 0 and kv_layout != "paged"
+                  else NamedSharding(self._mesh, P()))
+            self.cache = jax.tree.map(lambda a: jax.device_put(a, sh),
+                                      self.cache)
         self.compute_dtype = compute_dtype
         self.slots = [_Slot(i) for i in range(n_slots)]
         self.queue: queue.Queue[Request] = queue.Queue()

@@ -523,6 +523,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # multi-host SPMD (the reference's rpc-server workflow dissolves into
     # jax.distributed — parallel/distributed.py): every host runs THIS
     # same command; host 0's HTTP endpoint serves
+    ap.add_argument("-tp", "--tensor-parallel", type=int, default=1,
+                    help="shard weights/KV over N chips (split-mode ROW)")
     ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                     help="jax.distributed coordinator address (multi-host)")
     ap.add_argument("--num-hosts", type=int, default=None)
@@ -559,7 +561,7 @@ def main(argv=None) -> int:
                     page_size=args.kv_page_size,
                     kv_dtype=args.cache_type_k,
                     draft_model=draft, n_draft=args.draft_max,
-                    p_min=args.draft_p_min)
+                    p_min=args.draft_p_min, tp=args.tensor_parallel)
     engine.start()
     server = Server(engine, model_name=args.alias or args.model, api_key=args.api_key)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)

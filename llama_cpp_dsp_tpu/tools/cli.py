@@ -80,6 +80,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="control-vector GGUF (reference --control-vector)")
     p.add_argument("--control-vector-scaled", nargs=2, action="append",
                    default=[], metavar=("PATH", "SCALE"))
+    p.add_argument("-tp", "--tensor-parallel", type=int, default=1,
+                   help="shard weights/KV over N chips (TPU-native "
+                        "split-mode ROW; XLA/GSPMD inserts the collectives)")
     p.add_argument("-md", "--model-draft", default=None,
                    help="draft model GGUF for speculative decoding "
                         "(reference -md, examples/speculative)")
@@ -132,6 +135,7 @@ def main(argv=None) -> int:
         compute_dtype=jnp.float32 if args.compute_dtype == "float32" else jnp.bfloat16,
         kv_dtype=args.cache_type_k,
         use_pallas=args.flash_attn,
+        tp=args.tensor_parallel,
     )
     spec = None
     if args.model_draft:
