@@ -59,6 +59,12 @@ _MODEL_TYPE_TO_ARCH = {
     "orion": "orion",
     "qwen2_vl": "qwen2vl",
     "chameleon": "chameleon",
+    "baichuan": "baichuan",
+    "xverse": "xverse",
+    "minicpm": "minicpm",
+    "gptj": "gptj",
+    "cohere2": "cohere2",
+    "granitemoe": "granitemoe",
 }
 
 # HF tensor suffix → GGUF suffix (per-layer); {} is the layer index
@@ -102,6 +108,17 @@ _LAYER_MAP = {
     "attn.c_attn.bias": "attn_qkv.bias",
     "attn.c_proj.weight": "attn_output.weight",
     "attn.c_proj.bias": "attn_output.bias",
+    # gptj (transformer.h.N.attn.{q,k,v,out}_proj, mlp.fc_{in,out})
+    "attn.q_proj.weight": "attn_q.weight",
+    "attn.k_proj.weight": "attn_k.weight",
+    "attn.v_proj.weight": "attn_v.weight",
+    "attn.out_proj.weight": "attn_output.weight",
+    "mlp.fc_in.weight": "ffn_up.weight",
+    "mlp.fc_in.bias": "ffn_up.bias",
+    "mlp.fc_out.weight": "ffn_down.weight",
+    "mlp.fc_out.bias": "ffn_down.bias",
+    # granitemoe router (input/output_linear are split in convert())
+    "block_sparse_moe.router.layer.weight": "ffn_gate_inp.weight",
     "ln_1.weight": "attn_norm.weight",
     "ln_1.bias": "attn_norm.bias",
     "ln_2.weight": "ffn_norm.weight",
@@ -250,6 +267,27 @@ def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
         w.add_kv(f"{arch}.rope.dimension_sections", [int(s) for s in sect])
     if arch == "chameleon":
         w.add_bool(f"{arch}.swin_norm", bool(cfg.get("swin_norm", False)))
+    if arch in ("granite", "granitemoe"):
+        # llm_build_granite's 4 scalar scales (HF *_multiplier names)
+        if g("embedding_multiplier") is not None:
+            w.add_float32(f"{arch}.embedding_scale", g("embedding_multiplier"))
+        if g("residual_multiplier") is not None:
+            w.add_float32(f"{arch}.residual_scale", g("residual_multiplier"))
+        if g("logits_scaling") is not None:
+            w.add_float32(f"{arch}.logit_scale", g("logits_scaling"))
+        if g("attention_multiplier") is not None:
+            w.add_float32(f"{arch}.attention.scale", g("attention_multiplier"))
+    if arch == "minicpm":
+        # scale_emb / scale_depth/√L residual / hidden/dim_model_base logits
+        n_layer = g("num_hidden_layers", "n_layer")
+        w.add_float32(f"{arch}.embedding_scale", g("scale_emb", default=12.0))
+        w.add_float32(f"{arch}.residual_scale",
+                      g("scale_depth", default=1.4) / (n_layer ** 0.5))
+        w.add_float32(f"{arch}.logit_scale",
+                      g("hidden_size") / g("dim_model_base",
+                                           default=g("hidden_size")))
+    if arch in ("cohere2", "command-r") and g("logit_scale") is not None:
+        w.add_float32(f"{arch}.logit_scale", g("logit_scale"))
     if arch == "mamba":
         w.add_uint32(f"{arch}.ssm.conv_kernel", g("conv_kernel", default=4))
         w.add_uint32(f"{arch}.ssm.inner_size",
@@ -343,7 +381,8 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
 
     n_head = cfg.get("num_attention_heads", cfg.get("n_head", 1))
     n_kv = cfg.get("num_key_value_heads", n_head)
-    permute = arch in ("llama", "internlm2", "exaone", "granite", "chameleon")
+    permute = arch in ("llama", "internlm2", "exaone", "granite", "chameleon",
+                       "baichuan", "xverse", "minicpm", "granitemoe")
     gemma_norm = arch.startswith("gemma")
     layer_map = _GEMMA2_LAYER_MAP if arch in ("gemma2", "gemma3") else _LAYER_MAP
 
@@ -356,6 +395,32 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
         arr = np.asarray(arr)
         if arr.dtype != np.float32:
             arr = arr.astype(np.float32)
+        if hf_name.endswith("self_attn.W_pack.weight"):
+            # baichuan fused QKV [3C, C]: split + permute q/k (the shared
+            # within-head row permutation leaves q·k invariant, so this is
+            # also safe for the 13B ALiBi variant)
+            il = hf_name.split("model.layers.")[1].split(".")[0]
+            c = arr.shape[0] // 3
+            _emit(w, f"blk.{il}.attn_q.weight",
+                  _permute_qk(arr[:c], n_head), qtype)
+            _emit(w, f"blk.{il}.attn_k.weight",
+                  _permute_qk(arr[c: 2 * c], n_kv), qtype)
+            _emit(w, f"blk.{il}.attn_v.weight", arr[2 * c:], qtype)
+            n_written += 3
+            continue
+        if ".block_sparse_moe.input_linear.weight" in hf_name:
+            # granitemoe fused per-expert [E, 2*ff, C] → gate|up stacks
+            il = hf_name.split("model.layers.")[1].split(".")[0]
+            ff = arr.shape[1] // 2
+            _emit(w, f"blk.{il}.ffn_gate_exps.weight", arr[:, :ff, :], qtype)
+            _emit(w, f"blk.{il}.ffn_up_exps.weight", arr[:, ff:, :], qtype)
+            n_written += 2
+            continue
+        if ".block_sparse_moe.output_linear.weight" in hf_name:
+            il = hf_name.split("model.layers.")[1].split(".")[0]
+            _emit(w, f"blk.{il}.ffn_down_exps.weight", arr, qtype)
+            n_written += 1
+            continue
         name = _map_name(hf_name, layer_map)
         if name is None:
             log.warning("skipping unmapped tensor %s", hf_name)

@@ -191,3 +191,127 @@ def test_convert_qwen2vl_parity(tmp_path_factory):
         theirs = hf_model(input_ids=torch.tensor(toks, dtype=torch.long)).logits
     np.testing.assert_allclose(np.asarray(ours)[0], theirs[0].numpy(),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_convert_gptj_parity(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hf_gptj")
+    n_vocab = _byte_level_tokenizer(d / "tokenizer.json")
+    (d / "tokenizer_config.json").write_text(json.dumps({
+        "bos_token": "<s>", "eos_token": "</s>"}))
+    hf_cfg = transformers.GPTJConfig(
+        vocab_size=n_vocab, n_embd=64, n_inner=128, n_layer=2, n_head=4,
+        rotary_dim=8, n_positions=64, layer_norm_epsilon=1e-5,
+    )
+    torch.manual_seed(1)
+    hf_model = transformers.GPTJForCausalLM(hf_cfg).eval()
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+    out = str(d / "m.gguf")
+    convert(str(d), out, "f32")
+    model = load_model(out)
+    assert model.cfg.arch == "gptj"
+    toks = np.array([[3, 45, 99, 7]], np.int32)
+    n = toks.shape[1]
+    pos = np.arange(n, dtype=np.int32).reshape(1, n)
+    ours, _ = forward(model.params, model.cfg, jnp.asarray(toks),
+                      jnp.asarray(pos),
+                      mask=np.tril(np.ones((1, n, n), bool)),
+                      compute_dtype=jnp.float32)
+    with torch.no_grad():
+        theirs = hf_model(torch.tensor(toks, dtype=torch.long)).logits
+    np.testing.assert_allclose(np.asarray(ours)[0], theirs[0].numpy(),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_convert_granitemoe_parity(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hf_gmoe")
+    n_vocab = _byte_level_tokenizer(d / "tokenizer.json")
+    (d / "tokenizer_config.json").write_text(json.dumps({
+        "bos_token": "<s>", "eos_token": "</s>"}))
+    hf_cfg = transformers.GraniteMoeConfig(
+        vocab_size=n_vocab, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        embedding_multiplier=2.0, residual_multiplier=0.5,
+        logits_scaling=3.0, attention_multiplier=0.1,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(2)
+    hf_model = transformers.GraniteMoeForCausalLM(hf_cfg).eval()
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+    out = str(d / "m.gguf")
+    convert(str(d), out, "f32")
+    model = load_model(out)
+    assert model.cfg.arch == "granitemoe"
+    assert model.cfg.n_expert == 4
+    toks = np.array([[3, 45, 99, 7]], np.int32)
+    n = toks.shape[1]
+    pos = np.arange(n, dtype=np.int32).reshape(1, n)
+    ours, _ = forward(model.params, model.cfg, jnp.asarray(toks),
+                      jnp.asarray(pos),
+                      mask=np.tril(np.ones((1, n, n), bool)),
+                      compute_dtype=jnp.float32)
+    with torch.no_grad():
+        theirs = hf_model(torch.tensor(toks, dtype=torch.long)).logits
+    np.testing.assert_allclose(np.asarray(ours)[0], theirs[0].numpy(),
+                               rtol=3e-3, atol=3e-3)
+
+
+def test_convert_baichuan_wpack_split(tmp_path_factory):
+    """Synthetic baichuan checkpoint (fused W_pack): the split+permute must
+    reproduce an identical plain-llama conversion of the same weights."""
+    import shutil
+
+    from safetensors import safe_open
+    from safetensors.numpy import save_file
+
+    base = tmp_path_factory.mktemp("hf_bc")
+    n_vocab = _byte_level_tokenizer(base / "tokenizer.json")
+    (base / "tokenizer_config.json").write_text(json.dumps({
+        "bos_token": "<s>", "eos_token": "</s>"}))
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=n_vocab, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, rms_norm_eps=1e-6,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(3)
+    hf_model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    hf_model.save_pretrained(str(base), safe_serialization=True)
+    llama_gguf = str(base / "llama.gguf")
+    convert(str(base), llama_gguf, "f32")
+
+    # rewrite the same checkpoint with fused W_pack + baichuan model_type
+    bc = tmp_path_factory.mktemp("hf_bc2")
+    shutil.copy(base / "tokenizer.json", bc / "tokenizer.json")
+    shutil.copy(base / "tokenizer_config.json", bc / "tokenizer_config.json")
+    cfg = json.loads((base / "config.json").read_text())
+    cfg["model_type"] = "baichuan"
+    (bc / "config.json").write_text(json.dumps(cfg))
+    tensors = {}
+    with safe_open(str(base / "model.safetensors"), framework="np") as sf:
+        for name in sf.keys():
+            tensors[name] = sf.get_tensor(name)
+    for il in range(2):
+        pre = f"model.layers.{il}.self_attn."
+        tensors[pre + "W_pack.weight"] = np.concatenate(
+            [tensors.pop(pre + "q_proj.weight"),
+             tensors.pop(pre + "k_proj.weight"),
+             tensors.pop(pre + "v_proj.weight")], axis=0)
+    save_file(tensors, str(bc / "model.safetensors"))
+    bc_gguf = str(bc / "baichuan.gguf")
+    convert(str(bc), bc_gguf, "f32")
+
+    m1 = load_model(llama_gguf)
+    m2 = load_model(bc_gguf)
+    assert m2.cfg.arch == "baichuan"
+    toks = np.array([[3, 45, 99, 7]], np.int32)
+    n = toks.shape[1]
+    pos = np.arange(n, dtype=np.int32).reshape(1, n)
+    mask = np.tril(np.ones((1, n, n), bool))
+    l1, _ = forward(m1.params, m1.cfg, jnp.asarray(toks), jnp.asarray(pos),
+                    mask=mask, compute_dtype=jnp.float32)
+    l2, _ = forward(m2.params, m2.cfg, jnp.asarray(toks), jnp.asarray(pos),
+                    mask=mask, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               rtol=1e-5, atol=1e-5)
