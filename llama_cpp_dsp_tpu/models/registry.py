@@ -176,7 +176,12 @@ def _olmo2(get):
 
 
 def _olmoe(get):
-    return {"qk_norm": True}
+    # HF OlmoeAttention RMS-norms the FLAT q/k projections (num_heads*head_dim)
+    # before the head reshape — same as olmo2 (llm_build_olmoe build_norm on
+    # Qcur/Kcur at full width). Router: softmax top-k WITHOUT renorm
+    # (norm_topk_prob=False default).
+    return {"qk_norm": True, "qk_norm_flat": True,
+            "moe_norm_weights": bool(get("{arch}.expert_weights_norm", False))}
 
 
 def _command_r(get):
@@ -407,8 +412,13 @@ for _spec in [
     ArchSpec("qwen", _llama, fused_qkv=True),
     ArchSpec("qwen2", _llama),
     ArchSpec("qwen2moe", _qwen2moe),
-    ArchSpec("qwen3", _llama),
-    ArchSpec("qwen3moe", _llama),
+    ArchSpec("qwen3", lambda get: {"qk_norm": True}),
+    ArchSpec("qwen3moe", lambda get: {
+        "qk_norm": True,
+        # shipped qwen3moe models renorm top-k router weights; the GGUF key
+        # records the HF norm_topk_prob flag
+        "moe_norm_weights": bool(get("{arch}.expert_weights_norm", True)),
+    }),
     ArchSpec("gemma", _gemma),
     ArchSpec("gemma2", _gemma2),
     ArchSpec("gemma3", _gemma3),

@@ -65,6 +65,10 @@ _MODEL_TYPE_TO_ARCH = {
     "gptj": "gptj",
     "cohere2": "cohere2",
     "granitemoe": "granitemoe",
+    "olmoe": "olmoe",
+    "qwen3_moe": "qwen3moe",
+    "phimoe": "phimoe",
+    "gpt_bigcode": "starcoder",
 }
 
 # HF tensor suffix → GGUF suffix (per-layer); {} is the layer index
@@ -136,6 +140,7 @@ _GLOBAL_MAP = {
     "model.norm.weight": "output_norm.weight",
     "model.norm.bias": "output_norm.bias",
     "lm_head.weight": "output.weight",
+    "lm_head.bias": "output.bias",
     "transformer.wte.weight": "token_embd.weight",
     "transformer.wpe.weight": "position_embd.weight",
     "transformer.ln_f.weight": "output_norm.weight",
@@ -257,6 +262,8 @@ def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
                      g("num_experts_per_tok", default=2))
     if g("sliding_window") is not None:
         w.add_uint32(f"{arch}.attention.sliding_window", g("sliding_window"))
+    if g("norm_topk_prob") is not None:
+        w.add_bool(f"{arch}.expert_weights_norm", bool(g("norm_topk_prob")))
     if g("attn_logit_softcapping") is not None:
         w.add_float32(f"{arch}.attn_logit_softcapping", g("attn_logit_softcapping"))
     if g("final_logit_softcapping") is not None:

@@ -315,3 +315,60 @@ def test_convert_baichuan_wpack_split(tmp_path_factory):
                     mask=mask, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
                                rtol=1e-5, atol=1e-5)
+
+
+def _parity_case(tmp_path_factory, tag, hf_cfg_cls, hf_model_cls, arch,
+                 cfg_kwargs, tol=3e-3, tok_ids=(3, 45, 99, 7)):
+    d = tmp_path_factory.mktemp(f"hf_{tag}")
+    n_vocab = _byte_level_tokenizer(d / "tokenizer.json")
+    (d / "tokenizer_config.json").write_text(json.dumps({
+        "bos_token": "<s>", "eos_token": "</s>"}))
+    torch.manual_seed(7)
+    hf_model = hf_model_cls(hf_cfg_cls(vocab_size=n_vocab, **cfg_kwargs)).eval()
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+    out = str(d / "m.gguf")
+    convert(str(d), out, "f32")
+    model = load_model(out)
+    assert model.cfg.arch == arch
+    toks = np.array([list(tok_ids)], np.int32)
+    n = toks.shape[1]
+    pos = np.arange(n, dtype=np.int32).reshape(1, n)
+    ours, _ = forward(model.params, model.cfg, jnp.asarray(toks),
+                      jnp.asarray(pos),
+                      mask=np.tril(np.ones((1, n, n), bool)),
+                      compute_dtype=jnp.float32)
+    with torch.no_grad():
+        theirs = hf_model(torch.tensor(toks, dtype=torch.long)).logits
+    np.testing.assert_allclose(np.asarray(ours)[0], theirs[0].numpy(),
+                               rtol=tol, atol=tol)
+
+
+def test_convert_olmoe_parity(tmp_path_factory):
+    _parity_case(
+        tmp_path_factory, "olmoe", transformers.OlmoeConfig,
+        transformers.OlmoeForCausalLM, "olmoe",
+        dict(hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=2,
+             num_experts=4, num_experts_per_tok=2,
+             max_position_embeddings=64, rms_norm_eps=1e-6,
+             tie_word_embeddings=False))
+
+
+def test_convert_qwen3moe_parity(tmp_path_factory):
+    _parity_case(
+        tmp_path_factory, "q3moe", transformers.Qwen3MoeConfig,
+        transformers.Qwen3MoeForCausalLM, "qwen3moe",
+        dict(hidden_size=64, intermediate_size=128, moe_intermediate_size=96,
+             num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+             head_dim=16, num_experts=4, num_experts_per_tok=2,
+             decoder_sparse_step=1, mlp_only_layers=[], norm_topk_prob=True,
+             max_position_embeddings=64, rms_norm_eps=1e-6,
+             tie_word_embeddings=False))
+
+
+def test_convert_starcoder_parity(tmp_path_factory):
+    _parity_case(
+        tmp_path_factory, "bigcode", transformers.GPTBigCodeConfig,
+        transformers.GPTBigCodeForCausalLM, "starcoder",
+        dict(n_embd=64, n_inner=128, n_layer=2, n_head=4,
+             multi_query=True, n_positions=64, layer_norm_epsilon=1e-5))
