@@ -69,7 +69,51 @@ _MODEL_TYPE_TO_ARCH = {
     "qwen3_moe": "qwen3moe",
     "phimoe": "phimoe",
     "gpt_bigcode": "starcoder",
+    "bert": "bert",
 }
+
+# BERT (encoder) tensor names — reference LLM_ARCH_BERT tables
+_BERT_GLOBAL = {
+    "embeddings.word_embeddings.weight": "token_embd.weight",
+    "embeddings.position_embeddings.weight": "position_embd.weight",
+    "embeddings.token_type_embeddings.weight": "token_types.weight",
+    "embeddings.LayerNorm.weight": "token_embd_norm.weight",
+    "embeddings.LayerNorm.bias": "token_embd_norm.bias",
+    "pooler.dense.weight": "cls.weight",
+    "pooler.dense.bias": "cls.bias",
+    "classifier.weight": "cls.output.weight",
+    "classifier.bias": "cls.output.bias",
+}
+_BERT_LAYER = {
+    "attention.self.query.weight": "attn_q.weight",
+    "attention.self.query.bias": "attn_q.bias",
+    "attention.self.key.weight": "attn_k.weight",
+    "attention.self.key.bias": "attn_k.bias",
+    "attention.self.value.weight": "attn_v.weight",
+    "attention.self.value.bias": "attn_v.bias",
+    "attention.output.dense.weight": "attn_output.weight",
+    "attention.output.dense.bias": "attn_output.bias",
+    "attention.output.LayerNorm.weight": "attn_output_norm.weight",
+    "attention.output.LayerNorm.bias": "attn_output_norm.bias",
+    "intermediate.dense.weight": "ffn_up.weight",
+    "intermediate.dense.bias": "ffn_up.bias",
+    "output.dense.weight": "ffn_down.weight",
+    "output.dense.bias": "ffn_down.bias",
+    "output.LayerNorm.weight": "layer_output_norm.weight",
+    "output.LayerNorm.bias": "layer_output_norm.bias",
+}
+
+
+def _map_bert_name(name: str) -> str | None:
+    name = name.removeprefix("bert.")  # BertForSequenceClassification root
+    if name in _BERT_GLOBAL:
+        return _BERT_GLOBAL[name]
+    if name.startswith("encoder.layer."):
+        rest = name[len("encoder.layer."):]
+        idx, _, suffix = rest.partition(".")
+        mapped = _BERT_LAYER.get(suffix)
+        return f"blk.{idx}.{mapped}" if mapped else None
+    return None
 
 # HF tensor suffix → GGUF suffix (per-layer); {} is the layer index
 _LAYER_MAP = {
@@ -304,6 +348,35 @@ def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
         w.add_uint32(f"{arch}.attention.head_count", 0)
 
 
+def _write_wordpiece(w: GGUFWriter, tj: dict, model: dict) -> None:
+    """BERT WordPiece → tokenizer.ggml.model 'bert' (WPM — reference
+    llama_vocab WPM path)."""
+    vocab = model["vocab"]
+    id_to_tok = [None] * len(vocab)
+    for t, i in vocab.items():
+        id_to_tok[i] = t
+    types = []
+    special = {"[CLS]", "[SEP]", "[PAD]", "[UNK]", "[MASK]"}
+    for i, t in enumerate(id_to_tok):
+        if t is None:
+            id_to_tok[i] = f"[PAD{i}]"
+            types.append(5)
+        else:
+            types.append(3 if t in special else 1)
+    w.add_string(Keys.Tokenizer.MODEL, "bert")
+    w.add_kv(Keys.Tokenizer.LIST, id_to_tok)
+    w.add_kv(Keys.Tokenizer.TOKEN_TYPE, types)
+    w.add_kv(Keys.Tokenizer.SCORES, [0.0] * len(id_to_tok))
+    t2i = {t: i for i, t in enumerate(id_to_tok)}
+    for name, key in (("[CLS]", Keys.Tokenizer.BOS_ID),
+                      ("[SEP]", Keys.Tokenizer.EOS_ID),
+                      ("[SEP]", Keys.Tokenizer.SEP_ID),
+                      ("[UNK]", Keys.Tokenizer.UNK_ID),
+                      ("[PAD]", Keys.Tokenizer.PAD_ID)):
+        if name in t2i:
+            w.add_uint32(key, t2i[name])
+
+
 def _write_tokenizer(w: GGUFWriter, hf_dir: Path) -> None:
     tok_json = hf_dir / "tokenizer.json"
     if not tok_json.exists():
@@ -311,6 +384,9 @@ def _write_tokenizer(w: GGUFWriter, hf_dir: Path) -> None:
         return
     tj = json.loads(tok_json.read_text())
     model = tj.get("model", {})
+    if model.get("type") == "WordPiece":
+        _write_wordpiece(w, tj, model)
+        return
     if model.get("type") != "BPE":
         log.warning("tokenizer type %s unsupported; skipping", model.get("type"))
         return
@@ -428,7 +504,8 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
             _emit(w, f"blk.{il}.ffn_down_exps.weight", arr, qtype)
             n_written += 1
             continue
-        name = _map_name(hf_name, layer_map)
+        name = (_map_bert_name(hf_name) if arch == "bert"
+                else _map_name(hf_name, layer_map))
         if name is None:
             log.warning("skipping unmapped tensor %s", hf_name)
             continue

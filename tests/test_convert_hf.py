@@ -372,3 +372,45 @@ def test_convert_starcoder_parity(tmp_path_factory):
         transformers.GPTBigCodeForCausalLM, "starcoder",
         dict(n_embd=64, n_inner=128, n_layer=2, n_head=4,
              multi_query=True, n_positions=64, layer_norm_epsilon=1e-5))
+
+
+def test_convert_bert_parity(tmp_path_factory):
+    """BERT encoder conversion: WordPiece tokenizer + encoder tensor map;
+    hidden states match HF BertModel."""
+    from tokenizers import Tokenizer, models, normalizers, pre_tokenizers
+
+    d = tmp_path_factory.mktemp("hf_bert")
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "hello", "world",
+             "he", "##llo", "a", "b", "c"] + [f"w{i}" for i in range(116)]
+    vocab = {t: i for i, t in enumerate(words)}
+    tok = Tokenizer(models.WordPiece(vocab=vocab, unk_token="[UNK]"))
+    tok.normalizer = normalizers.Lowercase()
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.save(str(d / "tokenizer.json"))
+    (d / "tokenizer_config.json").write_text(json.dumps({
+        "cls_token": "[CLS]", "sep_token": "[SEP]"}))
+
+    hf_cfg = transformers.BertConfig(
+        vocab_size=len(vocab), hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64, type_vocab_size=2,
+        hidden_act="gelu", layer_norm_eps=1e-12,
+    )
+    torch.manual_seed(11)
+    hf_model = transformers.BertModel(hf_cfg).eval()
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+    out = str(d / "m.gguf")
+    convert(str(d), out, "f32")
+
+    model = load_model(out)
+    assert model.cfg.arch == "bert"
+    assert model.vocab.sep_id == 3 and model.vocab.bos_id == 2
+    from llama_cpp_dsp_tpu.models.bert import bert_forward
+
+    toks = np.array([[2, 5, 6, 3]], np.int32)  # [CLS] hello world [SEP]
+    ours = np.asarray(bert_forward(model.params, model.cfg,
+                                   jnp.asarray(toks), pooling="none"))
+    with torch.no_grad():
+        want = hf_model(torch.tensor(toks, dtype=torch.long)
+                        ).last_hidden_state.numpy()
+    np.testing.assert_allclose(ours[0], want[0], rtol=2e-3, atol=2e-3)
