@@ -278,7 +278,10 @@ def load_t5(path: str, *, with_tokenizer: bool = True):
         n_ff=int(g("feed_forward_length")),
         n_vocab=int(g("vocab_size", 0)) or len(kv.get(Keys.Tokenizer.LIST, [])),
         rel_buckets=int(g("attention.relative_buckets_count", 32)),
+        rel_max_distance=int(g("attention.relative_max_distance", 128)),
         eps=float(g("attention.layer_norm_rms_epsilon", 1e-6)),
+        act=str(g("feed_forward_act", "relu")),
+        tie_embeddings=bool(g("tie_embeddings", True)),
     )
     params: dict[str, Any] = {
         "enc_layers": [{} for _ in range(n_layers)],

@@ -70,7 +70,53 @@ _MODEL_TYPE_TO_ARCH = {
     "phimoe": "phimoe",
     "gpt_bigcode": "starcoder",
     "bert": "bert",
+    "t5": "t5",
 }
+
+
+def _map_t5_name(name: str) -> str | None:
+    """HF T5 → reference enc./dec. GGUF names (LLM_ARCH_T5 tables)."""
+    glob = {
+        "shared.weight": "token_embd.weight",
+        "lm_head.weight": "output.weight",
+        "encoder.final_layer_norm.weight": "enc.output_norm.weight",
+        "decoder.final_layer_norm.weight": "dec.output_norm.weight",
+    }
+    if name in glob:
+        return glob[name]
+    for hf_side, side in (("encoder.block.", "enc"), ("decoder.block.", "dec")):
+        if not name.startswith(hf_side):
+            continue
+        rest = name[len(hf_side):]
+        idx, _, sub = rest.partition(".")
+        # sub = "layer.L.<module>.<param>"
+        parts = sub.split(".")
+        lidx = int(parts[1])
+        tail = ".".join(parts[2:])
+        self_attn = {"SelfAttention.q.weight": "attn_q.weight",
+                     "SelfAttention.k.weight": "attn_k.weight",
+                     "SelfAttention.v.weight": "attn_v.weight",
+                     "SelfAttention.o.weight": "attn_o.weight",
+                     "SelfAttention.relative_attention_bias.weight":
+                         "attn_rel_b.weight",
+                     "layer_norm.weight": "attn_norm.weight"}
+        cross = {"EncDecAttention.q.weight": "cross_attn_q.weight",
+                 "EncDecAttention.k.weight": "cross_attn_k.weight",
+                 "EncDecAttention.v.weight": "cross_attn_v.weight",
+                 "EncDecAttention.o.weight": "cross_attn_o.weight",
+                 "layer_norm.weight": "cross_attn_norm.weight"}
+        ffn = {"DenseReluDense.wi.weight": "ffn_up.weight",
+               "DenseReluDense.wi_0.weight": "ffn_gate.weight",
+               "DenseReluDense.wi_1.weight": "ffn_up.weight",
+               "DenseReluDense.wo.weight": "ffn_down.weight",
+               "layer_norm.weight": "ffn_norm.weight"}
+        if side == "enc":
+            table = self_attn if lidx == 0 else ffn
+        else:
+            table = (self_attn, cross, ffn)[lidx]
+        mapped = table.get(tail)
+        return f"{side}.blk.{idx}.{mapped}" if mapped else None
+    return None
 
 # BERT (encoder) tensor names — reference LLM_ARCH_BERT tables
 _BERT_GLOBAL = {
@@ -273,6 +319,28 @@ def _map_name(name: str, layer_map: dict) -> str | None:
 def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
     g = lambda *keys, default=None: next(
         (cfg[k] for k in keys if k in cfg), default)
+    if arch == "t5":
+        w.add_uint32("t5.block_count", g("num_layers"))
+        w.add_uint32("t5.embedding_length", g("d_model"))
+        w.add_uint32("t5.attention.head_count", g("num_heads"))
+        w.add_uint32("t5.attention.key_length", g("d_kv"))
+        w.add_uint32("t5.feed_forward_length", g("d_ff"))
+        w.add_uint32("t5.vocab_size", g("vocab_size"))
+        w.add_uint32("t5.attention.relative_buckets_count",
+                     g("relative_attention_num_buckets", default=32))
+        w.add_uint32("t5.attention.relative_max_distance",
+                     g("relative_attention_max_distance", default=128))
+        w.add_float32("t5.attention.layer_norm_rms_epsilon",
+                      g("layer_norm_epsilon", default=1e-6))
+        proj = g("feed_forward_proj", default="relu")
+        w.add_string("t5.feed_forward_act",
+                     "gelu" if "gelu" in proj else "relu")
+        w.add_bool("t5.tie_embeddings",
+                   bool(g("tie_word_embeddings", default=True)))
+        w.add_uint32("t5.context_length", g("n_positions", default=512))
+        w.add_uint32("t5.decoder_start_token_id",
+                     g("decoder_start_token_id", default=0))
+        return
     w.add_uint32(f"{arch}.block_count", g("num_hidden_layers", "n_layer"))
     w.add_uint32(f"{arch}.context_length",
                  g("max_position_embeddings", "n_positions", default=2048))
@@ -377,6 +445,31 @@ def _write_wordpiece(w: GGUFWriter, tj: dict, model: dict) -> None:
             w.add_uint32(key, t2i[name])
 
 
+def _write_unigram(w: GGUFWriter, tj: dict, model: dict) -> None:
+    """SentencePiece Unigram → tokenizer.ggml.model 't5' (UGM path)."""
+    pieces = model["vocab"]  # [[piece, logprob], ...]
+    toks = [p[0] for p in pieces]
+    scores = [float(p[1]) for p in pieces]
+    types = []
+    for i, t in enumerate(toks):
+        if t in ("<pad>", "</s>", "<s>"):
+            types.append(3)
+        elif t == "<unk>":
+            types.append(2)
+        else:
+            types.append(1)
+    w.add_string(Keys.Tokenizer.MODEL, "t5")
+    w.add_kv(Keys.Tokenizer.LIST, toks)
+    w.add_kv(Keys.Tokenizer.SCORES, scores)
+    w.add_kv(Keys.Tokenizer.TOKEN_TYPE, types)
+    t2i = {t: i for i, t in enumerate(toks)}
+    for name, key in (("</s>", Keys.Tokenizer.EOS_ID),
+                      ("<unk>", Keys.Tokenizer.UNK_ID),
+                      ("<pad>", Keys.Tokenizer.PAD_ID)):
+        if name in t2i:
+            w.add_uint32(key, t2i[name])
+
+
 def _write_tokenizer(w: GGUFWriter, hf_dir: Path) -> None:
     tok_json = hf_dir / "tokenizer.json"
     if not tok_json.exists():
@@ -386,6 +479,9 @@ def _write_tokenizer(w: GGUFWriter, hf_dir: Path) -> None:
     model = tj.get("model", {})
     if model.get("type") == "WordPiece":
         _write_wordpiece(w, tj, model)
+        return
+    if model.get("type") == "Unigram":
+        _write_unigram(w, tj, model)
         return
     if model.get("type") != "BPE":
         log.warning("tokenizer type %s unsupported; skipping", model.get("type"))
@@ -504,8 +600,12 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
             _emit(w, f"blk.{il}.ffn_down_exps.weight", arr, qtype)
             n_written += 1
             continue
-        name = (_map_bert_name(hf_name) if arch == "bert"
-                else _map_name(hf_name, layer_map))
+        if arch == "bert":
+            name = _map_bert_name(hf_name)
+        elif arch == "t5":
+            name = _map_t5_name(hf_name)
+        else:
+            name = _map_name(hf_name, layer_map)
         if name is None:
             log.warning("skipping unmapped tensor %s", hf_name)
             continue

@@ -414,3 +414,43 @@ def test_convert_bert_parity(tmp_path_factory):
         want = hf_model(torch.tensor(toks, dtype=torch.long)
                         ).last_hidden_state.numpy()
     np.testing.assert_allclose(ours[0], want[0], rtol=2e-3, atol=2e-3)
+
+
+def test_convert_t5_parity(tmp_path_factory):
+    """T5 encoder-decoder conversion (Unigram tokenizer + enc./dec. maps):
+    decoder logits match HF."""
+    from tokenizers import Tokenizer, models as tok_models
+
+    d = tmp_path_factory.mktemp("hf_t5")
+    pieces = [("<pad>", 0.0), ("</s>", 0.0), ("<unk>", 0.0)] + [
+        (f"▁w{i}", -float(i + 1)) for i in range(93)]
+    tok = Tokenizer(tok_models.Unigram(pieces, unk_id=2))
+    tok.save(str(d / "tokenizer.json"))
+
+    hf_cfg = transformers.T5Config(
+        vocab_size=96, d_model=64, d_kv=16, d_ff=128, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=32, dropout_rate=0.0,
+        feed_forward_proj="relu", tie_word_embeddings=True,
+    )
+    torch.manual_seed(21)
+    hf_model = transformers.T5ForConditionalGeneration(hf_cfg).eval()
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+    out = str(d / "m.gguf")
+    convert(str(d), out, "f32")
+
+    from llama_cpp_dsp_tpu.models.t5 import t5_decode, t5_encode
+    from llama_cpp_dsp_tpu.runtime.loader import load_t5
+
+    cfg, params, vocab, tokenizer, _ = load_t5(out)
+    assert cfg.rel_buckets == 8 and cfg.rel_max_distance == 32
+    assert cfg.tie_embeddings
+    src = np.array([[4, 17, 9, 1]], np.int32)
+    tgt = np.array([[0, 8, 3]], np.int32)
+    enc = t5_encode(params, cfg, jnp.asarray(src))
+    ours = np.asarray(t5_decode(params, cfg, jnp.asarray(tgt), enc))
+    with torch.no_grad():
+        want = hf_model(input_ids=torch.tensor(src, dtype=torch.long),
+                        decoder_input_ids=torch.tensor(tgt, dtype=torch.long)
+                        ).logits.numpy()
+    np.testing.assert_allclose(ours, want, rtol=2e-3, atol=2e-3)
