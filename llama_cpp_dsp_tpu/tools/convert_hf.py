@@ -71,6 +71,8 @@ _MODEL_TYPE_TO_ARCH = {
     "gpt_bigcode": "starcoder",
     "bert": "bert",
     "t5": "t5",
+    "nemotron": "nemotron",
+    "glm": "glm4",
 }
 
 
@@ -213,6 +215,11 @@ _LAYER_MAP = {
     "mlp.fc_out.bias": "ffn_down.bias",
     # granitemoe router (input/output_linear are split in convert())
     "block_sparse_moe.router.layer.weight": "ffn_gate_inp.weight",
+    # glm4 fused gate|up projection (registry fused_gate_up splits at load)
+    "mlp.gate_up_proj.weight": "ffn_up.weight",
+    # glm4 post-norms
+    "post_self_attn_layernorm.weight": "attn_post_norm.weight",
+    "post_mlp_layernorm.weight": "post_ffw_norm.weight",
     "ln_1.weight": "attn_norm.weight",
     "ln_1.bias": "attn_norm.bias",
     "ln_2.weight": "ffn_norm.weight",
@@ -562,7 +569,9 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
     n_kv = cfg.get("num_key_value_heads", n_head)
     permute = arch in ("llama", "internlm2", "exaone", "granite", "chameleon",
                        "baichuan", "xverse", "minicpm", "granitemoe")
-    gemma_norm = arch.startswith("gemma")
+    # gemma/nemotron store (1 + w) norm weights (HF keeps the zero-centered
+    # form; reference GemmaModel/NemotronModel modify_tensors add 1)
+    gemma_norm = arch.startswith("gemma") or arch == "nemotron"
     layer_map = _GEMMA2_LAYER_MAP if arch in ("gemma2", "gemma3") else _LAYER_MAP
 
     moe_stash: dict[str, dict[int, np.ndarray]] = {}
@@ -626,8 +635,8 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
             d = arr.shape[-1] if arr.ndim == 2 else arr.shape[0] // heads
             row = arr.reshape(heads, d)[0]
             arr = np.tile(row.reshape(2, d // 2).T.reshape(-1), (heads, 1))
-        if gemma_norm and "norm" in name:
-            arr = arr + 1.0  # HF gemma applies (1 + w)
+        if gemma_norm and "norm" in name and name.endswith(".weight"):
+            arr = arr + 1.0  # HF gemma/nemotron apply (1 + w); biases stay
         if name.endswith("ssm_conv1d.weight"):
             arr = arr[:, 0, :]  # [Ci,1,K] → [Ci,K]
         _emit(w, name, arr, qtype)

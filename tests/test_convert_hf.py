@@ -454,3 +454,25 @@ def test_convert_t5_parity(tmp_path_factory):
                         decoder_input_ids=torch.tensor(tgt, dtype=torch.long)
                         ).logits.numpy()
     np.testing.assert_allclose(ours, want, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_nemotron_parity(tmp_path_factory):
+    _parity_case(
+        tmp_path_factory, "nemotron", transformers.NemotronConfig,
+        transformers.NemotronForCausalLM, "nemotron",
+        dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+             partial_rotary_factor=0.5, hidden_act="relu2",
+             max_position_embeddings=64, norm_eps=1e-5,
+             tie_word_embeddings=False))
+
+
+def test_convert_glm4_parity(tmp_path_factory):
+    _parity_case(
+        tmp_path_factory, "glm", transformers.GlmConfig,
+        transformers.GlmForCausalLM, "glm4",
+        dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+             partial_rotary_factor=0.5, max_position_embeddings=64,
+             rms_norm_eps=1e-5, tie_word_embeddings=False,
+             pad_token_id=0), tol=6e-3)
