@@ -1,0 +1,174 @@
+"""One-shot real-TPU validation of kernels added while the tunnel was down.
+
+Run: python scripts/tpu_validate.py [--skip-bench]
+Checks, in order (each prints PASS/FAIL and continues):
+  1. qmm_expert_rows (MoE selected-expert GEMV) compiles + matches XLA
+  2. flash_decode_q4 (q4 KV) compiles + matches dequant reference
+  3. mla_flash_decode compiles + matches the XLA MLA path
+  4. flash_prefill vs XLA prefill (the LLAMA_TPU_FLASH_PREFILL gate)
+  5. bench.py default decode + --pp 512 prefill numbers
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from llama_cpp_dsp_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+print(f"devices: {jax.devices()}", flush=True)
+assert jax.devices()[0].platform == "tpu", "not on TPU"
+
+results = {}
+
+
+def check(name):
+    def deco(fn):
+        t0 = time.time()
+        try:
+            fn()
+            results[name] = f"PASS ({time.time()-t0:.0f}s)"
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"FAIL: {type(e).__name__}: {e}"
+        print(f"{name}: {results[name]}", flush=True)
+    return deco
+
+
+def nmse(a, b):
+    d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+    return float((d * d).mean() / ((np.asarray(b, np.float64) ** 2).mean() + 1e-12))
+
+
+@check("expert_gemv")
+def _():
+    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
+    from llama_cpp_dsp_tpu.ops.qtensor import QTensor, from_gguf_tensor
+    from llama_cpp_dsp_tpu.ops.pallas.layouts import to_kernel_layout_experts
+    from llama_cpp_dsp_tpu.ops.pallas.qmm import qmm_expert_rows
+    from llama_cpp_dsp_tpu.quant import quantize
+    from llama_cpp_dsp_tpu.quant.jax_dequant import dequant
+
+    rng = np.random.default_rng(0)
+    e, n, k, s = 4, 512, 1024, 8
+    subs, dense = [], []
+    for _ in range(e):
+        w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+        qt = from_gguf_tensor(quantize(w, GGMLType.Q4_K), GGMLType.Q4_K, (n, k))
+        subs.append(qt)
+        dense.append(np.asarray(dequant(qt, jnp.float32)))
+    arrays = {key: np.stack([np.asarray(q.arrays[key]) for q in subs])
+              for key in subs[0].arrays}
+    kw = to_kernel_layout_experts(
+        QTensor(GGMLType.Q4_K, (n, k), arrays, n_expert=e))
+    x = rng.standard_normal((s, k)).astype(np.float32)
+    sel = np.asarray(rng.integers(0, e, s), np.int32)
+    got = np.asarray(qmm_expert_rows(jnp.asarray(x), kw, jnp.asarray(sel)))
+    want = np.stack([x[i] @ dense[sel[i]].T for i in range(s)])
+    err = nmse(got, want)
+    assert err < 5e-4, err
+
+
+@check("flash_decode_q4")
+def _():
+    from llama_cpp_dsp_tpu.ops.pallas.attention import flash_decode_q4
+    from llama_cpp_dsp_tpu.runtime.kv_cache import Q4KVCache
+
+    rng = np.random.default_rng(1)
+    b, hq, hkv, d, s = 2, 8, 4, 128, 1024
+    q = rng.standard_normal((b, hq, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, hkv, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, hkv, d)).astype(np.float32)
+    cache = Q4KVCache.create(1, b, s, hkv, d)
+    cache = cache.write(0, jnp.asarray(k), jnp.asarray(v), 0)
+    lengths = np.array([900, 33], np.int32)
+    out = np.asarray(flash_decode_q4(
+        jnp.asarray(q), *cache.packed_layer(0), jnp.asarray(lengths),
+        scale=d ** -0.5, interpret=False))
+    kd, vd = cache.layer(0)
+    kd, vd = np.asarray(kd, np.float32), np.asarray(vd, np.float32)
+    ref = []
+    for bi in range(b):
+        hs = []
+        for h in range(hq):
+            kk = kd[bi, h * hkv // hq]
+            vv = vd[bi, h * hkv // hq]
+            sc = (q[bi, h] @ kk.T) * d ** -0.5
+            sc[lengths[bi]:] = -1e30
+            p = np.exp(sc - sc.max())
+            p /= p.sum()
+            hs.append(p @ vv)
+        ref.append(np.stack(hs))
+    err = nmse(out, np.stack(ref))
+    assert err < 1e-4, err
+
+
+@check("mla_flash_decode")
+def _():
+    from llama_cpp_dsp_tpu.ops.pallas.attention import mla_flash_decode
+
+    rng = np.random.default_rng(2)
+    b, h, cdim, r, s = 2, 16, 640, 512, 1024
+    q = rng.standard_normal((b, h, cdim)).astype(np.float32) * 0.1
+    c = rng.standard_normal((b, 1, s, cdim)).astype(np.float32) * 0.1
+    lengths = np.array([800, 60], np.int32)
+    out = np.asarray(mla_flash_decode(
+        jnp.asarray(q), jnp.asarray(c, jnp.bfloat16), jnp.asarray(lengths),
+        scale=0.1, r=r, interpret=False))
+    cf = np.asarray(jnp.asarray(c, jnp.bfloat16), np.float32)
+    ref = []
+    for bi in range(b):
+        sc = (q[bi] @ cf[bi, 0].T) * 0.1
+        sc[:, lengths[bi]:] = -1e30
+        p = np.exp(sc - sc.max(axis=1, keepdims=True))
+        p /= p.sum(axis=1, keepdims=True)
+        ref.append(p @ cf[bi, 0, :, :r])
+    err = nmse(out, np.stack(ref))
+    assert err < 1e-4, err
+
+
+@check("flash_prefill_gate")
+def _():
+    import os
+
+    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
+    from llama_cpp_dsp_tpu.models.llama import forward
+    from llama_cpp_dsp_tpu.models.registry import synth_config
+    from llama_cpp_dsp_tpu.runtime.kv_cache import KVCache, causal_mask
+    from llama_cpp_dsp_tpu.tools.synth import synth_params
+
+    cfg = synth_config("llama", n_embd=256, n_heads=2, n_kv_heads=2,
+                       head_dim=128, n_ff=512, n_vocab=256)
+    params = synth_params(cfg, GGMLType.Q8_0, seed=0, tie=False)
+    t, n_ctx = 128, 256
+    toks = jnp.zeros((1, t), jnp.int32)
+    pos = jnp.arange(t, dtype=jnp.int32)[None]
+    outs = {}
+    for flag in ("0", "1"):
+        os.environ["LLAMA_TPU_FLASH_PREFILL"] = flag
+        cache = KVCache.create(cfg.n_layers, 1, n_ctx, cfg.n_kv_heads,
+                               cfg.head_dim)
+        mask = causal_mask(pos, n_ctx, 0)
+        logits, _ = forward(params, cfg, toks, pos, cache, 0, mask,
+                            flash=(flag == "1"))
+        outs[flag] = np.asarray(logits)
+    os.environ.pop("LLAMA_TPU_FLASH_PREFILL", None)
+    err = nmse(outs["1"], outs["0"])
+    assert err < 1e-4, err
+
+
+if "--skip-bench" not in sys.argv:
+    for args in (["--steps", "32"], ["--pp", "512"], ["--batch", "4", "--steps", "32"]):
+        print(f"bench {args}:", flush=True)
+        subprocess.run([sys.executable, "bench.py", *args], check=False)
+
+print("\n== summary ==")
+for k, v in results.items():
+    print(f"  {k}: {v}")
