@@ -315,7 +315,10 @@ def ffn_moe(x: jax.Array, layer: Params, cfg: LlamaConfig, compute_dtype,
     u = cfg.n_expert_used
     kernelized = all(isinstance(w, KernelWeights)
                      for w in (gate_w, up_w, down_w))
-    if kernelized and b * t * u <= 32:
+    # the GEMV kernel streams ONE full expert matrix per row, dense-all
+    # streams each expert once — so per-row selection only wins while
+    # rows < n_expert (decode/small batches; big-E MoEs win up to 32 rows)
+    if kernelized and b * t * u <= min(32, e):
         # decode: selected-expert GEMV kernel streams only the chosen
         # experts' packed bytes (MUL_MAT_ID role; E/U× less HBM traffic
         # than dense-all). Rows repeat per used expert.
