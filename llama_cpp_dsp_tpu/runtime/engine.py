@@ -342,6 +342,38 @@ class Engine:
                     jax.nn.softmax(lg, axis=-1), ids[:, None], axis=1)[:, 0]
                 return ids, probs, dcache
 
+            @partial(jax.jit, donate_argnums=(1,), static_argnames=("steps",))
+            def _draft_scan(dparams, dcache, tokens, positions, active,
+                            *, steps):
+                """`steps` greedy draft iterations in ONE dispatch (a
+                fori_loop over _draft_step's body) — the per-step host
+                round-trip dominates small-draft-model latency through a
+                remote-relay backend. Returns (ids [B, steps],
+                probs [B, steps], cache); the host applies the p_min /
+                limit truncation on the returned arrays (greedy drafting
+                is deterministic, so computing past the stop point and
+                discarding yields identical proposals)."""
+
+                def body(_, carry):
+                    dcache, toks, pos, ids_a, probs_a, i = carry
+                    ids, probs, dcache = _draft_step(dparams, dcache, toks,
+                                                     pos, active)
+                    ids_a = jax.lax.dynamic_update_slice(
+                        ids_a, ids[:, None], (0, i))
+                    probs_a = jax.lax.dynamic_update_slice(
+                        probs_a, probs[:, None], (0, i))
+                    return (dcache, ids[:, None], pos + 1, ids_a, probs_a,
+                            i + 1)
+
+                b = tokens.shape[0]
+                ids_a = jnp.zeros((b, steps), jnp.int32)
+                probs_a = jnp.zeros((b, steps), jnp.float32)
+                dcache, _, _, ids_a, probs_a, _ = jax.lax.fori_loop(
+                    0, steps, body,
+                    (dcache, tokens, positions, ids_a, probs_a,
+                     jnp.int32(0)))
+                return ids_a, probs_a, dcache
+
             @partial(jax.jit, donate_argnums=(1,))
             def _verify(params, cache, tokens, slot_ids, rows):
                 """Packed target pass over every slot's draft candidates,
@@ -356,6 +388,7 @@ class Engine:
 
             self._draft_prefill_fn = _draft_prefill
             self._draft_step_fn = _draft_step
+            self._draft_scan_fn = _draft_scan
             self._verify_fn = _verify
 
     # -- request API --------------------------------------------------------
@@ -612,45 +645,49 @@ class Engine:
                 pos += n
             s.draft_tokens = list(hist)
 
-        # 2. lock-step batched greedy drafting
+        # 2. batched greedy drafting — ALL n_draft iterations in ONE
+        # dispatch (_draft_scan); p_min / per-slot limits are applied to
+        # the returned arrays, which matches the sequential stop exactly
+        # because greedy drafting is deterministic. Slots that stop early
+        # still consumed all `steps` inputs on device (their extra draft
+        # rows carry the unused greedy continuation and are healed by the
+        # next round's common-prefix catch-up via draft_tokens).
         limits = {s.idx: max(0, min(self.n_draft, cap - s.n_past - 1))
                   for s in gen}
         drafted: dict[int, list[int]] = {s.idx: [] for s in gen}
-        stopped = {s.idx: limits[s.idx] == 0 for s in gen}
         fed = {s.idx: 0 for s in gen}  # inputs the draft consumed (its
         # KV rows end at n_past + fed; the LAST drafted token is proposed
         # but never consumed when drafting stops at the limit)
-        tokens = np.zeros((self.n_slots, 1), np.int32)
-        positions = np.zeros((self.n_slots, 1), np.int32)
-        active = np.zeros(self.n_slots, bool)
-        for s in gen:
-            tokens[s.idx, 0] = s.last_token
-            positions[s.idx, 0] = s.n_past
-            active[s.idx] = not stopped[s.idx]
-        for _ in range(max(limits.values())):
-            if not active.any():
-                break
-            ids, probs, self.draft_cache = self._draft_step_fn(
+        steps = max(limits.values())
+        row_tokens: dict[int, list[int]] = {}
+        if steps > 0:
+            tokens = np.zeros((self.n_slots, 1), np.int32)
+            positions = np.zeros((self.n_slots, 1), np.int32)
+            active = np.zeros(self.n_slots, bool)
+            for s in gen:
+                tokens[s.idx, 0] = s.last_token
+                positions[s.idx, 0] = s.n_past
+                active[s.idx] = limits[s.idx] > 0
+            ids, probs, self.draft_cache = self._draft_scan_fn(
                 self.draft_params, self.draft_cache, jnp.asarray(tokens),
-                jnp.asarray(positions), jnp.asarray(active))
+                jnp.asarray(positions), jnp.asarray(active),
+                steps=self.n_draft)
             ids_np = np.asarray(ids)
             probs_np = np.asarray(probs)
             for s in gen:
                 i = s.idx
-                if stopped[i]:
+                if limits[i] == 0:
                     continue
-                fed[i] += 1
-                tid = int(ids_np[i])
-                # reference p_min rule: a low-confidence draft token is
-                # dropped and ends this slot's drafting
-                if probs_np[i] < self.p_min:
-                    stopped[i] = True
-                else:
-                    drafted[i].append(tid)
-                    stopped[i] = len(drafted[i]) >= limits[i]
-                active[i] = not stopped[i]
-                tokens[i, 0] = tid
-                positions[i, 0] += 1
+                fed[i] = self.n_draft  # the scan fed every step
+                # actual draft-KV row contents this round: last_token + all
+                # greedy continuations but the final (proposed, unconsumed);
+                # rows past capacity were OOB-dropped, so don't claim them
+                n_rows = min(self.n_draft - 1, cap - s.n_past - 1)
+                row_tokens[i] = [int(t) for t in ids_np[i, :n_rows]]
+                for j in range(limits[i]):
+                    if probs_np[i, j] < self.p_min:
+                        break  # reference p_min rule: drop + stop
+                    drafted[i].append(int(ids_np[i, j]))
 
         # 3. ONE packed target pass over every slot's [last_token]+drafts
         total = sum(1 + len(drafted[s.idx]) for s in gen)
@@ -682,9 +719,11 @@ class Engine:
             start, ln = spans[s.idx]
             cand = drafted[s.idx]
             # exactly the tokens whose draft-KV rows were written this
-            # round: [last_token] + the drafted tokens the draft consumed
-            draft_seen = (s.draft_tokens + [s.last_token]
-                          + cand[:max(0, fed[s.idx] - 1)])
+            # round: [last_token] + every greedy continuation the scan
+            # consumed (a superset of cand — p_min only cuts the proposal)
+            consumed = (row_tokens.get(s.idx, [])
+                        if fed[s.idx] else cand[:max(0, fed[s.idx] - 1)])
+            draft_seen = s.draft_tokens + [s.last_token] + consumed
             self.metrics["draft_proposed_total"] += len(cand)
             for j in range(ln):
                 if s.state != SlotState.GENERATING:
