@@ -299,7 +299,16 @@ class Engine:
                 log.warning("draft vocab (%d) != target vocab (%d)",
                             dcfg.n_vocab, cfg.n_vocab)
             self.draft_cfg = dcfg
-            self.draft_params = jax.tree.map(jnp.asarray, draft_model.params)
+            if self._mesh is not None:
+                # BASELINE config 5: sharded target + sharded draft on the
+                # same mesh (the draft rides the same tp collectives)
+                from ..parallel.sharding import shard_params as _shard
+
+                self.draft_params = _shard(draft_model.params, dcfg,
+                                           self._mesh)
+            else:
+                self.draft_params = jax.tree.map(jnp.asarray,
+                                                 draft_model.params)
             self.n_draft = n_draft
             self.p_min = p_min
             self.draft_cache = make_kv_cache(

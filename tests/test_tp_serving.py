@@ -58,3 +58,21 @@ def test_cli_tp_flag(tiny, capsys):
     ref = capsys.readouterr().out
     assert main(base + ["-tp", "2"]) == 0
     assert capsys.readouterr().out == ref
+
+
+def test_engine_tp_speculative(tiny):
+    """BASELINE config-5 shape: tensor-sharded target + sharded draft;
+    greedy output must byte-match the unsharded spec engine."""
+    from llama_cpp_dsp_tpu.runtime.engine import Engine
+    from llama_cpp_dsp_tpu.runtime.loader import load_model
+    from llama_cpp_dsp_tpu.runtime.sampling import make_chain
+
+    model = load_model(tiny)
+    ref = Engine(model, n_slots=2, n_ctx_per_slot=64, draft_model=model,
+                 n_draft=4).generate_sync(
+        [3, 5, 9], max_new_tokens=6, sampler=make_chain(temp=0.0))
+    eng = Engine(model, n_slots=2, n_ctx_per_slot=64, draft_model=model,
+                 n_draft=4, tp=2)
+    got = eng.generate_sync([3, 5, 9], max_new_tokens=6,
+                            sampler=make_chain(temp=0.0))
+    assert got.result_tokens == ref.result_tokens
