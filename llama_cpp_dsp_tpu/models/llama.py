@@ -100,6 +100,10 @@ class LlamaConfig:
     ssm_d_state: int = 0
     ssm_d_conv: int = 0
     ssm_dt_rank: int = 0
+    # set only inside a shard_map tensor-parallel program
+    # (parallel/tp_kernels.py): head/ffn dims above are the LOCAL shard's;
+    # col-parallel projections (attn_output, ffn_down) psum over this axis
+    tp_axis: str | None = None
 
     @property
     def kv_cache_heads(self) -> int:
@@ -227,6 +231,14 @@ def attention(
     return out.reshape(b, t, h * d)
 
 
+def _psum_tp(x, cfg):
+    """All-reduce a col-parallel projection's partial sums over the tp axis
+    (Megatron row-split; no-op outside shard_map)."""
+    if cfg.tp_axis:
+        return jax.lax.psum(x, cfg.tp_axis)
+    return x
+
+
 def _mm(x, tree: Params, name: str, compute_dtype):
     """qmm + optional `<name>_bias` + optional LoRA rank-r delta.
 
@@ -271,7 +283,7 @@ def ffn_dense(x: jax.Array, layer: Params, cfg: LlamaConfig, compute_dtype,
         h = (activate(gate_part, cfg.act) * up_part).astype(compute_dtype)
         if tap is not None:
             tap(f"blk.{layer_idx}.{down_key}.weight", h)
-        return _mm(h, layer, down_key, compute_dtype)
+        return _psum_tp(_mm(h, layer, down_key, compute_dtype), cfg)
     if cfg.gated_ffn and gate_key in layer:
         if tap is not None:
             tap(f"blk.{layer_idx}.{gate_key}.weight", x)
@@ -288,7 +300,7 @@ def ffn_dense(x: jax.Array, layer: Params, cfg: LlamaConfig, compute_dtype,
         h = activate(up, cfg.act).astype(compute_dtype)
     if tap is not None:
         tap(f"blk.{layer_idx}.{down_key}.weight", h)
-    return _mm(h, layer, down_key, compute_dtype)
+    return _psum_tp(_mm(h, layer, down_key, compute_dtype), cfg)
 
 
 def ffn_moe(x: jax.Array, layer: Params, cfg: LlamaConfig, compute_dtype,
@@ -605,7 +617,7 @@ def _cached_attention(
             attn = norm(attn, layer, "attn_sub_norm", cfg)
         if tap is not None:
             tap(f"blk.{layer_idx}.attn_output.weight", attn)
-        return _mm(attn, layer, "attn_output", compute_dtype), cache
+        return _psum_tp(_mm(attn, layer, "attn_output", compute_dtype), cfg), cache
 
     if (
         flash
@@ -648,7 +660,7 @@ def _cached_attention(
                 attn = norm(attn, layer, "attn_sub_norm", cfg)
             if tap is not None:
                 tap(f"blk.{layer_idx}.attn_output.weight", attn)
-            return _mm(attn, layer, "attn_output", compute_dtype), cache
+            return _psum_tp(_mm(attn, layer, "attn_output", compute_dtype), cfg), cache
 
     if cache is not None:
         k_all, v_all = cache.layer(layer_idx)  # [B,Hkv,S,D]
@@ -687,7 +699,7 @@ def _cached_attention(
         attn = norm(attn, layer, "attn_sub_norm", cfg)
     if tap is not None:
         tap(f"blk.{layer_idx}.attn_output.weight", attn)
-    return _mm(attn, layer, "attn_output", compute_dtype), cache
+    return _psum_tp(_mm(attn, layer, "attn_output", compute_dtype), cfg), cache
 
 
 def packed_self_attention(
@@ -750,7 +762,7 @@ def packed_self_attention(
         attn = norm(attn, layer, "attn_sub_norm", cfg)
     if tap is not None:
         tap(f"blk.{layer_idx}.attn_output.weight", attn)
-    return _mm(attn, layer, "attn_output", compute_dtype), cache
+    return _psum_tp(_mm(attn, layer, "attn_output", compute_dtype), cfg), cache
 
 
 def decode_layer(
