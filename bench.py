@@ -46,6 +46,9 @@ def main() -> int:
     ap.add_argument("--vocab", type=int, default=0,
                     help="override vocab size (two vocabs separate the "
                          "lm_head share of the fixed per-token cost)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel decode over N chips with the "
+                         "fused kernels (shard_map; parallel/tp_kernels)")
     args = ap.parse_args()
 
     from llama_cpp_dsp_tpu.utils.jax_setup import setup_jax
@@ -69,6 +72,9 @@ def main() -> int:
             cfg = dataclasses.replace(cfg, n_vocab=args.vocab)
     print(f"bench: {args.model} Q4_K synth, {len(jax.devices())} device(s) "
           f"[{jax.devices()[0].platform}]", file=sys.stderr)
+
+    if args.tp > 1:
+        return _bench_tp(args, cfg)
 
     t0 = time.perf_counter()
     params = synth_params(cfg, GGMLType.Q4_K, seed=0, tie=False)
@@ -191,6 +197,62 @@ def main() -> int:
         "value": round(toks_per_sec, 2),
         "unit": "tokens/s",
         "vs_baseline": round(toks_per_sec / BASELINE_TOKS, 4),
+    }))
+    return 0
+
+
+def _bench_tp(args, cfg) -> int:
+    """Tensor-parallel decode throughput with the shard_map kernel path."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
+    from llama_cpp_dsp_tpu.parallel.tp_kernels import (
+        make_tp_decode_step, shard_llama_kernel_params,
+    )
+    from llama_cpp_dsp_tpu.runtime.kv_cache import KVCache
+    from llama_cpp_dsp_tpu.tools.synth import synth_params
+
+    tp = args.tp
+    assert len(jax.devices()) >= tp, (len(jax.devices()), tp)
+    mesh = Mesh(np.array(jax.devices()[:tp]), ("tp",))
+    params = synth_params(cfg, GGMLType.Q4_K, seed=0, tie=False)
+    stacked, specs = shard_llama_kernel_params(params, cfg, tp)
+    with mesh:
+        stacked = jax.tree.map(
+            lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+            stacked, specs)
+        cache = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(
+                mesh, P(None, "tp", None, None))),
+            KVCache.create(cfg.n_layers, args.batch, args.n_ctx,
+                           cfg.n_kv_heads, cfg.head_dim))
+        step = make_tp_decode_step(cfg, mesh)(specs)
+        toks = jnp.zeros((args.batch, 1), jnp.int32)
+        n_past = 0
+        for _ in range(args.warmup):
+            logits, cache = step(stacked, cache, toks,
+                                 jnp.full((args.batch, 1), n_past, jnp.int32),
+                                 jnp.int32(n_past))
+            n_past += 1
+        float(np.asarray(logits[0, 0, 0]))
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            logits, cache = step(stacked, cache, toks,
+                                 jnp.full((args.batch, 1), n_past, jnp.int32),
+                                 jnp.int32(n_past))
+            n_past += 1
+        float(np.asarray(logits[0, 0, 0]))
+        dt = time.perf_counter() - t0
+    tps = args.steps * args.batch / dt
+    print(json.dumps({
+        "metric": f"decode tokens/s ({args.model} Q4_K, tg{args.steps}, tp={tp})",
+        "value": round(tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tps / BASELINE_TOKS, 4),
     }))
     return 0
 
