@@ -159,6 +159,14 @@ class Engine:
                     cfg.kv_cache_heads, cfg.kv_cache_dim,
                     page_size=page_size,
                 )
+            elif kv_dtype in ("q4_0", "q4"):
+                from .paged_kv import PagedQ4KVCache
+
+                self.cache = PagedQ4KVCache.create(
+                    cfg.n_layers, n_pages, n_slots, blocks,
+                    cfg.kv_cache_heads, cfg.kv_cache_dim,
+                    page_size=page_size,
+                )
             else:
                 dt = {"f32": jnp.float32, "bf16": jnp.bfloat16,
                       "f16": jnp.float16}.get(kv_dtype, jnp.bfloat16)

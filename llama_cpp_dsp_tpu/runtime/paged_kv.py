@@ -332,6 +332,186 @@ class PagedQuantKVCache:
         )
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PagedQ4KVCache:
+    """Q4_0-quantized paged cache: pages pack ROW PAIRS like the contiguous
+    Q4KVCache (byte plane [P, Hkv, ps/2, D], parity-planar scales
+    [P, Hkv, 2, ps/2]) — quarter the bf16 page bytes, lane dims 128-aligned
+    for the paged q4 flash kernel. Interface mirrors PagedQuantKVCache."""
+
+    k_qs: tuple  # L × [P, Hkv, ps/2, D] u8
+    k_d: tuple  # L × [P, Hkv, 2, ps/2] f32
+    v_qs: tuple
+    v_d: tuple
+    tables: jax.Array  # [B, max_blocks] int32
+
+    def tree_flatten(self):
+        return (tuple(self.k_qs), tuple(self.k_d),
+                tuple(self.v_qs), tuple(self.v_d), self.tables), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def create(cls, n_layers, n_pages, n_seqs, max_blocks, n_kv_heads,
+               head_dim, page_size=128, dtype=None):
+        assert page_size % 2 == 0, page_size
+        shape = (n_pages, n_kv_heads, page_size // 2, head_dim)
+        dshape = (n_pages, n_kv_heads, 2, page_size // 2)
+        return cls(
+            tuple(jnp.zeros(shape, jnp.uint8) for _ in range(n_layers)),
+            tuple(jnp.zeros(dshape, jnp.float32) for _ in range(n_layers)),
+            tuple(jnp.zeros(shape, jnp.uint8) for _ in range(n_layers)),
+            tuple(jnp.zeros(dshape, jnp.float32) for _ in range(n_layers)),
+            jnp.full((n_seqs, max_blocks), n_pages, jnp.int32),
+        )
+
+    @property
+    def page_size(self) -> int:
+        return self.k_qs[0].shape[2] * 2
+
+    @property
+    def n_pages(self) -> int:
+        return self.k_qs[0].shape[0]
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.k_qs)
+
+    @property
+    def capacity(self) -> int:
+        return self.tables.shape[1] * self.page_size
+
+    def _replace_layer(self, layer: int, kq, kd, vq, vd) -> "PagedQ4KVCache":
+        arrays = [list(self.k_qs), list(self.k_d), list(self.v_qs), list(self.v_d)]
+        for lst, a in zip(arrays, (kq, kd, vq, vd)):
+            lst[layer] = a
+        return PagedQ4KVCache(*(tuple(lst) for lst in arrays), self.tables)
+
+    def write_packed(self, layer: int, k_new, v_new, slot_ids, rows):
+        """Per-token scatter with the Q4KVCache sibling-merge: when both
+        rows of a byte land in one ubatch, each token takes its sibling's
+        nibble from the batch instead of the stale pool byte."""
+        from .kv_cache import _q4_quant
+
+        ps = self.page_size
+        ps2 = ps // 2
+        blk = jnp.minimum(rows // ps, self.tables.shape[1] - 1)
+        pages = self.tables[slot_ids, blk]
+        pages = jnp.where(rows < self.capacity, pages, self.n_pages)
+        rin = rows % ps
+        r2 = rin // 2
+        par = (rin % 2)[:, None, None]
+        kq, kd = _q4_quant(k_new)  # [Ptok, Hkv, D] nibbles, [Ptok, Hkv]
+        vq, vd = _q4_quant(v_new)
+        # in-batch sibling: same PAGE and sibling in-page row
+        sib = ((pages[:, None] == pages[None, :])
+               & ((rin[:, None] ^ 1) == rin[None, :])
+               & (pages[:, None] < self.n_pages))
+        sibf = sib.astype(jnp.int32)
+        has_sib = sib.any(axis=1)[:, None, None]
+        safe_pages = jnp.minimum(pages, self.n_pages - 1)
+        safe_r2 = jnp.minimum(r2, ps2 - 1)
+
+        def merge(pool, q):
+            q = q.astype(jnp.int32)
+            old = pool[safe_pages, :, safe_r2].astype(jnp.int32)
+            sib_q = jnp.einsum("ij,jhd->ihd", sibf, q)
+            other = jnp.where(has_sib, sib_q,
+                              jnp.where(par == 0, old >> 4, old & 0x0F))
+            byte = jnp.where(par == 0, q | (other << 4), other | (q << 4))
+            return pool.at[pages, :, r2].set(byte.astype(jnp.uint8),
+                                             mode="drop")
+
+        return self._replace_layer(
+            layer,
+            merge(self.k_qs[layer], kq),
+            self.k_d[layer].at[pages, :, rin % 2, r2].set(kd, mode="drop"),
+            merge(self.v_qs[layer], vq),
+            self.v_d[layer].at[pages, :, rin % 2, r2].set(vd, mode="drop"),
+        )
+
+    def write(self, layer: int, k_new, v_new, offset):
+        b, t = k_new.shape[:2]
+        off = jnp.asarray(offset, jnp.int32)
+        if off.ndim == 0:
+            off = jnp.full((b,), off, jnp.int32)
+        rows = off[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        slot_ids = jnp.broadcast_to(
+            jnp.arange(b, dtype=jnp.int32)[:, None], (b, t))
+        return self.write_packed(
+            layer, k_new.reshape(b * t, *k_new.shape[2:]),
+            v_new.reshape(b * t, *v_new.shape[2:]),
+            slot_ids.reshape(-1), rows.reshape(-1),
+        )
+
+    @staticmethod
+    def _deq_pages(qpool, dpool, tables):
+        """Gathered pages → dense bf16 rows [B, Hkv, S, D]."""
+        from .kv_cache import _q4_unpack_rows
+
+        q = qpool[tables]  # [B, blocks, Hkv, ps/2, D]
+        d_ = dpool[tables]  # [B, blocks, Hkv, 2, ps/2]
+        b, nb, hkv, ps2, dd = q.shape
+        rows = _q4_unpack_rows(q).astype(jnp.float32)  # [B,nb,Hkv,ps,D]
+        dr = d_.transpose(0, 1, 2, 4, 3).reshape(b, nb, hkv, 2 * ps2)
+        out = (rows * dr[..., None]).astype(jnp.bfloat16)
+        out = out.transpose(0, 2, 1, 3, 4)
+        return out.reshape(b, hkv, nb * 2 * ps2, dd)
+
+    def layer(self, i: int):
+        safe = jnp.minimum(self.tables, self.n_pages - 1)
+        return (self._deq_pages(self.k_qs[i], self.k_d[i], safe),
+                self._deq_pages(self.v_qs[i], self.v_d[i], safe))
+
+    def packed_pages(self, i: int):
+        return self.k_qs[i], self.k_d[i], self.v_qs[i], self.v_d[i]
+
+    def gather_seq(self, seq: int):
+        safe = jnp.minimum(self.tables[seq], self.n_pages - 1)[None]
+        ks, vs = [], []
+        for i in range(self.n_layers):
+            ks.append(self._deq_pages(self.k_qs[i], self.k_d[i], safe))
+            vs.append(self._deq_pages(self.v_qs[i], self.v_d[i], safe))
+        return jnp.stack(ks), jnp.stack(vs)
+
+    def scatter_seq(self, seq: int, k, v):
+        from .kv_cache import _q4_pack_rows, _q4_quant
+
+        l, _, hkv, s, d = k.shape
+        ps = self.page_size
+        nb = s // ps
+        pages = jnp.minimum(self.tables[seq, :nb], self.n_pages - 1)
+        kqs, kds, vqs, vds = (list(self.k_qs), list(self.k_d),
+                              list(self.v_qs), list(self.v_d))
+        for i in range(l):
+            for pools, dense in (((kqs, kds), k[i, 0]), ((vqs, vds), v[i, 0])):
+                q, dd = _q4_quant(dense)  # [Hkv, S, D] nibbles, [Hkv, S]
+                qp = (_q4_pack_rows(q)  # [Hkv, S/2, D]
+                      .reshape(hkv, nb, ps // 2, d).transpose(1, 0, 2, 3))
+                dp = (dd.reshape(hkv, nb, ps // 2, 2)
+                      .transpose(1, 0, 3, 2))  # [nb, Hkv, 2, ps/2]
+                qpool, dpool = pools
+                qpool[i] = qpool[i].at[pages].set(qp)
+                dpool[i] = dpool[i].at[pages].set(dp)
+        return PagedQ4KVCache(tuple(kqs), tuple(kds), tuple(vqs),
+                              tuple(vds), self.tables)
+
+    def copy_page(self, src: int, dst: int):
+        pools = (self.k_qs, self.k_d, self.v_qs, self.v_d)
+        pools, tables = _copy_page_jit(
+            (pools, self.tables), jnp.int32(src), jnp.int32(dst))
+        return PagedQ4KVCache(*pools, tables)
+
+    def set_table_row(self, seq: int, row: np.ndarray):
+        return PagedQ4KVCache(
+            self.k_qs, self.k_d, self.v_qs, self.v_d,
+            self.tables.at[seq].set(jnp.asarray(row, jnp.int32)),
+        )
+
+
 class PageAllocator:
     """Host-side page bookkeeping: free list + refcounts (shared-prefix
     pages are referenced by several sequences; freed when the last drops)."""

@@ -259,3 +259,76 @@ def test_forward_packed_with_paged_q8_cache():
                             compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got)[0], np.asarray(ref)[0],
                                rtol=2e-4, atol=2e-4)
+
+
+# -- PagedQ4KVCache (row-pair packed pages) -----------------------------------
+
+
+def test_paged_q4_write_read_roundtrip():
+    from llama_cpp_dsp_tpu.runtime.paged_kv import PagedQ4KVCache
+
+    rng = np.random.default_rng(0)
+    cache = PagedQ4KVCache.create(1, n_pages=4, n_seqs=2, max_blocks=2,
+                                  n_kv_heads=1, head_dim=32, page_size=4)
+    cache = cache.set_table_row(0, np.array([0, 1]))
+    cache = cache.set_table_row(1, np.array([2, 3]))
+    k = rng.standard_normal((2, 6, 1, 32)).astype(np.float32)
+    cache = cache.write(0, jnp.asarray(k), jnp.asarray(k), 0)
+    kd, vd = cache.layer(0)
+    got = np.asarray(kd, np.float32)
+    ref = k.transpose(0, 2, 1, 3)
+    amax = np.abs(ref).max(axis=-1, keepdims=True)
+    assert (np.abs(got[:, :, :6] - ref) <= amax * (1 / 14 + 0.01) + 1e-5).all()
+    assert got[:, :, 6:].sum() == 0
+
+
+def test_paged_q4_packed_siblings_and_gather():
+    from llama_cpp_dsp_tpu.runtime.paged_kv import PagedQ4KVCache
+
+    rng = np.random.default_rng(1)
+    cache = PagedQ4KVCache.create(2, n_pages=4, n_seqs=2, max_blocks=2,
+                                  n_kv_heads=1, head_dim=32, page_size=4)
+    cache = cache.set_table_row(0, np.array([0, 1]))
+    cache = cache.set_table_row(1, np.array([2, 3]))
+    kn = rng.standard_normal((4, 1, 32)).astype(np.float32)
+    slot_ids = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    rows = jnp.asarray([2, 3, 5, 8], jnp.int32)  # byte pair; lone; padding
+    for layer in range(2):
+        cache = cache.write_packed(layer, jnp.asarray(kn), jnp.asarray(kn),
+                                   slot_ids, rows)
+    kd, _ = cache.layer(0)
+    got = np.asarray(kd, np.float32)
+    for i, (s, r) in enumerate(((0, 2), (0, 3), (1, 5))):
+        w = kn[i, 0]
+        assert np.abs(got[s, 0, r] - w).max() <= np.abs(w).max() * (1/14 + 0.01) + 1e-5, i
+    # gather/scatter round-trip preserves rows (requant of dequant = fixpoint)
+    k_seq, v_seq = cache.gather_seq(0)
+    cache2 = cache.scatter_seq(0, k_seq, v_seq)
+    kd2, _ = cache2.layer(0)
+    np.testing.assert_allclose(np.asarray(kd2, np.float32)[0],
+                               got[0], atol=2e-2)
+
+
+def test_engine_paged_q4_generation(tmp_path):
+    import sys
+    sys.path.insert(0, "tests")
+    from model_builder import build_tiny_llama
+    from llama_cpp_dsp_tpu.runtime.engine import Engine, Request
+    from llama_cpp_dsp_tpu.runtime.loader import load_model
+    from llama_cpp_dsp_tpu.runtime.sampling import make_chain
+    from llama_cpp_dsp_tpu.runtime.paged_kv import PagedQ4KVCache
+
+    path = str(tmp_path / "tiny.gguf")
+    build_tiny_llama(path, qtype=0)
+    model = load_model(path)
+    engine = Engine(model, n_slots=2, n_ctx_per_slot=64, kv_layout="paged",
+                    kv_dtype="q4_0", page_size=16)
+    assert isinstance(engine.cache, PagedQ4KVCache)
+    reqs = [Request(rid=i, prompt_tokens=[3 + i, 5, 9], max_new_tokens=5,
+                    sampler=make_chain(temp=0.0)) for i in range(2)]
+    for r in reqs:
+        engine.submit(r)
+    while any(not r.done.is_set() for r in reqs):
+        engine.step()
+    for r in reqs:
+        assert len(r.result_tokens) >= 1 and r.error is None
