@@ -231,6 +231,46 @@ class LlamaContext:
             return tok[0], cache
 
         self._step_sample = _step_sample
+
+        @partial(jax.jit, donate_argnums=(1,),
+                 static_argnames=("top_k", "chunk"))
+        def _step_sample_chunk(params, cache, token, n_past, pos_delta, key,
+                               temp, top_p, min_p, *, top_k, chunk):
+            """`chunk` fused decode+sample steps in ONE dispatch (lax.scan
+            feeding each sampled token back as the next input): amortizes
+            the ~1 ms/token host→device round-trip of per-token dispatch
+            over `chunk` tokens; only [chunk] int32 ids leave the device.
+            The reference's loop is llama_decode + host sampler per token
+            (examples/main/main.cpp) — here the whole inner loop lives on
+            device. Caveats vs the single-step path: the key stream differs
+            (keys split inside the scan), and XLA fuses the scan body
+            slightly differently per static `chunk`, so logits can move by
+            ~1 bf16 ulp — greedy picks are identical except at sub-ulp
+            logit ties (the same class of variation as toggling flash
+            attention in the reference). Output is deterministic for a
+            fixed chunk size."""
+            from ..ops.device_sampling import sample_logits
+
+            def body(carry, _):
+                cache, tok, p, key = carry
+                key, sub = jax.random.split(key)
+                pos = jnp.reshape(p, (1, 1)).astype(jnp.int32)
+                mask = causal_mask(pos, cache.capacity, p)
+                logits, cache = forward(
+                    params, self.cfg, jnp.reshape(tok, (1, 1)), pos, cache,
+                    p, mask, compute_dtype=compute_dtype, flash=use_flash,
+                    rope_positions=pos + pos_delta,
+                )
+                nxt = sample_logits(logits[:, -1, :], sub, temp, top_k=top_k,
+                                    top_p=top_p, min_p=min_p)[0]
+                return (cache, nxt, p + 1, key), nxt
+
+            (cache, _, _, _), toks = jax.lax.scan(
+                body, (cache, jnp.int32(token), jnp.int32(n_past), key),
+                None, length=chunk)
+            return toks, cache
+
+        self._step_sample_chunk = _step_sample_chunk
         self._seen_shapes: set[int] = set()
         self.perf.t_load_ms = (time.perf_counter() - t0) * 1000
 
@@ -310,6 +350,35 @@ class LlamaContext:
         else:
             self.perf.t_decode_ms += dt
             self.perf.n_decode += 1
+        return out
+
+    def _eval_sample_chunk(self, token: int, key, spec: dict,
+                           chunk: int) -> list[int]:
+        """Feed `token` and run `chunk` fused decode+sample steps in one
+        dispatch; returns the `chunk` sampled ids. Does NOT advance n_past —
+        the caller advances one row per CONSUMED token, so breaking out
+        mid-chunk (EOG, stop string, caller closing the generator) leaves
+        n_past exactly where the single-step path would have: overshoot rows
+        sit beyond n_past, unattendable, and are overwritten on the next
+        feed (the rollback_to invariant)."""
+        if self.n_past + chunk > self.n_ctx:
+            raise RuntimeError(f"context overflow at {self.n_past}+{chunk}")
+        t0 = time.perf_counter()
+        shape_key = ("chunk", chunk)
+        first = shape_key not in self._seen_shapes
+        self._seen_shapes.add(shape_key)
+        toks, self.cache = self._step_sample_chunk(
+            self.params, self.cache, token, self.n_past, self.pos_delta,
+            key, jnp.float32(spec["temp"]), jnp.float32(spec["top_p"]),
+            jnp.float32(spec["min_p"]), top_k=spec["top_k"], chunk=chunk,
+        )
+        out = [int(t) for t in np.asarray(toks)]
+        dt = (time.perf_counter() - t0) * 1000
+        if first:
+            self.perf.t_compile_ms += dt
+        else:
+            self.perf.t_decode_ms += dt
+            self.perf.n_decode += chunk
         return out
 
     def context_shift(self, n_keep: int, n_discard: int) -> None:
@@ -415,10 +484,20 @@ class LlamaContext:
         # step: a 4-byte token id replaces the [V]-float logits pull
         spec = getattr(sampler, "device_spec", None)
         dev_key = None
+        chunk = 1
         if spec is not None:
+            import os
+
             import jax
 
             dev_key = jax.random.PRNGKey(int(sampler.rng.integers(1 << 31)))
+            # multi-token dispatch: amortize the host round-trip over a
+            # lax.scan of fused decode+sample steps (off when self-extend
+            # rewrites positions mid-stream)
+            if ga_n == 1:
+                chunk = max(1, int(os.environ.get("LLAMA_TPU_DECODE_CHUNK",
+                                                  "8")))
+        pending: list[int] = []
         ga_i = 0
         logits = self.eval_tokens(list(prompt_tokens))
         token = sampler.sample(logits)  # first token: host (prefill logits)
@@ -440,11 +519,19 @@ class LlamaContext:
                 # evict half the non-kept context (examples/main/main.cpp:619)
                 n_discard = max(1, (self.n_ctx - n_keep) // 2)
                 self.context_shift(n_keep, n_discard)
-            if spec is not None:
+            if pending:
+                self.n_past += 1  # the consumed token's row was pre-written
+                token = pending.pop(0)
+            elif spec is not None:
                 import jax
 
                 dev_key, sub = jax.random.split(dev_key)
-                token = self._eval_sample_token(token, sub, spec)
+                if chunk > 1 and self.n_past + chunk <= self.n_ctx:
+                    toks = self._eval_sample_chunk(token, sub, spec, chunk)
+                    self.n_past += 1
+                    token, pending = toks[0], toks[1:]
+                else:
+                    token = self._eval_sample_token(token, sub, spec)
             else:
                 logits = self.eval_tokens([token])
                 token = sampler.sample(logits)

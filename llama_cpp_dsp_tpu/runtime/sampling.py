@@ -403,6 +403,10 @@ class SamplerChain:
 
         if self.grammar is not None:
             return None
+        if self.is_greedy:
+            # a pure greedy chain is top_k=1 on device: the single surviving
+            # candidate is argmax with the same first-max tie-break
+            return {"top_k": 1, "top_p": 1.0, "min_p": 0.0, "temp": 1.0}
         spec = {"top_k": 0, "top_p": 1.0, "min_p": 0.0, "temp": 1.0}
         seen_dist = False
         for s in self.samplers:

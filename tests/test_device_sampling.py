@@ -60,7 +60,8 @@ def test_device_spec_detection():
 
     spec = make_chain(temp=0.8, top_k=40, top_p=0.95, min_p=0.05).device_spec
     assert spec == {"top_k": 40, "top_p": 0.95, "min_p": 0.05, "temp": 0.8}
-    assert make_chain(temp=0.0).device_spec is None  # greedy path instead
+    # greedy == top_k=1 on device (single candidate → argmax tie-break)
+    assert make_chain(temp=0.0).device_spec["top_k"] == 1
     assert make_chain(mirostat=2).device_spec is None
     assert make_chain(penalty_repeat=1.3).device_spec is None
     assert make_chain(dry_multiplier=0.5).device_spec is None
