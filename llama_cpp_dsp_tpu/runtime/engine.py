@@ -105,9 +105,13 @@ class Engine:
         n_draft: int = 8,
         p_min: float = 0.75,
         tp: int = 1,  # tensor-parallel serving (see LlamaContext tp)
+        decode_chunk: int = 1,  # >1: scan N decode steps per dispatch when
+        # all slots are generating on the device sampler (throughput mode;
+        # streamed tokens arrive in bursts of N)
     ):
         self.kv_layout = kv_layout
         self.context_shift = context_shift
+        self.decode_chunk = max(1, decode_chunk)
         from .context import _convert_to_kernel_weights
 
         if use_pallas is None:
@@ -257,6 +261,46 @@ class Engine:
                                 top_p=top_p, min_p=min_p)
             return ids, cache
 
+        @partial(jax.jit, donate_argnums=(1,), static_argnames=("chunk",))
+        def _decode_argmax_chunk(params, cache, tokens, positions, active,
+                                 *, chunk):
+            """`chunk` batched greedy steps in ONE dispatch (lax.scan over
+            _decode_argmax): [B, chunk] ids leave the device, amortizing the
+            per-step host round-trip. Gated by the caller away from context
+            boundaries so per-step semantics stay identical."""
+            step = jnp.asarray(active, jnp.int32)[:, None]
+
+            def body(carry, _):
+                cache, toks, pos = carry
+                ids, cache = _decode_argmax(params, cache, toks, pos, active)
+                return (cache, ids[:, None], pos + step), ids
+
+            (cache, _, _), ids = jax.lax.scan(
+                body, (cache, tokens, positions), None, length=chunk)
+            return ids.T, cache
+
+        @partial(jax.jit, donate_argnums=(1,),
+                 static_argnames=("top_k", "chunk"))
+        def _decode_sample_chunk(params, cache, tokens, positions, active,
+                                 key, temp, top_p, min_p, *, top_k, chunk):
+            """Chunked variant of _decode_sample (uniform stateless device
+            chains): keys split once per scan step."""
+            from ..ops.device_sampling import sample_logits
+
+            step = jnp.asarray(active, jnp.int32)[:, None]
+
+            def body(carry, _):
+                cache, toks, pos, key = carry
+                key, sub = jax.random.split(key)
+                logits, cache = _decode(params, cache, toks, pos, active)
+                ids = sample_logits(logits[:, 0, :], sub, temp, top_k=top_k,
+                                    top_p=top_p, min_p=min_p)
+                return (cache, ids[:, None], pos + step, key), ids
+
+            (cache, _, _, _), ids = jax.lax.scan(
+                body, (cache, tokens, positions, key), None, length=chunk)
+            return ids.T, cache
+
         @partial(jax.jit, donate_argnums=(1,))
         def _mixed(params, cache, tokens, slot_ids, rows, out_idx):
             """Packed prompt+decode step (reference update_slots batch):
@@ -286,6 +330,8 @@ class Engine:
         self._decode_fn = _decode
         self._decode_argmax_fn = _decode_argmax
         self._decode_sample_fn = _decode_sample
+        self._decode_argmax_chunk_fn = _decode_argmax_chunk
+        self._decode_sample_chunk_fn = _decode_sample_chunk
         self._dev_key = jax.random.PRNGKey(0)
         self._mixed_fn = _mixed
 
@@ -570,7 +616,19 @@ class Engine:
             self._spec_decode(gen)
             return True
         if gen:
-            self._ensure_pages([(s.idx, s.n_past + 1) for s in gen])
+            # multi-token dispatch (throughput mode): scan `chunk` decode
+            # steps on device when no prompt work is pending and no slot
+            # can hit its context boundary mid-chunk (the _emit_token shift
+            # must only fire between dispatches)
+            chunk = 1
+            if (self.decode_chunk > 1 and not getattr(self, "has_draft", False)
+                    and not any(s.state == SlotState.PROMPT
+                                for s in self.slots)
+                    and self.queue.empty()
+                    and all(s.n_past + self.decode_chunk + 1 < self.n_ctx
+                            for s in gen)):
+                chunk = self.decode_chunk
+            self._ensure_pages([(s.idx, s.n_past + chunk) for s in gen])
             tokens = np.zeros((self.n_slots, 1), np.int32)
             positions = np.zeros((self.n_slots, 1), np.int32)
             active = np.zeros(self.n_slots, bool)
@@ -578,19 +636,32 @@ class Engine:
                 tokens[s.idx, 0] = s.last_token
                 positions[s.idx, 0] = s.n_past
                 active[s.idx] = True
+
+            def consume(ids_np):  # [B, chunk] → emit per slot, stop early
+                for s in gen:
+                    for j in range(ids_np.shape[1]):
+                        s.cache_tokens.append(s.last_token)
+                        s.n_past += 1
+                        token = int(ids_np[s.idx, j])
+                        s.req.sampler.accept(token)
+                        self._emit_token(s, token)
+                        if s.state != SlotState.GENERATING:
+                            break  # overshoot rows sit beyond n_past
+
             if all(s.req.sampler is not None and s.req.sampler.is_greedy
                    for s in gen):
-                ids, self.cache = self._decode_argmax_fn(
-                    self.params, self.cache, jnp.asarray(tokens),
-                    jnp.asarray(positions), jnp.asarray(active),
-                )
-                ids_np = np.asarray(ids)
-                for s in gen:
-                    s.cache_tokens.append(s.last_token)
-                    s.n_past += 1
-                    token = int(ids_np[s.idx])
-                    s.req.sampler.accept(token)
-                    self._emit_token(s, token)
+                if chunk > 1:
+                    ids, self.cache = self._decode_argmax_chunk_fn(
+                        self.params, self.cache, jnp.asarray(tokens),
+                        jnp.asarray(positions), jnp.asarray(active),
+                        chunk=chunk)
+                    consume(np.asarray(ids))
+                else:
+                    ids, self.cache = self._decode_argmax_fn(
+                        self.params, self.cache, jnp.asarray(tokens),
+                        jnp.asarray(positions), jnp.asarray(active),
+                    )
+                    consume(np.asarray(ids)[:, None])
             elif (specs := [s.req.sampler.device_spec
                             if s.req.sampler is not None else None
                             for s in gen]) and all(
@@ -599,19 +670,22 @@ class Engine:
                 # token ids leave the chip (ops/device_sampling.py)
                 sp = specs[0]
                 self._dev_key, sub = jax.random.split(self._dev_key)
-                ids, self.cache = self._decode_sample_fn(
-                    self.params, self.cache, jnp.asarray(tokens),
-                    jnp.asarray(positions), jnp.asarray(active), sub,
-                    jnp.float32(sp["temp"]), jnp.float32(sp["top_p"]),
-                    jnp.float32(sp["min_p"]), top_k=sp["top_k"],
-                )
-                ids_np = np.asarray(ids)
-                for s in gen:
-                    s.cache_tokens.append(s.last_token)
-                    s.n_past += 1
-                    token = int(ids_np[s.idx])
-                    s.req.sampler.accept(token)
-                    self._emit_token(s, token)
+                if chunk > 1:
+                    ids, self.cache = self._decode_sample_chunk_fn(
+                        self.params, self.cache, jnp.asarray(tokens),
+                        jnp.asarray(positions), jnp.asarray(active), sub,
+                        jnp.float32(sp["temp"]), jnp.float32(sp["top_p"]),
+                        jnp.float32(sp["min_p"]), top_k=sp["top_k"],
+                        chunk=chunk)
+                    consume(np.asarray(ids))
+                else:
+                    ids, self.cache = self._decode_sample_fn(
+                        self.params, self.cache, jnp.asarray(tokens),
+                        jnp.asarray(positions), jnp.asarray(active), sub,
+                        jnp.float32(sp["temp"]), jnp.float32(sp["top_p"]),
+                        jnp.float32(sp["min_p"]), top_k=sp["top_k"],
+                    )
+                    consume(np.asarray(ids)[:, None])
             else:
                 logits, self.cache = self._decode_fn(
                     self.params, self.cache, jnp.asarray(tokens),

@@ -520,6 +520,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
                     choices=("f32", "bf16", "f16", "q8_0", "q4_0"),
                     help="KV cache data type (reference --cache-type-k)")
+    ap.add_argument("--decode-chunk", type=int, default=1,
+                    help=">1: throughput mode — scan N decode steps per "
+                         "device dispatch when all slots are generating "
+                         "(streamed tokens arrive in bursts of N)")
     # multi-host SPMD (the reference's rpc-server workflow dissolves into
     # jax.distributed — parallel/distributed.py): every host runs THIS
     # same command; host 0's HTTP endpoint serves
@@ -561,7 +565,8 @@ def main(argv=None) -> int:
                     page_size=args.kv_page_size,
                     kv_dtype=args.cache_type_k,
                     draft_model=draft, n_draft=args.draft_max,
-                    p_min=args.draft_p_min, tp=args.tensor_parallel)
+                    p_min=args.draft_p_min, tp=args.tensor_parallel,
+                    decode_chunk=args.decode_chunk)
     engine.start()
     server = Server(engine, model_name=args.alias or args.model, api_key=args.api_key)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)

@@ -364,3 +364,49 @@ def test_idle_slot_rows_survive_decode(tmp_path):
                       sampler=SamplerChain([Greedy()]))
     np.testing.assert_array_equal(
         k_before, np.asarray(eng.cache.k[0][s0.idx, :, 0]))
+
+
+def test_decode_chunk_matches_single_step(tmp_path):
+    """decode_chunk>1 (lax.scan multi-token dispatch) must emit the same
+    greedy streams as per-step dispatch, including a max_new_tokens that is
+    not a chunk multiple and two slots finishing at different times."""
+    path = str(tmp_path / "tiny.gguf")
+    build_tiny_llama(path, qtype=0)
+    model = load_model(path)
+    outs = {}
+    for chunk in (1, 4):
+        eng = Engine(model, n_slots=2, n_ctx_per_slot=64,
+                     prefill_buckets=(16,), use_pallas=False,
+                     decode_chunk=chunk)
+        r1 = Request(1, [3, 5, 7], max_new_tokens=9, sampler=greedy())
+        r2 = Request(2, [9, 8, 7, 6, 5], max_new_tokens=6, sampler=greedy())
+        eng.submit(r1)
+        eng.submit(r2)
+        while not (r1.done.is_set() and r2.done.is_set()):
+            eng.step()
+        outs[chunk] = (list(r1.result_tokens), list(r2.result_tokens),
+                       [s.n_past for s in eng.slots])
+    assert outs[1][0] == outs[4][0]
+    assert outs[1][1] == outs[4][1]
+
+
+def test_decode_chunk_slot_join_mid_generation(tmp_path):
+    """A request arriving while chunked decode runs must still be served:
+    the chunk gate defers to single steps whenever prompt work is queued."""
+    path = str(tmp_path / "tiny.gguf")
+    build_tiny_llama(path, qtype=0)
+    model = load_model(path)
+    eng = Engine(model, n_slots=2, n_ctx_per_slot=64, prefill_buckets=(16,),
+                 use_pallas=False, decode_chunk=4)
+    r1 = Request(1, [3, 5, 7], max_new_tokens=20, sampler=greedy())
+    eng.submit(r1)
+    for _ in range(3):
+        eng.step()
+    r2 = Request(2, [2, 4], max_new_tokens=5, sampler=greedy())
+    eng.submit(r2)
+    while not (r1.done.is_set() and r2.done.is_set()):
+        eng.step()
+    solo2 = eng.generate_sync([2, 4], max_new_tokens=5,
+                              sampler=greedy()).result_tokens
+    assert r2.result_tokens == solo2
+    assert len(r1.result_tokens) == 20
