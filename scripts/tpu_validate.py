@@ -164,6 +164,35 @@ def _():
     assert err < 1e-4, err
 
 
+@check("chunked_decode_scan")
+def _():
+    """_step_sample_chunk (lax.scan decode+sample) compiles under the
+    Mosaic kernels and matches single-step greedy on the same state."""
+    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
+    from llama_cpp_dsp_tpu.models.registry import synth_config
+    from llama_cpp_dsp_tpu.runtime.context import LlamaContext
+    from llama_cpp_dsp_tpu.runtime.loader import LoadedModel
+    from llama_cpp_dsp_tpu.runtime.sampling import make_chain
+    from llama_cpp_dsp_tpu.tools.synth import synth_params
+
+    import os
+
+    cfg = synth_config("llama", n_embd=256, n_heads=2, n_kv_heads=2,
+                       head_dim=128, n_ff=512, n_vocab=256)
+    params = synth_params(cfg, GGMLType.Q4_K, seed=3, tie=False)
+    model = LoadedModel(cfg=cfg, params=params, vocab=None, tokenizer=None,
+                        kv={})
+    outs = {}
+    for chunk in (1, 8):
+        os.environ["LLAMA_TPU_DECODE_CHUNK"] = str(chunk)
+        ctx = LlamaContext(model, n_ctx=256)
+        outs[chunk] = list(ctx.generate([1, 2, 3], max_new_tokens=17,
+                                        sampler=make_chain(temp=0.0),
+                                        stop_on_eog=False))
+    os.environ.pop("LLAMA_TPU_DECODE_CHUNK", None)
+    assert outs[1] == outs[8], (outs[1], outs[8])
+
+
 if "--skip-bench" not in sys.argv:
     for args in (["--steps", "32"], ["--pp", "512"], ["--batch", "4", "--steps", "32"]):
         print(f"bench {args}:", flush=True)
