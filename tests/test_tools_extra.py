@@ -212,3 +212,27 @@ def test_gritlm_encode(tiny):
     assert vs.shape[0] == 1
     assert np.isclose(np.linalg.norm(vs[0]), 1.0, atol=1e-4)
     assert gritlm_instruction("") == "<|embed|>\n"
+
+
+def test_compare_bench(tmp_path, capsys):
+    """compare-llama-bench role: per-test t/s delta between two runs."""
+    import json
+
+    from llama_cpp_dsp_tpu.tools.compare_bench import compare, main
+
+    base = [{"model": "m", "test": "tg128", "t/s": 100.0, "stddev": 0, "n": 3},
+            {"model": "m", "test": "pp512", "t/s": 2000.0, "stddev": 0, "n": 3}]
+    new = [{"model": "m", "test": "tg128", "t/s": 110.0, "stddev": 0, "n": 3},
+           {"model": "m", "test": "tg512", "t/s": 90.0, "stddev": 0, "n": 3}]
+    rows = compare(base, new)
+    by_test = {r["test"]: r for r in rows}
+    assert by_test["tg128"]["delta %"] == 10.0
+    assert by_test["pp512"]["new t/s"] == ""   # removed test still listed
+    assert by_test["tg512"]["base t/s"] == ""  # new test listed
+
+    a, b = tmp_path / "a.json", tmp_path / "b.json"
+    a.write_text(json.dumps(base))
+    b.write_text(json.dumps(new))
+    assert main([str(a), str(b)]) == 0
+    out = capsys.readouterr().out
+    assert "tg128" in out and "10.0" in out
