@@ -76,10 +76,13 @@ def _json_literal(value: Any) -> str:
 
 
 class SchemaConverter:
-    def __init__(self, schema: Any):
+    def __init__(self, schema: Any, raw_pattern: bool = False):
         self.schema = schema
         self.rules: dict[str, str] = {}
         self.refs: dict[str, Any] = {}
+        # raw_pattern: `pattern` strings match the bare text instead of a
+        # JSON-quoted string (reference --raw-pattern)
+        self.raw_pattern = raw_pattern
 
     # -- rule management ----------------------------------------------------
     def _add_rule(self, name: str, rule: str) -> str:
@@ -237,7 +240,10 @@ class SchemaConverter:
                 )
                 if body_alts:
                     body_alts = [f'{alt} ("," space {ad_kv})*' for alt in body_alts]
-                    body_alts.append(f'{ad_kv} ("," space {ad_kv})*')
+                    # additional-only form is legal only when nothing is
+                    # required (required keys must appear in every object)
+                    if not req:
+                        body_alts.append(f'{ad_kv} ("," space {ad_kv})*')
                 else:
                     body_alts.append(f'{ad_kv} ("," space {ad_kv})*')
             if body_alts:
@@ -273,6 +279,18 @@ class SchemaConverter:
 
     def _visit_string(self, schema: dict, rule_name: str) -> str:
         self._add_primitive("space")
+        pattern = schema.get("pattern")
+        if pattern is not None:
+            from .regex import RegexUnsupported, regex_to_gbnf_expr
+
+            try:
+                expr = f"({regex_to_gbnf_expr(pattern)})"
+                if self.raw_pattern:
+                    return self._add_rule(rule_name, expr)
+                return self._add_rule(
+                    rule_name, f'"\\"" {expr} "\\"" space')
+            except RegexUnsupported:
+                pass  # outside the supported subset → generic string
         fmt = schema.get("format")
         if fmt in ("date", "time", "date-time", "uuid"):
             prim = "uuid" if fmt == "uuid" else f"{fmt}-string"
@@ -291,11 +309,11 @@ class SchemaConverter:
         return self._add_rule(rule_name, "string")
 
 
-def json_schema_to_gbnf(schema: Any) -> str:
+def json_schema_to_gbnf(schema: Any, raw_pattern: bool = False) -> str:
     """Compile a JSON schema (dict or JSON text) to GBNF text."""
     if isinstance(schema, str):
         schema = json.loads(schema)
-    conv = SchemaConverter(schema)
+    conv = SchemaConverter(schema, raw_pattern=raw_pattern)
     root = conv.visit(schema, "root")
     if root != "root":
         conv.rules["root"] = root

@@ -126,3 +126,84 @@ def test_string_length_and_format():
 
 def test_untyped_is_any_json():
     check({}, [{"a": [1, "x", None, True]}, "[]", "3.5"], ["{", "]"])
+
+
+# -- `pattern` keyword (regex → grammar; reference _visit_pattern) -----------
+
+
+def test_pattern_strings():
+    schema = {"type": "string", "pattern": "^[a-f]{2}[0-9]+$"}
+    check(schema, ['"ab123"', '"ff0"'], ['"a1"', '"abc"', '"AB12"', '"ab"'])
+
+
+def test_pattern_alternation_and_groups():
+    schema = {"type": "string", "pattern": "^(foo|ba(r|z))-[0-9]{2,3}x?$"}
+    check(schema, ['"foo-12"', '"bar-123x"', '"baz-99"'],
+          ['"foo-1"', '"qux-12"', '"foo-1234"', '"bar-12xx"'])
+
+
+def test_pattern_escapes_and_classes():
+    schema = {"type": "string", "pattern": "^\\d+\\.\\d{2}( USD)?$"}
+    check(schema, ['"3.14"', '"100.00 USD"'], ['"3.1"', '".14"', '"3,14"'])
+
+
+def test_pattern_agrees_with_re_fullmatch():
+    """Oracle check: the compiled grammar and Python re must accept exactly
+    the same strings over the supported regex subset."""
+    import re
+
+    cases = {
+        "^[a-z]+@[a-z]+\\.(com|org)$":
+            ["a@b.com", "xy@zz.org", "a@b.net", "@b.com", "a@.com"],
+        "^-?\\d+(\\.\\d+)?([eE][-+]?\\d+)?$":
+            ["1", "-2.5", "3e10", "1.5E-3", "1.", "e5", "--1"],
+        "^(ab)*c{1,2}$": ["c", "ababcc", "abc", "ab", "ccc", ""],
+        "^[^0-9]{3}$": ["abc", "a1c", "ab", "abcd", "x yz"[:3]],
+        "^a.c$": ["abc", "a c", "ac", "abbc", "a\nc"],
+    }
+    for pattern, strings in cases.items():
+        gbnf = json_schema_to_gbnf({"type": "string", "pattern": pattern},
+                                   raw_pattern=True)
+        for s in strings:
+            want = re.fullmatch(pattern[1:-1], s) is not None
+            if "\n" in s:  # grammar's `.` excludes newlines like JSON text
+                want = False
+            got = accepts(gbnf, s)
+            assert got == want, (pattern, s, want, gbnf)
+
+
+def test_pattern_unsupported_falls_back():
+    """Lookahead is outside the subset → generic string rule, not a crash."""
+    gbnf = json_schema_to_gbnf(
+        {"type": "string", "pattern": "^(?=x)xy$"})
+    assert accepts(gbnf, '"anything"')
+
+
+def test_regex_to_grammar_tool(capsys):
+    from llama_cpp_dsp_tpu.tools.regex_to_grammar import main
+
+    assert main(["^[0-9]{4}$"]) == 0
+    out = capsys.readouterr().out
+    assert accepts(out, "1234") and not accepts(out, "123")
+
+
+def test_pydantic_models_to_grammar():
+    from pydantic import BaseModel
+
+    from llama_cpp_dsp_tpu.grammar.pydantic_models import (
+        pydantic_models_to_grammar,
+    )
+
+    class Point(BaseModel):
+        x: int
+        y: int
+
+    class Tag(BaseModel):
+        name: str
+
+    gbnf = pydantic_models_to_grammar(Point)
+    assert accepts(gbnf, '{"x": 1, "y": -2}')
+    assert not accepts(gbnf, '{"x": "a", "y": 2}')
+    both = pydantic_models_to_grammar(Point, Tag)
+    assert accepts(both, '{"x": 1, "y": 2}')
+    assert accepts(both, '{"name": "hi"}')
