@@ -328,6 +328,49 @@ class MirostatV2:
 
 
 @dataclass
+class MirostatV1:
+    """Mirostat v1 (llama_sampler_init_mirostat, src/llama-sampling.cpp:
+    1229-1262): estimate the Zipf exponent s-hat from the top-m candidate
+    probabilities, derive k for the target surprise mu, top-k truncate,
+    sample, then nudge mu toward tau."""
+
+    n_vocab: int | None = None  # None: infer from the candidate set
+    tau: float = 5.0
+    eta: float = 0.1
+    m: int = 100
+    mu: float | None = None
+
+    def reset(self) -> None:
+        self.mu = None
+
+    def accept(self, token: int) -> None:
+        pass
+
+    def apply(self, cand, rng):
+        if self.mu is None:
+            self.mu = 2 * self.tau
+        cand.softmax()
+        p = cand.probs
+        n = min(self.m - 1, len(p) - 1)
+        i = np.arange(n, dtype=np.float64)
+        t_i = np.log((i + 2) / (i + 1))
+        b_i = np.log(p[:n] / np.maximum(p[1 : n + 1], 1e-30))
+        s_hat = float((t_i * b_i).sum() / (t_i * t_i).sum())
+        nv = float(self.n_vocab if self.n_vocab else len(p))
+        eps = s_hat - 1
+        k = ((eps * 2.0 ** self.mu) / (1 - nv ** -eps)) ** (1 / s_hat)
+        if not np.isfinite(k):
+            k = len(p)
+        cand.truncate(max(int(k), 1))
+        cand.softmax()
+        idx = rng.choice(len(cand.probs), p=cand.probs)
+        tok = int(cand.ids[idx])
+        observed = -np.log2(cand.probs[idx] + 1e-12)
+        self.mu -= self.eta * (observed - self.tau)
+        return tok
+
+
+@dataclass
 class Dry:
     """DRY repetition penalty (llama_sampler_dry) — simplified core:
     penalize continuations of repeated suffixes."""
@@ -520,6 +563,10 @@ def make_chain(
     if mirostat == 2:
         chain.append(Temp(temp))
         chain.append(MirostatV2(mirostat_tau, mirostat_eta))
+        return SamplerChain(chain, np.random.default_rng(seed), grammar=grammar)
+    if mirostat == 1:
+        chain.append(Temp(temp))
+        chain.append(MirostatV1(tau=mirostat_tau, eta=mirostat_eta))
         return SamplerChain(chain, np.random.default_rng(seed), grammar=grammar)
     if top_n_sigma >= 0:
         chain.append(TopK(top_k))

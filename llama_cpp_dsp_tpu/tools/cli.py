@@ -37,7 +37,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--frequency-penalty", type=float, default=0.0)
     p.add_argument("--presence-penalty", type=float, default=0.0)
     p.add_argument("--dry-multiplier", type=float, default=0.0)
-    p.add_argument("--mirostat", type=int, default=0, choices=[0, 2])
+    p.add_argument("--mirostat", type=int, default=0, choices=[0, 1, 2])
     p.add_argument("--mirostat-ent", type=float, default=5.0)
     p.add_argument("--mirostat-lr", type=float, default=0.1)
     p.add_argument("--dynatemp-range", type=float, default=0.0)

@@ -115,3 +115,32 @@ def test_env_arg_fallback(monkeypatch):
     # CLI wins over env
     args = parse_with_env(ap, ["--ctx-size", "128"])
     assert args.ctx_size == 128
+
+
+def test_mirostat_v1():
+    """Mirostat v1 (reference llama-sampling.cpp:1229): k from the Zipf
+    s-hat estimate; mu converges toward the target surprise tau."""
+    from llama_cpp_dsp_tpu.runtime.sampling import MirostatV1, make_chain
+
+    rng = np.random.default_rng(0)
+    # Zipfian logits: surprise of the argmax is low → mu should fall from
+    # 2*tau toward tau over repeated applications
+    logits = -np.log(np.arange(1, 501, dtype=np.float32))
+    s = MirostatV1(tau=5.0, eta=0.1)
+    from llama_cpp_dsp_tpu.runtime.sampling import Candidates
+
+    surprises = []
+    for _ in range(200):
+        mu_before = s.mu
+        tok = s.apply(Candidates.from_logits(logits), rng)
+        assert 0 <= tok < 500
+        # recover observed surprise from the mu update: mu -= eta*(obs-tau)
+        if mu_before is not None:
+            surprises.append((mu_before - s.mu) / 0.1 + 5.0)
+    # the control loop drives mean observed surprise to tau
+    assert abs(np.mean(surprises[50:]) - 5.0) < 1.0
+
+    chain = make_chain(temp=1.0, mirostat=1, seed=7)
+    toks = [chain.sample(logits) for _ in range(20)]
+    assert all(0 <= t < 500 for t in toks)
+    assert chain.device_spec is None  # stateful → host path
