@@ -44,16 +44,34 @@ def _sampler_from(body: dict, seed_default: int = 0, tokenizer=None):
         from ..grammar.gbnf import GrammarSampler, parse_gbnf
 
         grammar = GrammarSampler(parse_gbnf(gtext), tokenizer)
+    # logit_bias: reference accepts [[tok, bias], ...] or {tok: bias}
+    lb = body.get("logit_bias")
+    if isinstance(lb, list):
+        lb = {int(t): float(b) for t, b in lb}
+    elif isinstance(lb, dict):
+        lb = {int(t): float(b) for t, b in lb.items()}
     return make_chain(
         grammar=grammar,
         seed=int(body.get("seed", seed_default) or seed_default),
         temp=float(body.get("temperature", 0.8)),
+        dynatemp_range=float(body.get("dynatemp_range", 0.0)),
+        dynatemp_exponent=float(body.get("dynatemp_exponent", 1.0)),
         top_k=int(body.get("top_k", 40)),
         top_p=float(body.get("top_p", 0.95)),
         min_p=float(body.get("min_p", 0.05)),
+        typical_p=float(body.get("typical_p", 1.0)),
+        xtc_probability=float(body.get("xtc_probability", 0.0)),
+        xtc_threshold=float(body.get("xtc_threshold", 0.1)),
+        top_n_sigma=float(body.get("top_n_sigma", -1.0)),
+        penalty_last_n=int(body.get("repeat_last_n", 64)),
         penalty_repeat=float(body.get("repeat_penalty", 1.0)),
         penalty_freq=float(body.get("frequency_penalty", 0.0)),
         penalty_present=float(body.get("presence_penalty", 0.0)),
+        dry_multiplier=float(body.get("dry_multiplier", 0.0)),
+        mirostat=int(body.get("mirostat", 0)),
+        mirostat_tau=float(body.get("mirostat_tau", 5.0)),
+        mirostat_eta=float(body.get("mirostat_eta", 0.1)),
+        logit_bias=lb,
     )
 
 

@@ -351,3 +351,22 @@ def test_rerank_cross_encoder(tmp_path_factory):
 
     _run(server, go)
 
+
+
+def test_request_sampler_full_mapping():
+    """Every reference /completion sampler knob reaches make_chain
+    (server.cpp params_from_json_cmpl)."""
+    from llama_cpp_dsp_tpu.serve.server import _sampler_from
+
+    body = {"temperature": 0.6, "top_k": 7, "top_p": 0.8, "min_p": 0.1,
+            "typical_p": 0.7, "mirostat": 2, "mirostat_tau": 4.0,
+            "repeat_penalty": 1.2, "repeat_last_n": 32,
+            "dry_multiplier": 0.6, "xtc_probability": 0.3,
+            "logit_bias": [[3, -5.0], [7, 2.0]], "seed": 11}
+    chain = _sampler_from(body)
+    names = [type(s).__name__ for s in chain.samplers]
+    assert "MirostatV2" in names
+    assert "LogitBias" in names and "Dry" in names and "Penalties" in names
+    body["mirostat"] = 1
+    chain = _sampler_from(body)
+    assert "MirostatV1" in [type(s).__name__ for s in chain.samplers]
