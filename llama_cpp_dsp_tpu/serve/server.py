@@ -490,6 +490,8 @@ class Server:
 
         app = web.Application(middlewares=[error_middleware])
         app.router.add_get("/health", self.health)
+        app.router.add_get("/v1/health", self.health)
+        app.router.add_get("/models", self.models)
         app.router.add_get("/props", self.props)
         app.router.add_get("/v1/models", self.models)
         app.router.add_get("/slots", self.slots)
