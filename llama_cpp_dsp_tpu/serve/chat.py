@@ -39,9 +39,15 @@ def apply_chat_template(
     tools: list | None = None,
     extra_context: dict | None = None,
 ) -> str:
-    """Render a HF-style chat template (jinja2) → prompt text."""
+    """Render a chat template → prompt text. `template` may be a builtin
+    NAME (reference --chat-template, src/llama-chat.cpp names), a HF-style
+    jinja template, or None (chatml)."""
     import jinja2
 
+    from .chat_builtin import BUILTIN_TEMPLATES, apply_builtin, detect_builtin
+
+    if template in BUILTIN_TEMPLATES:
+        return apply_builtin(template, messages, add_generation_prompt)
     template = template or CHATML_TEMPLATE
     env = jinja2.Environment(
         trim_blocks=True,
@@ -64,14 +70,12 @@ def apply_chat_template(
     try:
         return env.from_string(template).render(**ctx)
     except Exception:
-        # defensive fallback, like the reference falling back to chatml
-        return (
-            "".join(
-                f"<|im_start|>{m.get('role', 'user')}\n{m.get('content', '')}<|im_end|>\n"
-                for m in messages
-            )
-            + ("<|im_start|>assistant\n" if add_generation_prompt else "")
-        )
+        # unrenderable jinja: detect the family from its marker strings and
+        # use the builtin renderer (reference non-jinja path,
+        # llm_chat_detect_template); otherwise fall back to chatml
+        name = detect_builtin(template)
+        return apply_builtin(name or "chatml", messages,
+                             add_generation_prompt)
 
 
 # ---------------------------------------------------------------------------

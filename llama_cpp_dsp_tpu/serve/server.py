@@ -76,11 +76,19 @@ def _sampler_from(body: dict, seed_default: int = 0, tokenizer=None):
 
 
 class Server:
-    def __init__(self, engine: Engine, *, model_name: str = "model", api_key: str | None = None):
+    def __init__(self, engine: Engine, *, model_name: str = "model",
+                 api_key: str | None = None,
+                 chat_template: str | None = None):
         self.engine = engine
         self.model_name = model_name
         self.api_key = api_key
+        # --chat-template NAME/text overrides the model's embedded template
+        self.chat_template = chat_template
         self.t_start = time.time()
+
+    @property
+    def _template(self) -> str | None:
+        return self.chat_template or self.engine.vocab.chat_template
 
     # -- auth -----------------------------------------------------------------
     def _check_auth(self, request: web.Request) -> bool:
@@ -115,7 +123,7 @@ class Server:
 
         body = await request.json()
         text = apply_chat_template(
-            self.engine.vocab.chat_template, body.get("messages", []),
+            self._template, body.get("messages", []),
         )
         return web.json_response({"prompt": text})
 
@@ -373,7 +381,7 @@ class Server:
         from ..serve.chat import apply_chat_template
 
         text = apply_chat_template(
-            self.engine.vocab.chat_template, body.get("messages", []),
+            self._template, body.get("messages", []),
             add_generation_prompt=True, bos_token="", eos_token="",
             tools=body.get("tools"),
         )
@@ -540,6 +548,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
                     choices=("f32", "bf16", "f16", "q8_0", "q4_0"),
                     help="KV cache data type (reference --cache-type-k)")
+    ap.add_argument("--chat-template", default=None,
+                    help="builtin template name (chatml, llama3, ...) or "
+                         "jinja text overriding the model's template")
     ap.add_argument("--decode-chunk", type=int, default=1,
                     help=">1: throughput mode — scan N decode steps per "
                          "device dispatch when all slots are generating "
@@ -588,7 +599,8 @@ def main(argv=None) -> int:
                     p_min=args.draft_p_min, tp=args.tensor_parallel,
                     decode_chunk=args.decode_chunk)
     engine.start()
-    server = Server(engine, model_name=args.alias or args.model, api_key=args.api_key)
+    server = Server(engine, model_name=args.alias or args.model,
+                    api_key=args.api_key, chat_template=args.chat_template)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     web.run_app(server.make_app(), host=args.host, port=args.port, print=None)
     return 0

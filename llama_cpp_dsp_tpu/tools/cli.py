@@ -48,6 +48,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--interactive", action="store_true")
     p.add_argument("-cnv", "--conversation", action="store_true",
                    help="chat-template conversation mode (reference -cnv)")
+    p.add_argument("--chat-template", default=None,
+                   help="builtin template name (chatml, llama3, ...) or "
+                        "jinja text overriding the model's template")
     p.add_argument("-sys", "--system-prompt", default=None)
     p.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("-fa", "--flash-attn", dest="flash_attn", default=None,
@@ -293,7 +296,7 @@ def main(argv=None) -> int:
         from ..serve.chat import apply_chat_template
 
         tok = model.tokenizer
-        template = model.vocab.chat_template
+        template = args.chat_template or model.vocab.chat_template
         messages = []
         if args.system_prompt:
             messages.append({"role": "system", "content": args.system_prompt})
