@@ -87,6 +87,22 @@ import re as _re
 import uuid as _uuid
 
 
+def extract_reasoning(text: str) -> tuple[str | None, str]:
+    """DeepSeek-R1-style reasoning extraction (reference common/chat.cpp
+    reasoning-format=deepseek): returns (reasoning_content, content).
+    Handles <think>...</think> and the bare leading ...</think> form (some
+    templates pre-open the tag inside the prompt)."""
+    if "</think>" not in text:
+        return None, text
+    m = _re.match(r"\s*<think>(.*?)</think>\s*(.*)", text, _re.DOTALL)
+    if m:
+        return m.group(1).strip(), m.group(2)
+    m = _re.match(r"\s*(.*?)</think>\s*(.*)", text, _re.DOTALL)
+    if m and "<think>" not in m.group(1):
+        return m.group(1).strip(), m.group(2)
+    return None, text
+
+
 def parse_tool_calls(text: str) -> tuple[str, list[dict]]:
     """Extract tool calls from model output. Handles the common formats:
     - Hermes/Qwen: <tool_call>{"name": ..., "arguments": {...}}</tool_call>

@@ -78,12 +78,16 @@ def _sampler_from(body: dict, seed_default: int = 0, tokenizer=None):
 class Server:
     def __init__(self, engine: Engine, *, model_name: str = "model",
                  api_key: str | None = None,
-                 chat_template: str | None = None):
+                 chat_template: str | None = None,
+                 reasoning_format: str = "auto"):
         self.engine = engine
         self.model_name = model_name
         self.api_key = api_key
         # --chat-template NAME/text overrides the model's embedded template
         self.chat_template = chat_template
+        # auto: extract <think>...</think> into reasoning_content
+        # (reference --reasoning-format deepseek); none: leave inline
+        self.reasoning_format = reasoning_format
         self.t_start = time.time()
 
     @property
@@ -453,10 +457,15 @@ class Server:
             "predicted_ms": round((req.t_end - req.t_first_token) * 1000, 2),
         }
         if chat:
-            from ..serve.chat import parse_tool_calls
+            from ..serve.chat import extract_reasoning, parse_tool_calls
 
+            reasoning = None
+            if self.reasoning_format != "none":
+                reasoning, text = extract_reasoning(text)
             content, tool_calls = parse_tool_calls(text)
             message = {"role": "assistant", "content": content or None}
+            if reasoning:
+                message["reasoning_content"] = reasoning
             finish = req.stop_reason
             if tool_calls:
                 message["tool_calls"] = tool_calls
@@ -548,6 +557,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
                     choices=("f32", "bf16", "f16", "q8_0", "q4_0"),
                     help="KV cache data type (reference --cache-type-k)")
+    ap.add_argument("--reasoning-format", default="auto",
+                    choices=("auto", "deepseek", "none"),
+                    help="extract <think> blocks into reasoning_content")
     ap.add_argument("--chat-template", default=None,
                     help="builtin template name (chatml, llama3, ...) or "
                          "jinja text overriding the model's template")
@@ -600,7 +612,8 @@ def main(argv=None) -> int:
                     decode_chunk=args.decode_chunk)
     engine.start()
     server = Server(engine, model_name=args.alias or args.model,
-                    api_key=args.api_key, chat_template=args.chat_template)
+                    api_key=args.api_key, chat_template=args.chat_template,
+                    reasoning_format=args.reasoning_format)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     web.run_app(server.make_app(), host=args.host, port=args.port, print=None)
     return 0

@@ -370,3 +370,15 @@ def test_request_sampler_full_mapping():
     body["mirostat"] = 1
     chain = _sampler_from(body)
     assert "MirostatV1" in [type(s).__name__ for s in chain.samplers]
+
+
+def test_extract_reasoning():
+    from llama_cpp_dsp_tpu.serve.chat import extract_reasoning
+
+    r, c = extract_reasoning("<think>step 1\nstep 2</think>The answer is 4.")
+    assert r == "step 1\nstep 2" and c == "The answer is 4."
+    # template pre-opened the tag: bare leading </think>
+    r, c = extract_reasoning("hmm, let me think</think>42")
+    assert r == "hmm, let me think" and c == "42"
+    r, c = extract_reasoning("no reasoning here")
+    assert r is None and c == "no reasoning here"
