@@ -117,7 +117,7 @@ class Server:
             "n_slots": self.engine.n_slots,
             "arch": cfg.arch,
             "n_params_layers": cfg.n_layers,
-            "chat_template": self.engine.vocab.chat_template or "",
+            "chat_template": self._template or "",
         })
 
     async def apply_template(self, request: web.Request) -> web.Response:
@@ -135,7 +135,7 @@ class Server:
         """POST /api/show — ollama-compatible model info (reference
         server.cpp handle_api_show)."""
         return web.json_response({
-            "template": self.engine.vocab.chat_template or "",
+            "template": self._template or "",
             "model_info": {"llama.context_length": self.engine.n_ctx},
         })
 
