@@ -51,6 +51,26 @@ def main() -> int:
                          "fused kernels (shard_map; parallel/tp_kernels)")
     args = ap.parse_args()
 
+    # probe the device in a subprocess first: when the axon relay is down,
+    # in-process jax.devices() hangs in plugin init with no way to time out
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, sys; sys.stdout.write(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=300)
+        if probe.returncode != 0:
+            raise RuntimeError(probe.stderr[-300:])
+    except (subprocess.TimeoutExpired, RuntimeError) as e:
+        print(f"bench: device unreachable ({type(e).__name__})", file=sys.stderr)
+        print(json.dumps({
+            "metric": "decode tokens/s/chip (device unreachable)",
+            "value": 0.0, "unit": "tokens/s", "vs_baseline": 0.0,
+            "error": "tpu tunnel unreachable",
+        }))
+        return 1
+
     from llama_cpp_dsp_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
