@@ -390,6 +390,28 @@ class Server:
             tools=body.get("tools"),
         )
         ids = self.engine.tokenizer.encode(text, add_special=True, parse_special=True)
+        # tool_choice "required" / named function forces a tool-call
+        # grammar over the bare-JSON call format (reference common/chat.cpp
+        # builds per-format grammars; parse_tool_calls handles this form)
+        choice = body.get("tool_choice")
+        tools = body.get("tools") or []
+        if (tools and choice not in (None, "none", "auto")
+                and not body.get("grammar") and not body.get("json_schema")):
+            fns = [t["function"] for t in tools if t.get("type") == "function"]
+            if isinstance(choice, dict):
+                want = choice.get("function", {}).get("name")
+                fns = [f for f in fns if f.get("name") == want]
+            if fns:
+                body = dict(body)
+                body["json_schema"] = {"anyOf": [
+                    {"type": "object",
+                     "properties": {
+                         "name": {"const": f["name"]},
+                         "arguments": f.get("parameters", {"type": "object"}),
+                     },
+                     "required": ["name", "arguments"],
+                     "additionalProperties": False}
+                    for f in fns]}
         return await self._run(request, body, ids, chat=True)
 
     async def _run(self, request, body, ids, *, chat: bool) -> web.StreamResponse:

@@ -382,3 +382,44 @@ def test_extract_reasoning():
     assert r == "hmm, let me think" and c == "42"
     r, c = extract_reasoning("no reasoning here")
     assert r is None and c == "no reasoning here"
+
+
+def test_tool_choice_required_forces_call(tmp_path):
+    """tool_choice=required: output must be a parseable tool call even on a
+    random-weight model (the grammar leaves no other choice). Needs a
+    roomy context: the grammar's bounded-whitespace `space` rule lets a
+    random model pad every gap (~22 chars each)."""
+    import json as _json
+
+    path = str(tmp_path / "tiny.gguf")
+    build_tiny_llama(path, qtype=8)
+    model = load_model(path)
+    engine = Engine(model, n_slots=1, n_ctx_per_slot=512,
+                    prefill_buckets=(16,), use_pallas=False)
+    engine.start()
+    server = Server(engine, model_name="tiny")
+    try:
+        async def go(client):
+            r = await client.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "weather?"}],
+                "tools": [{"type": "function", "function": {
+                    "name": "get_weather",
+                    "parameters": {"type": "object",
+                                   "properties": {"city": {"type": "string",
+                                                           "maxLength": 6}},
+                                   "required": ["city"],
+                                   "additionalProperties": False}}}],
+                "tool_choice": "required",
+                "max_tokens": 400, "temperature": 0,
+            })
+            assert r.status == 200
+            out = await r.json()
+            assert out["choices"][0]["finish_reason"] == "tool_calls", out
+            calls = out["choices"][0]["message"]["tool_calls"]
+            assert calls[0]["function"]["name"] == "get_weather"
+            args = _json.loads(calls[0]["function"]["arguments"])
+            assert isinstance(args.get("city"), str)
+
+        _run(server, go)
+    finally:
+        engine.stop()
