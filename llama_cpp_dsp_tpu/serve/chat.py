@@ -149,6 +149,63 @@ def parse_tool_calls(text: str) -> tuple[str, list[dict]]:
         except json.JSONDecodeError:
             pass
 
+    # firefunction-v2: " functools[{...}, ...]" (chat.cpp:1193)
+    m = _re.search(r" ?functools(\[.*\])", content, flags=_re.DOTALL)
+    if m:
+        try:
+            arr = json.loads(m.group(1))
+            if isinstance(arr, list) and all(add(o) for o in arr):
+                content = content[: m.start()] + content[m.end():]
+        except json.JSONDecodeError:
+            pass
+
+    # functionary-v3.1: <function=name>{args}</function> (chat.cpp:1320)
+    def _fn_sub(m):
+        try:
+            args = json.loads(m.group(2))
+        except json.JSONDecodeError:
+            return m.group(0)
+        return "" if add({"name": m.group(1), "arguments": args}) else m.group(0)
+
+    content = _re.sub(r"<function=(\w+)>(\{.*?\})</function>", _fn_sub,
+                      content, flags=_re.DOTALL)
+
+    # functionary-v3.2: >>>fn_name\n{args} (repeatable; >>>all\n = prose —
+    # chat.cpp:1197-1250)
+    if _re.search(r"(?:^|>>>)\w+\n", content) and ">>>" in content:
+        segs = _re.split(r">>>(\w+)\n", content)
+        # segs = [pre, name1, body1, name2, body2, ...]
+        kept = [segs[0]]
+        for name, body in zip(segs[1::2], segs[2::2]):
+            if name == "all":
+                kept.append(body)
+                continue
+            try:
+                ok = add({"name": name, "arguments": json.loads(body.strip())})
+            except json.JSONDecodeError:
+                ok = False
+            if not ok:
+                kept.append(f">>>{name}\n{body}")
+        content = "".join(kept)
+
+    # deepseek-r1: <｜tool▁call▁begin｜>function<｜tool▁sep｜>NAME\n```json
+    # {args}```<｜tool▁call▁end｜> inside a calls-begin/end block
+    def _r1_sub(m):
+        try:
+            args = json.loads(m.group(2))
+        except json.JSONDecodeError:
+            return m.group(0)
+        return "" if add({"name": m.group(1), "arguments": args}) else m.group(0)
+
+    if "tool▁call" in content or "tool_call" in content:
+        content = _re.sub(
+            r"<｜tool.calls.begin｜>(.*?)<｜tool.calls.end｜>",
+            lambda m: _re.sub(
+                r"<｜tool.call.begin｜>function<｜tool.sep｜>(\w+)\n"
+                r"```(?:json)?\n?(\{.*?\})\n?```<｜tool.call.end｜>",
+                _r1_sub, m.group(1), flags=_re.DOTALL),
+            content, flags=_re.DOTALL)
+
     # bare JSON object that IS a call (llama3 style) — only if whole output
     stripped = content.strip()
     if stripped.startswith("{") and stripped.endswith("}"):

@@ -423,3 +423,35 @@ def test_tool_choice_required_forces_call(tmp_path):
         _run(server, go)
     finally:
         engine.stop()
+
+
+def test_parse_tool_calls_extra_formats():
+    """firefunction-v2, functionary v3.1/v3.2, deepseek-r1 call syntaxes
+    (reference common/chat.cpp parse paths)."""
+    import json as _json
+
+    from llama_cpp_dsp_tpu.serve.chat import parse_tool_calls
+
+    c, calls = parse_tool_calls(
+        ' functools[{"name": "f", "arguments": {"x": 1}}]')
+    assert c == "" and calls[0]["function"]["name"] == "f"
+
+    c, calls = parse_tool_calls(
+        'ok <function=get>{"q": "a"}</function> done')
+    assert calls[0]["function"]["name"] == "get"
+    assert _json.loads(calls[0]["function"]["arguments"]) == {"q": "a"}
+    assert c == "ok  done"
+
+    c, calls = parse_tool_calls('>>>all\nhello there>>>fn1\n{"a": 1}')
+    assert c == "hello there" and calls[0]["function"]["name"] == "fn1"
+
+    r1 = ("<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function<｜tool▁sep｜>"
+          'lookup\n```json\n{"k": 2}\n```<｜tool▁call▁end｜>'
+          "<｜tool▁calls▁end｜>")
+    c, calls = parse_tool_calls(r1)
+    assert calls and calls[0]["function"]["name"] == "lookup"
+    assert _json.loads(calls[0]["function"]["arguments"]) == {"k": 2}
+
+    # plain prose untouched
+    c, calls = parse_tool_calls("just some text >>> not a call")
+    assert calls == [] and "just some text" in c
