@@ -21,6 +21,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="llama-cli", description=__doc__)
     p.add_argument("-m", "--model", required=True, help="GGUF model path")
     p.add_argument("-p", "--prompt", default="", help="prompt text")
+    p.add_argument("-f", "--file", default=None,
+                   help="read the prompt from a file (reference -f)")
+    p.add_argument("-e", "--escape", action="store_true",
+                   help=r"process \n, \t, \x.. escapes in prompt/prefix/"
+                        "suffix/reverse-prompt (reference -e)")
+    p.add_argument("-r", "--reverse-prompt", action="append", default=[],
+                   help="stop generation at this string (repeatable; "
+                        "reference -r)")
+    p.add_argument("--in-prefix", default="",
+                   help="prefix prepended to interactive user input")
+    p.add_argument("--in-suffix", default="",
+                   help="suffix appended to interactive user input")
     p.add_argument("-n", "--n-predict", type=int, default=128)
     p.add_argument("-c", "--ctx-size", type=int, default=2048)
     p.add_argument("-s", "--seed", type=int, default=0)
@@ -97,10 +109,46 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _process_escapes(s: str) -> str:
+    r"""\n \t \r \' \" \\ \xHH escapes (reference common
+    string_process_escapes) without unicode_escape's latin-1 mangling."""
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            simple = {"n": "\n", "t": "\t", "r": "\r", "b": "\b",
+                      "'": "'", '"': '"', "\\": "\\"}
+            if n in simple:
+                out.append(simple[n])
+                i += 2
+                continue
+            if n == "x" and i + 3 < len(s) + 1:
+                try:
+                    out.append(chr(int(s[i + 2 : i + 4], 16)))
+                    i += 4
+                    continue
+                except ValueError:
+                    pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def main(argv=None) -> int:
     from ..utils.args import parse_with_env
 
     args = parse_with_env(build_arg_parser(), argv)
+    if args.file:
+        with open(args.file, encoding="utf-8") as fh:
+            args.prompt = fh.read().rstrip("\n")
+    if args.escape:
+        args.prompt = _process_escapes(args.prompt)
+        args.in_prefix = _process_escapes(args.in_prefix)
+        args.in_suffix = _process_escapes(args.in_suffix)
+        args.reverse_prompt = [_process_escapes(r)
+                               for r in args.reverse_prompt]
     from ..utils.jax_setup import setup_jax
 
     setup_jax()
@@ -268,12 +316,26 @@ def main(argv=None) -> int:
                                   context_shift=not args.no_context_shift,
                                   n_keep=args.keep, ga_n=args.grp_attn_n,
                                   ga_w=args.grp_attn_w)
+        stops = args.reverse_prompt
+        hold = max((len(r) for r in stops), default=1) - 1
+        buf = ""
         for t in stream:
             gen_ids.append(t)
             piece = tok.token_to_piece(t, special=False)
-            sys.stdout.write(piece.decode("utf-8", errors="replace"))
+            buf += piece.decode("utf-8", errors="replace")
+            hit = next((r for r in stops if r in buf), None)
+            if hit:
+                # print up to the reverse prompt, drop it, stop (reference
+                # antiprompt check, examples/main/main.cpp)
+                sys.stdout.write(buf[: buf.index(hit)])
+                buf = ""
+                break
+            if len(buf) > hold:  # flush text that cannot start a stop match
+                cut = len(buf) - hold
+                sys.stdout.write(buf[:cut])
+                buf = buf[cut:]
             sys.stdout.flush()
-        sys.stdout.write("\n")
+        sys.stdout.write(buf + "\n")
         if args.prompt_cache and not cached:
             from ..runtime.state_io import save_state
 
@@ -357,7 +419,7 @@ def main(argv=None) -> int:
             if spec is not None:
                 spec.draft.reset()
             sampler.reset()
-            run_once(line)
+            run_once(args.in_prefix + line + args.in_suffix)
     else:
         run_once(args.prompt)
     return 0

@@ -236,3 +236,39 @@ def test_compare_bench(tmp_path, capsys):
     assert main([str(a), str(b)]) == 0
     out = capsys.readouterr().out
     assert "tg128" in out and "10.0" in out
+
+
+def test_cli_process_escapes():
+    from llama_cpp_dsp_tpu.tools.cli import _process_escapes
+
+    assert _process_escapes(r"a\nb\tc\x41") == "a\nb\tcA"
+    assert _process_escapes("плыть\\nднём") == "плыть\nднём"  # non-latin1
+    assert _process_escapes(r"keep \q unknown") == r"keep \q unknown"
+    assert _process_escapes("no escapes") == "no escapes"
+
+
+def test_cli_reverse_prompt_stops_generation(tmp_path, capsys):
+    """-r stops at the reverse prompt and does not print it (reference
+    antiprompt, examples/main/main.cpp)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from model_builder import build_tiny_llama
+
+    from llama_cpp_dsp_tpu.tools.cli import main
+
+    path = str(tmp_path / "t.gguf")
+    build_tiny_llama(path, qtype=0)
+    # first run unconstrained to learn the greedy output
+    assert main(["-m", path, "-p", "hi", "-n", "6", "--temp", "0",
+                 "-c", "64", "--no-display-prompt"]) == 0
+    full = capsys.readouterr().out.rstrip("\n")
+    if len(full) < 2:
+        import pytest
+
+        pytest.skip("degenerate tiny output")
+    stop = full[len(full) // 2:][:3]
+    assert main(["-m", path, "-p", "hi", "-n", "6", "--temp", "0",
+                 "-c", "64", "--no-display-prompt", "-r", stop]) == 0
+    out = capsys.readouterr().out.rstrip("\n")
+    assert stop not in out and full.startswith(out)
