@@ -79,7 +79,8 @@ class Server:
     def __init__(self, engine: Engine, *, model_name: str = "model",
                  api_key: str | None = None,
                  chat_template: str | None = None,
-                 reasoning_format: str = "auto"):
+                 reasoning_format: str = "auto",
+                 slot_save_path: str | None = None):
         self.engine = engine
         self.model_name = model_name
         self.api_key = api_key
@@ -88,6 +89,7 @@ class Server:
         # auto: extract <think>...</think> into reasoning_content
         # (reference --reasoning-format deepseek); none: leave inline
         self.reasoning_format = reasoning_format
+        self.slot_save_path = slot_save_path
         self.t_start = time.time()
 
     @property
@@ -291,15 +293,27 @@ class Server:
         return await self._run(request, body, ids, chat=False)
 
     async def slot_action(self, request: web.Request) -> web.Response:
-        """Slot save/restore/erase — reference server.cpp:3769-3828."""
+        """Slot save/restore/erase — reference server.cpp:3769-3828.
+        save/restore require --slot-save-path (reference gate); filenames
+        are basename-sanitized and joined under that directory."""
         if not self._check_auth(request):
             return self._deny()
+        import os as _os
+
         from ..runtime.state_io import load_slot, save_slot
 
         slot_id = int(request.match_info["slot_id"])
         action = request.query.get("action", "")
         body = await request.json() if request.can_read_body else {}
-        filename = body.get("filename", f"slot_{slot_id}.bin")
+        if action in ("save", "restore"):
+            if not self.slot_save_path:
+                return web.json_response(
+                    {"error": {"message": "start the server with "
+                               "--slot-save-path to enable slot save/restore",
+                               "type": "not_supported_error"}}, status=501)
+            raw = body.get("filename", f"slot_{slot_id}.bin")
+            filename = _os.path.join(self.slot_save_path,
+                                     _os.path.basename(str(raw)))
         if slot_id < 0 or slot_id >= self.engine.n_slots:
             return web.json_response({"error": {"message": "bad slot"}}, status=400)
         slot = self.engine.slots[slot_id]
@@ -579,6 +593,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
                     choices=("f32", "bf16", "f16", "q8_0", "q4_0"),
                     help="KV cache data type (reference --cache-type-k)")
+    ap.add_argument("--slot-save-path", default=None,
+                    help="directory for slot save/restore files (required "
+                         "to enable /slots/{id}?action=save|restore)")
     ap.add_argument("--reasoning-format", default="auto",
                     choices=("auto", "deepseek", "none"),
                     help="extract <think> blocks into reasoning_content")
@@ -635,7 +652,8 @@ def main(argv=None) -> int:
     engine.start()
     server = Server(engine, model_name=args.alias or args.model,
                     api_key=args.api_key, chat_template=args.chat_template,
-                    reasoning_format=args.reasoning_format)
+                    reasoning_format=args.reasoning_format,
+                    slot_save_path=args.slot_save_path)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     web.run_app(server.make_app(), host=args.host, port=args.port, print=None)
     return 0

@@ -204,22 +204,32 @@ def test_infill_no_fim_tokens(server_setup):
 
 
 def test_slot_save_restore(server_setup, tmp_path):
+    server_setup.slot_save_path = str(tmp_path)
+
     async def go(client):
         # generate something in slot 0 first
         r = await client.post("/v1/completions", json={
             "prompt": "ab", "max_tokens": 3, "temperature": 0.0,
         }, headers=AUTH)
         assert r.status == 200
-        fn = str(tmp_path / "slot0.npz")
-        r = await client.post("/slots/0?action=save", json={"filename": fn},
+        # filenames are basename-sanitized under --slot-save-path
+        r = await client.post("/slots/0?action=save",
+                              json={"filename": "../../evil/slot0.npz"},
                               headers=AUTH)
         assert r.status == 200
-        r = await client.post("/slots/0?action=restore", json={"filename": fn},
-                              headers=AUTH)
+        import os
+
+        assert os.path.exists(os.path.join(str(tmp_path), "slot0.npz"))
+        r = await client.post("/slots/0?action=restore",
+                              json={"filename": "slot0.npz"}, headers=AUTH)
         body = await r.json()
         assert r.status == 200 and body["n_restored"] >= 0
         r = await client.post("/slots/0?action=erase", json={}, headers=AUTH)
         assert r.status == 200
+        # unset path → 501 not_supported (reference gate)
+        server_setup.slot_save_path = None
+        r = await client.post("/slots/0?action=save", json={}, headers=AUTH)
+        assert r.status == 501
 
     _run(server_setup, go)
 
