@@ -51,8 +51,11 @@ class Request:
     stop_strings: list[str] = field(default_factory=list)
     stream_cb: Callable[[int, dict], None] | None = None  # (rid, event)
     echo: bool = False
+    n_probs: int = 0  # >0: record top-N logprobs per generated token
     # filled by the engine
     result_tokens: list[int] = field(default_factory=list)
+    result_logprobs: list = field(default_factory=list)  # per generated
+    # token: {"token": id, "logprob": lp, "top": [(id, lp), ...]}
     done: threading.Event = field(default_factory=threading.Event)
     error: str | None = None
     stop_reason: str = ""
@@ -567,6 +570,22 @@ class Engine:
             log.info("slot %d: rid=%d prompt=%d tokens (%d cached)",
                      slot.idx, req.rid, req.n_prompt, n_reuse)
 
+    @staticmethod
+    def _record_probs(req: Request, logits_row: np.ndarray, token: int) -> None:
+        """Top-N logprobs for one predicted token (reference n_probs /
+        OpenAI logprobs). Only reachable on host-sampling paths."""
+        if not req.n_probs:
+            return
+        row = np.asarray(logits_row, np.float64)
+        m = row.max()
+        lp = row - (m + np.log(np.exp(row - m).sum()))
+        top = np.argsort(-row)[: req.n_probs]
+        req.result_logprobs.append({
+            "token": int(token),
+            "logprob": float(lp[token]),
+            "top": [(int(i), float(lp[i])) for i in top],
+        })
+
     def step(self) -> bool:
         """One engine iteration. Returns True if any work was done.
 
@@ -604,6 +623,7 @@ class Engine:
             worked = True
             if slot.prompt_pos >= req.n_prompt:
                 token = req.sampler.sample(logits)
+                self._record_probs(req, logits, token)
                 req.t_first_token = time.perf_counter()
                 slot.state = SlotState.GENERATING
                 self._emit_token(slot, token)
@@ -648,8 +668,10 @@ class Engine:
                         if s.state != SlotState.GENERATING:
                             break  # overshoot rows sit beyond n_past
 
-            if all(s.req.sampler is not None and s.req.sampler.is_greedy
-                   for s in gen):
+            probs_needed = any(s.req.n_probs for s in gen)
+            if not probs_needed and all(
+                    s.req.sampler is not None and s.req.sampler.is_greedy
+                    for s in gen):
                 if chunk > 1:
                     ids, self.cache = self._decode_argmax_chunk_fn(
                         self.params, self.cache, jnp.asarray(tokens),
@@ -662,9 +684,10 @@ class Engine:
                         jnp.asarray(positions), jnp.asarray(active),
                     )
                     consume(np.asarray(ids)[:, None])
-            elif (specs := [s.req.sampler.device_spec
-                            if s.req.sampler is not None else None
-                            for s in gen]) and all(
+            elif not probs_needed and (specs := [
+                    s.req.sampler.device_spec
+                    if s.req.sampler is not None else None
+                    for s in gen]) and all(
                     sp is not None and sp == specs[0] for sp in specs):
                 # uniform stateless chains: sample ON DEVICE — only [B]
                 # token ids leave the chip (ops/device_sampling.py)
@@ -696,6 +719,7 @@ class Engine:
                     s.cache_tokens.append(s.last_token)
                     s.n_past += 1
                     token = s.req.sampler.sample(logits_np[s.idx, 0])
+                    self._record_probs(s.req, logits_np[s.idx, 0], token)
                     self._emit_token(s, token)
             worked = True
         return worked
@@ -917,6 +941,7 @@ class Engine:
             s.cache_tokens.append(s.last_token)
             s.n_past += 1
             token = s.req.sampler.sample(logits_np[s.idx])
+            self._record_probs(s.req, logits_np[s.idx], token)
             self._emit_token(s, token)
         for s, c in chunks:
             req = s.req
@@ -926,6 +951,7 @@ class Engine:
             self.metrics["prompt_tokens_total"] += len(c)
             if s.prompt_pos >= req.n_prompt:
                 token = req.sampler.sample(logits_np[s.idx])
+                self._record_probs(req, logits_np[s.idx], token)
                 req.t_first_token = time.perf_counter()
                 s.state = SlotState.GENERATING
                 self._emit_token(s, token)

@@ -370,6 +370,13 @@ class Server:
             def cb(rid, ev):
                 loop.call_soon_threadsafe(stream_q.put_nowait, ev)
 
+        # n_probs (native) / logprobs+top_logprobs (OpenAI): top-N
+        # per-token logprobs; forces the host sampling path
+        n_probs = int(body.get("n_probs") or 0)
+        if not n_probs and body.get("logprobs"):
+            lp = body["logprobs"]
+            n_probs = (int(body.get("top_logprobs") or 1)
+                       if isinstance(lp, bool) else int(lp))
         return Request(
             0,
             list(prompt_ids),
@@ -377,6 +384,7 @@ class Server:
             sampler=_sampler_from(body, tokenizer=self.engine.tokenizer),
             stop_strings=list(stop),
             stream_cb=cb,
+            n_probs=n_probs,
         )
 
     async def completions(self, request: web.Request) -> web.StreamResponse:
@@ -492,6 +500,16 @@ class Server:
             "prompt_ms": round((req.t_first_token - req.t_start) * 1000, 2),
             "predicted_ms": round((req.t_end - req.t_first_token) * 1000, 2),
         }
+        lp_obj = None
+        if req.n_probs and req.result_logprobs:
+            dec = (lambda i: self.engine.tokenizer.token_to_piece(
+                       i, special=False).decode("utf-8", errors="replace")
+                   ) if self.engine.tokenizer is not None else str
+            lp_obj = {"content": [
+                {"token": dec(e["token"]), "logprob": e["logprob"],
+                 "top_logprobs": [{"token": dec(i), "logprob": p}
+                                  for i, p in e["top"]]}
+                for e in req.result_logprobs]}
         if chat:
             from ..serve.chat import extract_reasoning, parse_tool_calls
 
@@ -510,13 +528,16 @@ class Server:
                 "id": rid, "object": "chat.completion", "created": created,
                 "model": self.model_name,
                 "choices": [{"index": 0, "message": message,
+                             "logprobs": lp_obj,
                              "finish_reason": finish}],
                 "usage": usage, "timings": timings,
             }
         else:
             payload = {
                 "id": rid, "object": obj, "created": created, "model": self.model_name,
-                "choices": [{"index": 0, "text": text, "finish_reason": req.stop_reason}],
+                "choices": [{"index": 0, "text": text,
+                             "logprobs": lp_obj,
+                             "finish_reason": req.stop_reason}],
                 "usage": usage, "timings": timings,
             }
         return web.json_response(payload)

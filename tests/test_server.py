@@ -465,3 +465,35 @@ def test_parse_tool_calls_extra_formats():
     # plain prose untouched
     c, calls = parse_tool_calls("just some text >>> not a call")
     assert calls == [] and "just some text" in c
+
+
+def test_logprobs(server_setup):
+    """n_probs / OpenAI logprobs: per-token top-N logprobs in responses
+    (forces the host sampling path; reference server n_probs)."""
+    import math
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "ab", "max_tokens": 3, "temperature": 0,
+            "logprobs": 4,
+        }, headers=AUTH)
+        assert r.status == 200
+        out = await r.json()
+        lp = out["choices"][0]["logprobs"]
+        assert lp and len(lp["content"]) >= 1
+        e = lp["content"][0]
+        assert e["logprob"] <= 0 and len(e["top_logprobs"]) == 4
+        # greedy: the sampled token is the argmax → matches top entry
+        assert math.isclose(e["logprob"], e["top_logprobs"][0]["logprob"],
+                            rel_tol=1e-6)
+        # chat variant with OpenAI bool + top_logprobs
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 3, "temperature": 0,
+            "logprobs": True, "top_logprobs": 2,
+        }, headers=AUTH)
+        out = await r.json()
+        lp = out["choices"][0]["logprobs"]
+        assert lp and len(lp["content"][0]["top_logprobs"]) == 2
+
+    _run(server_setup, go)
