@@ -410,3 +410,29 @@ def test_decode_chunk_slot_join_mid_generation(tmp_path):
                               sampler=greedy()).result_tokens
     assert r2.result_tokens == solo2
     assert len(r1.result_tokens) == 20
+
+
+@pytest.mark.parametrize("kv_kwargs", [
+    {"kv_layout": "paged", "page_size": 16},
+    {"kv_dtype": "q8_0"},
+    {"kv_layout": "paged", "kv_dtype": "q8_0", "page_size": 16},
+])
+def test_decode_chunk_quant_and_paged(tmp_path, kv_kwargs):
+    """Chunked decode must compose with paged tables and quantized KV
+    writes inside the scan (donation + scatter carries)."""
+    path = str(tmp_path / "tiny.gguf")
+    build_tiny_llama(path, qtype=0)
+    model = load_model(path)
+    outs = {}
+    for chunk in (1, 4):
+        eng = Engine(model, n_slots=2, n_ctx_per_slot=64,
+                     prefill_buckets=(16,), use_pallas=False,
+                     decode_chunk=chunk, **kv_kwargs)
+        r1 = Request(1, [3, 5, 7], max_new_tokens=7, sampler=greedy())
+        r2 = Request(2, [9, 8, 7, 6, 5], max_new_tokens=7, sampler=greedy())
+        eng.submit(r1)
+        eng.submit(r2)
+        while not (r1.done.is_set() and r2.done.is_set()):
+            eng.step()
+        outs[chunk] = (list(r1.result_tokens), list(r2.result_tokens))
+    assert outs[1] == outs[4]
