@@ -56,6 +56,8 @@ class Request:
     result_tokens: list[int] = field(default_factory=list)
     result_logprobs: list = field(default_factory=list)  # per generated
     # token: {"token": id, "logprob": lp, "top": [(id, lp), ...]}
+    prompt_logprobs: list = field(default_factory=list)  # echo+n_probs:
+    # one entry per prompt token (first is None — no context)
     done: threading.Event = field(default_factory=threading.Event)
     error: str | None = None
     stop_reason: str = ""
@@ -463,6 +465,14 @@ class Engine:
             self._rid += 1
             req.rid = self._rid
         req.t_start = time.perf_counter()
+        if req.echo and req.n_probs and self.kv_layout == "paged":
+            # prompt logprobs need per-position prefill logits; the paged
+            # layout routes all prompt work through the packed program
+            # which only returns out_idx rows
+            req.error = "echo+logprobs is unsupported with kv_layout='paged'"
+            self.metrics["n_errors"] += 1
+            req.done.set()
+            return req
         self.metrics["n_requests"] += 1
         self.queue.put(req)
         return req
@@ -555,6 +565,11 @@ class Engine:
                 self.cache = copy_slot(self.cache, donor.idx, slot.idx)
                 slot.cache_tokens = list(donor.cache_tokens)
                 n_reuse = n_donor
+            if req.echo and req.n_probs:
+                # echo+logprobs: every prompt row must actually be
+                # evaluated — no prefix reuse
+                n_reuse = 0
+                slot._echo_prev_row = None
             slot.state = SlotState.PROMPT
             slot.req = req
             slot.n_past = n_reuse
@@ -571,20 +586,22 @@ class Engine:
                      slot.idx, req.rid, req.n_prompt, n_reuse)
 
     @staticmethod
-    def _record_probs(req: Request, logits_row: np.ndarray, token: int) -> None:
+    def _probs_entry(logits_row: np.ndarray, token: int, n: int) -> dict:
+        row = np.asarray(logits_row, np.float64)
+        m = row.max()
+        lp = row - (m + np.log(np.exp(row - m).sum()))
+        top = np.argsort(-row)[:n]
+        return {"token": int(token), "logprob": float(lp[token]),
+                "top": [(int(i), float(lp[i])) for i in top]}
+
+    def _record_probs(self, req: Request, logits_row: np.ndarray,
+                      token: int) -> None:
         """Top-N logprobs for one predicted token (reference n_probs /
         OpenAI logprobs). Only reachable on host-sampling paths."""
         if not req.n_probs:
             return
-        row = np.asarray(logits_row, np.float64)
-        m = row.max()
-        lp = row - (m + np.log(np.exp(row - m).sum()))
-        top = np.argsort(-row)[: req.n_probs]
-        req.result_logprobs.append({
-            "token": int(token),
-            "logprob": float(lp[token]),
-            "top": [(int(i), float(lp[i])) for i in top],
-        })
+        req.result_logprobs.append(
+            self._probs_entry(logits_row, token, req.n_probs))
 
     def step(self) -> bool:
         """One engine iteration. Returns True if any work was done.
@@ -600,7 +617,10 @@ class Engine:
 
         if self._mixed_ok:
             gen = [s for s in self.slots if s.state == SlotState.GENERATING]
-            has_prompt = any(s.state == SlotState.PROMPT for s in self.slots)
+            has_prompt = any(
+                s.state == SlotState.PROMPT
+                and not (s.req.echo and s.req.n_probs)
+                for s in self.slots)
             # paged mode routes ALL prompt work through the packed program
             # (there is no contiguous slot_view over pages)
             if has_prompt and (gen or self.kv_layout == "paged"):
@@ -884,7 +904,8 @@ class Engine:
         every slot's work into one llama_decode batch)."""
         start = getattr(self, "_prefill_rr", 0)
         rotation = self.slots[start:] + self.slots[:start]
-        prompts = [s for s in rotation if s.state == SlotState.PROMPT]
+        prompts = [s for s in rotation if s.state == SlotState.PROMPT
+                   and not (s.req.echo and s.req.n_probs)]
         pmax = self.prefill_buckets[-1]
 
         budget = max(1, pmax - len(gen))
@@ -976,6 +997,21 @@ class Engine:
             self.params, self.cache, jnp.asarray(toks), jnp.asarray(pos),
             jnp.int32(slot.idx), jnp.int32(slot.n_past),
         )
+        req = slot.req
+        if req is not None and req.echo and req.n_probs:
+            # prompt logprobs (OpenAI echo+logprobs, the lm-eval
+            # loglikelihood pattern): row i predicts prompt token i+1
+            rows = np.asarray(logits[0, :n])
+            prev = getattr(slot, "_echo_prev_row", None)
+            if slot.prompt_pos == 0:
+                req.prompt_logprobs.append(None)  # first token: no context
+            elif prev is not None:
+                req.prompt_logprobs.append(
+                    self._probs_entry(prev, chunk[0], req.n_probs))
+            for i in range(n - 1):
+                req.prompt_logprobs.append(
+                    self._probs_entry(rows[i], chunk[i + 1], req.n_probs))
+            slot._echo_prev_row = rows[n - 1]
         return np.asarray(logits[0, n - 1])
 
     def cancel(self, rid: int) -> bool:

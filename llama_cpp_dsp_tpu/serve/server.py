@@ -385,6 +385,7 @@ class Server:
             stop_strings=list(stop),
             stream_cb=cb,
             n_probs=n_probs,
+            echo=bool(body.get("echo", False)),
         )
 
     async def completions(self, request: web.Request) -> web.StreamResponse:
@@ -491,6 +492,8 @@ class Server:
             return web.json_response({"error": {"message": req.error,
                                                 "type": "invalid_request_error"}}, status=400)
         text = self.engine.tokenizer.decode(req.result_tokens)
+        if req.echo and not chat:
+            text = self.engine.tokenizer.decode(req.prompt_tokens) + text
         usage = {
             "prompt_tokens": req.n_prompt,
             "completion_tokens": len(req.result_tokens),
@@ -501,15 +504,25 @@ class Server:
             "predicted_ms": round((req.t_end - req.t_first_token) * 1000, 2),
         }
         lp_obj = None
-        if req.n_probs and req.result_logprobs:
+        if req.n_probs and (req.result_logprobs or req.prompt_logprobs):
             dec = (lambda i: self.engine.tokenizer.token_to_piece(
                        i, special=False).decode("utf-8", errors="replace")
                    ) if self.engine.tokenizer is not None else str
-            lp_obj = {"content": [
-                {"token": dec(e["token"]), "logprob": e["logprob"],
-                 "top_logprobs": [{"token": dec(i), "logprob": p}
-                                  for i, p in e["top"]]}
-                for e in req.result_logprobs]}
+
+            def fmt(e, tok_id=None):
+                if e is None:  # first prompt token: no context
+                    return {"token": dec(tok_id), "logprob": None,
+                            "top_logprobs": []}
+                return {"token": dec(e["token"]), "logprob": e["logprob"],
+                        "top_logprobs": [{"token": dec(i), "logprob": p}
+                                         for i, p in e["top"]]}
+
+            entries = []
+            if req.echo:  # prompt logprobs first (OpenAI echo+logprobs)
+                entries = [fmt(e, req.prompt_tokens[0])
+                           for e in req.prompt_logprobs]
+            entries += [fmt(e) for e in req.result_logprobs]
+            lp_obj = {"content": entries}
         if chat:
             from ..serve.chat import extract_reasoning, parse_tool_calls
 

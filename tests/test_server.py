@@ -497,3 +497,23 @@ def test_logprobs(server_setup):
         assert lp and len(lp["content"][0]["top_logprobs"]) == 2
 
     _run(server_setup, go)
+
+
+def test_echo_prompt_logprobs(server_setup):
+    """echo+logprobs: per-prompt-token logprobs (lm-eval loglikelihood
+    pattern); the first prompt token has no context → null logprob."""
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "abab", "max_tokens": 1, "temperature": 0,
+            "echo": True, "logprobs": 2,
+        }, headers=AUTH)
+        assert r.status == 200
+        out = await r.json()
+        lp = out["choices"][0]["logprobs"]["content"]
+        n_prompt = out["usage"]["prompt_tokens"]
+        assert len(lp) == n_prompt + 1  # prompt entries + 1 generated
+        assert lp[0]["logprob"] is None
+        assert all(e["logprob"] <= 0 for e in lp[1:])
+        assert out["choices"][0]["text"]  # echo prepends the prompt
+
+    _run(server_setup, go)
