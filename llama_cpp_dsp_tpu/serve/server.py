@@ -481,6 +481,22 @@ class Server:
                     raise
                 if ev["finished"]:
                     break
+            # OpenAI stream_options.include_usage: a final chunk with empty
+            # choices carrying the usage totals
+            opts = body.get("stream_options") or {}
+            if opts.get("include_usage"):
+                usage_chunk = {
+                    "id": rid, "object": obj + (".chunk" if chat else ""),
+                    "created": created, "model": self.model_name,
+                    "choices": [],
+                    "usage": {
+                        "prompt_tokens": req.n_prompt,
+                        "completion_tokens": len(req.result_tokens),
+                        "total_tokens": req.n_prompt + len(req.result_tokens),
+                    },
+                }
+                await resp.write(
+                    f"data: {json.dumps(usage_chunk)}\n\n".encode())
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             return resp

@@ -517,3 +517,20 @@ def test_echo_prompt_logprobs(server_setup):
         assert out["choices"][0]["text"]  # echo prepends the prompt
 
     _run(server_setup, go)
+
+
+def test_stream_include_usage(server_setup):
+    async def go(client):
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 3, "temperature": 0, "stream": True,
+            "stream_options": {"include_usage": True},
+        }, headers=AUTH)
+        assert r.status == 200
+        raw = (await r.read()).decode()
+        chunks = [json.loads(line[6:]) for line in raw.splitlines()
+                  if line.startswith("data: ") and line != "data: [DONE]"]
+        assert chunks[-1]["choices"] == []
+        assert chunks[-1]["usage"]["completion_tokens"] >= 1
+
+    _run(server_setup, go)
