@@ -864,6 +864,7 @@ class Engine:
                 if s.state != SlotState.GENERATING:
                     break  # a stop condition fired mid-acceptance
                 token = s.req.sampler.sample(logits_np[start + j])
+                self._record_probs(s.req, logits_np[start + j], token)
                 s.cache_tokens.append(s.last_token)
                 s.n_past += 1
                 if j < len(cand) and token == cand[j]:
