@@ -42,12 +42,13 @@ class GGUFFormatError(Exception):
 
 
 class _Parser:
-    __slots__ = ("buf", "pos", "n")
+    __slots__ = ("buf", "pos", "n", "last_etype")
 
     def __init__(self, buf) -> None:
         self.buf = buf
         self.pos = 0
         self.n = len(buf)
+        self.last_etype: GGUFValueType | None = None  # element type of last ARRAY read
 
     def read(self, size: int) -> bytes:
         if size < 0 or self.pos + size > self.n:
@@ -78,6 +79,7 @@ class _Parser:
             return self.string()
         if vtype == GGUFValueType.ARRAY:
             etype = GGUFValueType(self.u32())
+            self.last_etype = etype
             count = self.u64()
             if etype == GGUFValueType.ARRAY:
                 raise GGUFFormatError("nested arrays are not allowed in GGUF")
@@ -127,6 +129,11 @@ class GGUFFile:
     tensors: dict[str, GGUFTensorInfo]
     alignment: int
     data_offset: int
+    # key -> (value type, array element type or None); preserved so metadata
+    # rewriters (tools/gguf_new_metadata.py) round-trip exact widths
+    kv_types: dict[str, tuple[GGUFValueType, GGUFValueType | None]] = field(
+        default_factory=dict
+    )
     _mm: mmap.mmap | None = field(default=None, repr=False)
     _f: BinaryIO | None = field(default=None, repr=False)
 
@@ -189,6 +196,7 @@ def _parse_inner(
         raise GGUFFormatError("implausible tensor/kv count")
 
     kv: dict[str, Any] = {}
+    kv_types: dict[str, tuple[GGUFValueType, GGUFValueType | None]] = {}
     for _ in range(n_kv):
         key = p.string()
         vtype_raw = p.u32()
@@ -199,6 +207,7 @@ def _parse_inner(
         if key in kv:
             raise GGUFFormatError(f"duplicate key {key!r}")
         kv[key] = p.value(vtype)
+        kv_types[key] = (vtype, p.last_etype if vtype == GGUFValueType.ARRAY else None)
 
     alignment = int(kv.get(Keys.General.ALIGNMENT, GGUF_DEFAULT_ALIGNMENT))
     if alignment == 0 or alignment & (alignment - 1):
@@ -252,7 +261,7 @@ def _parse_inner(
             t.data = base[data_offset + t.offset : end]
         expected = (t.offset + t.nbytes + alignment - 1) // alignment * alignment
 
-    return GGUFFile(path, version, kv, tensors, alignment, data_offset, mm, f)
+    return GGUFFile(path, version, kv, tensors, alignment, data_offset, kv_types, mm, f)
 
 
 def split_paths(path: str) -> list[str]:

@@ -24,6 +24,20 @@ from .constants import (
     Keys,
 )
 
+_NP_TO_VTYPE = {
+    np.dtype(np.uint8): GGUFValueType.UINT8,
+    np.dtype(np.int8): GGUFValueType.INT8,
+    np.dtype(np.uint16): GGUFValueType.UINT16,
+    np.dtype(np.int16): GGUFValueType.INT16,
+    np.dtype(np.uint32): GGUFValueType.UINT32,
+    np.dtype(np.int32): GGUFValueType.INT32,
+    np.dtype(np.uint64): GGUFValueType.UINT64,
+    np.dtype(np.int64): GGUFValueType.INT64,
+    np.dtype(np.float32): GGUFValueType.FLOAT32,
+    np.dtype(np.float64): GGUFValueType.FLOAT64,
+    np.dtype(np.bool_): GGUFValueType.BOOL,
+}
+
 _NP_TO_GGML = {
     np.dtype(np.float32): GGMLType.F32,
     np.dtype(np.float16): GGMLType.F16,
@@ -52,19 +66,30 @@ def _infer_vtype(v: Any) -> GGUFValueType:
 
 
 class GGUFWriter:
-    def __init__(self, path: str, arch: str, *, alignment: int = GGUF_DEFAULT_ALIGNMENT):
+    def __init__(
+        self, path: str, arch: str | None, *, alignment: int = GGUF_DEFAULT_ALIGNMENT
+    ):
+        """arch=None is raw mode for rewriters (tools/gguf_new_metadata.py):
+        no keys are auto-added; the caller supplies every KV explicitly."""
         self.path = path
         self.alignment = alignment
-        self._kv: list[tuple[str, GGUFValueType, Any]] = []
+        self._kv: list[tuple[str, GGUFValueType, Any, GGUFValueType | None]] = []
         # (name, ne-shape, type, data-bytes)
         self._tensors: list[tuple[str, tuple[int, ...], GGMLType, np.ndarray]] = []
-        self.add_kv(Keys.General.ARCHITECTURE, arch)
-        if alignment != GGUF_DEFAULT_ALIGNMENT:
-            self.add_kv(Keys.General.ALIGNMENT, np.uint32(alignment))
+        if arch is not None:
+            self.add_kv(Keys.General.ARCHITECTURE, arch)
+            if alignment != GGUF_DEFAULT_ALIGNMENT:
+                self.add_kv(Keys.General.ALIGNMENT, np.uint32(alignment))
 
     # -- KV ---------------------------------------------------------------
-    def add_kv(self, key: str, value: Any, vtype: GGUFValueType | None = None) -> None:
-        self._kv.append((key, vtype or _infer_vtype(value), value))
+    def add_kv(
+        self,
+        key: str,
+        value: Any,
+        vtype: GGUFValueType | None = None,
+        etype: GGUFValueType | None = None,
+    ) -> None:
+        self._kv.append((key, vtype or _infer_vtype(value), value, etype))
 
     def add_uint32(self, key: str, value: int) -> None:
         self.add_kv(key, value, GGUFValueType.UINT32)
@@ -118,18 +143,25 @@ class GGUFWriter:
         f.write(struct.pack("<Q", len(b)))
         f.write(b)
 
-    def _w_value(self, f: BinaryIO, vtype: GGUFValueType, v: Any) -> None:
+    def _w_value(
+        self, f: BinaryIO, vtype: GGUFValueType, v: Any, etype: GGUFValueType | None = None
+    ) -> None:
         f.write(struct.pack("<I", int(vtype)))
-        self._w_value_raw(f, vtype, v)
+        self._w_value_raw(f, vtype, v, etype)
 
-    def _w_value_raw(self, f: BinaryIO, vtype: GGUFValueType, v: Any) -> None:
+    def _w_value_raw(
+        self, f: BinaryIO, vtype: GGUFValueType, v: Any, etype: GGUFValueType | None = None
+    ) -> None:
         if vtype == GGUFValueType.STRING:
             self._w_str(f, v)
         elif vtype == GGUFValueType.ARRAY:
-            if isinstance(v, np.ndarray):
-                etype = _infer_vtype(v.reshape(-1)[0].item() if v.size else 0)
-            else:
-                etype = _infer_vtype(v[0]) if len(v) else GGUFValueType.INT32
+            if etype is None:
+                if isinstance(v, np.ndarray) and v.dtype in _NP_TO_VTYPE:
+                    etype = _NP_TO_VTYPE[v.dtype]
+                elif isinstance(v, np.ndarray):
+                    etype = _infer_vtype(v.reshape(-1)[0].item() if v.size else 0)
+                else:
+                    etype = _infer_vtype(v[0]) if len(v) else GGUFValueType.INT32
             f.write(struct.pack("<IQ", int(etype), len(v)))
             for item in v:
                 self._w_value_raw(f, etype, item)
@@ -142,9 +174,9 @@ class GGUFWriter:
         with open(self.path, "wb") as f:
             f.write(GGUF_MAGIC)
             f.write(struct.pack("<IQQ", GGUF_VERSION, len(self._tensors), len(self._kv)))
-            for key, vtype, v in self._kv:
+            for key, vtype, v, etype in self._kv:
                 self._w_str(f, key)
-                self._w_value(f, vtype, v)
+                self._w_value(f, vtype, v, etype)
             offset = 0
             for name, ne, ttype, raw in self._tensors:
                 self._w_str(f, name)
