@@ -80,7 +80,8 @@ class Server:
                  api_key: str | None = None,
                  chat_template: str | None = None,
                  reasoning_format: str = "auto",
-                 slot_save_path: str | None = None):
+                 slot_save_path: str | None = None,
+                 endpoint_props: bool = False):
         self.engine = engine
         self.model_name = model_name
         self.api_key = api_key
@@ -90,6 +91,9 @@ class Server:
         # (reference --reasoning-format deepseek); none: leave inline
         self.reasoning_format = reasoning_format
         self.slot_save_path = slot_save_path
+        # POST /props is opt-in via --props (reference server.cpp
+        # handle_props_change gates on params_base.endpoint_props)
+        self.endpoint_props = endpoint_props
         self.t_start = time.time()
 
     @property
@@ -121,6 +125,19 @@ class Server:
             "n_params_layers": cfg.n_layers,
             "chat_template": self._template or "",
         })
+
+    async def props_change(self, request: web.Request) -> web.Response:
+        """POST /props — change global properties at runtime (reference
+        server.cpp handle_props_change: gated behind --props; the update
+        set is currently empty upstream too, so this validates and acks)."""
+        if not self.endpoint_props:
+            return web.json_response(
+                {"error": {"message": "This server does not support changing"
+                                      " global properties. Start it with"
+                                      " `--props`",
+                           "type": "not_supported_error"}}, status=501)
+        await request.json()  # must be valid JSON
+        return web.json_response({"success": True})
 
     async def apply_template(self, request: web.Request) -> web.Response:
         """POST /apply-template — render the chat template without running
@@ -596,6 +613,7 @@ class Server:
         app.router.add_get("/v1/health", self.health)
         app.router.add_get("/models", self.models)
         app.router.add_get("/props", self.props)
+        app.router.add_post("/props", self.props_change)
         app.router.add_get("/v1/models", self.models)
         app.router.add_get("/slots", self.slots)
         app.router.add_get("/metrics", self.metrics)
@@ -643,6 +661,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
                     choices=("f32", "bf16", "f16", "q8_0", "q4_0"),
                     help="KV cache data type (reference --cache-type-k)")
+    ap.add_argument("--props", action="store_true",
+                    help="enable changing global properties via POST /props")
     ap.add_argument("--slot-save-path", default=None,
                     help="directory for slot save/restore files (required "
                          "to enable /slots/{id}?action=save|restore)")
@@ -703,7 +723,8 @@ def main(argv=None) -> int:
     server = Server(engine, model_name=args.alias or args.model,
                     api_key=args.api_key, chat_template=args.chat_template,
                     reasoning_format=args.reasoning_format,
-                    slot_save_path=args.slot_save_path)
+                    slot_save_path=args.slot_save_path,
+                    endpoint_props=args.props)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     web.run_app(server.make_app(), host=args.host, port=args.port, print=None)
     return 0

@@ -56,6 +56,21 @@ def test_health_props_models(server_setup):
     _run(server_setup, go)
 
 
+def test_props_change_gated(server_setup):
+    async def go(client):
+        # default: POST /props is disabled (reference gates on --props)
+        r = await client.post("/props", json={}, headers=AUTH)
+        assert r.status == 501
+        server_setup.endpoint_props = True
+        try:
+            r = await client.post("/props", json={}, headers=AUTH)
+            assert (await r.json())["success"] is True
+        finally:
+            server_setup.endpoint_props = False
+
+    _run(server_setup, go)
+
+
 def test_auth_required(server_setup):
     async def go(client):
         r = await client.post("/v1/completions", json={"prompt": "x"})
