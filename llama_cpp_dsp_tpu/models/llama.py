@@ -100,6 +100,9 @@ class LlamaConfig:
     ssm_d_state: int = 0
     ssm_d_conv: int = 0
     ssm_dt_rank: int = 0
+    # falcon-mamba: weightless rms over dt/B/C splits (reference
+    # llm_build_mamba ssm_dt_b_c_rms, src/llama-model.cpp:8735)
+    ssm_dt_b_c_rms: bool = False
     # set only inside a shard_map tensor-parallel program
     # (parallel/tp_kernels.py): head/ffn dims above are the LOCAL shard's;
     # col-parallel projections (attn_output, ffn_down) psum over this axis
@@ -316,7 +319,16 @@ def ffn_moe(x: jax.Array, layer: Params, cfg: LlamaConfig, compute_dtype,
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))
     else:
         probs = softmax_f32(logits)
-    weights, sel = jax.lax.top_k(probs, cfg.n_expert_used)  # [B,T,U]
+    probs_b = layer.get("ffn_exp_probs_b")
+    if probs_b is not None:
+        # deepseek-v3 e_score_correction_bias: the bias steers expert
+        # SELECTION only; mixing weights stay the unbiased probs
+        # (reference build_moe_ffn selection_probs, llama-graph.cpp)
+        _, sel = jax.lax.top_k(probs + probs_b.astype(jnp.float32),
+                               cfg.n_expert_used)
+        weights = jnp.take_along_axis(probs, sel, axis=-1)
+    else:
+        weights, sel = jax.lax.top_k(probs, cfg.n_expert_used)  # [B,T,U]
     if cfg.moe_norm_weights:
         weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
     weights = weights * cfg.moe_scale

@@ -108,6 +108,12 @@ def mamba_layer(
     dt, b_t, c_t = (xdb[..., :r].astype(jnp.float32),
                     xdb[..., r : r + s].astype(jnp.float32),
                     xdb[..., r + s :].astype(jnp.float32))
+    if cfg.ssm_dt_b_c_rms:
+        # falcon-mamba: weightless rms on each split (reference
+        # llm_build_mamba, src/llama-model.cpp:8735-8740)
+        dt = rms_norm(dt, None, cfg.rms_eps)
+        b_t = rms_norm(b_t, None, cfg.rms_eps)
+        c_t = rms_norm(c_t, None, cfg.rms_eps)
     dt = qmm(dt.astype(compute_dtype), layer["ssm_dt"], compute_dtype=compute_dtype)
     dt = jax.nn.softplus(dt.astype(jnp.float32) + layer["ssm_dt_bias"].astype(jnp.float32))
     a = -jnp.exp(jnp.asarray(layer["ssm_a"], jnp.float32))  # [Ci,S]

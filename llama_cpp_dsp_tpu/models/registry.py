@@ -471,6 +471,8 @@ for _spec in [
         "ssm_d_inner": int(get(Keys.LLM.SSM_INNER_SIZE, 0) or 0),
         "ssm_d_state": int(get(Keys.LLM.SSM_STATE_SIZE, 16) or 16),
         "ssm_dt_rank": int(get(Keys.LLM.SSM_TIME_STEP_RANK, 0) or 0),
+        # falcon-mamba applies rms norm on the dt/B/C splits
+        "ssm_dt_b_c_rms": bool(get("{arch}.ssm.dt_b_c_rms", False)),
     }, builder="mamba"),
     ArchSpec("rwkv6", lambda get: {
         "norm_type": "ln",

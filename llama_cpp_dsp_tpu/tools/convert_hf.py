@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import re
 import sys
 from pathlib import Path
 
@@ -73,7 +74,23 @@ _MODEL_TYPE_TO_ARCH = {
     "t5": "t5",
     "nemotron": "nemotron",
     "glm": "glm4",
+    "glm4": "glm4",
+    "deepseek_v3": "deepseek2",
+    "llama4": "llama4",
+    "llama4_text": "llama4",
+    "mistral3": "llama",  # Mistral3ForConditionalGeneration (text side)
+    "roberta": "bert",
+    "xlm-roberta": "bert",
+    "camembert": "bert",
+    "mt5": "t5",
+    "umt5": "t5",
+    "falcon_mamba": "mamba",
+    "qwen2_5_vl": "qwen2vl",
 }
+
+# model_types whose BERT-style position embeddings start at pad_token_id+1
+# (reference convert_hf_to_gguf.py RobertaModel._position_offset)
+_ROBERTA_LIKE = {"roberta", "xlm-roberta", "camembert"}
 
 
 def _map_t5_name(name: str) -> str | None:
@@ -215,6 +232,23 @@ _LAYER_MAP = {
     "mlp.fc_out.bias": "ffn_down.bias",
     # granitemoe router (input/output_linear are split in convert())
     "block_sparse_moe.router.layer.weight": "ffn_gate_inp.weight",
+    # deepseek2/minicpm3 MLA projections (reference DeepseekV2Model)
+    "self_attn.q_a_proj.weight": "attn_q_a.weight",
+    "self_attn.q_a_layernorm.weight": "attn_q_a_norm.weight",
+    "self_attn.q_b_proj.weight": "attn_q_b.weight",
+    "self_attn.kv_a_proj_with_mqa.weight": "attn_kv_a_mqa.weight",
+    "self_attn.kv_a_layernorm.weight": "attn_kv_a_norm.weight",
+    "self_attn.kv_b_proj.weight": "attn_kv_b.weight",
+    # deepseek-v3 sigmoid-router bias (e_score_correction_bias)
+    "mlp.gate.e_score_correction_bias": "exp_probs_b.bias",
+    # llama4 per-layer dense FFN / router / always-on shared expert
+    "feed_forward.gate_proj.weight": "ffn_gate.weight",
+    "feed_forward.up_proj.weight": "ffn_up.weight",
+    "feed_forward.down_proj.weight": "ffn_down.weight",
+    "feed_forward.router.weight": "ffn_gate_inp.weight",
+    "feed_forward.shared_expert.gate_proj.weight": "ffn_gate_shexp.weight",
+    "feed_forward.shared_expert.up_proj.weight": "ffn_up_shexp.weight",
+    "feed_forward.shared_expert.down_proj.weight": "ffn_down_shexp.weight",
     # glm4 fused gate|up projection (registry fused_gate_up splits at load)
     "mlp.gate_up_proj.weight": "ffn_up.weight",
     # glm4 post-norms
@@ -324,6 +358,13 @@ def _map_name(name: str, layer_map: dict) -> str | None:
 
 
 def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
+    if arch == "llama4":
+        # HF renames the dense-FFN width to intermediate_size_mlp and uses
+        # intermediate_size for the experts (reference Llama4Model.__init__)
+        cfg = {**cfg,
+               "intermediate_size": cfg.get("intermediate_size_mlp",
+                                            cfg.get("intermediate_size")),
+               "moe_intermediate_size": cfg.get("intermediate_size")}
     g = lambda *keys, default=None: next(
         (cfg[k] for k in keys if k in cfg), default)
     if arch == "t5":
@@ -356,11 +397,11 @@ def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
     if n_ff is None:
         n_ff = 4 * g("hidden_size", "n_embd")
     w.add_uint32(f"{arch}.feed_forward_length", n_ff)
-    n_head = g("num_attention_heads", "n_head")
+    n_head = g("num_attention_heads", "n_head", default=0)  # 0: mamba/ssm
     w.add_uint32(f"{arch}.attention.head_count", n_head)
     w.add_uint32(f"{arch}.attention.head_count_kv",
                  g("num_key_value_heads", default=n_head))
-    if g("head_dim") is not None:
+    if g("head_dim") is not None and arch != "deepseek2":
         w.add_uint32(f"{arch}.attention.key_length", g("head_dim"))
     if g("rms_norm_eps") is not None:
         w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", g("rms_norm_eps"))
@@ -420,7 +461,44 @@ def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
                      g("intermediate_size", default=2 * g("hidden_size")))
         w.add_uint32(f"{arch}.ssm.state_size", g("state_size", default=16))
         w.add_uint32(f"{arch}.ssm.time_step_rank", g("time_step_rank", default=0))
-        w.add_uint32(f"{arch}.attention.head_count", 0)
+        # (attention.head_count 0 already written by the generic section)
+        # falcon-mamba rms-norms the dt/B/C splits (reference MambaModel
+        # add_ssm_dt_b_c_rms on model_type falcon_mamba)
+        if cfg.get("model_type") == "falcon_mamba":
+            w.add_bool(f"{arch}.ssm.dt_b_c_rms", True)
+    if arch == "deepseek2":
+        # MLA + grouped-MoE hparams (reference DeepseekV2Model
+        # set_gguf_parameters — covers HF deepseek_v2 and deepseek_v3)
+        w.add_uint32(f"{arch}.leading_dense_block_count",
+                     g("first_k_dense_replace", default=0))
+        if g("q_lora_rank") is not None:
+            w.add_uint32(f"{arch}.attention.q_lora_rank", g("q_lora_rank"))
+        w.add_uint32(f"{arch}.attention.kv_lora_rank",
+                     g("kv_lora_rank", default=512))
+        w.add_uint32(f"{arch}.attention.key_length",
+                     g("qk_nope_head_dim", default=128)
+                     + g("qk_rope_head_dim", default=64))
+        w.add_uint32(f"{arch}.attention.value_length",
+                     g("v_head_dim", default=128))
+        w.add_uint32(f"{arch}.rope.dimension_count",
+                     g("qk_rope_head_dim", default=64))
+        if g("moe_intermediate_size") is not None:
+            w.add_uint32(f"{arch}.expert_feed_forward_length",
+                         g("moe_intermediate_size"))
+        if g("n_shared_experts") is not None:
+            w.add_uint32(f"{arch}.expert_shared_count", g("n_shared_experts"))
+        if g("routed_scaling_factor") is not None:
+            w.add_float32(f"{arch}.expert_weights_scale",
+                          g("routed_scaling_factor"))
+        w.add_uint32(f"{arch}.expert_gating_func",
+                     2 if g("scoring_func", default="softmax") == "sigmoid"
+                     else 1)
+    if arch == "llama4":
+        if g("moe_intermediate_size") is not None:
+            w.add_uint32(f"{arch}.expert_feed_forward_length",
+                         g("moe_intermediate_size"))
+        w.add_uint32(f"{arch}.interleave_moe_layer_step",
+                     g("interleave_moe_layer_step", default=1))
 
 
 def _write_wordpiece(w: GGUFWriter, tj: dict, model: dict) -> None:
@@ -555,9 +633,20 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
     hf_dir = Path(hf_dir)
     cfg = json.loads((hf_dir / "config.json").read_text())
     model_type = cfg.get("model_type", "llama")
+    if "text_config" in cfg:
+        # multimodal wrappers (llama4, mistral3, qwen2.5-vl): the language
+        # model's hparams live in text_config (reference Llama4Model.__init__)
+        cfg = {**cfg, **cfg["text_config"], "model_type": model_type}
     arch = _MODEL_TYPE_TO_ARCH.get(model_type)
     if arch is None:
         raise ValueError(f"unsupported HF model_type {model_type!r}")
+    # roberta-family position embeddings start at pad_token_id + 1
+    pos_offset = 0
+    if model_type in _ROBERTA_LIKE and cfg.get("pad_token_id") is not None:
+        pos_offset = 1 + cfg["pad_token_id"]
+        if "max_position_embeddings" in cfg:
+            cfg = {**cfg, "max_position_embeddings":
+                   cfg["max_position_embeddings"] - pos_offset}
     qtype = _QUANT_TYPES[outtype]
 
     w = GGUFWriter(out_path, arch)
@@ -574,15 +663,42 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
     gemma_norm = arch.startswith("gemma") or arch == "nemotron"
     layer_map = _GEMMA2_LAYER_MAP if arch in ("gemma2", "gemma3") else _LAYER_MAP
 
+    n_layers = cfg.get("num_hidden_layers", cfg.get("n_layer", 1 << 30))
     moe_stash: dict[str, dict[int, np.ndarray]] = {}
     n_written = 0
     for hf_name, arr in _iter_hf_tensors(hf_dir):
-        if hf_name.startswith(("model.vqmodel", "visual.", "model.visual")):
-            continue  # chameleon image tokenizer / qwen2vl vision tower
+        if hf_name.startswith(("model.vqmodel", "visual.", "model.visual",
+                               "vision_model.", "model.vision_model.",
+                               "multi_modal_projector.")):
+            continue  # chameleon/qwen-vl/llama4 vision towers + projectors
         hf_name = hf_name.replace("language_model.", "")  # qwen2vl nesting
+        if model_type in _ROBERTA_LIKE:
+            hf_name = hf_name.removeprefix("roberta.")
         arr = np.asarray(arr)
         if arr.dtype != np.float32:
             arr = arr.astype(np.float32)
+        m = re.match(r"model\.layers\.(\d+)\.", hf_name)
+        if m and int(m.group(1)) >= n_layers:
+            continue  # deepseek-v3 multi-token-prediction layers
+        if pos_offset and hf_name == "embeddings.position_embeddings.weight":
+            arr = arr[pos_offset:]  # chop the pad-offset rows (roberta)
+        if ".feed_forward.experts.gate_up_proj" in hf_name:
+            # llama4 fused per-expert [E, C, 2*ff] (transposed storage):
+            # transpose, split into gate|up stacks (reference Llama4Model
+            # modify_tensors)
+            il = hf_name.split("model.layers.")[1].split(".")[0]
+            ff = arr.shape[-1] // 2
+            t = arr.transpose(0, 2, 1)  # [E, 2*ff, C]
+            _emit(w, f"blk.{il}.ffn_gate_exps.weight", t[:, :ff, :], qtype)
+            _emit(w, f"blk.{il}.ffn_up_exps.weight", t[:, ff:, :], qtype)
+            n_written += 2
+            continue
+        if ".feed_forward.experts.down_proj" in hf_name:
+            il = hf_name.split("model.layers.")[1].split(".")[0]
+            _emit(w, f"blk.{il}.ffn_down_exps.weight",
+                  arr.transpose(0, 2, 1), qtype)
+            n_written += 1
+            continue
         if hf_name.endswith("self_attn.W_pack.weight"):
             # baichuan fused QKV [3C, C]: split + permute q/k (the shared
             # within-head row permutation leaves q·k invariant, so this is

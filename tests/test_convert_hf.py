@@ -476,3 +476,160 @@ def test_convert_glm4_parity(tmp_path_factory):
              partial_rotary_factor=0.5, max_position_embeddings=64,
              rms_norm_eps=1e-5, tie_word_embeddings=False,
              pad_token_id=0), tol=6e-3)
+
+
+def test_convert_deepseek_v3_parity(tmp_path_factory):
+    """DeepseekV3 → deepseek2: MLA projections, sigmoid router with
+    e_score_correction_bias (selection-only), shared expert, leading dense
+    block, MoE expert stacking."""
+    _parity_case(
+        tmp_path_factory, "dsv3", transformers.DeepseekV3Config,
+        transformers.DeepseekV3ForCausalLM, "deepseek2",
+        dict(hidden_size=32, intermediate_size=64, moe_intermediate_size=48,
+             num_hidden_layers=2, num_attention_heads=4,
+             num_key_value_heads=4, n_routed_experts=4, n_shared_experts=1,
+             num_experts_per_tok=2, first_k_dense_replace=1, kv_lora_rank=16,
+             q_lora_rank=24, qk_nope_head_dim=8, qk_rope_head_dim=8,
+             v_head_dim=8, routed_scaling_factor=1.5, scoring_func="sigmoid",
+             norm_topk_prob=True, n_group=1, topk_group=1,
+             max_position_embeddings=64, rms_norm_eps=1e-6,
+             tie_word_embeddings=False), tol=5e-3)
+
+
+def test_convert_llama4_parity(tmp_path_factory):
+    """Llama4 text model: fused expert gate_up/down transposed splits,
+    interleaved MoE (dense layer 0 / MoE layer 1), NoPE step, qk l2-norm,
+    intermediate_size_mlp swap."""
+    _parity_case(
+        tmp_path_factory, "llama4", transformers.Llama4TextConfig,
+        transformers.Llama4ForCausalLM, "llama4",
+        dict(hidden_size=32, intermediate_size=64, intermediate_size_mlp=80,
+             num_hidden_layers=2, num_attention_heads=4,
+             num_key_value_heads=2, head_dim=8, num_local_experts=4,
+             num_experts_per_tok=1, interleave_moe_layer_step=2,
+             use_qk_norm=True, max_position_embeddings=64,
+             rms_norm_eps=1e-5, tie_word_embeddings=False), tol=6e-3)
+
+
+def test_convert_falcon_mamba_parity(tmp_path_factory):
+    """falcon_mamba → mamba with ssm.dt_b_c_rms (rms on dt/B/C splits)."""
+    d, n_vocab = _tok_dir(tmp_path_factory, "hf_falcon_mamba")
+    hf_cfg = transformers.FalconMambaConfig(
+        vocab_size=n_vocab, hidden_size=32, intermediate_size=64,
+        state_size=8, num_hidden_layers=2, conv_kernel=4, time_step_rank=4,
+        use_cache=False)
+    torch.manual_seed(31)
+    hf_model = transformers.FalconMambaForCausalLM(hf_cfg).eval()
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+    out = str(d / "m.gguf")
+    convert(str(d), out, "f32")
+    model = load_model(out)
+    assert model.cfg.arch == "mamba" and model.cfg.ssm_dt_b_c_rms
+
+    from llama_cpp_dsp_tpu.models.mamba import forward as mamba_forward
+
+    toks = np.array([[3, 45, 99, 7]], np.int32)
+    ours, _ = mamba_forward(model.params, model.cfg, jnp.asarray(toks))
+    with torch.no_grad():
+        want = hf_model(torch.tensor(toks, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(ours)[0], want[0],
+                               rtol=3e-3, atol=3e-3)
+
+
+def test_convert_roberta_parity(tmp_path_factory):
+    """Roberta → bert: 'roberta.' prefix strip, position-embedding rows
+    chopped by pad_token_id+1, BPE tokenizer."""
+    d, n_vocab = _tok_dir(tmp_path_factory, "hf_roberta")
+    hf_cfg = transformers.RobertaConfig(
+        vocab_size=n_vocab, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=66, type_vocab_size=1,
+        hidden_act="gelu", layer_norm_eps=1e-5, pad_token_id=1)
+    torch.manual_seed(13)
+    hf_model = transformers.RobertaModel(hf_cfg).eval()
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+    out = str(d / "m.gguf")
+    convert(str(d), out, "f32")
+    model = load_model(out)
+    assert model.cfg.arch == "bert"
+    assert model.cfg.n_ctx_train == 64  # 66 - (pad_token_id + 1)
+
+    from llama_cpp_dsp_tpu.models.bert import bert_forward
+
+    toks = np.array([[3, 45, 99, 7]], np.int32)
+    ours = np.asarray(bert_forward(model.params, model.cfg,
+                                   jnp.asarray(toks), pooling="none"))
+    with torch.no_grad():
+        # HF roberta offsets positions by pad+1 internally; the converter
+        # chops those rows so row 0 of our table == HF position pad+1
+        want = hf_model(torch.tensor(toks, dtype=torch.long)
+                        ).last_hidden_state.numpy()
+    np.testing.assert_allclose(ours[0], want[0], rtol=2e-3, atol=2e-3)
+
+
+def test_convert_mt5_parity(tmp_path_factory):
+    """mt5 model_type routes through the T5 path (gated-gelu FFN)."""
+    from tokenizers import Tokenizer, models as tok_models
+
+    d = tmp_path_factory.mktemp("hf_mt5")
+    pieces = [("<pad>", 0.0), ("</s>", 0.0), ("<unk>", 0.0)] + [
+        (f"▁w{i}", -float(i + 1)) for i in range(93)]
+    tok = Tokenizer(tok_models.Unigram(pieces, unk_id=2))
+    tok.save(str(d / "tokenizer.json"))
+    hf_cfg = transformers.MT5Config(
+        vocab_size=96, d_model=64, d_kv=16, d_ff=128, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=32, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=True)
+    torch.manual_seed(23)
+    hf_model = transformers.MT5ForConditionalGeneration(hf_cfg).eval()
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+    out = str(d / "m.gguf")
+    convert(str(d), out, "f32")
+
+    from llama_cpp_dsp_tpu.models.t5 import t5_decode, t5_encode
+    from llama_cpp_dsp_tpu.runtime.loader import load_t5
+
+    cfg, params, vocab, tokenizer, _ = load_t5(out)
+    src = np.array([[4, 17, 9, 1]], np.int32)
+    tgt = np.array([[0, 8, 3]], np.int32)
+    enc = t5_encode(params, cfg, jnp.asarray(src))
+    ours = np.asarray(t5_decode(params, cfg, jnp.asarray(tgt), enc))
+    with torch.no_grad():
+        want = hf_model(input_ids=torch.tensor(src, dtype=torch.long),
+                        decoder_input_ids=torch.tensor(tgt, dtype=torch.long)
+                        ).logits.numpy()
+    np.testing.assert_allclose(ours, want, rtol=3e-3, atol=3e-3)
+
+
+def test_convert_qwen2_5_vl_parity(tmp_path_factory):
+    """Qwen2.5-VL text side → qwen2vl arch (M-RoPE sections, vision tower
+    skipped)."""
+    d, n_vocab = _tok_dir(tmp_path_factory, "hf_qwen25vl")
+    text_cfg = dict(
+        vocab_size=n_vocab, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=False,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]})
+    hf_cfg = transformers.Qwen2_5_VLConfig(text_config=text_cfg)
+    torch.manual_seed(17)
+    hf_model = transformers.Qwen2_5_VLForConditionalGeneration(hf_cfg).eval()
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+    out = str(d / "m.gguf")
+    convert(str(d), out, "f32")
+    model = load_model(out)
+    assert model.cfg.arch == "qwen2vl"
+    assert model.cfg.mrope_sections == (2, 3, 3, 0)
+
+    toks = np.array([[3, 45, 99, 7, 150]], np.int32)
+    n = toks.shape[1]
+    pos = np.arange(n, dtype=np.int32).reshape(1, n)
+    ours, _ = forward(model.params, model.cfg, jnp.asarray(toks),
+                      jnp.asarray(pos),
+                      mask=np.tril(np.ones((1, n, n), bool)),
+                      compute_dtype=jnp.float32)
+    with torch.no_grad():
+        theirs = hf_model(input_ids=torch.tensor(toks, dtype=torch.long)).logits
+    np.testing.assert_allclose(np.asarray(ours)[0], theirs[0].numpy(),
+                               rtol=3e-3, atol=3e-3)
