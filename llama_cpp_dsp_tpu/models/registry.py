@@ -557,13 +557,22 @@ def config_from_gguf(kv: dict[str, Any]) -> LlamaConfig:
     n_embd = int(get(Keys.LLM.EMBEDDING_LENGTH))
     # openelm stores per-layer head counts as arrays (hparams.n_head(il));
     # normalize: scalars = max, per-layer tuples go in n_heads_l
-    hv = get(Keys.LLM.ATTN_HEAD_COUNT, 0) or 0
+    import numpy as _np
+
+    def _seq(v):  # GGUF reader returns numeric arrays as np.ndarray
+        return isinstance(v, (list, tuple, _np.ndarray))
+
+    hv = get(Keys.LLM.ATTN_HEAD_COUNT, 0)
+    if hv is None:
+        hv = 0
     kvv = get(Keys.LLM.ATTN_HEAD_COUNT_KV, hv)
-    n_heads_l = tuple(int(x) for x in hv) if isinstance(hv, (list, tuple)) else ()
-    n_kv_heads_l = (tuple(int(x) for x in kvv)
-                    if isinstance(kvv, (list, tuple)) else ())
+    if kvv is None:
+        kvv = hv
+    n_heads_l = tuple(int(x) for x in hv) if _seq(hv) else ()
+    n_kv_heads_l = tuple(int(x) for x in kvv) if _seq(kvv) else ()
     n_heads = max(n_heads_l) if n_heads_l else int(hv)
-    n_kv_heads = max(n_kv_heads_l) if n_kv_heads_l else int(kvv or n_heads)
+    n_kv_heads = (max(n_kv_heads_l) if n_kv_heads_l
+                  else int(kvv) if kvv else n_heads)
     head_dim = int(get(Keys.LLM.ATTN_KEY_LENGTH,
                        n_embd // n_heads if n_heads else 0))
     n_vocab = int(get(Keys.LLM.VOCAB_SIZE, 0)) or len(kv.get(Keys.Tokenizer.LIST, []))
@@ -601,8 +610,10 @@ def config_from_gguf(kv: dict[str, Any]) -> LlamaConfig:
     if eps is None:
         eps = get(Keys.LLM.ATTN_LAYERNORM_EPS, 1e-5)
 
-    ffv = get(Keys.LLM.FEED_FORWARD_LENGTH, 0) or 0
-    n_ff = max(int(x) for x in ffv) if isinstance(ffv, (list, tuple)) else int(ffv)
+    ffv = get(Keys.LLM.FEED_FORWARD_LENGTH, 0)
+    if ffv is None:
+        ffv = 0
+    n_ff = max(int(x) for x in ffv) if _seq(ffv) else int(ffv)
     if n_heads_l:
         over.setdefault("n_heads_l", n_heads_l)
         over.setdefault("n_kv_heads_l", n_kv_heads_l or n_heads_l)

@@ -22,7 +22,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..gguf.constants import GGMLType, Keys
+from ..gguf.constants import GGMLType, GGUFValueType, Keys
 from ..gguf.writer import GGUFWriter
 
 log = logging.getLogger("convert_hf")
@@ -86,6 +86,25 @@ _MODEL_TYPE_TO_ARCH = {
     "umt5": "t5",
     "falcon_mamba": "mamba",
     "qwen2_5_vl": "qwen2vl",
+    "openelm": "openelm",
+    "minicpm3": "minicpm3",
+    "chatglm": "chatglm",
+    "grok-1": "grok",
+    "grok": "grok",
+    "bitnet": "bitnet",
+    "plm": "plm",
+}
+
+# HF architectures[0] overrides for repos whose model_type is generic
+# (e.g. 1bitLLM publishes BitnetForCausalLM under model_type "llama")
+_ARCH_CLS_TO_MODEL_TYPE = {
+    "BitnetForCausalLM": "bitnet",
+    "GrokForCausalLM": "grok",
+    "OpenELMForCausalLM": "openelm",
+    "MiniCPM3ForCausalLM": "minicpm3",
+    "ChatGLMModel": "chatglm",
+    "ChatGLMForConditionalGeneration": "chatglm",
+    "PLMForCausalLM": "plm",
 }
 
 # model_types whose BERT-style position embeddings start at pad_token_id+1
@@ -241,6 +260,9 @@ _LAYER_MAP = {
     "self_attn.kv_b_proj.weight": "attn_kv_b.weight",
     # deepseek-v3 sigmoid-router bias (e_score_correction_bias)
     "mlp.gate.e_score_correction_bias": "exp_probs_b.bias",
+    # bitnet sub-norms before wo / ffn_down
+    "self_attn.inner_attn_ln.weight": "attn_sub_norm.weight",
+    "mlp.ffn_layernorm.weight": "ffn_sub_norm.weight",
     # llama4 per-layer dense FFN / router / always-on shared expert
     "feed_forward.gate_proj.weight": "ffn_gate.weight",
     "feed_forward.up_proj.weight": "ffn_up.weight",
@@ -266,6 +288,39 @@ _GEMMA2_LAYER_MAP = {
     "post_attention_layernorm.weight": "attn_post_norm.weight",
 }
 
+_GROK_LAYER_MAP = {
+    # hpcai/keyfan grok-1 HF port names (reference tensor_mapping.py rows)
+    "rms_norm.weight": "attn_norm.weight",
+    "multi_head_attention.query.weight": "attn_q.weight",
+    "multi_head_attention.key.weight": "attn_k.weight",
+    "multi_head_attention.value.weight": "attn_v.weight",
+    "multi_head_attention.linear.weight": "attn_output.weight",
+    "rms_norm_1.weight": "attn_output_norm.weight",
+    "rms_norm_2.weight": "ffn_norm.weight",
+    "rms_norm_3.weight": "layer_output_norm.weight",
+    "router.weight": "ffn_gate_inp.weight",
+}
+
+_OPENELM_LAYER_MAP = {
+    "attn_norm.weight": "attn_norm.weight",
+    "attn.qkv_proj.weight": "attn_qkv.weight",
+    "attn.out_proj.weight": "attn_output.weight",
+    "attn.q_norm.weight": "attn_q_norm.weight",
+    "attn.k_norm.weight": "attn_k_norm.weight",
+    "ffn_norm.weight": "ffn_norm.weight",
+    "ffn.proj_2.weight": "ffn_down.weight",
+}
+
+_CHATGLM_LAYER_MAP = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "self_attention.query_key_value.weight": "attn_qkv.weight",
+    "self_attention.query_key_value.bias": "attn_qkv.bias",
+    "self_attention.dense.weight": "attn_output.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "mlp.dense_h_to_4h.weight": "ffn_up.weight",  # fused gate|up (swiglu)
+    "mlp.dense_4h_to_h.weight": "ffn_down.weight",
+}
+
 _GLOBAL_MAP = {
     "model.embed_tokens.weight": "token_embd.weight",
     "model.norm.weight": "output_norm.weight",
@@ -278,6 +333,16 @@ _GLOBAL_MAP = {
     "transformer.ln_f.bias": "output_norm.bias",
     "backbone.embeddings.weight": "token_embd.weight",
     "backbone.norm_f.weight": "output_norm.weight",
+    # grok
+    "transformer.in_out_embed.weight": "token_embd.weight",
+    "transformer.rms_norm.weight": "output_norm.weight",
+    # chatglm ("transformer." already stripped)
+    "embedding.word_embeddings.weight": "token_embd.weight",
+    "output_layer.weight": "output.weight",
+    "encoder.final_layernorm.weight": "output_norm.weight",
+    # openelm
+    "transformer.token_embeddings.weight": "token_embd.weight",
+    "transformer.norm.weight": "output_norm.weight",
 }
 
 _QUANT_TYPES = {
@@ -323,7 +388,9 @@ def _iter_hf_tensors(hf_dir: Path):
 def _map_name(name: str, layer_map: dict) -> str | None:
     if name in _GLOBAL_MAP:
         return _GLOBAL_MAP[name]
-    for prefix in ("model.layers.", "transformer.h.", "backbone.layers."):
+    for prefix in ("model.layers.", "transformer.h.", "backbone.layers.",
+                   "transformer.layers.", "transformer.decoder_layer.",
+                   "encoder.layers."):
         if name.startswith(prefix):
             rest = name[len(prefix):]
             idx, _, suffix = rest.partition(".")
@@ -337,6 +404,14 @@ def _map_name(name: str, layer_map: dict) -> str | None:
             ):
                 if ".experts." in suffix and suffix.endswith(moe_pat):
                     return f"blk.{idx}.__moe__.{ggml}.{suffix.split('.experts.')[1].split('.')[0]}"
+            # grok per-expert: moe.E.linear{,_1,_v}.weight
+            for moe_pat, ggml in (
+                (".linear.weight", "ffn_gate_exps"),
+                (".linear_1.weight", "ffn_down_exps"),
+                (".linear_v.weight", "ffn_up_exps"),
+            ):
+                if suffix.startswith("moe.") and suffix.endswith(moe_pat):
+                    return f"blk.{idx}.__moe__.{ggml}.{suffix.split('.')[1]}"
             mapped = layer_map.get(suffix)
             if mapped is not None:
                 return f"blk.{idx}.{mapped}"
@@ -388,6 +463,58 @@ def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
         w.add_uint32("t5.context_length", g("n_positions", default=512))
         w.add_uint32("t5.decoder_start_token_id",
                      g("decoder_start_token_id", default=0))
+        return
+    if arch == "openelm":
+        # per-layer head counts and FFN widths (reference OpenELMModel:
+        # ffn dims from ffn_multipliers via _make_divisible)
+        def _mdiv(v, divisor):
+            new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+            return new_v + divisor if new_v < 0.9 * v else new_v
+
+        n_embd = g("model_dim")
+        ffn_dims = [_mdiv(m * n_embd, g("ffn_dim_divisor", default=256))
+                    for m in g("ffn_multipliers")]
+        w.add_uint32(f"{arch}.block_count", g("num_transformer_layers"))
+        w.add_uint32(f"{arch}.context_length",
+                     g("max_context_length", default=2048))
+        w.add_uint32(f"{arch}.embedding_length", n_embd)
+        w.add_kv(f"{arch}.feed_forward_length", ffn_dims, None,
+                 GGUFValueType.UINT32)
+        w.add_kv(f"{arch}.attention.head_count", g("num_query_heads"), None,
+                 GGUFValueType.UINT32)
+        w.add_kv(f"{arch}.attention.head_count_kv", g("num_kv_heads"), None,
+                 GGUFValueType.UINT32)
+        w.add_float32(f"{arch}.rope.freq_base",
+                      g("rope_freq_constant", default=10000))
+        w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+        w.add_uint32(f"{arch}.rope.dimension_count", g("head_dim"))
+        w.add_uint32(f"{arch}.attention.key_length", g("head_dim"))
+        w.add_uint32(f"{arch}.attention.value_length", g("head_dim"))
+        w.add_uint32(f"{arch}.vocab_size", g("vocab_size", default=0))
+        return
+    if arch == "chatglm":
+        n_embd = g("hidden_size", "n_embed")
+        n_head = g("n_head", "num_attention_heads")
+        w.add_uint32(f"{arch}.block_count",
+                     g("num_layers", "num_hidden_layers"))
+        w.add_uint32(f"{arch}.context_length", g("seq_length", default=n_embd))
+        w.add_uint32(f"{arch}.embedding_length", n_embd)
+        w.add_uint32(f"{arch}.feed_forward_length",
+                     g("ffn_hidden_size", "intermediate_size",
+                       default=4 * n_embd))
+        w.add_uint32(f"{arch}.attention.head_count", n_head)
+        w.add_uint32(f"{arch}.attention.head_count_kv",
+                     g("multi_query_group_num", "num_key_value_heads",
+                       default=n_head))
+        w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon",
+                      g("layernorm_epsilon", default=1e-5))
+        rope_dim = g("attention_dim", default=n_embd // n_head)
+        w.add_uint32(f"{arch}.rope.dimension_count",
+                     int(rope_dim * g("partial_rotary_factor", default=0.5)))
+        w.add_float32(f"{arch}.rope.freq_base",
+                      10000.0 * g("rope_ratio", default=1.0))
+        w.add_uint32(f"{arch}.vocab_size",
+                     g("padded_vocab_size", "vocab_size", default=0))
         return
     w.add_uint32(f"{arch}.block_count", g("num_hidden_layers", "n_layer"))
     w.add_uint32(f"{arch}.context_length",
@@ -466,11 +593,12 @@ def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
         # add_ssm_dt_b_c_rms on model_type falcon_mamba)
         if cfg.get("model_type") == "falcon_mamba":
             w.add_bool(f"{arch}.ssm.dt_b_c_rms", True)
-    if arch == "deepseek2":
-        # MLA + grouped-MoE hparams (reference DeepseekV2Model
-        # set_gguf_parameters — covers HF deepseek_v2 and deepseek_v3)
-        w.add_uint32(f"{arch}.leading_dense_block_count",
-                     g("first_k_dense_replace", default=0))
+    if arch in ("deepseek2", "minicpm3", "plm"):
+        # MLA + grouped-MoE hparams (reference DeepseekV2Model /
+        # MiniCPM3Model / PLMModel set_gguf_parameters)
+        if arch == "deepseek2":
+            w.add_uint32(f"{arch}.leading_dense_block_count",
+                         g("first_k_dense_replace", default=0))
         if g("q_lora_rank") is not None:
             w.add_uint32(f"{arch}.attention.q_lora_rank", g("q_lora_rank"))
         w.add_uint32(f"{arch}.attention.kv_lora_rank",
@@ -490,9 +618,10 @@ def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
         if g("routed_scaling_factor") is not None:
             w.add_float32(f"{arch}.expert_weights_scale",
                           g("routed_scaling_factor"))
-        w.add_uint32(f"{arch}.expert_gating_func",
-                     2 if g("scoring_func", default="softmax") == "sigmoid"
-                     else 1)
+        if arch == "deepseek2":
+            w.add_uint32(f"{arch}.expert_gating_func",
+                         2 if g("scoring_func", default="softmax") == "sigmoid"
+                         else 1)
     if arch == "llama4":
         if g("moe_intermediate_size") is not None:
             w.add_uint32(f"{arch}.expert_feed_forward_length",
@@ -633,6 +762,10 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
     hf_dir = Path(hf_dir)
     cfg = json.loads((hf_dir / "config.json").read_text())
     model_type = cfg.get("model_type", "llama")
+    arch_cls = (cfg.get("architectures") or [""])[0]
+    if arch_cls in _ARCH_CLS_TO_MODEL_TYPE:
+        # some repos publish a specialized class under a generic model_type
+        model_type = _ARCH_CLS_TO_MODEL_TYPE[arch_cls]
     if "text_config" in cfg:
         # multimodal wrappers (llama4, mistral3, qwen2.5-vl): the language
         # model's hparams live in text_config (reference Llama4Model.__init__)
@@ -661,11 +794,26 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
     # gemma/nemotron store (1 + w) norm weights (HF keeps the zero-centered
     # form; reference GemmaModel/NemotronModel modify_tensors add 1)
     gemma_norm = arch.startswith("gemma") or arch == "nemotron"
-    layer_map = _GEMMA2_LAYER_MAP if arch in ("gemma2", "gemma3") else _LAYER_MAP
+    layer_map = {"gemma2": _GEMMA2_LAYER_MAP, "gemma3": _GEMMA2_LAYER_MAP,
+                 "grok": _GROK_LAYER_MAP, "openelm": _OPENELM_LAYER_MAP,
+                 "chatglm": _CHATGLM_LAYER_MAP}.get(arch, _LAYER_MAP)
 
-    n_layers = cfg.get("num_hidden_layers", cfg.get("n_layer", 1 << 30))
+    n_layers = cfg.get("num_hidden_layers",
+                       cfg.get("n_layer",
+                               cfg.get("num_layers",
+                                       cfg.get("num_transformer_layers",
+                                               1 << 30))))
     moe_stash: dict[str, dict[int, np.ndarray]] = {}
     n_written = 0
+    if arch == "minicpm3" and isinstance(cfg.get("rope_scaling"), dict):
+        # long-rope factor tables become tensors (reference MiniCPM3Model
+        # generate_extra_tensors)
+        rs = cfg["rope_scaling"]
+        for key, tname in (("long_factor", "rope_factors_long.weight"),
+                           ("short_factor", "rope_factors_short.weight")):
+            if rs.get(key):
+                _emit(w, tname, np.asarray(rs[key], np.float32), qtype)
+                n_written += 1
     for hf_name, arr in _iter_hf_tensors(hf_dir):
         if hf_name.startswith(("model.vqmodel", "visual.", "model.visual",
                                "vision_model.", "model.vision_model.",
@@ -674,6 +822,10 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
         hf_name = hf_name.replace("language_model.", "")  # qwen2vl nesting
         if model_type in _ROBERTA_LIKE:
             hf_name = hf_name.removeprefix("roberta.")
+        if arch == "chatglm":
+            hf_name = hf_name.removeprefix("transformer.")
+            if hf_name.endswith("rotary_pos_emb.inv_freq"):
+                continue  # recomputed; reference ChatGLMModel drops it
         arr = np.asarray(arr)
         if arr.dtype != np.float32:
             arr = arr.astype(np.float32)
@@ -725,6 +877,15 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
             _emit(w, f"blk.{il}.ffn_down_exps.weight", arr, qtype)
             n_written += 1
             continue
+        if arch == "openelm" and hf_name.endswith(".ffn.proj_1.weight"):
+            # fused [2*ff_l, C] gate|up split (reference OpenELMModel
+            # modify_tensors; per-layer ff dims, equal halves)
+            il = hf_name.split("transformer.layers.")[1].split(".")[0]
+            half = arr.shape[0] // 2
+            _emit(w, f"blk.{il}.ffn_gate.weight", arr[:half], qtype)
+            _emit(w, f"blk.{il}.ffn_up.weight", arr[half:], qtype)
+            n_written += 2
+            continue
         if arch == "bert":
             name = _map_bert_name(hf_name)
         elif arch == "t5":
@@ -753,6 +914,12 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
             arr = np.tile(row.reshape(2, d // 2).T.reshape(-1), (heads, 1))
         if gemma_norm and "norm" in name and name.endswith(".weight"):
             arr = arr + 1.0  # HF gemma/nemotron apply (1 + w); biases stay
+        if arch == "bitnet" and any(name.endswith(k + ".weight") for k in (
+                "attn_q", "attn_k", "attn_v", "attn_output",
+                "ffn_up", "ffn_down", "ffn_gate")):
+            # ternarize to {-1,0,1}*scale (reference BitnetModel.weight_quant)
+            scale = max(float(np.abs(arr).mean()), 1e-5)
+            arr = np.clip(np.round(arr / scale), -1, 1) * scale
         if name.endswith("ssm_conv1d.weight"):
             arr = arr[:, 0, :]  # [Ci,1,K] → [Ci,K]
         _emit(w, name, arr, qtype)
