@@ -80,6 +80,7 @@ class LlamaConfig:
     attn_temp_scale: float = 0.0  # NoPE-layer q temperature tuning
     attn_temp_floor: int = 8192
     qk_norm_weightless: bool = False  # non-parametric q/k rms on roped layers
+    clamp_kqv: float = 0.0  # mpt/olmo f_clamp_kqv: clip qkv to ±value
     attn_chunk: int = 0  # chunked attention width (SWA-slot layers)
     moe_weight_before: bool = False  # router weights scale expert INPUTS
     # openelm: per-layer head counts (llm_build_openelm hparams.n_head(il));
@@ -493,6 +494,12 @@ def _project_qkv(
         q = _mm(x, layer, "attn_q", compute_dtype)
         k = _mm(x, layer, "attn_k", compute_dtype)
         v = _mm(x, layer, "attn_v", compute_dtype)
+    if cfg.clamp_kqv:
+        # mpt/olmo f_clamp_kqv: elementwise clip of the qkv projections
+        # (reference llm_build_mpt / llm_build_olmo ggml_clamp)
+        q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
+        k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
+        v = jnp.clip(v, -cfg.clamp_kqv, cfg.clamp_kqv)
     if cfg.qk_norm and cfg.qk_norm_flat:
         # olmo2: rms over the whole projection BEFORE the head split
         # (llm_build_olmo2 norms the 2-D Qcur/Kcur)

@@ -166,8 +166,12 @@ def _stablelm(get):
 
 
 def _olmo(get):
-    # llm_build_olmo: non-parametric layer norm (NULL weight/bias)
-    return {"norm_type": "ln"}
+    # llm_build_olmo: non-parametric layer norm (NULL weight/bias),
+    # optional qkv clipping (clip_qkv → f_clamp_kqv)
+    return {
+        "norm_type": "ln",
+        "clamp_kqv": float(get("{arch}.attention.clamp_kqv", 0.0) or 0.0),
+    }
 
 
 def _olmo2(get):
@@ -219,6 +223,7 @@ def _mpt(get):
         "act": "gelu",
         "gated_ffn": False,
         "max_alibi_bias": float(get("{arch}.attention.max_alibi_bias", 8.0)),
+        "clamp_kqv": float(get("{arch}.attention.clamp_kqv", 0.0) or 0.0),
         "tie_embeddings": True,
     }
 
@@ -405,7 +410,11 @@ for _spec in [
     ArchSpec("yi", _llama),
     ArchSpec("internlm2", _llama),
     ArchSpec("exaone", _llama),
-    ArchSpec("refact", _llama),
+    # llm_build_refact: RMS norms, ALiBi positions (f_max_alibi_bias = 8,
+    # reference src/llama-model.cpp:651-660), MQA (head_count_kv = 1)
+    ArchSpec("refact", lambda get: {
+        "pos_embd_type": "alibi", "max_alibi_bias": 8.0,
+    }),
     ArchSpec("granite", _granite),
     ArchSpec("granitemoe", _granite),
     ArchSpec("minicpm", _minicpm),
@@ -445,7 +454,8 @@ for _spec in [
     ArchSpec("glm4", _chatglm, fused_gate_up=True),
     ArchSpec("orion", _orion),
     ArchSpec("plamo", _llama),
-    ArchSpec("codeshell", _starcoder, fused_qkv=True),
+    # llm_build_codeshell: starcoder block but NEOX rope, no learned wpe
+    ArchSpec("codeshell", _starcoder2, fused_qkv=True),
     # llm_build_jais: LN, fused qkv, ALiBi positions, gated SiLU FFN
     ArchSpec("jais", lambda get: {
         "norm_type": "ln",
@@ -497,11 +507,18 @@ for _spec in [
 ]:
     register(_spec)
 
+# llama_model_rope_type NEOX list (reference src/llama-model.cpp:13153-80).
+# Everything else with rope is NORM (interleaved pairs) — NB olmo/arctic/
+# deci/llama-family GGUFs hold converter-PERMUTED q/k, while chatglm/glm4/
+# deepseek2/plamo/command-r are stored HF-native because those HF models
+# rotate interleaved pairs natively (empirically checked: the wrong mode
+# costs ~1e-3 logit drift on tiny models — below loose test tolerances, so
+# pin with tight ones).
 _NEOX_ROPE_ARCHS = {
     "qwen", "qwen2", "qwen2moe", "qwen2vl", "qwen3", "qwen3moe", "stablelm",
-    "phi2", "phi3", "phimoe", "gptneox", "gptj", "olmo", "olmo2", "olmoe",
+    "phi2", "phi3", "phimoe", "gptneox", "olmo2", "olmoe",
     "gemma", "gemma2", "gemma3", "starcoder2", "falcon", "dbrx", "nemotron",
-    "chatglm", "glm4", "deepseek2", "plamo", "arctic", "exaone",
+    "exaone", "codeshell",
     "grok", "bitnet", "minicpm3", "openelm",
 }
 

@@ -541,6 +541,14 @@ def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
         hd = g("head_dim") or g("hidden_size") // n_head
         w.add_uint32(f"{arch}.rope.dimension_count",
                      int(hd * g("partial_rotary_factor")))
+    elif g("rotary_dim") is not None:  # gptj: absolute rotary dim count
+        w.add_uint32(f"{arch}.rope.dimension_count", g("rotary_dim"))
+    if g("clip_qkv") is not None:  # olmo (top-level) / mpt (attn_config)
+        w.add_float32(f"{arch}.attention.clamp_kqv", g("clip_qkv"))
+    elif isinstance(g("attn_config"), dict) and \
+            g("attn_config").get("clip_qkv") is not None:
+        w.add_float32(f"{arch}.attention.clamp_kqv",
+                      g("attn_config")["clip_qkv"])
     w.add_uint32(f"{arch}.vocab_size", g("vocab_size", default=0))
     if g("num_local_experts", "num_experts", "n_routed_experts") is not None:
         w.add_uint32(f"{arch}.expert_count",
@@ -789,8 +797,12 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
 
     n_head = cfg.get("num_attention_heads", cfg.get("n_head", 1))
     n_kv = cfg.get("num_key_value_heads", n_head)
-    permute = arch in ("llama", "internlm2", "exaone", "granite", "chameleon",
-                       "baichuan", "xverse", "minicpm", "granitemoe")
+    # archs whose GGUF q/k layout is the llama interleaved-pairs permutation
+    # (reference classes calling LlamaModel.permute; exaone is NEOX → no
+    # permute, olmo/arctic/deci DO permute: OlmoModel/ArcticModel/DeciModel)
+    permute = arch in ("llama", "internlm2", "granite", "chameleon",
+                       "baichuan", "xverse", "minicpm", "granitemoe",
+                       "olmo", "arctic", "deci")
     # gemma/nemotron store (1 + w) norm weights (HF keeps the zero-centered
     # form; reference GemmaModel/NemotronModel modify_tensors add 1)
     gemma_norm = arch.startswith("gemma") or arch == "nemotron"

@@ -100,7 +100,7 @@ def dsv2_pair():
     cfg = LlamaConfig(
         arch="deepseek2", n_layers=3, n_embd=64, n_heads=4, n_kv_heads=4,
         head_dim=24, n_ff=128, n_vocab=128, n_ctx_train=64, rms_eps=1e-6,
-        rope=RopeParams(n_dims=8, mode="neox", freq_base=10000.0),
+        rope=RopeParams(n_dims=8, mode="norm", freq_base=10000.0),
         n_expert=4, n_expert_used=2, moe_norm_weights=False,
         moe_shared_expert=True, moe_scale=1.0, n_dense_layers=1,
         q_lora_rank=32, kv_lora_rank=32, qk_nope_dim=16, qk_rope_dim=8,
@@ -159,7 +159,7 @@ def test_deepseek2_hf_parity(dsv2_pair):
     with torch.no_grad():
         theirs = model(torch.tensor(tokens, dtype=torch.long)).logits
     np.testing.assert_allclose(np.asarray(ours)[0], _t2n(theirs[0]),
-                               rtol=2e-3, atol=3e-3)
+                               rtol=2e-3, atol=3e-4)
 
 
 def test_deepseek2_cached_decode(dsv2_pair):
