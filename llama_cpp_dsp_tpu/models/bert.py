@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import layer_norm, qmm, take_rows
-from .llama import LlamaConfig, Params, _mm
+from .llama import LlamaConfig, Params, _mm, activate, alibi_slopes
 
 
 def bert_forward(
@@ -43,11 +43,44 @@ def bert_forward(
         attn_mask = jnp.ones((b, t), bool)
     bias = jnp.where(attn_mask[:, None, None, :], 0.0,
                      jnp.finfo(jnp.float32).min)
+    if cfg.pos_embd_type == "alibi":
+        # jina-bert-v2: ALiBi positional bias, f_max_alibi_bias=8
+        # (reference load_hparams LLM_ARCH_JINA_BERT_V2)
+        slopes = alibi_slopes(h, cfg.max_alibi_bias)  # [H]
+        dist = jnp.arange(t, dtype=jnp.float32)  # |i-j| symmetric for encoders
+        rel = -jnp.abs(dist[None, :] - dist[:, None])  # [T, T]
+        bias = bias + slopes[None, :, None, None] * rel[None, None]
 
+    hkv = cfg.n_kv_heads or h
     for layer in params["layers"]:
-        q = _mm(x, layer, "attn_q", compute_dtype).reshape(b, t, h, d)
-        k = _mm(x, layer, "attn_k", compute_dtype).reshape(b, t, h, d)
-        v = _mm(x, layer, "attn_v", compute_dtype).reshape(b, t, h, d)
+        x_in = x  # layer input (inpL) — re-added around each sub-block
+        if "attn_qkv" in layer:
+            # nomic-bert fused wqkv (reference llm_build_bert NOMIC_BERT
+            # branch: view splits at n_embd / n_embd_gqa offsets)
+            qkv = _mm(x, layer, "attn_qkv", compute_dtype)
+            q, k, v = jnp.split(qkv, [h * d, (h + hkv) * d], axis=-1)
+        else:
+            q = _mm(x, layer, "attn_q", compute_dtype)
+            k = _mm(x, layer, "attn_k", compute_dtype)
+            v = _mm(x, layer, "attn_v", compute_dtype)
+        if "attn_q_norm" in layer:  # jina-v2-code per-layer q/k LayerNorms
+            q = layer_norm(q, layer["attn_q_norm"],
+                           layer.get("attn_q_norm_bias"), eps)
+            k = layer_norm(k, layer["attn_k_norm"],
+                           layer.get("attn_k_norm_bias"), eps)
+        q = q.reshape(b, t, h, d)
+        k = k.reshape(b, t, hkv, d)
+        v = v.reshape(b, t, hkv, d)
+        if cfg.pos_embd_type == "rope":
+            # nomic-bert: NEOX rope instead of learned positions
+            from ..ops.rope import apply_rope
+
+            pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+            q = apply_rope(q, pos, cfg.rope)
+            k = apply_rope(k, pos, cfg.rope)
+        if hkv != h:
+            k = jnp.repeat(k, h // hkv, axis=2)
+            v = jnp.repeat(v, h // hkv, axis=2)
         scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
                             k.astype(jnp.float32)) / (d ** 0.5)
         probs = jax.nn.softmax(scores + bias, axis=-1)
@@ -57,8 +90,18 @@ def bert_forward(
         # post-LN (reference build_norm after ggml_add, llm_build_bert)
         x = layer_norm(x + attn, layer["attn_output_norm"],
                        layer.get("attn_output_norm_bias"), eps)
+        if "ffn_norm" in layer:
+            # jina-v2-code attn_norm_2 (loader maps attn_norm_2 → ffn_norm):
+            # re-add the LAYER INPUT and norm again (llm_build_bert)
+            x = layer_norm(x + x_in, layer["ffn_norm"],
+                           layer.get("ffn_norm_bias"), eps)
         up = _mm(x, layer, "ffn_up", compute_dtype)
-        act = jax.nn.gelu(up.astype(jnp.float32), approximate=False)
+        if cfg.gated_ffn and "ffn_gate" in layer:
+            # nomic (SiLU) / jina-v2 (GELU) gated FFN, LLM_FFN_PAR
+            gate = _mm(x, layer, "ffn_gate", compute_dtype)
+            act = activate(gate, cfg.act) * up.astype(jnp.float32)
+        else:
+            act = jax.nn.gelu(up.astype(jnp.float32), approximate=False)
         down = _mm(act.astype(compute_dtype), layer, "ffn_down", compute_dtype)
         x = layer_norm(x + down, layer["layer_output_norm"],
                        layer.get("layer_output_norm_bias"), eps)

@@ -836,6 +836,23 @@ def decode_layer(
     if cfg.norm_after:
         attn = norm(attn, layer, "attn_norm", cfg)
 
+    if "ffn_norm_exps" in layer:
+        # arctic residual-MoE layer (reference llm_build_arctic,
+        # src/llama-model.cpp:9722): dense FFN over the post-attention
+        # stream, PLUS a parallel MoE branch over the normed LAYER INPUT
+        # (inpSA); out = (ffn_inp + dense) + moe
+        ffn_inp = x + attn * cfg.residual_scale
+        dense = ffn_dense(norm(ffn_inp, layer, "ffn_norm", cfg), layer, cfg,
+                          compute_dtype, tap, "", layer_idx)
+        moe = ffn_moe(norm(x, layer, "ffn_norm_exps", cfg), layer, cfg,
+                      compute_dtype, tap, layer_idx)
+        x = ffn_inp + dense + moe.astype(ffn_inp.dtype)
+        if "cvec" in layer:
+            x = x + layer["cvec"].astype(x.dtype)
+        if tap is not None:
+            tap(f"l_out-{layer_idx}", x)
+        return x, cache
+
     def ffn_fn(ffn_in):
         # per-layer MoE decision: deepseek keeps the first n_dense_layers
         # dense (reference llm_build_deepseek2 il < n_layer_dense_lead)

@@ -453,7 +453,9 @@ for _spec in [
     ArchSpec("chatglm", _chatglm, fused_qkv=True, fused_gate_up=True),
     ArchSpec("glm4", _chatglm, fused_gate_up=True),
     ArchSpec("orion", _orion),
-    ArchSpec("plamo", _llama),
+    # llm_build_plamo: attn + ffn both branch off the SAME attn_norm output
+    # (no ffn_norm tensor), summed with the residual
+    ArchSpec("plamo", lambda get: {"parallel_residual": True}),
     # llm_build_codeshell: starcoder block but NEOX rope, no learned wpe
     ArchSpec("codeshell", _starcoder2, fused_qkv=True),
     # llm_build_jais: LN, fused qkv, ALiBi positions, gated SiLU FFN
@@ -488,7 +490,11 @@ for _spec in [
         "norm_type": "ln",
         "head_dim": int(get("{arch}.wkv.head_size", 64) or 64),
     }, builder="rwkv6"),
-    ArchSpec("rwkv6qwen2", _llama),
+    # llm_build_rwkv6qwen2: rwkv6 time-mix with is_qrwkv (no bonus term,
+    # sigmoid gate, GQA kv, gated-linear-attn) + qwen2 dense FFN, RMS norms
+    ArchSpec("rwkv6qwen2", lambda get: {
+        "head_dim": int(get("{arch}.wkv.head_size", 64) or 64),
+    }, builder="rwkv6"),
     ArchSpec("rwkv7", lambda get: {
         "norm_type": "ln",
         "head_dim": int(get("{arch}.wkv.head_size", 64) or 64),
@@ -502,8 +508,17 @@ for _spec in [
     ArchSpec("t5", _llama, builder="t5"),
     ArchSpec("t5encoder", _llama, builder="t5"),
     ArchSpec("bert", _bert, builder="encoder"),
-    ArchSpec("nomic-bert", _bert, builder="encoder"),
-    ArchSpec("jina-bert-v2", _bert, builder="encoder"),
+    # llm_build_bert NOMIC_BERT branch: fused wqkv, NEOX rope (no learned
+    # positions), SiLU-gated FFN
+    ArchSpec("nomic-bert", lambda get: {**_bert(get), "pos_embd_type": "rope",
+                                        "act": "silu", "gated_ffn": True},
+             builder="encoder"),
+    # llm_build_bert JINA_BERT_V2 branch: ALiBi positions, GELU-gated FFN,
+    # optional per-layer q/k LayerNorms (jina-v2-code)
+    ArchSpec("jina-bert-v2", lambda get: {**_bert(get),
+                                          "pos_embd_type": "alibi",
+                                          "act": "gelu", "gated_ffn": True},
+             builder="encoder"),
 ]:
     register(_spec)
 
@@ -519,7 +534,7 @@ _NEOX_ROPE_ARCHS = {
     "phi2", "phi3", "phimoe", "gptneox", "olmo2", "olmoe",
     "gemma", "gemma2", "gemma3", "starcoder2", "falcon", "dbrx", "nemotron",
     "exaone", "codeshell",
-    "grok", "bitnet", "minicpm3", "openelm",
+    "grok", "bitnet", "minicpm3", "openelm", "nomic-bert",
 }
 
 
@@ -634,7 +649,7 @@ def config_from_gguf(kv: dict[str, Any]) -> LlamaConfig:
     if n_heads_l:
         over.setdefault("n_heads_l", n_heads_l)
         over.setdefault("n_kv_heads_l", n_kv_heads_l or n_heads_l)
-    return LlamaConfig(
+    kwargs = dict(
         arch=arch,
         n_layers=int(get(Keys.LLM.BLOCK_COUNT)),
         n_embd=n_embd,
@@ -648,5 +663,6 @@ def config_from_gguf(kv: dict[str, Any]) -> LlamaConfig:
         rope=rope,
         n_expert=int(get(Keys.LLM.EXPERT_COUNT, 0) or 0),
         n_expert_used=int(get(Keys.LLM.EXPERT_USED_COUNT, 0) or 0),
-        **over,
     )
+    kwargs.update(over)  # per-arch overrides win (e.g. rwkv wkv head_size)
+    return LlamaConfig(**kwargs)

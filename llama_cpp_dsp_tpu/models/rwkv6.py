@@ -59,7 +59,10 @@ def _shifted(x: jax.Array, prev: jax.Array) -> jax.Array:
 
 def _ddlerp(x, sx, layer):
     """5-way data-dependent lerp mix (llm_build_rwkv6 time_mix_lerp +
-    time_mix_w1/w2 LoRA). Returns xw, xk, xv, xr, xg each [B,T,C]."""
+    time_mix_w1/w2 LoRA). Returns xw, xk, xv, xr, xg each [B,T,C].
+    Accepts either the five separate time_mix_lerp_* tensors or the
+    converter-fused time_mix_lerp_fused (reference Rwkv6Model stacks
+    w,k,v,r,g — both layouts appear in ecosystem GGUFs)."""
     xxx = x + sx * layer["time_mix_lerp_x"]
     b, t, c = x.shape
     w1 = layer["time_mix_w1"]  # [C, 5*r]
@@ -68,9 +71,14 @@ def _ddlerp(x, sx, layer):
     z = jnp.tanh(xxx.astype(jnp.float32) @ w1.astype(jnp.float32))
     z = z.reshape(b, t, 5, r5)
     m = jnp.einsum("btfr,frc->btfc", z, w2.astype(jnp.float32))  # [B,T,5,C]
+    fused = layer.get("time_mix_lerp_fused")
+    if fused is not None:
+        lerps = fused.astype(jnp.float32).reshape(5, c)
+    else:
+        lerps = [layer[f"time_mix_lerp_{n}"] for n in ("w", "k", "v", "r", "g")]
     outs = []
-    for i, name in enumerate(("w", "k", "v", "r", "g")):
-        mi = m[:, :, i, :] + layer[f"time_mix_lerp_{name}"]
+    for i in range(5):
+        mi = m[:, :, i, :] + lerps[i]
         outs.append(x + sx * mi)
     return outs
 
@@ -94,28 +102,68 @@ def _wkv6_scan(r, k, v, w, u, s0):
     return ys.transpose(1, 0, 2, 3), sT
 
 
+def _gla_scan(r, k, v, w, s0, scale):
+    """Gated linear attention (ggml_gated_linear_attn, the rwkv6qwen2 /
+    is_qrwkv recurrence — ggml/src/ggml-cpu/ops.cpp gla_f32):
+      S'[i,j] = w_t[i]·S[i,j] + k_t[i]·v_t[j]
+      y_t[j]  = Σ_i scale·r_t[i]·S'[i,j]   (note: uses the NEW state)
+    """
+    def step(s, inp):
+        rt, kt, vt, wt = inp  # [B,H,hs]
+        a = kt[..., :, None] * vt[..., None, :]
+        s = wt[..., :, None] * s + a
+        y = scale * jnp.einsum("bhi,bhij->bhj", rt, s)
+        return s, y
+
+    xs = (r.transpose(1, 0, 2, 3), k.transpose(1, 0, 2, 3),
+          v.transpose(1, 0, 2, 3), w.transpose(1, 0, 2, 3))
+    sT, ys = jax.lax.scan(step, s0, xs)
+    return ys.transpose(1, 0, 2, 3), sT
+
+
+def _norm(x, tree, name, cfg):
+    from .llama import rms_norm
+
+    if cfg.norm_type == "ln":
+        return layer_norm(x, tree[name], tree.get(name + "_bias"), cfg.rms_eps)
+    return rms_norm(x, tree[name], cfg.rms_eps)
+
+
 def rwkv6_layer(x, layer: Params, cfg: LlamaConfig, state: RwkvState,
                 il: int, compute_dtype):
     hs = cfg.head_dim
     h = cfg.n_embd // hs
     b, t, c = x.shape
-    eps = cfg.rms_eps
+    # rwkv6qwen2 has no bonus (time_mix_first) term — build_rwkv6_time_mix
+    # is_qrwkv: sigmoid gate, GQA k/v repeat, k·(1−w), gated-linear-attn
+    is_qrwkv = "time_mix_first" not in layer
 
     # --- time mix ----------------------------------------------------------
-    xin = layer_norm(x, layer["attn_norm"], layer.get("attn_norm_bias"), eps)
+    xin = _norm(x, layer, "attn_norm", cfg)
     prev = state.shift_att[il].astype(xin.dtype)
     sx = _shifted(xin, prev) - xin
     xw, xk, xv, xr, xg = _ddlerp(xin.astype(jnp.float32), sx.astype(jnp.float32), layer)
 
-    r = qmm(xr.astype(compute_dtype), layer["time_mix_receptance"],
-            compute_dtype=compute_dtype).reshape(b, t, h, hs).astype(jnp.float32)
-    k = qmm(xk.astype(compute_dtype), layer["time_mix_key"],
-            compute_dtype=compute_dtype).reshape(b, t, h, hs).astype(jnp.float32)
-    v = qmm(xv.astype(compute_dtype), layer["time_mix_value"],
-            compute_dtype=compute_dtype).reshape(b, t, h, hs).astype(jnp.float32)
-    g = qmm(xg.astype(compute_dtype), layer["time_mix_gate"],
-            compute_dtype=compute_dtype).astype(jnp.float32)
-    g = g * jax.nn.sigmoid(g)  # silu
+    def _proj(xi, name):
+        y = qmm(xi.astype(compute_dtype), layer[name],
+                compute_dtype=compute_dtype).astype(jnp.float32)
+        bias = layer.get(name + "_bias")
+        return y if bias is None else y + bias.astype(jnp.float32)
+
+    r = _proj(xr, "time_mix_receptance").reshape(b, t, h, hs)
+    k = _proj(xk, "time_mix_key")
+    v = _proj(xv, "time_mix_value")
+    if k.shape[-1] != c:  # GQA grouping (rwkv6qwen2): repeat kv heads
+        rep = c // k.shape[-1]
+        k = jnp.repeat(k.reshape(b, t, -1, hs), rep, axis=2)
+        v = jnp.repeat(v.reshape(b, t, -1, hs), rep, axis=2)
+    k = k.reshape(b, t, h, hs)
+    v = v.reshape(b, t, h, hs)
+    g = _proj(xg, "time_mix_gate")
+    if is_qrwkv:
+        g = jax.nn.sigmoid(g)
+    else:
+        g = g * jax.nn.sigmoid(g)  # silu
 
     # decay w_t = exp(-exp(decay + tanh(xw @ dw1) @ dw2))
     dd = jnp.tanh(xw @ layer["time_mix_decay_w1"].astype(jnp.float32))
@@ -124,15 +172,21 @@ def rwkv6_layer(x, layer: Params, cfg: LlamaConfig, state: RwkvState,
         (layer["time_mix_decay"].astype(jnp.float32) + dd)
     )).reshape(b, t, h, hs)
 
-    u = layer["time_mix_first"].astype(jnp.float32).reshape(h, hs)
-    y, s_new = _wkv6_scan(r, k, v, w, u, state.wkv[il].astype(jnp.float32))
-    y = y.reshape(b * t, h, hs)
-    # grouped LayerNorm per head (ggml_norm over each head, ln_x weights)
-    mu = y.mean(-1, keepdims=True)
-    var = y.var(-1, keepdims=True)
-    y = (y - mu) * jax.lax.rsqrt(var + 64e-5)
-    y = y.reshape(b, t, c) * layer["time_mix_ln"].astype(jnp.float32)
-    y = y + layer["time_mix_ln_bias"].astype(jnp.float32)
+    if is_qrwkv:
+        k = k * (1.0 - w)
+        y, s_new = _gla_scan(r, k, v, w, state.wkv[il].astype(jnp.float32),
+                             float(hs) ** -0.5)
+        y = y.reshape(b, t, c)
+    else:
+        u = layer["time_mix_first"].astype(jnp.float32).reshape(h, hs)
+        y, s_new = _wkv6_scan(r, k, v, w, u, state.wkv[il].astype(jnp.float32))
+        y = y.reshape(b * t, h, hs)
+        # grouped LayerNorm per head (ggml_norm over each head, ln_x weights)
+        mu = y.mean(-1, keepdims=True)
+        var = y.var(-1, keepdims=True)
+        y = (y - mu) * jax.lax.rsqrt(var + 64e-5)
+        y = y.reshape(b, t, c) * layer["time_mix_ln"].astype(jnp.float32)
+        y = y + layer["time_mix_ln_bias"].astype(jnp.float32)
     y = y * g
     att = qmm(y.astype(compute_dtype), layer["time_mix_output"],
               compute_dtype=compute_dtype)
@@ -143,7 +197,19 @@ def rwkv6_layer(x, layer: Params, cfg: LlamaConfig, state: RwkvState,
         state.wkv.at[il].set(s_new.astype(state.wkv.dtype)),
     )
 
-    # --- channel mix ---------------------------------------------------------
+    # --- channel mix / FFN --------------------------------------------------
+    if is_qrwkv:
+        # qwen2-style gated-SiLU dense FFN, no token shift
+        # (llm_build_rwkv6qwen2 build_ffn LLM_FFN_SILU/PAR)
+        xin2 = _norm(x, layer, "ffn_norm", cfg)
+        gt = qmm(xin2, layer["ffn_gate"], compute_dtype=compute_dtype)
+        up = qmm(xin2, layer["ffn_up"], compute_dtype=compute_dtype)
+        act = (jax.nn.silu(gt.astype(jnp.float32))
+               * up.astype(jnp.float32)).astype(compute_dtype)
+        down = qmm(act, layer["ffn_down"], compute_dtype=compute_dtype)
+        return x + down.astype(x.dtype), state
+
+    eps = cfg.rms_eps
     xin2 = layer_norm(x, layer["ffn_norm"], layer.get("ffn_norm_bias"), eps)
     prev2 = state.shift_ffn[il].astype(xin2.dtype)
     sx2 = (_shifted(xin2, prev2) - xin2).astype(jnp.float32)
@@ -181,8 +247,7 @@ def forward(params: Params, cfg: LlamaConfig, tokens: jax.Array,
                        params.get("token_embd_norm_bias"), cfg.rms_eps)
     for il, layer in enumerate(params["layers"]):
         x, state = rwkv6_layer(x, layer, cfg, state, il, compute_dtype)
-    x = layer_norm(x, params["output_norm"], params.get("output_norm_bias"),
-                   cfg.rms_eps)
+    x = _norm(x, params, "output_norm", cfg)
     out_w = params.get("output")
     if out_w is None:
         out_w = params["token_embd"]

@@ -524,22 +524,30 @@ def _decode_kernel_q4(
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        # [rep, CHUNK]: first half = even rows of the chunk, second = odd
-        s = jnp.concatenate(
-            [qk(klo) * kd[0:1], qk(khi) * kd[1:2]], axis=1)
+        # even/odd halves stay SEPARATE [rep, CH2] matrices end-to-end —
+        # the online softmax is order-invariant, and Mosaic cannot
+        # concatenate vectors whose sublane offsets differ (the kd[1:2]
+        # row-slice carries offset 1: "result/input offset mismatch")
+        s_lo = qk(klo) * kd[0:1]  # keys 2j
+        s_hi = qk(khi) * kd[1:2]  # keys 2j+1
         if softcap:
-            s = jnp.tanh(s / softcap) * softcap
-        lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        col = ci * chunk + jnp.where(lane < ch2, 2 * lane,
-                                     2 * (lane - ch2) + 1)
-        s = jnp.where((col < length) & (col >= start), s, NEG_INF)
+            s_lo = jnp.tanh(s_lo / softcap) * softcap
+            s_hi = jnp.tanh(s_hi / softcap) * softcap
+        lane = jax.lax.broadcasted_iota(jnp.int32, s_lo.shape, 1)
+        col_lo = ci * chunk + 2 * lane
+        col_hi = col_lo + 1
+        s_lo = jnp.where((col_lo < length) & (col_lo >= start), s_lo, NEG_INF)
+        s_hi = jnp.where((col_hi < length) & (col_hi >= start), s_hi, NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        m_new = jnp.maximum(
+            m, jnp.maximum(jnp.max(s_lo, axis=1, keepdims=True),
+                           jnp.max(s_hi, axis=1, keepdims=True)))
+        p_lo = jnp.exp(s_lo - m_new)
+        p_hi = jnp.exp(s_hi - m_new)
         alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        l = (l * alpha + jnp.sum(p_lo, axis=1, keepdims=True)
+             + jnp.sum(p_hi, axis=1, keepdims=True))
         vd = vd_buf[slot]  # [2, CH2]
-        pv = p * jnp.concatenate([vd[0:1], vd[1:2]], axis=1)
         vq = vq_buf[slot].astype(jnp.int32)
         vlo = ((vq & 15) - 8).astype(jnp.float32)
         vhi = ((vq >> 4) - 8).astype(jnp.float32)
@@ -551,7 +559,8 @@ def _decode_kernel_q4(
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        acc = acc * alpha + pvdot(pv[:, :ch2], vlo) + pvdot(pv[:, ch2:], vhi)
+        acc = (acc * alpha + pvdot(p_lo * vd[0:1], vlo)
+               + pvdot(p_hi * vd[1:2], vhi))
         return m_new, l, acc
 
     m0 = jnp.full((rep, 1), NEG_INF, jnp.float32)

@@ -527,7 +527,10 @@ def _kernel_experts(kind, nk, *refs):
     nx = len(_X_FIELDS[kind])
     vals = []
     for r in refs[1 : 1 + nx]:
-        vals.append(r[0] if r.ndim == 3 else r[...])  # xs [1,1,gt] → [1,gt]
+        # x fields carry singleton row axes so Mosaic's (8,128) block-dim
+        # rule only ever sees (1, lanes) == array dims:
+        # x* [S,1,K'] block [1,1,K'] → [1,K']; xs [S,nk,1,gt] → [1,gt]
+        vals.append(r[0, 0] if r.ndim == 4 else r[0])
     for r in refs[1 + nx : -2]:
         vals.append(r[0, 0] if r.ndim == 4 else r[0])  # drop expert axis
     vals[nx:] = [v.astype(F32) if v.dtype == BF16 else v for v in vals[nx:]]
@@ -535,7 +538,7 @@ def _kernel_experts(kind, nk, *refs):
 
     @pl.when(k_idx == nk - 1)
     def _():
-        out_ref[...] = acc[...]
+        out_ref[0] = acc[...]
 
 
 @functools.partial(
@@ -546,20 +549,28 @@ def _qmm_expert_call(sel, x_fields, w_fields, *, kind, n, k, tile_n, tile_k):
     nn, nk = n // tile_n, k // tile_k
     x_names = _X_FIELDS[kind]
 
+    # single-row (tile_b=1) blocks of 2-D arrays violate Mosaic's block-dim
+    # rule (last two dims must be (8,128)-divisible or equal to the array);
+    # fold the row index into a LEADING axis with singleton block dims so
+    # the trailing block dims always equal the array dims
     in_specs = []
+    xf = []
     for name, arr in zip(x_names, x_fields):
-        if name.startswith("xs"):  # [nk, S, gt]
+        if name.startswith("xs"):  # [nk, S, gt] → [S, nk, 1, gt]
+            xf.append(arr.transpose(1, 0, 2)[:, :, None, :])
             in_specs.append(pl.BlockSpec(
-                (1, 1, arr.shape[2]),
-                lambda si, ni, ki, sel_ref: (ki, si, 0),
+                (1, 1, 1, arr.shape[2]),
+                lambda si, ni, ki, sel_ref: (si, ki, 0, 0),
                 memory_space=pltpu.VMEM,
             ))
-        else:  # [S, K']
+        else:  # [S, K'] → [S, 1, K']
+            xf.append(arr[:, None, :])
             in_specs.append(pl.BlockSpec(
-                (1, tile_k // _X_DIV[name]),
-                lambda si, ni, ki, sel_ref: (si, ki),
+                (1, 1, tile_k // _X_DIV[name]),
+                lambda si, ni, ki, sel_ref: (si, 0, ki),
                 memory_space=pltpu.VMEM,
             ))
+    x_fields = tuple(xf)
     for arr in w_fields:
         if arr.ndim == 4:  # [E, nk, N, gt]
             in_specs.append(pl.BlockSpec(
@@ -580,16 +591,16 @@ def _qmm_expert_call(sel, x_fields, w_fields, *, kind, n, k, tile_n, tile_k):
         grid=(s, nn, nk),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, tile_n), lambda si, ni, ki, sel_ref: (si, ni)
+            (1, 1, tile_n), lambda si, ni, ki, sel_ref: (si, 0, ni)
         ),
         scratch_shapes=[pltpu.VMEM((1, tile_n), F32)],
     )
     bytes_per = sum(a.size * a.dtype.itemsize // a.shape[0] for a in w_fields)
-    return pl.pallas_call(
+    y = pl.pallas_call(
         functools.partial(_kernel_experts, kind, nk),
         grid_spec=grid_spec,
         interpret=_interpret_mode(),
-        out_shape=jax.ShapeDtypeStruct((s, n), F32),
+        out_shape=jax.ShapeDtypeStruct((s, 1, n), F32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -598,6 +609,7 @@ def _qmm_expert_call(sel, x_fields, w_fields, *, kind, n, k, tile_n, tile_k):
             transcendentals=0,
         ),
     )(sel.astype(jnp.int32), *x_fields, *w_fields)
+    return y.reshape(s, n)
 
 
 def qmm_expert_rows(x: jax.Array, kw: KernelWeights, sel: jax.Array,

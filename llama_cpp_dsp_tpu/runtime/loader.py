@@ -75,6 +75,8 @@ _LAYER_TENSORS = {
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
     "exp_probs_b.bias": "ffn_exp_probs_b",
+    # arctic residual-MoE branch norm (reference LLM_TENSOR_FFN_NORM_EXP)
+    "ffn_norm_exps.weight": "ffn_norm_exps",
     # deepseek2 MLA (reference LLM_ARCH_DEEPSEEK2 tensor table)
     "attn_q_a.weight": "attn_q_a",
     "attn_q_a_norm.weight": "attn_q_a_norm",
@@ -108,6 +110,10 @@ _LAYER_TENSORS = {
     "time_mix_key.weight": "time_mix_key",
     "time_mix_value.weight": "time_mix_value",
     "time_mix_receptance.weight": "time_mix_receptance",
+    # rwkv6qwen2 carries qwen2-style projection biases
+    "time_mix_key.bias": "time_mix_key_bias",
+    "time_mix_value.bias": "time_mix_value_bias",
+    "time_mix_receptance.bias": "time_mix_receptance_bias",
     "time_mix_gate.weight": "time_mix_gate",
     "time_mix_ln.weight": "time_mix_ln",
     "time_mix_ln.bias": "time_mix_ln_bias",
@@ -344,6 +350,23 @@ def load_model(path: str, *, with_tokenizer: bool = True) -> LoadedModel:
         log.warning("unmapped tensor %s", name)
 
     _split_fused(params, cfg, spec)
+
+    if spec.builder in ("rwkv6", "rwkv7"):
+        # GGUF stores the token-shift LoRA mats in ggml mul_mat orientation
+        # (reference Rwkv6Model/Rwkv7Model modify_tensors transpose them on
+        # conversion); the jax scan kernels consume x @ W, so flip at load
+        _rwkv_lora = ("time_mix_w1", "time_mix_w2", "time_mix_decay_w1",
+                      "time_mix_decay_w2", "time_mix_a1", "time_mix_a2",
+                      "time_mix_v1", "time_mix_v2", "time_mix_g1",
+                      "time_mix_g2")
+        for layer in params["layers"]:
+            for k in _rwkv_lora:
+                w = layer.get(k)
+                if isinstance(w, np.ndarray) and w.ndim == 2:
+                    layer[k] = np.ascontiguousarray(w.T)
+                elif isinstance(w, np.ndarray) and w.ndim == 3:
+                    # rwkv6 time_mix_w2 [5, C, r] → [5, r, C]
+                    layer[k] = np.ascontiguousarray(w.swapaxes(1, 2))
 
     if spec.builder == "decoder":
         # grok stores its post-sandwich norms under bert's tensor names

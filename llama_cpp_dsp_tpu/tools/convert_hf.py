@@ -93,6 +93,17 @@ _MODEL_TYPE_TO_ARCH = {
     "grok": "grok",
     "bitnet": "bitnet",
     "plm": "plm",
+    "deci": "deci",
+    "nemotron-nas": "deci",  # Llama-3_1-Nemotron-51B (block_configs)
+    "plamo": "plamo",
+    "arctic": "arctic",
+    "gpt_refact": "refact",
+    "nomic_bert": "nomic-bert",
+    "jina_bert_v2": "jina-bert-v2",
+    "rwkv6": "rwkv6",
+    "rwkv6qwen2": "rwkv6qwen2",
+    "rwkv7": "rwkv7",
+    "rwkv_hybrid": "arwkv7",
 }
 
 # HF architectures[0] overrides for repos whose model_type is generic
@@ -105,6 +116,18 @@ _ARCH_CLS_TO_MODEL_TYPE = {
     "ChatGLMModel": "chatglm",
     "ChatGLMForConditionalGeneration": "chatglm",
     "PLMForCausalLM": "plm",
+    "DeciLMForCausalLM": "deci",
+    "PlamoForCausalLM": "plamo",
+    "ArcticForCausalLM": "arctic",
+    "GPTRefactForCausalLM": "gpt_refact",
+    "NomicBertModel": "nomic_bert",
+    "JinaBertModel": "jina_bert_v2",
+    "JinaBertForMaskedLM": "jina_bert_v2",
+    "Rwkv6ForCausalLM": "rwkv6",
+    "RWKV6Qwen2ForCausalLM": "rwkv6qwen2",
+    "Rwkv7ForCausalLM": "rwkv7",
+    "RWKV7ForCausalLM": "rwkv7",
+    "RwkvHybridForCausalLM": "rwkv_hybrid",
 }
 
 # model_types whose BERT-style position embeddings start at pad_token_id+1
@@ -188,7 +211,7 @@ _BERT_LAYER = {
 }
 
 
-def _map_bert_name(name: str) -> str | None:
+def _map_bert_name(name: str, extra: dict | None = None) -> str | None:
     name = name.removeprefix("bert.")  # BertForSequenceClassification root
     if name in _BERT_GLOBAL:
         return _BERT_GLOBAL[name]
@@ -196,6 +219,8 @@ def _map_bert_name(name: str) -> str | None:
         rest = name[len("encoder.layer."):]
         idx, _, suffix = rest.partition(".")
         mapped = _BERT_LAYER.get(suffix)
+        if mapped is None and extra is not None:
+            mapped = extra.get(suffix)
         return f"blk.{idx}.{mapped}" if mapped else None
     return None
 
@@ -276,6 +301,8 @@ _LAYER_MAP = {
     # glm4 post-norms
     "post_self_attn_layernorm.weight": "attn_post_norm.weight",
     "post_mlp_layernorm.weight": "post_ffw_norm.weight",
+    # refact (transformer.h.N.): plain q; kv/gate_up split in convert()
+    "attn.q.weight": "attn_q.weight",
     "ln_1.weight": "attn_norm.weight",
     "ln_1.bias": "attn_norm.bias",
     "ln_2.weight": "ffn_norm.weight",
@@ -311,6 +338,92 @@ _OPENELM_LAYER_MAP = {
     "ffn.proj_2.weight": "ffn_down.weight",
 }
 
+_ARCTIC_LAYER_MAP = {
+    **_LAYER_MAP,
+    # reference arch_block_mappings_cfg MODEL_ARCH.ARCTIC: the dense
+    # (residual) FFN norm is residual_layernorm → FFN_NORM, and
+    # post_attention_layernorm is the MoE branch norm → FFN_NORM_EXP
+    "residual_layernorm.weight": "ffn_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm_exps.weight",
+    "residual_mlp.w1.weight": "ffn_gate.weight",
+    "residual_mlp.w3.weight": "ffn_up.weight",
+    "residual_mlp.w2.weight": "ffn_down.weight",
+}
+
+_NOMIC_LAYER_MAP = {
+    # encoder.layers.{bid}.* (reference tensor_mapping.py nomic-bert rows)
+    "attn.Wqkv.weight": "attn_qkv.weight",
+    "attn.Wqkv.bias": "attn_qkv.bias",
+    "attn.out_proj.weight": "attn_output.weight",
+    "attn.out_proj.bias": "attn_output.bias",
+    "norm1.weight": "attn_output_norm.weight",
+    "norm1.bias": "attn_output_norm.bias",
+    "norm2.weight": "layer_output_norm.weight",
+    "norm2.bias": "layer_output_norm.bias",
+    "mlp.fc11.weight": "ffn_up.weight",
+    "mlp.fc12.weight": "ffn_gate.weight",
+    "mlp.fc2.weight": "ffn_down.weight",
+}
+
+# jina-bert-v2 additions to the BERT per-layer table (post-split names)
+_JINA_LAYER_EXTRA = {
+    "mlp.gated_layers_w.weight": "ffn_gate.weight",
+    "mlp.gated_layers_v.weight": "ffn_up.weight",
+    "mlp.wo.weight": "ffn_down.weight",
+    "mlp.wo.bias": "ffn_down.bias",
+    "mlp.down_layer.weight": "ffn_down.weight",
+    "mlp.layernorm.weight": "layer_output_norm.weight",
+    "mlp.layernorm.bias": "layer_output_norm.bias",
+    "attention.self.layer_norm_q.weight": "attn_q_norm.weight",
+    "attention.self.layer_norm_q.bias": "attn_q_norm.bias",
+    "attention.self.layer_norm_k.weight": "attn_k_norm.weight",
+    "attention.self.layer_norm_k.bias": "attn_k_norm.bias",
+    # jina-v2-code extra norms
+    "layer_norm_1.weight": "attn_norm_2.weight",
+    "layer_norm_1.bias": "attn_norm_2.bias",
+    "layer_norm_2.weight": "layer_output_norm.weight",
+    "layer_norm_2.bias": "layer_output_norm.bias",
+}
+
+# rwkv6 per-block attention/feed_forward sub-maps (reference
+# tensor_mapping.py rwkv6 rows; GGUF names per LLM_ARCH_RWKV6)
+_RWKV6_ATT = {
+    "time_maa_x": "time_mix_lerp_x", "time_maa_w": "time_mix_lerp_w",
+    "time_maa_k": "time_mix_lerp_k", "time_maa_v": "time_mix_lerp_v",
+    "time_maa_r": "time_mix_lerp_r", "time_maa_g": "time_mix_lerp_g",
+    "time_maa_w1": "time_mix_w1", "time_maa_w2": "time_mix_w2",
+    "time_faaaa": "time_mix_first", "time_decay": "time_mix_decay",
+    "time_decay_w1": "time_mix_decay_w1",
+    "time_decay_w2": "time_mix_decay_w2",
+    "key": "time_mix_key", "value": "time_mix_value",
+    "receptance": "time_mix_receptance", "gate": "time_mix_gate",
+    "ln_x": "time_mix_ln", "output": "time_mix_output",
+    # rwkv6qwen2 projection spellings
+    "k_proj": "time_mix_key", "v_proj": "time_mix_value",
+    "q_proj": "time_mix_receptance", "o_proj": "time_mix_output",
+}
+_RWKV6_FFN = {
+    "time_maa_k": "channel_mix_lerp_k", "time_maa_r": "channel_mix_lerp_r",
+    "key": "channel_mix_key", "receptance": "channel_mix_receptance",
+    "value": "channel_mix_value",
+}
+_RWKV7_ATT = {
+    "w0": "time_mix_w0", "w1": "time_mix_w1", "w2": "time_mix_w2",
+    "a0": "time_mix_a0", "a1": "time_mix_a1", "a2": "time_mix_a2",
+    "v0": "time_mix_v0", "v1": "time_mix_v1", "v2": "time_mix_v2",
+    "g1": "time_mix_g1", "g2": "time_mix_g2",
+    "k_k": "time_mix_k_k", "k_a": "time_mix_k_a", "r_k": "time_mix_r_k",
+    "key": "time_mix_key", "k_proj": "time_mix_key",
+    "value": "time_mix_value", "v_proj": "time_mix_value",
+    "receptance": "time_mix_receptance", "r_proj": "time_mix_receptance",
+    "output": "time_mix_output", "o_proj": "time_mix_output",
+    "ln_x": "time_mix_ln", "g_norm": "time_mix_ln",
+}
+_RWKV7_FFN = {
+    "x_k": "channel_mix_lerp_k",
+    "key": "channel_mix_key", "value": "channel_mix_value",
+}
+
 _CHATGLM_LAYER_MAP = {
     "input_layernorm.weight": "attn_norm.weight",
     "self_attention.query_key_value.weight": "attn_qkv.weight",
@@ -343,6 +456,14 @@ _GLOBAL_MAP = {
     # openelm
     "transformer.token_embeddings.weight": "token_embd.weight",
     "transformer.norm.weight": "output_norm.weight",
+    # refact/bloom root-level final norm
+    "ln_f.weight": "output_norm.weight",
+    "ln_f.bias": "output_norm.bias",
+    # nomic-bert
+    "embeddings.word_embeddings.weight": "token_embd.weight",
+    "embeddings.token_type_embeddings.weight": "token_types.weight",
+    "emb_ln.weight": "token_embd_norm.weight",
+    "emb_ln.bias": "token_embd_norm.bias",
 }
 
 _QUANT_TYPES = {
@@ -388,7 +509,8 @@ def _iter_hf_tensors(hf_dir: Path):
 def _map_name(name: str, layer_map: dict) -> str | None:
     if name in _GLOBAL_MAP:
         return _GLOBAL_MAP[name]
-    for prefix in ("model.layers.", "transformer.h.", "backbone.layers.",
+    for prefix in ("model.layers.layers.",  # plamo (nested list)
+                   "model.layers.", "transformer.h.", "backbone.layers.",
                    "transformer.layers.", "transformer.decoder_layer.",
                    "encoder.layers."):
         if name.startswith(prefix):
@@ -430,6 +552,28 @@ def _map_name(name: str, layer_map: dict) -> str | None:
                     return f"blk.{idx}.{ggn}"
             return None
     return None
+
+
+def _deci_block_configs(cfg: dict):
+    """Nemotron-51B block_configs → per-layer (heads, kv_heads, ffn) arrays
+    (reference DeciModel.__init__: n_heads_in_group None + replace_with_linear
+    → linear-attention layer (kv=0, h=nh); both None/False → attention-free
+    (h=kv=0); else kv = nh // n_heads_in_group)."""
+    nh = cfg["num_attention_heads"]
+    c = cfg["hidden_size"]
+    heads, kv_heads, ffs = [], [], []
+    for bc in cfg["block_configs"]:
+        grp = bc["attention"].get("n_heads_in_group")
+        if grp is None:
+            kv_heads.append(0)
+            heads.append(nh if bc["attention"].get("replace_with_linear")
+                         else 0)
+        else:
+            kv_heads.append(nh // grp)
+            heads.append(nh)
+        ff = int(2 * bc["ffn"]["ffn_mult"] * c / 3)
+        ffs.append(ff if ff % 256 == 0 else ff + 256 - ff % 256)
+    return heads, kv_heads, ffs
 
 
 def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
@@ -516,6 +660,152 @@ def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
         w.add_uint32(f"{arch}.vocab_size",
                      g("padded_vocab_size", "vocab_size", default=0))
         return
+    if arch == "refact":
+        # reference RefactModel.set_gguf_parameters: ff dim recomputed from
+        # n_embd (2/3·4·C rounded up to 256), MQA (kv=1), ALiBi positions
+        c = g("n_embd")
+        ff = 256 * ((int(2 * (4 * c) / 3) + 255) // 256)
+        w.add_uint32(f"{arch}.block_count", g("n_layer"))
+        w.add_uint32(f"{arch}.context_length", g("n_positions", default=4096))
+        w.add_uint32(f"{arch}.embedding_length", c)
+        w.add_uint32(f"{arch}.feed_forward_length", ff)
+        w.add_uint32(f"{arch}.attention.head_count", g("n_head"))
+        w.add_uint32(f"{arch}.attention.head_count_kv", 1)
+        w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon",
+                      g("layer_norm_epsilon", default=1e-6))
+        w.add_uint32(f"{arch}.vocab_size", g("vocab_size", default=0))
+        return
+    if arch == "nomic-bert":
+        # GPT2-style config keys; RoPE (rotary_emb_base) instead of learned
+        # positions; HF claims n_ctx=8192 via scaling — reference pins 2048
+        c = g("n_embd", "hidden_size")
+        h = g("n_head", "num_attention_heads")
+        w.add_uint32(f"{arch}.block_count", g("n_layer", "num_hidden_layers"))
+        w.add_uint32(f"{arch}.context_length", 2048)
+        w.add_uint32(f"{arch}.embedding_length", c)
+        w.add_uint32(f"{arch}.feed_forward_length",
+                     g("n_inner", "intermediate_size", default=4 * c))
+        w.add_uint32(f"{arch}.attention.head_count", h)
+        w.add_uint32(f"{arch}.attention.head_count_kv", h)
+        w.add_float32(f"{arch}.attention.layer_norm_epsilon",
+                      g("layer_norm_epsilon", default=1e-12))
+        w.add_float32(f"{arch}.rope.freq_base",
+                      g("rotary_emb_base", default=1000.0))
+        w.add_uint32(f"{arch}.vocab_size", g("vocab_size", default=0))
+        return
+    if arch in ("rwkv6", "rwkv6qwen2"):
+        c = g("hidden_size")
+        n_head = g("num_attention_heads", default=0)
+        head_size = g("head_size", default=c // n_head if n_head else 64)
+        ff = g("intermediate_size") or int((c * 3.5) // 32 * 32)
+        w.add_uint32(f"{arch}.block_count", g("num_hidden_layers"))
+        w.add_uint32(f"{arch}.context_length", 1048576)  # not ctx limited
+        w.add_uint32(f"{arch}.embedding_length", c)
+        w.add_uint32(f"{arch}.feed_forward_length", ff)
+        w.add_uint32(f"{arch}.wkv.head_size", head_size)
+        w.add_uint32(f"{arch}.time_mix_extra_dim",
+                     g("lora_rank_tokenshift",
+                       default=64 if c >= 4096 else 32))
+        w.add_uint32(f"{arch}.time_decay_extra_dim",
+                     g("lora_rank_decay", default=128 if c >= 4096 else 64))
+        w.add_uint32(f"{arch}.attention.head_count", 0)
+        if arch == "rwkv6":
+            w.add_float32(f"{arch}.attention.layer_norm_epsilon",
+                          g("layer_norm_epsilon", default=1e-5))
+            w.add_uint32(f"{arch}.rescale_every_n_layers",
+                         g("rescale_every", default=0))
+        else:  # rwkv6qwen2: GQA-style kv grouping + RMS norms
+            w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon",
+                          g("rms_norm_eps", default=1e-6))
+            w.add_uint32(f"{arch}.token_shift_count", 1)
+            w.add_uint32(f"{arch}.attention.head_count_kv",
+                         g("num_key_value_heads", default=0))
+        w.add_uint32(f"{arch}.vocab_size", g("vocab_size", default=0))
+        return
+    if arch in ("rwkv7", "arwkv7"):
+        c = g("hidden_size")
+        head_size = g("head_size", "head_dim", default=64)
+
+        def _lora(exp, mult):
+            return max(1, round(c ** exp * mult / 32)) * 32
+
+        w.add_uint32(f"{arch}.block_count", g("num_hidden_layers"))
+        w.add_uint32(f"{arch}.context_length", 1048576)
+        w.add_uint32(f"{arch}.embedding_length", c)
+        w.add_uint32(f"{arch}.feed_forward_length",
+                     g("intermediate_size") or 4 * c)
+        w.add_uint32(f"{arch}.wkv.head_size", head_size)
+        if arch == "rwkv7":
+            w.add_float32(f"{arch}.attention.layer_norm_epsilon",
+                          g("layer_norm_epsilon", "norm_eps", default=1e-5))
+            w.add_uint32(f"{arch}.attention.decay_lora_rank",
+                         g("lora_rank_decay", "decay_low_rank_dim")
+                         or _lora(0.5, 1.8))
+            w.add_uint32(f"{arch}.attention.iclr_lora_rank",
+                         g("lora_rank_iclr", "a_low_rank_dim")
+                         or _lora(0.5, 1.8))
+            w.add_uint32(f"{arch}.attention.value_residual_mix_lora_rank",
+                         g("lora_rank_value_residual_mix", "v_low_rank_dim")
+                         or _lora(0.5, 1.3))
+            w.add_uint32(f"{arch}.attention.gate_lora_rank",
+                         g("lora_rank_gate", "gate_low_rank_dim")
+                         or _lora(0.8, 0.6))
+        else:  # arwkv7: qwen-like wrapper (reference ARwkv7Model)
+            gate = bool(g("wkv_has_gate", default=True))
+            w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon",
+                          g("rms_norm_eps", default=1e-6))
+            w.add_uint32(f"{arch}.attention.decay_lora_rank", 64)
+            w.add_uint32(f"{arch}.attention.iclr_lora_rank", 64)
+            w.add_uint32(f"{arch}.attention.value_residual_mix_lora_rank", 32)
+            w.add_uint32(f"{arch}.attention.gate_lora_rank",
+                         128 if gate else 0)
+            w.add_uint32(f"{arch}.token_shift_count", 1)
+        w.add_uint32(f"{arch}.attention.head_count", 0)
+        w.add_uint32(f"{arch}.vocab_size", g("vocab_size", default=0))
+        return
+    if arch == "deci" and (g("block_configs") is not None
+                           or g("num_key_value_heads_per_layer") is not None):
+        # Nemotron-51B block_configs / DeciLM-7B per-layer kv heads
+        # (reference DeciModel.__init__/set_gguf_parameters)
+        c = g("hidden_size")
+        nh = g("num_attention_heads")
+        w.add_uint32(f"{arch}.block_count", g("num_hidden_layers"))
+        w.add_uint32(f"{arch}.context_length",
+                     g("max_position_embeddings", default=2048))
+        w.add_uint32(f"{arch}.embedding_length", c)
+        if g("block_configs") is not None:
+            heads, kv_heads, ffs = _deci_block_configs(cfg)
+            w.add_kv(f"{arch}.attention.head_count", heads, None,
+                     GGUFValueType.UINT32)
+            w.add_kv(f"{arch}.attention.head_count_kv", kv_heads, None,
+                     GGUFValueType.UINT32)
+            w.add_kv(f"{arch}.feed_forward_length", ffs, None,
+                     GGUFValueType.UINT32)
+        else:
+            w.add_uint32(f"{arch}.attention.head_count", nh)
+            w.add_kv(f"{arch}.attention.head_count_kv",
+                     [int(x) for x in g("num_key_value_heads_per_layer")],
+                     None, GGUFValueType.UINT32)
+            w.add_uint32(f"{arch}.feed_forward_length", g("intermediate_size"))
+        w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon",
+                      g("rms_norm_eps", default=1e-5))
+        w.add_uint32(f"{arch}.attention.key_length", c // nh)
+        w.add_uint32(f"{arch}.attention.value_length", c // nh)
+        w.add_uint32(f"{arch}.rope.dimension_count",
+                     g("head_dim", default=c // nh))
+        if g("rope_theta") is not None:
+            w.add_float32(f"{arch}.rope.freq_base", g("rope_theta"))
+        w.add_uint32(f"{arch}.vocab_size", g("vocab_size", default=0))
+        return
+    if arch == "plamo":
+        # config's num_key_value_heads is wrong for plamo-13b — the
+        # reference pins kv=5 (PlamoModel.set_gguf_parameters)
+        cfg = {**cfg, "num_key_value_heads": 5 if g("hidden_size") == 5120
+               else g("num_key_value_heads", default=g("num_attention_heads")),
+               "max_position_embeddings": g("max_position_embeddings",
+                                            default=4096)}
+        g = lambda *keys, default=None: next(  # noqa: E731
+            (cfg[k] for k in keys if k in cfg), default)
     w.add_uint32(f"{arch}.block_count", g("num_hidden_layers", "n_layer"))
     w.add_uint32(f"{arch}.context_length",
                  g("max_position_embeddings", "n_positions", default=2048))
@@ -638,6 +928,183 @@ def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
                      g("interleave_moe_layer_step", default=1))
 
 
+def _rwkv6_tensors(name: str, arr: np.ndarray, cfg: dict):
+    """HF rwkv6 (rwkv.blocks.N.*) / rwkv6qwen2 (model.layers.N.self_attn.*)
+    → GGUF tensors with the reference's transforms (Rwkv6Model
+    modify_tensors): LoRA mats transposed to mul_mat orientation, lerps and
+    decay squeezed, output/value rescaled by 2^(bid//rescale_every)."""
+    glob = {"rwkv.embeddings.weight": "token_embd.weight",
+            "model.embed_tokens.weight": "token_embd.weight",
+            "rwkv.blocks.0.pre_ln.weight": "token_embd_norm.weight",
+            "rwkv.blocks.0.pre_ln.bias": "token_embd_norm.bias",
+            "rwkv.ln_out.weight": "output_norm.weight",
+            "rwkv.ln_out.bias": "output_norm.bias",
+            "model.norm.weight": "output_norm.weight",
+            "head.weight": "output.weight",
+            "lm_head.weight": "output.weight"}
+    if name in glob:
+        return [(glob[name], arr)]
+    m = re.match(r"(?:rwkv\.blocks|model\.layers)\.(\d+)\.(.*)", name)
+    if not m:
+        return []
+    bid, rest = int(m.group(1)), m.group(2)
+    out = None
+    for hf, gg in (("ln1", "attn_norm"), ("ln2", "attn_norm_2"),
+                   ("input_layernorm", "attn_norm"),
+                   ("post_attention_layernorm", "ffn_norm")):
+        for p in (".weight", ".bias"):
+            if rest == hf + p:
+                out = gg + p
+    if out is None and rest.startswith(("attention.", "self_attn.")):
+        sub, _, suffix = rest.partition(".")[2].rpartition(".")
+        if not sub:  # bare param (e.g. attention.time_maa_w1)
+            sub, suffix = suffix, "weight"
+        mapped = _RWKV6_ATT.get(sub)
+        if mapped is None:
+            return []
+        if cfg.get("model_type") == "rwkv6qwen2" and mapped in (
+                "time_mix_w1", "time_mix_w2"):
+            # rwkv6qwen2 checkpoints order the 5 lerp groups r,k,v,w,g;
+            # GGUF expects w,k,v,r,g (reference RWKV6Qwen2Model permute)
+            order = [3, 1, 2, 0, 4]
+            if mapped == "time_mix_w1":  # [C, 5r]
+                arr = arr.reshape(arr.shape[0], 5, -1)[:, order, :].reshape(
+                    arr.shape[0], -1)
+            else:  # [5, r, C]
+                arr = arr[order]
+        if mapped in ("time_mix_w1", "time_mix_decay_w1",
+                      "time_mix_decay_w2") and arr.ndim == 2:
+            arr = arr.T
+        elif mapped == "time_mix_w2" and arr.ndim == 3:
+            arr = arr.transpose(0, 2, 1)
+        elif mapped.startswith("time_mix_lerp_") or mapped == "time_mix_decay":
+            arr = arr.squeeze()
+        rescale = cfg.get("rescale_every", 0)
+        if rescale and mapped == "time_mix_output":
+            arr = arr / (2 ** (bid // rescale))
+        out = mapped + ("." + suffix if suffix == "bias" else ".weight")
+    elif out is None and rest.startswith("feed_forward."):
+        sub, _, suffix = rest.partition(".")[2].rpartition(".")
+        if not sub:  # bare param (e.g. feed_forward.time_maa_k)
+            sub, suffix = suffix, "weight"
+        mapped = _RWKV6_FFN.get(sub)
+        if mapped is None:
+            # rwkv6qwen2 qwen-style mlp.* rides the shared decoder map
+            mapped = {"gate_proj": "ffn_gate", "up_proj": "ffn_up",
+                      "down_proj": "ffn_down"}.get(sub)
+            if mapped is None:
+                return []
+        if mapped.startswith("channel_mix_lerp_"):
+            arr = arr.squeeze()
+        rescale = cfg.get("rescale_every", 0)
+        if rescale and mapped == "channel_mix_value":
+            arr = arr / (2 ** (bid // rescale))
+        out = mapped + ".weight"
+    elif out is None and rest.startswith("mlp."):
+        sub = rest.partition(".")[2].rpartition(".")[0]
+        mapped = {"gate_proj": "ffn_gate", "up_proj": "ffn_up",
+                  "down_proj": "ffn_down"}.get(sub)
+        if mapped is None:
+            return []
+        out = mapped + ".weight"
+    if out is None:
+        return []
+    return [(f"blk.{bid}.{out}", arr)]
+
+
+def _rwkv7_tensors(name: str, arr: np.ndarray, cfg: dict, lerp_stash: dict):
+    """HF rwkv7 / arwkv7 → GGUF (reference Rwkv7Model modify_tensors): name
+    unification (blocks→layers, attn/self_attn→attention, time_mixer
+    stripped, fla-hub lora renames), LoRA transposes, x_* lerps fused into
+    time_mix_lerp_fused [n,1,1,C], layer-0 dummy v0/v1/v2 from a0/a1/a2."""
+    name = (name.replace("blocks", "layers").replace("ffn", "feed_forward")
+            .replace("self_attn", "attention").replace("attn", "attention")
+            .replace("time_mixer.", ""))
+    lora_pre_t = "_lora.lora" in name  # fla-hub stores pre-transposed
+    name = (name.replace("_lora.lora.0.weight", "1.weight")
+            .replace("_lora.lora.2.weight", "2.weight")
+            .replace("_lora.lora.2.bias", "0.weight")
+            .replace("feed_forward_norm", "ln2").replace("g_norm", "ln_x"))
+    glob = {"model.embeddings.weight": "token_embd.weight",
+            "model.embed_tokens.weight": "token_embd.weight",
+            "model.pre_ln.weight": "token_embd_norm.weight",
+            "model.pre_ln.bias": "token_embd_norm.bias",
+            "model.ln_out.weight": "output_norm.weight",
+            "model.ln_out.bias": "output_norm.bias",
+            "model.norm.weight": "output_norm.weight",
+            "head.weight": "output.weight",
+            "lm_head.weight": "output.weight"}
+    if name in glob:
+        return [(glob[name], arr)]
+    if name in ("model.layers.0.pre_norm.weight",
+                "model.layers.0.pre_norm.bias"):
+        return [("token_embd_norm." + name.rsplit(".", 1)[1], arr)]
+    m = re.match(r"model\.layers\.(\d+)\.(.*)", name)
+    if not m:
+        return []
+    bid, rest = int(m.group(1)), m.group(2)
+    gate = bool(cfg.get("wkv_has_gate", True))
+    lerp_list = ["r", "w", "k", "v", "a", "g"] if gate else ["r", "w", "k", "v", "a"]
+    if rest.startswith("attention.x_"):
+        sub = rest[len("attention.x_"):].removesuffix(".weight")
+        if sub == "x":  # already fused
+            return [(f"blk.{bid}.time_mix_lerp_fused.weight",
+                     arr.reshape(len(lerp_list), 1, 1, -1))]
+        lerp_stash.setdefault(bid, {})[sub] = arr
+        if all(i in lerp_stash[bid] for i in lerp_list):
+            fused = np.stack([lerp_stash[bid][i].reshape(1, 1, -1)
+                              for i in lerp_list])
+            return [(f"blk.{bid}.time_mix_lerp_fused.weight", fused)]
+        return []
+    out = None
+    for hf, gg in (("ln1", "attn_norm"), ("ln2", "attn_norm_2"),
+                   ("input_layernorm", "attn_norm"),
+                   ("post_attention_layernorm", "ffn_norm")):
+        for p in (".weight", ".bias"):
+            if rest == hf + p:
+                out = gg + p
+    results = []
+    if out is None and rest.startswith("attention."):
+        sub, _, suffix = rest.partition(".")[2].rpartition(".")
+        if not sub:  # bare param like attention.r_k
+            sub, suffix = suffix, "weight"
+        mapped = _RWKV7_ATT.get(sub)
+        if mapped is None:
+            return []
+        arr = arr.squeeze()
+        if (not lora_pre_t and arr.ndim == 2 and mapped in (
+                "time_mix_w1", "time_mix_w2", "time_mix_a1", "time_mix_a2",
+                "time_mix_v1", "time_mix_v2", "time_mix_g1", "time_mix_g2")):
+            arr = arr.T
+        if mapped == "time_mix_r_k":
+            arr = arr.reshape(-1)
+        if bid == 0 and mapped in ("time_mix_a0", "time_mix_a1",
+                                   "time_mix_a2"):
+            # dummy v0/v1/v2 on the first layer (reference Rwkv7Model)
+            results.append((f"blk.{bid}.{mapped.replace('_a', '_v')}.weight",
+                            arr))
+        if bid == 0 and mapped in ("time_mix_v0", "time_mix_v1",
+                                   "time_mix_v2"):
+            return []  # drop real (unused) first-layer v-residual tensors
+        out = mapped + ("." + suffix if suffix == "bias" else ".weight")
+    elif out is None and rest.startswith(("feed_forward.", "mlp.")):
+        sub, _, suffix = rest.partition(".")[2].rpartition(".")
+        if not sub:  # bare param (feed_forward.x_k)
+            sub, suffix = suffix, "weight"
+        mapped = _RWKV7_FFN.get(sub) or {
+            "gate_proj": "ffn_gate", "up_proj": "ffn_up",
+            "down_proj": "ffn_down"}.get(sub)
+        if mapped is None:
+            return []
+        if mapped == "channel_mix_lerp_k":
+            arr = arr.squeeze()
+        out = mapped + ".weight"
+    if out is None:
+        return []
+    results.append((f"blk.{bid}.{out}", arr))
+    return results
+
+
 def _write_wordpiece(w: GGUFWriter, tj: dict, model: dict) -> None:
     """BERT WordPiece → tokenizer.ggml.model 'bert' (WPM — reference
     llama_vocab WPM path)."""
@@ -692,8 +1159,38 @@ def _write_unigram(w: GGUFWriter, tj: dict, model: dict) -> None:
             w.add_uint32(key, t2i[name])
 
 
+def _write_rwkv_world(w: GGUFWriter, path: Path, vocab_size: int) -> None:
+    """rwkv_vocab_v20230424.txt → tokenizer.ggml.model 'rwkv' (reference
+    _set_vocab_rwkv_world): line format `<id> <repr> <len>`; token 0 is
+    <s>, tail padded to vocab_size."""
+    import ast
+
+    tokens = ["<s>"]
+    types = [3]  # CONTROL
+    for line in path.read_text(encoding="utf-8").splitlines():
+        parts = line.split(" ")
+        tok = ast.literal_eval(" ".join(parts[1:-1]))
+        tok = tok.encode("utf-8") if isinstance(tok, str) else bytes(tok)
+        tokens.append(repr(tok)[2:-1])  # b'\xff' → \xff (byte-escape text)
+        types.append(1)
+    for i in range(len(tokens), vocab_size):
+        tokens.append(f"[PAD{i}]")
+        types.append(5)
+    w.add_string(Keys.Tokenizer.MODEL, "rwkv")
+    w.add_kv(Keys.Tokenizer.LIST, tokens)
+    w.add_kv(Keys.Tokenizer.TOKEN_TYPE, types)
+    w.add_uint32(Keys.Tokenizer.BOS_ID, 0)
+    w.add_uint32(Keys.Tokenizer.EOS_ID, 0)
+
+
 def _write_tokenizer(w: GGUFWriter, hf_dir: Path) -> None:
     tok_json = hf_dir / "tokenizer.json"
+    world = hf_dir / "rwkv_vocab_v20230424.txt"
+    if world.exists():
+        cfg_p = hf_dir / "config.json"
+        vs = json.loads(cfg_p.read_text()).get("vocab_size", 65536)
+        _write_rwkv_world(w, world, vs)
+        return
     if not tok_json.exists():
         log.warning("no tokenizer.json — writing GGUF without tokenizer")
         return
@@ -808,7 +1305,19 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
     gemma_norm = arch.startswith("gemma") or arch == "nemotron"
     layer_map = {"gemma2": _GEMMA2_LAYER_MAP, "gemma3": _GEMMA2_LAYER_MAP,
                  "grok": _GROK_LAYER_MAP, "openelm": _OPENELM_LAYER_MAP,
-                 "chatglm": _CHATGLM_LAYER_MAP}.get(arch, _LAYER_MAP)
+                 "chatglm": _CHATGLM_LAYER_MAP, "arctic": _ARCTIC_LAYER_MAP,
+                 "nomic-bert": _NOMIC_LAYER_MAP}.get(arch, _LAYER_MAP)
+    # deci per-layer kv-head counts drive the per-layer k permutation
+    kv_per_layer = None
+    if arch == "deci":
+        if cfg.get("block_configs") is not None:
+            _h, _kv, _ = _deci_block_configs(cfg)
+            kv_per_layer = _kv
+        elif cfg.get("num_key_value_heads_per_layer") is not None:
+            kv_per_layer = [int(x) for x in cfg["num_key_value_heads_per_layer"]]
+    if arch == "plamo" and cfg.get("hidden_size") == 5120:
+        n_kv = 5  # reference PlamoModel: config's kv count is wrong
+    rwkv_lerp_stash: dict[int, dict[str, np.ndarray]] = {}
 
     n_layers = cfg.get("num_hidden_layers",
                        cfg.get("n_layer",
@@ -841,6 +1350,61 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
         arr = np.asarray(arr)
         if arr.dtype != np.float32:
             arr = arr.astype(np.float32)
+        if arch in ("rwkv6", "rwkv6qwen2"):
+            for nm, a in _rwkv6_tensors(hf_name, arr, cfg):
+                _emit(w, nm, a, qtype)
+                n_written += 1
+            continue
+        if arch in ("rwkv7", "arwkv7"):
+            for nm, a in _rwkv7_tensors(hf_name, arr, cfg, rwkv_lerp_stash):
+                _emit(w, nm, a, qtype)
+                n_written += 1
+            continue
+        if arch == "refact" and hf_name.endswith(".attn.kv.weight"):
+            # MQA fused kv [2*hd, C] → k|v (reference RefactModel
+            # modify_tensors; n_head_kv = 1)
+            il = hf_name.split("transformer.h.")[1].split(".")[0]
+            hd = arr.shape[0] // 2
+            _emit(w, f"blk.{il}.attn_k.weight", arr[:hd], qtype)
+            _emit(w, f"blk.{il}.attn_v.weight", arr[hd:], qtype)
+            n_written += 2
+            continue
+        if arch == "refact" and hf_name.endswith(".mlp.gate_up_proj.weight"):
+            il = hf_name.split("transformer.h.")[1].split(".")[0]
+            c = cfg["n_embd"]
+            ff = 256 * ((int(2 * (4 * c) / 3) + 255) // 256)
+            _emit(w, f"blk.{il}.ffn_gate.weight", arr[:ff], qtype)
+            _emit(w, f"blk.{il}.ffn_up.weight", arr[ff:], qtype)
+            n_written += 2
+            continue
+        if arch == "plamo" and hf_name.endswith((".self_attn.q_proj.weight",
+                                                 ".self_attn.o_proj.weight")):
+            # plamo GQA head shuffle (reference PlamoModel
+            # shuffle_attn_q_weight/shuffle_attn_output_weight, generalized
+            # from the 13B's (8,5,128) grouping to rep × kv × head_dim)
+            c = arr.shape[0]
+            hd = cfg["hidden_size"] // n_head
+            rep = n_head // n_kv
+            if hf_name.endswith("q_proj.weight"):
+                arr = (arr.reshape(rep, n_kv, hd, -1).transpose(1, 0, 2, 3)
+                       .reshape(c, -1))
+            else:
+                arr = (arr.reshape(c, rep, n_kv, hd).transpose(0, 2, 1, 3)
+                       .reshape(c, -1))
+        if arch == "jina-bert-v2" and "gated_layer" in hf_name:
+            # fused gate|up rows (reference JinaBertV2Model.get_tensors:
+            # gated_layers → w|v halves; up_gated_layer is v|w)
+            hf_name = hf_name.removeprefix("bert.")
+            ff = cfg["intermediate_size"]
+            if "up_gated_layer" in hf_name:
+                v, g = arr[:ff], arr[ff:]
+            else:
+                g, v = arr[:ff], arr[ff:]
+            il = hf_name.split("encoder.layer.")[1].split(".")[0]
+            _emit(w, f"blk.{il}.ffn_gate.weight", g, qtype)
+            _emit(w, f"blk.{il}.ffn_up.weight", v, qtype)
+            n_written += 2
+            continue
         m = re.match(r"model\.layers\.(\d+)\.", hf_name)
         if m and int(m.group(1)) >= n_layers:
             continue  # deepseek-v3 multi-token-prediction layers
@@ -900,6 +1464,8 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
             continue
         if arch == "bert":
             name = _map_bert_name(hf_name)
+        elif arch == "jina-bert-v2":
+            name = _map_bert_name(hf_name, _JINA_LAYER_EXTRA)
         elif arch == "t5":
             name = _map_t5_name(hf_name)
         else:
@@ -915,7 +1481,11 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
         if permute and name.endswith("attn_q.weight"):
             arr = _permute_qk(arr, n_head)
         elif permute and name.endswith("attn_k.weight"):
-            arr = _permute_qk(arr, n_kv)
+            kvh = n_kv
+            if kv_per_layer is not None:  # deci per-layer kv heads
+                kvh = kv_per_layer[int(name.split(".")[1])]
+            if kvh:
+                arr = _permute_qk(arr, kvh)
         elif arch == "chameleon" and ("attn_q_norm" in name or "attn_k_norm" in name):
             # per-head LN weights follow the q/k permute (reference
             # convert_hf_to_gguf.py ChameleonModel._reverse_hf_permute:
