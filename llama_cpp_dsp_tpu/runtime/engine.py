@@ -13,6 +13,7 @@ into two jitted programs (prefill, batched-decode) over fixed shapes.
 
 from __future__ import annotations
 
+import contextlib
 import enum
 import logging
 import queue
@@ -60,6 +61,8 @@ class Request:
     # one entry per prompt token (first is None — no context)
     done: threading.Event = field(default_factory=threading.Event)
     error: str | None = None
+    error_status: int = 400  # HTTP status the server maps `error` to
+    # (400 = request rejected, 500 = engine fault mid-decode)
     stop_reason: str = ""
     cancelled: bool = False  # abort-callback role (reference llama.h:964)
     t_start: float = 0.0
@@ -498,7 +501,17 @@ class Engine:
 
     def _loop(self) -> None:
         while not self._stop.is_set():
-            if not self.step():
+            try:
+                worked = self.step()
+            except Exception as e:  # noqa: BLE001 — last-resort fence:
+                # anything escaping step()'s per-op _kv_fence guards (e.g.
+                # slot assignment) must not kill the worker thread and hang
+                # every queued request's `done` event
+                log.exception("engine loop error; failing busy slots")
+                self._fail_slots(
+                    [s for s in self.slots if s.state != SlotState.FREE], e)
+                continue
+            if not worked:
                 try:
                     req = self.queue.get(timeout=0.05)
                     self.queue.put(req)  # step() will pick it up
@@ -624,38 +637,49 @@ class Engine:
             # paged mode routes ALL prompt work through the packed program
             # (there is no contiguous slot_view over pages)
             if has_prompt and (gen or self.kv_layout == "paged"):
-                return self._mixed_step(gen)
+                busy = [s for s in self.slots if s.state != SlotState.FREE]
+                with self._kv_fence(busy):
+                    return self._mixed_step(gen)
+                return True  # fence swallowed a failure; keep serving
 
         # 1. one prompt chunk per iteration (round-robin over prompt slots)
         start = getattr(self, "_prefill_rr", 0)
         for slot in self.slots[start:] + self.slots[:start]:
             if slot.state != SlotState.PROMPT:
                 continue
-            req = slot.req
-            remaining = req.prompt_tokens[slot.prompt_pos :]
-            bucket = self._bucket(len(remaining))
-            chunk = remaining[:bucket]
-            logits = self._prefill_slot(slot, chunk)
-            slot.prompt_pos += len(chunk)
-            slot.n_past += len(chunk)
-            slot.cache_tokens = list(req.prompt_tokens[: slot.prompt_pos])
-            self.metrics["prompt_tokens_total"] += len(chunk)
+            with self._kv_fence([slot]):
+                req = slot.req
+                remaining = req.prompt_tokens[slot.prompt_pos :]
+                bucket = self._bucket(len(remaining))
+                chunk = remaining[:bucket]
+                logits = self._prefill_slot(slot, chunk)
+                slot.prompt_pos += len(chunk)
+                slot.n_past += len(chunk)
+                slot.cache_tokens = list(req.prompt_tokens[: slot.prompt_pos])
+                self.metrics["prompt_tokens_total"] += len(chunk)
+                if slot.prompt_pos >= req.n_prompt:
+                    token = req.sampler.sample(logits)
+                    self._record_probs(req, logits, token)
+                    req.t_first_token = time.perf_counter()
+                    slot.state = SlotState.GENERATING
+                    self._emit_token(slot, token)
             worked = True
-            if slot.prompt_pos >= req.n_prompt:
-                token = req.sampler.sample(logits)
-                self._record_probs(req, logits, token)
-                req.t_first_token = time.perf_counter()
-                slot.state = SlotState.GENERATING
-                self._emit_token(slot, token)
             self._prefill_rr = (slot.idx + 1) % self.n_slots
             break  # at most one chunk per step keeps decode latency bounded
 
         # 2. batched decode for all generating slots
         gen = [s for s in self.slots if s.state == SlotState.GENERATING]
         if gen and getattr(self, "has_draft", False):
-            self._spec_decode(gen)
+            with self._kv_fence(gen):
+                self._spec_decode(gen)
             return True
         if gen:
+            with self._kv_fence(gen):
+                self._decode_gen(gen)
+            worked = True
+        return worked
+
+    def _decode_gen(self, gen: list["_Slot"]) -> None:
             # multi-token dispatch (throughput mode): scan `chunk` decode
             # steps on device when no prompt work is pending and no slot
             # can hit its context boundary mid-chunk (the _emit_token shift
@@ -741,8 +765,67 @@ class Engine:
                     token = s.req.sampler.sample(logits_np[s.idx, 0])
                     self._record_probs(s.req, logits_np[s.idx, 0], token)
                     self._emit_token(s, token)
-            worked = True
-        return worked
+
+    def _fail_slots(self, slots: list["_Slot"], exc: BaseException) -> None:
+        """Fail every request on `slots` and free them — the engine keeps
+        serving (reference server.cpp slot-error handling: send_error +
+        slot.release instead of tearing the server down)."""
+        for s in slots:
+            req = s.req
+            s.state = SlotState.FREE
+            s.req = None
+            s.cache_tokens = []  # rolled-back KV rows are untrusted
+            s.draft_tokens = []
+            if self.kv_layout == "paged":
+                self._seqs[s.idx].release()
+            self.metrics["n_errors"] = self.metrics.get("n_errors", 0) + 1
+            if req is not None and not req.done.is_set():
+                req.error = f"decode failed: {type(exc).__name__}: {exc}"
+                req.error_status = 500
+                req.stop_reason = "error"
+                req.t_end = time.perf_counter()
+                if req.stream_cb is not None:
+                    try:
+                        req.stream_cb(req.rid, {"token": -1, "piece": "",
+                                                "finished": "error"})
+                    except Exception:  # noqa: BLE001 — stream already dead
+                        pass
+                req.done.set()
+
+    @contextlib.contextmanager
+    def _kv_fence(self, slots: list["_Slot"]):
+        """Transactional KV guard + failure containment (role of the
+        reference's llama_kv_cache state guard, src/llama-kv-cache.h:31-44
+        restore-on-throw, used at llama-context.cpp:1205): snapshot the
+        functional cache handles before a step's mutations; if the guarded
+        operation raises, restore them, fail ONLY the participating
+        requests, and keep the engine alive. Functional updates make the
+        snapshot free — it is just the old array tree, which XLA donation
+        has not yet overwritten from the fence's point of view because the
+        new tree is only assigned on success paths.
+
+        Paged mode: pools/tables roll back with `self.cache`; failed
+        slots' PagedSeqs are released (their pages return to the free
+        list), and surviving slots' host-side PagedSeq bookkeeping is
+        re-synced into the restored table arrays.
+        """
+        cache = self.cache
+        draft = getattr(self, "draft_cache", None)
+        try:
+            yield
+        except Exception as e:  # noqa: BLE001 — fence must catch everything
+            log.exception("engine step failed; containing to slots %s",
+                          [s.idx for s in slots])
+            self.cache = cache
+            if draft is not None:
+                self.draft_cache = draft
+            self._fail_slots(slots, e)
+            if self.kv_layout == "paged":
+                # re-sync table rows to the host PagedSeq source of truth
+                # (the guarded op may have appended pages before raising)
+                for i in range(self.n_slots):
+                    self.cache = self.cache.set_table_row(
+                        i, self._seqs[i].table_row(self.cache.n_pages))
 
     def _spec_decode(self, gen: list["_Slot"]) -> None:
         """One speculative decode round across ALL generating slots

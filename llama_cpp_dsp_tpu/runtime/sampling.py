@@ -420,6 +420,83 @@ class Dry:
 
 
 @dataclass
+class Infill(_Stateless):
+    """FIM infill sampler (llama_sampler_init_infill,
+    src/llama-sampling.cpp:2491; apply at :2294-2472): stabilizes
+    fill-in-the-middle termination by (1) forcing EOG when the combined
+    EOG mass dominates (3·p_eog·n > p_txt), (2) merging tokens whose text
+    pieces share a prefix (prob mass flows to the higher-p token), and
+    (3) two keep-threshold passes (p ≥ 0.2, then p ≥ 1/(n_non_eog+1))
+    that always retain EOG candidates. Falls back to the single EOT token
+    when no non-EOG candidate survives.
+
+    `tokenizer` must expose token_to_piece(tid, special=...) and a .vocab
+    with is_eog/eot_id. Place after a truncating sampler (top-k) — the
+    prefix-merge is pairwise, exactly like the reference's."""
+
+    tokenizer: object
+
+    def apply(self, cand, rng):
+        vocab = self.tokenizer.vocab
+        cand.softmax()
+        ids = cand.ids
+        p = cand.probs.astype(np.float64).copy()
+        eog = np.fromiter((vocab.is_eog(int(t)) for t in ids), bool, len(ids))
+        p_eog = float(p[eog].sum())
+        p_txt = float(p[~eog].sum())
+
+        def commit(keep_ids, keep_p):
+            s = keep_p.sum()
+            keep_p = keep_p / s if s > 0 else np.full_like(keep_p, 1.0 / len(keep_p))
+            cand.ids = np.asarray(keep_ids, np.int32)
+            cand.probs = keep_p.astype(np.float32)
+            # downstream Dist re-softmaxes from logits: log(p) reproduces
+            # the merged distribution exactly
+            with np.errstate(divide="ignore"):
+                cand.logits = np.log(keep_p).astype(np.float32)
+            cand.sorted = True
+            return None
+
+        if 3.0 * p_eog * len(ids) > p_txt:
+            return commit(ids[eog], p[eog])
+
+        # combine tokens with a common prefix (reference pairwise merge:
+        # piece(i0) a prefix of piece(i1) → mass to the higher-p one)
+        pieces = [self.tokenizer.token_to_piece(int(t), special=False)
+                  for t in ids]
+        alive = np.ones(len(ids), bool)
+        for i0 in range(len(ids)):
+            for i1 in range(len(ids)):
+                if not alive[i0]:
+                    break
+                if i0 == i1 or not alive[i1]:
+                    continue
+                l0 = len(pieces[i0])
+                if l0 > 0 and l0 <= len(pieces[i1]) \
+                        and pieces[i1][:l0] == pieces[i0]:
+                    dst, src = (i0, i1) if p[i0] >= p[i1] else (i1, i0)
+                    p[dst] += p[src]
+                    p[src] = 0.0
+                    alive[src] = False
+
+        # pass 1: p ≥ 0.2 or EOG
+        keep = alive & ((p >= 0.2) | eog)
+        n_non_eog = int((keep & ~eog).sum())
+        if n_non_eog == 0:
+            eot = vocab.eot_id if vocab.eot_id >= 0 else vocab.eos_id
+            cand.ids = np.asarray([eot], np.int32)
+            cand.logits = np.asarray([1.0], np.float32)
+            cand.probs = np.asarray([1.0], np.float32)
+            cand.sorted = True
+            return None
+        ids1, p1, eog1 = ids[keep], p[keep], eog[keep]
+        p1 = p1 / p1.sum()
+        # pass 2: p ≥ 1/(n_non_eog+1) or EOG
+        keep2 = (p1 >= 1.0 / (n_non_eog + 1)) | eog1
+        return commit(ids1[keep2], p1[keep2])
+
+
+@dataclass
 class SamplerChain:
     samplers: list = field(default_factory=list)
     rng: np.random.Generator = field(default_factory=lambda: np.random.default_rng(0))
@@ -540,10 +617,13 @@ def make_chain(
     mirostat_eta: float = 0.1,
     logit_bias: dict[int, float] | None = None,
     grammar=None,
+    infill_tokenizer=None,
 ) -> SamplerChain:
     """Default chain ordering — mirrors common_sampler_init
     (common/sampling.cpp): logit-bias → penalties → dry → top-n-sigma/
-    top-k → typical → top-p → min-p → xtc → temp → dist."""
+    top-k → typical → top-p → min-p → xtc → temp → dist.
+    `infill_tokenizer` inserts the FIM infill sampler after top-k
+    (COMMON_SAMPLER_TYPE_INFILL, common/sampling.cpp:269)."""
     chain: list = []
     if logit_bias:
         chain.append(LogitBias(logit_bias))
@@ -558,6 +638,9 @@ def make_chain(
     if dry_multiplier > 0:
         chain.append(Dry(multiplier=dry_multiplier))
     if temp <= 0:
+        if infill_tokenizer is not None:
+            chain.append(TopK(top_k))
+            chain.append(Infill(infill_tokenizer))
         chain.append(Greedy())
         return SamplerChain(chain, np.random.default_rng(seed), grammar=grammar)
     if mirostat == 2:
@@ -570,10 +653,14 @@ def make_chain(
         return SamplerChain(chain, np.random.default_rng(seed), grammar=grammar)
     if top_n_sigma >= 0:
         chain.append(TopK(top_k))
+        if infill_tokenizer is not None:
+            chain.append(Infill(infill_tokenizer))
         chain.append(TopNSigma(top_n_sigma))
         chain.append(Temp(temp))
     else:
         chain.append(TopK(top_k))
+        if infill_tokenizer is not None:
+            chain.append(Infill(infill_tokenizer))
         if typical_p < 1.0:
             chain.append(Typical(typical_p))
         chain.append(TopP(top_p))

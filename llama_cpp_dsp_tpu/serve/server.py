@@ -50,8 +50,12 @@ def _sampler_from(body: dict, seed_default: int = 0, tokenizer=None):
         lb = {int(t): float(b) for t, b in lb}
     elif isinstance(lb, dict):
         lb = {int(t): float(b) for t, b in lb.items()}
+    # "samplers": ["top_k", "infill", ...] — only the infill entry changes
+    # the chain here (the default order already matches the reference's)
+    use_infill = "infill" in (body.get("samplers") or [])
     return make_chain(
         grammar=grammar,
+        infill_tokenizer=tokenizer if use_infill else None,
         seed=int(body.get("seed", seed_default) or seed_default),
         temp=float(body.get("temperature", 0.8)),
         dynatemp_range=float(body.get("dynatemp_range", 0.0)),
@@ -522,8 +526,12 @@ class Server:
         self.engine.submit(req)
         await loop.run_in_executor(None, req.done.wait)
         if req.error:
-            return web.json_response({"error": {"message": req.error,
-                                                "type": "invalid_request_error"}}, status=400)
+            status = getattr(req, "error_status", 400)
+            return web.json_response(
+                {"error": {"message": req.error,
+                           "type": ("server_error" if status >= 500
+                                    else "invalid_request_error")}},
+                status=status)
         text = self.engine.tokenizer.decode(req.result_tokens)
         if req.echo and not chat:
             text = self.engine.tokenizer.decode(req.prompt_tokens) + text

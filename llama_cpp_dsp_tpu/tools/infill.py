@@ -44,6 +44,10 @@ def main(argv=None) -> int:
     ap.add_argument("-s", "--seed", type=int, default=0)
     ap.add_argument("-i", "--interactive", action="store_true",
                     help="prompt for new prefix/suffix pairs in a loop")
+    ap.add_argument("--infill-sampler", action="store_true",
+                    help="add the FIM infill sampler to the chain (EOG "
+                         "suppression + common-prefix token merging; "
+                         "reference COMMON_SAMPLER_TYPE_INFILL)")
     args = ap.parse_args(argv)
 
     from ..runtime.context import LlamaContext
@@ -65,7 +69,9 @@ def main(argv=None) -> int:
             print(f"error: {e}", file=sys.stderr)
             raise SystemExit(1)
         ctx.reset()
-        sampler = make_chain(temp=args.temp, seed=args.seed)
+        sampler = make_chain(temp=args.temp, seed=args.seed,
+                             infill_tokenizer=tok if args.infill_sampler
+                             else None)
         sys.stdout.write(prefix)
         sys.stdout.flush()
         for t in ctx.generate(ids, max_new_tokens=args.n_predict,
