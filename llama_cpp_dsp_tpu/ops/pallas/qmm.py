@@ -491,6 +491,33 @@ def qmm_fused(
         q8_group = k // (s_arr.shape[0] * s_arr.shape[2])
     x_fields = prepare_x(x2, kw.kind, tile_k, q8_group)
     w_fields = tuple(kw.arrays[name] for name in _W_FIELDS[kw.kind])
+
+    # VMEM-fit estimator (16MB scoped limit): double-buffered operand
+    # blocks + the bf16 dequant intermediate [tile_n, tile_k]. The static
+    # heuristics above miss rare shapes — e.g. Q6_K ffn_down at K=14336
+    # (Q4_K_M-requantized models put Q6_K on down-proj) needs tile_n 256,
+    # not 512 (observed 20.9MB scoped alloc on v5e). Anchors: Q4_K
+    # K=14336 tn=256 fits (est 12.9M), tn=512 OOMs (est 24.8M).
+    nk_est = max(k // tile_k, 1)
+
+    def _scoped_bytes(tn: int, tb: int) -> int:
+        wb = sum(
+            tn * a.shape[2] * a.dtype.itemsize if a.ndim == 3
+            else tn * (a.shape[1] // nk_est) * a.dtype.itemsize
+            for a in w_fields)
+        xb = sum(
+            tb * a.shape[2] * a.dtype.itemsize if a.ndim == 3
+            else tb * (a.shape[1] // nk_est) * a.dtype.itemsize
+            for a in x_fields)
+        temp = tn * tile_k * 2  # bf16 dequant intermediate (weight side)
+        return 2 * (wb + xb) + temp + 2 * tn * tb * 4  # + out/acc f32
+
+    budget = 15 * 2**20 + 2**19
+    while tile_n > 128 and _scoped_bytes(tile_n, tile_b) > budget:
+        tile_n //= 2
+    while tile_b > 8 and _scoped_bytes(tile_n, tile_b) > budget:
+        tile_b //= 2  # b_pad stays valid: halving keeps it a multiple
+
     y = _qmm_call(
         x_fields, w_fields, kind=kw.kind, n=n_rows, k=k,
         tile_b=tile_b, tile_n=tile_n, tile_k=tile_k,

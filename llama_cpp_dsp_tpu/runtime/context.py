@@ -272,6 +272,7 @@ class LlamaContext:
 
         self._step_sample_chunk = _step_sample_chunk
         self._seen_shapes: set[int] = set()
+        self._tree_steps: dict = {}  # P → jitted tree-attention step
         self.perf.t_load_ms = (time.perf_counter() - t0) * 1000
 
     # -- core ---------------------------------------------------------------
@@ -411,6 +412,57 @@ class LlamaContext:
         the transactional guard of the reference's kv commit/restore."""
         assert 0 <= n_past <= self.n_past
         self.n_past = n_past
+
+    def eval_tree(self, tokens, positions, mask) -> np.ndarray:
+        """Tree-attention batch (lookahead decoding / branchy speculation):
+        `tokens` [P] are written at cache ROWS n_past..n_past+P-1 while
+        carrying arbitrary `positions` [P] (rope angles — row ≠ position
+        here) and an explicit bool `mask` [P, capacity] over cache rows.
+        This is the TPU-native form of the reference's multi-sequence
+        llama_batch + kq_mask (llm_graph_input_attn_kv_unified::set_input):
+        branch structure lives in the mask, not in per-cell seq-id sets.
+        Returns ALL logits [P, V] f32; n_past advances by P — the caller
+        keeps the accepted prefix with gather_rows + rollback_to."""
+        p = len(tokens)
+        if self.n_past + p > self.n_ctx:
+            raise RuntimeError(f"context overflow: {self.n_past}+{p} > {self.n_ctx}")
+        step = self._tree_steps.get(p)
+        if step is None:
+            @partial(jax.jit, donate_argnums=(1,))
+            def step(params, cache, toks, pos, n_past, mask):
+                logits, cache = forward(
+                    params, self.cfg, toks, pos, cache, n_past, mask[None],
+                    compute_dtype=self.compute_dtype,
+                )
+                return logits, cache
+
+            self._tree_steps[p] = step
+        t0 = time.perf_counter()
+        logits, self.cache = step(
+            self.params, self.cache, jnp.asarray(tokens, jnp.int32)[None],
+            jnp.asarray(positions, jnp.int32)[None], jnp.int32(self.n_past),
+            jnp.asarray(mask, bool),
+        )
+        out = np.asarray(logits[0])
+        self.perf.t_prefill_ms += (time.perf_counter() - t0) * 1000
+        self.perf.n_prefill += p
+        self.n_past += p
+        return out
+
+    def gather_rows(self, dst_start: int, src_rows: list[int]) -> None:
+        """Move cache rows src_rows → dst_start.. (accepted branch
+        compaction; role of the reference's llama_kv_self_seq_keep +
+        seq_cp after lookahead verification). Rope is NOT re-rotated: the
+        rows' positions already equal their destination rows."""
+        from .cache_ops import apply_seq_edit
+
+        src = np.arange(self.n_ctx, dtype=np.int32)
+        src[dst_start : dst_start + len(src_rows)] = src_rows
+        deltas = np.zeros(self.n_ctx, np.int32)
+        ff = self.params["layers"][0].get("rope_freqs")
+        self.cache = apply_seq_edit(
+            self.cache, jnp.asarray(src)[None], jnp.asarray(deltas)[None],
+            self.cfg.rope, ff)
 
     def eval_tokens(self, tokens: list[int]) -> np.ndarray:
         """Feed tokens at the current position; returns logits of the LAST

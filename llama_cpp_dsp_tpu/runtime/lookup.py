@@ -176,6 +176,189 @@ class LookupDecoder:
                 return
 
 
+class Lookahead2D:
+    """Full 2-D lookahead decoding — the lmsys algorithm as implemented by
+    the reference (examples/lookahead/lookahead.cpp:49,181-260): a W-column
+    lookahead window over N-1 Jacobi levels plus up to G verification
+    n-gram branches, all evaluated in ONE batch per step.
+
+    TPU-native mapping: the reference expresses branch structure through
+    multi-sequence KV cells (seq 0 = input, 1..W = window columns,
+    W+1..W+G = verification branches) and the kq_mask built from them.
+    Here the whole batch is written at contiguous cache rows
+    n_past..n_past+P-1 (row ≠ position), the branch structure is an
+    explicit [P, capacity] attention mask built from seq bitsets
+    (ctx.eval_tree), and acceptance keeps rows via a gather
+    (ctx.gather_rows — role of llama_kv_self_seq_keep/seq_cp). P is fixed
+    at 1 + G*(N-1) + (W-1) + W*(N-2), so the step compiles once: inactive
+    verification slots are mask-isolated padding rather than a shape
+    change (XLA static-shape rule)."""
+
+    def __init__(self, ctx: LlamaContext, *, w: int = 15, n: int = 5,
+                 g: int = 15):
+        assert n >= 2 and w >= 2
+        self.ctx = ctx
+        self.w, self.n, self.g = w, n, g
+        self.stats = LookupStats()
+        # ring buffer of (N-1)-grams per first token (ngram_container role,
+        # lookahead.cpp:23-37): {first_token: [(t1..tN-1), ...] (≤ G)}
+        self.pool: dict[int, list[tuple[int, ...]]] = {}
+        self._batch_size = 1 + g * (n - 1) + (w - 1) + w * (n - 2)
+
+    # batch layout ----------------------------------------------------------
+    # 0                         : input token
+    # 1 + j*G + g               : verification branch g, ngram token j+1
+    #                             (j = 0..N-2; j-major like the reference)
+    # V + i - 1  (V = 1+G*(N-1)): level-0 window, columns i = 1..W-1
+    # V + (W-1) + (j-1)*W + i   : level-j window (j = 1..N-2), column i
+    def _i_verif(self, gi: int, j: int) -> int:
+        return 1 + (j - 1) * self.g + gi  # ngram token j (1-based)
+
+    def _i_level(self, j: int, i: int) -> int:
+        v = 1 + self.g * (self.n - 1)
+        if j == 0:
+            return v + i - 1
+        return v + (self.w - 1) + (j - 1) * self.w + i
+
+    def _build_batch(self, id0: int, base: int, tokens_j, ngrams):
+        w, n, g = self.w, self.n, self.g
+        p = self._batch_size
+        toks = np.zeros(p, np.int64)
+        pos = np.full(p, base, np.int64)
+        bits = np.zeros(p, np.int64)  # seq-membership bitsets
+        prim = np.zeros(p, np.int64)  # primary seq per entry
+        all_bits = (1 << (w + g + 1)) - 1
+        toks[0], bits[0], prim[0] = id0, all_bits, 0
+        for gi, ng in enumerate(ngrams):
+            for j in range(1, n):
+                e = self._i_verif(gi, j)
+                toks[e] = ng[j - 1]
+                pos[e] = base + j
+                bits[e] = 1 << (w + 1 + gi)
+                prim[e] = w + 1 + gi
+        for i in range(1, w):  # level 0 belongs to columns i..W-1
+            e = self._i_level(0, i)
+            toks[e] = tokens_j[0][i]
+            pos[e] = base + i
+            bits[e] = sum(1 << (c + 1) for c in range(i, w))
+            prim[e] = i + 1
+        for j in range(1, n - 1):
+            for i in range(w):
+                e = self._i_level(j, i)
+                toks[e] = tokens_j[j][i]
+                pos[e] = base + j + i
+                bits[e] = 1 << (i + 1)
+                prim[e] = i + 1
+        # mask over cache rows: committed prefix + same-branch causal
+        cap = self.ctx.n_ctx
+        mask = np.zeros((p, cap), bool)
+        mask[:, :base] = True
+        vis = ((bits[None, :] >> prim[:, None]) & 1).astype(bool)
+        vis &= pos[None, :] <= pos[:, None]
+        mask[:, base : base + p] = vis
+        # inactive verification slots: bits == 0 → vis row/col all-False
+        # except we must avoid all-masked softmax rows → allow prefix only
+        # (already true via mask[:, :base]); their outputs are never read
+        return toks.astype(np.int32), pos.astype(np.int32), mask
+
+    def _pool_add(self, first: int, ngram: tuple[int, ...]) -> None:
+        cur = self.pool.setdefault(first, [])
+        if ngram in cur:
+            return
+        cur.append(ngram)
+        if len(cur) > self.g:
+            cur.pop(0)
+
+    def generate(self, prompt_tokens, *, max_new_tokens=128, sampler=None,
+                 stop_on_eog=True):
+        from .sampling import Greedy, SamplerChain as SC
+
+        sampler = sampler or SC([Greedy()])
+        ctx = self.ctx
+        w, n, g = self.w, self.n, self.g
+        all_tokens = list(prompt_tokens)
+        logits = ctx.eval_tokens(list(prompt_tokens))
+        token = sampler.sample(logits)
+        yield token
+        produced = 1
+        all_tokens.append(token)
+        if stop_on_eog and ctx.vocab is not None and ctx.vocab.is_eog(token):
+            return
+
+        # window init: cycle prompt tokens (reference offers random-from-
+        # prompt or 100+i; prompt cycling is the deterministic variant)
+        src = all_tokens[1:] or [token]
+        tokens_j = [[src[(j * w + i) % len(src)] for i in range(w)]
+                    for j in range(n - 1)]
+
+        while produced < max_new_tokens:
+            base = ctx.n_past
+            if base + self._batch_size + 1 > ctx.n_ctx:
+                return
+            ngrams = [ng for ng in self.pool.get(token, [])][: g]
+            self.stats.n_drafted += len(ngrams) * (n - 1)
+            toks, pos, mask = self._build_batch(token, base, tokens_j, ngrams)
+            logits = ctx.eval_tree(toks, pos, mask)
+
+            active = [True] * len(ngrams)
+            kept_rows: list[int] = []
+            stop = False
+            for v in range(n):
+                if v > 0:
+                    gi = next((i for i, a in enumerate(active) if a), None)
+                    if gi is None:
+                        break
+                    i_batch = self._i_verif(gi, v)
+                    kept_rows.append(base + i_batch)
+                    self.stats.n_accepted += 1
+                else:
+                    i_batch = 0
+                token = sampler.sample(logits[i_batch])
+                yield token
+                produced += 1
+                all_tokens.append(token)
+                if stop_on_eog and ctx.vocab is not None \
+                        and ctx.vocab.is_eog(token):
+                    stop = True
+                    break
+                if produced >= max_new_tokens:
+                    stop = True
+                    break
+                # verification: drop branches whose next token mismatches
+                for i, ng in enumerate(ngrams):
+                    if active[i]:
+                        active[i] = v < n - 1 and ng[v] == token
+                # window shift (reference lookahead.cpp:351-378)
+                prev_l0 = list(tokens_j[0])
+                for j in range(n - 2):
+                    tokens_j[j] = tokens_j[j + 1]
+                if v == 0:
+                    # window guesses: sample WITHOUT accept (they are
+                    # speculative — reference samples them with no
+                    # common_sampler_accept)
+                    tokens_j[n - 2] = [
+                        sampler.peek(logits[self._i_level(n - 2, i)])
+                        for i in range(w)]
+                else:
+                    tokens_j[n - 2] = list(tokens_j[0])
+                # harvest window n-grams (only on the first iteration)
+                if v == 0:
+                    for f in range(w):
+                        self._pool_add(
+                            prev_l0[f],
+                            tuple(tokens_j[j][f] for j in range(n - 1)))
+
+            # KV management: keep input row (already at `base`) + accepted
+            # branch rows compacted right after it; drop the rest
+            if kept_rows:
+                ctx.gather_rows(base + 1, kept_rows)
+                ctx.rollback_to(base + 1 + len(kept_rows))
+            else:
+                ctx.rollback_to(base + 1)
+            if stop:
+                return
+
+
 class LookaheadDecoder(LookupDecoder):
     """Lookahead decoding (reference examples/lookahead/lookahead.cpp),
     expressed as Jacobi fixed-point iteration over a causal batch: each

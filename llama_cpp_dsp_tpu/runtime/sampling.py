@@ -580,6 +580,13 @@ class SamplerChain:
         self.n_sampled += 1
         return token
 
+    def peek(self, logits: np.ndarray) -> int:
+        """Sample WITHOUT accepting — the reference's common_sampler_sample
+        with no common_sampler_accept (lookahead window guesses,
+        lookahead.cpp:362 samples speculative tokens that never enter the
+        penalty/grammar state)."""
+        return self._run(Candidates.from_logits(logits))
+
     def accept(self, token: int) -> None:
         for s in self.samplers:
             s.accept(token)

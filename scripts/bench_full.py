@@ -1,0 +1,160 @@
+"""Full benchmark matrix → BENCH_FULL_r{N}.json (+ markdown to stderr).
+
+Records every BASELINE.md / batched-bench metric on the current device
+(role of the reference's examples/batched-bench + llama-bench matrix,
+examples/batched-bench/batched-bench.cpp:1-204):
+  - decode tg64, pp512, aggregate batch-4/8 (subprocess bench.py — its
+    scan mode avoids the axon memoization + dispatch-latency traps)
+  - B×PP×TG matrix with p50 TTFT over reps (tools/bench_grid.run_batched)
+  - MoE decode (mixtral-8x7b synth: exercises qmm_expert_rows)
+  - speculative decode t/s + acceptance (draft == target: acceptance ≈ 1,
+    isolates pipeline overhead — random synth weights make a smaller
+    draft's acceptance meaningless)
+  - paged vs contiguous KV decode, q8_0 KV decode
+  - decode_chunk=8 engine throughput mode
+
+Usage: python scripts/bench_full.py [--quick] [--only a,b,c] [--out F]
+  --quick: tinyllama-synth on whatever device JAX finds (script debug)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+RESULTS: dict = {}
+
+
+def _bench_py(*args: str) -> dict:
+    p = subprocess.run([sys.executable, "bench.py", *args],
+                       capture_output=True, text=True, timeout=7200)
+    for line in p.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"bench.py {args}: {p.stderr[-400:]}")
+
+
+def _engine_decode_rate(model, *, n_slots, pp, tg, reps=3, **engine_kw):
+    """Median decode t/s + p50 TTFT over reps (engine path, host dispatch)."""
+    from llama_cpp_dsp_tpu.runtime.engine import Engine, Request
+    from llama_cpp_dsp_tpu.runtime.sampling import Greedy, SamplerChain
+
+    eng = Engine(model, n_slots=n_slots, n_ctx_per_slot=max(pp + tg + 8, 64),
+                 prefill_buckets=(max(pp, 32),), **engine_kw)
+    rates, ttfts, acc = [], [], []
+    for rep in range(reps + 1):
+        reqs = [Request(0, [1 + rep + i] * max(pp, 1), max_new_tokens=tg,
+                        sampler=SamplerChain([Greedy()]))
+                for i in range(n_slots)]
+        t0 = time.perf_counter()
+        for r in reqs:
+            eng.submit(r)
+        while not all(r.done.is_set() for r in reqs):
+            eng.step()
+        t1 = time.perf_counter()
+        if rep == 0:
+            continue  # compile/warmup
+        ttft = statistics.median(r.t_first_token - r.t_start for r in reqs)
+        total_tg = sum(len(r.result_tokens) for r in reqs)
+        rates.append(total_tg / max(t1 - t0 - ttft, 1e-9))
+        ttfts.append(ttft * 1000)
+    out = {"decode_tps": round(statistics.median(rates), 2),
+           "ttft_p50_ms": round(statistics.median(ttfts), 2)}
+    m = eng.metrics
+    if m.get("draft_proposed_total"):
+        out["spec_acceptance"] = round(
+            m.get("draft_accepted_total", 0) / m["draft_proposed_total"], 3)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default="")
+    ap.add_argument("--out", default="BENCH_FULL_r02.json")
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    from llama_cpp_dsp_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+    import jax
+
+    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
+    from llama_cpp_dsp_tpu.runtime.loader import LoadedModel
+    from llama_cpp_dsp_tpu.tools.synth import CONFIGS, synth_params
+
+    name = "tinyllama-1.1b" if args.quick else "llama3-8b"
+    platform = jax.devices()[0].platform
+    RESULTS["_meta"] = {"model": f"{name} Q4_K synth", "platform": platform,
+                        "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+
+    def want(key):
+        return only is None or key in only
+
+    def record(key, val):
+        RESULTS[key] = val
+        print(f"== {key}: {json.dumps(val)}", file=sys.stderr, flush=True)
+        with open(args.out, "w") as f:  # checkpoint after every metric
+            json.dump(RESULTS, f, indent=1)
+
+    # -- bench.py-based device-rate metrics ----------------------------------
+    steps = "16" if args.quick else "64"
+    if want("decode"):
+        record("decode", _bench_py("--model", name, "--steps", steps))
+    if want("pp512"):
+        record("pp512", _bench_py("--model", name, "--pp", "512"))
+    if want("batch"):
+        record("batch4", _bench_py("--model", name, "--batch", "4",
+                                   "--steps", "32"))
+        if not args.quick:
+            record("batch8", _bench_py("--model", name, "--batch", "8",
+                                       "--steps", "32"))
+    if want("moe") and not args.quick:
+        record("moe_decode", _bench_py("--model", "mixtral-8x7b",
+                                       "--steps", "32"))
+
+    # -- engine-path metrics (host dispatch; the serving numbers) ------------
+    cfg = CONFIGS[name]
+    params = synth_params(cfg, GGMLType.Q4_K, seed=0, tie=False)
+    model = LoadedModel(cfg, params, None, None, {})
+
+    if want("ttft"):
+        # B×PP×TG matrix with p50 TTFT — batched-bench role
+        matrix = {}
+        for b in ((1, 4) if not args.quick else (1,)):
+            r = _engine_decode_rate(model, n_slots=b, pp=512, tg=32)
+            matrix[f"B{b}_PP512_TG32"] = r
+        record("ttft_matrix", matrix)
+    if want("paged"):
+        base = _engine_decode_rate(model, n_slots=4, pp=128, tg=32)
+        paged = _engine_decode_rate(model, n_slots=4, pp=128, tg=32,
+                                    kv_layout="paged", page_size=128)
+        record("paged_vs_contiguous",
+               {"contiguous": base, "paged": paged,
+                "ratio": round(paged["decode_tps"] / base["decode_tps"], 3)})
+    if want("chunk"):
+        r = _engine_decode_rate(model, n_slots=4, pp=128, tg=64,
+                                decode_chunk=8)
+        record("decode_chunk8", r)
+    if want("q8kv"):
+        r = _engine_decode_rate(model, n_slots=4, pp=128, tg=32,
+                                kv_dtype="q8_0")
+        record("q8_kv_decode", r)
+    if want("spec"):
+        r = _engine_decode_rate(model, n_slots=2, pp=64, tg=32,
+                                draft_model=model, n_draft=4)
+        record("spec_decode", r)
+
+    print(json.dumps(RESULTS, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,4 +40,15 @@ assert np.isfinite(ppl), ppl
 print(f"ppl={ppl:.2f} over {n} tokens")
 EOF
 
+echo "== real-TPU kernel validation (skipped when no TPU) =="
+# role of test-backend-ops.cpp as a hardware bring-up oracle: CI's unit
+# tests run Pallas in interpret mode on CPU, so every kernel entry point
+# must additionally be proven on the real chip whenever one is reachable
+PLATFORM=$(timeout 300 python -c "import jax,sys;sys.stdout.write(jax.devices()[0].platform)" 2>/dev/null || echo none)
+if [ "$PLATFORM" = "tpu" ]; then
+    python scripts/tpu_validate.py --skip-bench
+else
+    echo "no TPU found (platform=$PLATFORM); skipping"
+fi
+
 echo "== CI PASS =="

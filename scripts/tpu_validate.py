@@ -193,6 +193,116 @@ def _():
     assert outs[1] == outs[8], (outs[1], outs[8])
 
 
+@check("flash_decode_paged")
+def _():
+    """Paged flash decode (+q8 pool variant): block tables on scalar
+    prefetch; compares against the contiguous dequant reference."""
+    from llama_cpp_dsp_tpu.ops.pallas.attention import (
+        flash_decode_paged, flash_decode_paged_q8,
+    )
+
+    rng = np.random.default_rng(3)
+    b, hq, hkv, d, ps, n_pages, tpp = 2, 8, 4, 128, 128, 20, 8
+    q = rng.standard_normal((b, hq, d)).astype(np.float32) * 0.3
+    pool_k = (rng.standard_normal((n_pages, hkv, ps, d)) * 0.3).astype(np.float32)
+    pool_v = (rng.standard_normal((n_pages, hkv, ps, d)) * 0.3).astype(np.float32)
+    tables = np.asarray(
+        rng.permutation(n_pages)[: b * tpp].reshape(b, tpp), np.int32)
+    lengths = np.array([900, 200], np.int32)
+
+    def ref(kpool, vpool):
+        outs = []
+        for bi in range(b):
+            kk = np.concatenate([kpool[p] for p in tables[bi]], axis=1)
+            vv = np.concatenate([vpool[p] for p in tables[bi]], axis=1)
+            hs = []
+            for h in range(hq):
+                sc = (q[bi, h] @ kk[h * hkv // hq].T) * d ** -0.5
+                sc[lengths[bi]:] = -1e30
+                p = np.exp(sc - sc.max()); p /= p.sum()
+                hs.append(p @ vv[h * hkv // hq])
+            outs.append(np.stack(hs))
+        return np.stack(outs)
+
+    out = np.asarray(flash_decode_paged(
+        jnp.asarray(q), jnp.asarray(pool_k, jnp.bfloat16),
+        jnp.asarray(pool_v, jnp.bfloat16), jnp.asarray(tables),
+        jnp.asarray(lengths), scale=d ** -0.5, interpret=False))
+    kb = np.asarray(jnp.asarray(pool_k, jnp.bfloat16), np.float32)
+    vb = np.asarray(jnp.asarray(pool_v, jnp.bfloat16), np.float32)
+    err = nmse(out, ref(kb, vb))
+    assert err < 1e-4, f"paged: {err}"
+
+    # q8 pool variant
+    from llama_cpp_dsp_tpu.runtime.kv_cache import _q8_dequant, _q8_quant
+
+    kq, kd = _q8_quant(jnp.asarray(pool_k))  # d: [P, Hkv, ps]
+    vq, vd = _q8_quant(jnp.asarray(pool_v))
+    out8 = np.asarray(flash_decode_paged_q8(
+        jnp.asarray(q), kq, kd[:, :, None, :], vq, vd[:, :, None, :],
+        jnp.asarray(tables), jnp.asarray(lengths), scale=d ** -0.5,
+        interpret=False))
+    kdq = np.asarray(_q8_dequant(kq, kd, jnp.float32))
+    vdq = np.asarray(_q8_dequant(vq, vd, jnp.float32))
+    err8 = nmse(out8, ref(kdq, vdq))
+    assert err8 < 1e-4, f"paged_q8: {err8}"
+
+
+@check("qmm_whole_k")
+def _():
+    """Whole-K down-proj tiling (tile_k=K, nk=1 — the default for
+    K=14336) matches the XLA dequant matmul."""
+    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
+    from llama_cpp_dsp_tpu.ops.pallas.layouts import to_kernel_layout
+    from llama_cpp_dsp_tpu.ops.pallas.qmm import qmm_fused
+    from llama_cpp_dsp_tpu.ops.qtensor import from_gguf_tensor
+    from llama_cpp_dsp_tpu.quant import quantize
+    from llama_cpp_dsp_tpu.quant.jax_dequant import dequant
+
+    rng = np.random.default_rng(4)
+    # the two big-K cases that occur in-model: Q4_K down-proj (whole-K
+    # 14336) and Q6_K lm_head-shaped (K=4096; K=14336 Q6_K would need
+    # tile_k 7168 × tile_n 512 ≈ 21MB scoped VMEM and never occurs)
+    for kind, k in ((GGMLType.Q4_K, 14336), (GGMLType.Q6_K, 4096)):
+        n = 512
+        w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+        qt = from_gguf_tensor(quantize(w, kind), kind, (n, k))
+        kw = to_kernel_layout(qt)
+        x = rng.standard_normal((1, k)).astype(np.float32)
+        got = np.asarray(qmm_fused(jnp.asarray(x), kw))
+        want = x @ np.asarray(dequant(qt, jnp.float32)).T
+        err = nmse(got, want)
+        assert err < 5e-4, f"{kind.name}: {err}"
+
+
+@check("tp_kernels_shard_map")
+def _():
+    """make_tp_decode_step (shard_map + fused kernels over a 1-chip
+    'tp' mesh) compiles and matches the single-device path. One real
+    chip → tp=1 mesh; the multi-device variant runs in dryrun_multichip."""
+    from jax.sharding import Mesh
+
+    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
+    from llama_cpp_dsp_tpu.models.registry import synth_config
+    from llama_cpp_dsp_tpu.parallel.tp_kernels import (
+        make_tp_decode_step, shard_llama_kernel_params,
+    )
+    from llama_cpp_dsp_tpu.runtime.kv_cache import KVCache
+    from llama_cpp_dsp_tpu.tools.synth import synth_params
+
+    cfg = synth_config("llama", n_embd=256, n_heads=2, n_kv_heads=2,
+                       head_dim=128, n_ff=512, n_vocab=256)
+    params = synth_params(cfg, GGMLType.Q4_K, seed=5, tie=False)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("tp",))
+    sharded, specs = shard_llama_kernel_params(params, cfg, tp=1)
+    step = make_tp_decode_step(cfg, mesh)(specs)
+    cache = KVCache.create(cfg.n_layers, 1, 128, cfg.n_kv_heads, cfg.head_dim)
+    toks = jnp.zeros((1, 1), jnp.int32)
+    pos = jnp.zeros((1, 1), jnp.int32)
+    logits, _ = step(sharded, cache, toks, pos, jnp.int32(0))
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 if "--skip-bench" not in sys.argv:
     for args in (["--steps", "32"], ["--pp", "512"], ["--batch", "4", "--steps", "32"]):
         print(f"bench {args}:", flush=True)
@@ -201,3 +311,4 @@ if "--skip-bench" not in sys.argv:
 print("\n== summary ==")
 for k, v in results.items():
     print(f"  {k}: {v}")
+sys.exit(1 if any(v.startswith("FAIL") for v in results.values()) else 0)

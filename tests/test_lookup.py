@@ -85,3 +85,41 @@ def test_lookahead_matches_plain_greedy(tiny_ctx):
     dec = LookaheadDecoder(ctx2, n_draft=5)
     fast = list(dec.generate(prompt, max_new_tokens=n_new, stop_on_eog=False))
     assert fast == plain
+
+
+def test_lookahead_2d_matches_plain_greedy(tiny_ctx):
+    """The full 2-D W×N window algorithm (lookahead.cpp) is exact: greedy
+    output must be byte-identical to plain decode, with the whole batch
+    (input + verification branches + window levels) in one eval_tree."""
+    from llama_cpp_dsp_tpu.runtime.lookup import Lookahead2D
+
+    prompt = [3, 14, 15, 9, 26, 5, 3, 14, 15, 9]
+    n_new = 20
+
+    ctx = tiny_ctx()
+    plain = list(ctx.generate(prompt, max_new_tokens=n_new, stop_on_eog=False,
+                              context_shift=False))
+    ctx2 = tiny_ctx()
+    dec = Lookahead2D(ctx2, w=4, n=3, g=3)
+    fast = list(dec.generate(prompt, max_new_tokens=n_new, stop_on_eog=False))
+    assert fast == plain
+    assert len(fast) == n_new
+
+
+def test_lookahead_2d_accepts_on_repetition(tiny_ctx):
+    """A degenerate repeating stream must populate the n-gram pool and
+    accept verification tokens (n_accepted > 0) — the speedup mechanism,
+    not just correctness."""
+    from llama_cpp_dsp_tpu.runtime.lookup import Lookahead2D
+
+    # strongly periodic prompt so the window converges onto the cycle
+    prompt = [7, 8, 9, 10] * 6
+    ctx = tiny_ctx()
+    plain = list(ctx.generate(prompt, max_new_tokens=24, stop_on_eog=False,
+                              context_shift=False))
+    ctx2 = tiny_ctx()
+    dec = Lookahead2D(ctx2, w=4, n=3, g=3)
+    fast = list(dec.generate(prompt, max_new_tokens=24, stop_on_eog=False))
+    assert fast == plain
+    assert dec.stats.n_accepted > 0  # verification branches actually fire
+    assert dec.pool  # window harvest populated the n-gram container
