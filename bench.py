@@ -1,11 +1,14 @@
-"""Headline benchmark — decode tokens/s/chip on Llama-3-8B-shaped Q4_K_M.
+"""Headline benchmark — decode tokens/s/chip, matched to BASELINE.md.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline = 132.19 t/s (reference llama-bench tg128, LLaMA-7B Q4_0 on the
-documented GPU config — BASELINE.md). Weights are synthetic packed Q4_K
-blocks (decode speed is weight-streaming-bound and value-independent).
+documented GPU config — BASELINE.md). The default workload reproduces that
+exact shape: LLaMA-2-7B geometry, Q4_0 weights, tg128. Weights are
+synthetic packed blocks (decode speed is weight-streaming-bound and
+value-independent). `--model llama3-8b --qtype q4_k` is the harder
+secondary workload tracked in CLAUDE.md/README.
 
-Run: python bench.py [--model tinyllama-1.1b] [--steps 64]
+Run: python bench.py [--model llama3-8b --qtype q4_k] [--steps 64]
 """
 
 from __future__ import annotations
@@ -21,10 +24,17 @@ BASELINE_TOKS = 132.19  # examples/llama-bench/README.md:83-87 (tg128 7B Q4_0)
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="llama3-8b")
-    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--model", default="llama2-7b")
+    ap.add_argument("--qtype", default="q4_0",
+                    help="weight quant type (q4_0 matches the baseline row; "
+                         "q4_k for the Llama-3 Q4_K_M-style workload)")
+    ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--warmup", type=int, default=8)
-    ap.add_argument("--n-ctx", type=int, default=1024)
+    ap.add_argument("--n-ctx", type=int, default=0,
+                    help="KV capacity (default: 256 for decode, 1024 for "
+                         "--pp; static-shape flash streams the WHOLE "
+                         "capacity per step, so size it to the workload "
+                         "like llama-bench's n_ctx = pp+tg does)")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--no-fused", action="store_true", help="disable Pallas kernels")
     ap.add_argument("--scan", dest="scan", action="store_true", default=True,
@@ -90,14 +100,19 @@ def main() -> int:
             cfg = dataclasses.replace(cfg, n_layers=args.layers)
         if args.vocab:
             cfg = dataclasses.replace(cfg, n_vocab=args.vocab)
-    print(f"bench: {args.model} Q4_K synth, {len(jax.devices())} device(s) "
-          f"[{jax.devices()[0].platform}]", file=sys.stderr)
+    print(f"bench: {args.model} {args.qtype} synth, {len(jax.devices())} "
+          f"device(s) [{jax.devices()[0].platform}]", file=sys.stderr)
+
+    if not args.n_ctx:
+        need = args.pp or (args.steps * 2 + args.warmup)
+        args.n_ctx = max(256, -(-need // 128) * 128)
 
     if args.tp > 1:
         return _bench_tp(args, cfg)
 
     t0 = time.perf_counter()
-    params = synth_params(cfg, GGMLType.Q4_K, seed=0, tie=False)
+    qtype = GGMLType[args.qtype.upper()]
+    params = synth_params(cfg, qtype, seed=0, tie=False)
     if not args.no_fused:
         from llama_cpp_dsp_tpu.runtime.context import convert_params_to_kernel
 
@@ -137,7 +152,7 @@ def main() -> int:
             float(np.asarray(logits[0, 0, 0]))
             best = max(best, args.pp * args.batch / (time.perf_counter() - t0))
         print(json.dumps({
-            "metric": f"prefill tokens/s/chip ({args.model} Q4_K, pp{args.pp})",
+            "metric": f"prefill tokens/s/chip ({args.model} {qtype.name}, pp{args.pp})",
             "value": round(best, 2),
             "unit": "tokens/s",
             "vs_baseline": round(best / 2498.61, 4),
@@ -213,7 +228,7 @@ def main() -> int:
     toks_per_sec = args.steps * args.batch / dt
 
     print(json.dumps({
-        "metric": f"decode tokens/s/chip ({args.model} Q4_K, tg{args.steps})",
+        "metric": f"decode tokens/s/chip ({args.model} {qtype.name}, tg{args.steps})",
         "value": round(toks_per_sec, 2),
         "unit": "tokens/s",
         "vs_baseline": round(toks_per_sec / BASELINE_TOKS, 4),
@@ -239,7 +254,8 @@ def _bench_tp(args, cfg) -> int:
     tp = args.tp
     assert len(jax.devices()) >= tp, (len(jax.devices()), tp)
     mesh = Mesh(np.array(jax.devices()[:tp]), ("tp",))
-    params = synth_params(cfg, GGMLType.Q4_K, seed=0, tie=False)
+    qtype = GGMLType[args.qtype.upper()]
+    params = synth_params(cfg, qtype, seed=0, tie=False)
     stacked, specs = shard_llama_kernel_params(params, cfg, tp)
     with mesh:
         stacked = jax.tree.map(
@@ -269,7 +285,7 @@ def _bench_tp(args, cfg) -> int:
         dt = time.perf_counter() - t0
     tps = args.steps * args.batch / dt
     print(json.dumps({
-        "metric": f"decode tokens/s ({args.model} Q4_K, tg{args.steps}, tp={tp})",
+        "metric": f"decode tokens/s ({args.model} {qtype.name}, tg{args.steps}, tp={tp})",
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / BASELINE_TOKS, 4),

@@ -416,74 +416,73 @@ def _to_kernel_layout_padded(qt: QTensor, tile_k: int | None = None) -> KernelWe
 # -- activation plane splits + tile transpose (jax) ---------------------------
 
 
-def _tiles_x(sums, nk: int):
-    """[B, G_total] f32 sums → [nk, B, G_total/nk] (k-tiled, lane-whole)."""
-    b, g_total = sums.shape
-    return sums.reshape(b, nk, g_total // nk).swapaxes(0, 1)
-
-
-def _interleave_planes(planes, tile_p: int, group: int):
-    """Per-k-tile concat of P tile-transposed planes into ONE [B, K] field:
-    tile t carries [plane_0 tile | plane_1 tile | …]. One HBM operand (one
-    DMA per grid step) instead of P; the kernel slices planes back out at
-    tile_p boundaries (lane-aligned for every tile_k the layouts emit)."""
-    import jax.numpy as jnp
-
-    shp = planes[0].shape[:-1]
-    p_total = planes[0].shape[-1]
-    nk = p_total // tile_p
-    tiled = [
-        tile_transpose_x(p, tile_p, group).reshape(*shp, nk, tile_p)
-        for p in planes
-    ]
-    return jnp.concatenate(tiled, axis=-1).reshape(*shp, len(planes) * p_total)
-
-
 def prepare_x(x, kind: GGMLType, tile_k: int, q8_group: int = 32):
     """Split x into format planes (tile-transposed, bf16, interleaved into
     one field per k-tile) plus per-group f32 sums ("xs") that the kernels
     dot against the folded-out offsets. The sum planes concatenate along
     lanes in the SAME order as the packed scale fields (sc4/mn4), so each
     offset fold is a single GEMM against a slice of the scale block.
-    q8_group: scale group of a q8_0 layout (16 for exact-IQ repacks)."""
+    q8_group: scale group of a q8_0 layout (16 for exact-IQ repacks).
+
+    Each field is produced by ONE reshape→transpose→reshape (the composed
+    plane-split + tile-transpose + per-tile interleave permutation): the
+    earlier slice/transpose/concat chain cost ~11 XLA ops per kernel call,
+    ~0.6 ms/step of pure dispatch overhead on the decode profile."""
     import jax.numpy as jnp
 
     xb = x.astype(jnp.bfloat16)
     xf = x.astype(jnp.float32)
     shp = x.shape[:-1]
+    L = len(shp)
+    b = 1
+    for d in shp:
+        b *= d
     k = x.shape[-1]
     nk = k // tile_k
     if kind == GGMLType.Q8_0:
         return (tile_transpose_x(xb, tile_k, q8_group),)
+
+    def _xs(block: int, planes_shape, perm, out_lanes):
+        # [b, nk, ...] group sums → [nk, b, lanes] matching the scale field
+        s = xf.reshape(b, nk, *planes_shape, block).sum(-1)
+        return s.transpose(1, 0, *perm).reshape(nk, b, out_lanes)
+
     if kind in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
                 GGMLType.IQ4_NL, GGMLType.IQ4_XS) or kind in TABLE_KINDS:
-        xr = xb.reshape(*shp, k // 32, 32)
-        lo = xr[..., :16].reshape(*shp, k // 2)
-        hi = xr[..., 16:].reshape(*shp, k // 2)
-        x2 = _interleave_planes((lo, hi), tile_k // 2, 16)
+        # 32-blocks split lo/hi at 16; plane group 16, G = tile_k/32.
+        # tile layout: [lo | hi], plane position e*G + g (g = 32-block idx).
+        # The whole permutation is ONE last-two-dims swap: flattening
+        # (t, h·16+e, g) gives h·TP + e·G + g, exactly the interleaved
+        # plane layout. (A combined 5-D transpose spelling lowered to the
+        # same op count but +50% device time — keep the minor-2 swap form,
+        # which XLA:TPU lowers as a single clean relayout.)
+        g = tile_k // 32
+        x2 = xb.reshape(*shp, nk, g, 32).swapaxes(-1, -2).reshape(*shp, k)
         if kind not in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
                         GGMLType.Q5_1):
             return (x2,)  # codebook/table has no affine offset — no sum fold
-        xs = _tiles_x(xf.reshape(*shp, k // 32, 32).sum(-1), nk)
+        xs = _xs(32, (g,), (2,), g)
         return (x2, xs)
     if kind in (GGMLType.Q4_K, GGMLType.Q5_K):
-        xr = xb.reshape(*shp, k // 64, 64)
-        lo = xr[..., :32].reshape(*shp, k // 2)
-        hi = xr[..., 32:].reshape(*shp, k // 2)
-        x2 = _interleave_planes((lo, hi), tile_k // 2, 32)
-        xg = xf.reshape(*shp, k // 64, 2, 32).sum(-1)  # [B, K/64, {lo,hi}]
-        xs2 = jnp.concatenate(
-            [_tiles_x(xg[..., 0], nk), _tiles_x(xg[..., 1], nk)], axis=-1
-        )  # lane order matches sc4's [slo|shi|mlo|mhi] halves
+        # 64-blocks split lo/hi at 32; plane group 32, G = tile_k/64:
+        # (t, h·32+e, g) flattens to h·TP + e·G + g — one minor-2 swap
+        g = tile_k // 64
+        x2 = xb.reshape(*shp, nk, g, 64).swapaxes(-1, -2).reshape(*shp, k)
+        # xs2 lanes = [lo sums | hi sums], g-sequential per half (sc4 order)
+        xs2 = _xs(32, (g, 2), (3, 2), 2 * g)
         return (x2, xs2)
     if kind in (GGMLType.Q6_K, GGMLType.Q2_K, GGMLType.Q3_K):
-        xr = xb.reshape(*shp, k // 128, 4, 32)
-        quarters = [xr[..., i, :].reshape(*shp, k // 4) for i in range(4)]
-        x4 = _interleave_planes(quarters, tile_k // 4, 16)
-        xq = xf.reshape(*shp, k // 128, 4, 2, 16).sum(-1)  # [B,K/128,4,2]
-        xs4 = jnp.concatenate(
-            [_tiles_x(xq[..., i, :].reshape(*shp, k // 64), nk) for i in range(4)],
-            axis=-1,
-        )  # lane order matches sc4 (and mn4) plane concat
+        # 128-blocks split into 4 quarter-planes of 32; plane group 16,
+        # G = tile_k/64 groups per plane tile; group idx = (c128, e_hi).
+        # Two minor-2 swaps: (t,c128,[q,ehi,elo]) → (t,[q,ehi,elo],c128)
+        # → regroup (t,q,ehi,[elo·G2+c128]) → (t,q,[elo·G2+c128],ehi),
+        # flattening to q·TP4 + elo·G + c128·2 + ehi — the quarter-plane
+        # interleave with group order (c128, ehi)
+        g2 = tile_k // 128  # 128-blocks per tile
+        x4 = (xb.reshape(*shp, nk, g2, 128).swapaxes(-1, -2)
+              .reshape(*shp, nk, 4, 2, 16 * g2).swapaxes(-1, -2)
+              .reshape(*shp, k))
+        # xs4 lanes = 4 plane-sum planes, (c128, e_hi)-sequential (sc4 order)
+        xs4 = _xs(16, (g2, 4, 2), (3, 2, 4), 4 * (tile_k // 64))
         return (x4, xs4)
     raise NotImplementedError(kind)

@@ -100,7 +100,7 @@ def _planes2(x2):
 
 def _body_q4_0(acc, x2, xs, qs, s):
     x_lo, x_hi = _planes2(x2)
-    sf = _expand(s, 16)
+    sf = _expand(s, qs.shape[-1] // s.shape[-1])
     lo, hi = _nibbles_i32(qs)
     w_lo = (lo.astype(F32) * sf).astype(BF16)
     w_hi = (hi.astype(F32) * sf).astype(BF16)
@@ -165,7 +165,7 @@ def _iq4_map(q):
 
 def _body_iq4(acc, x2, qs, s):
     x_lo, x_hi = _planes2(x2)
-    sf = _expand(s, 16)
+    sf = _expand(s, qs.shape[-1] // s.shape[-1])
     lo, hi = _nibbles_i32(qs)
     w_lo = (_iq4_map(lo) * sf).astype(BF16)
     w_hi = (_iq4_map(hi) * sf).astype(BF16)
@@ -176,7 +176,7 @@ def _body_tab32(table, acc, x2, qs, s):
     """Table carrier, per-32 scales (IQ2_XXS/IQ3_XXS/IQ3_S/IQ1_S/TQ*):
     w = s_group · table[nibble]; same geometry as _body_iq4."""
     x_lo, x_hi = _planes2(x2)
-    sf = _expand(s, 16)
+    sf = _expand(s, qs.shape[-1] // s.shape[-1])
     lo, hi = _nibbles_i32(qs)
     acc[...] += _dot_xt_w(x_lo, (_table_map(lo, table) * sf).astype(BF16))
     acc[...] += _dot_xt_w(x_hi, (_table_map(hi, table) * sf).astype(BF16))
@@ -205,9 +205,12 @@ def _body_q4_K(acc, x2, xs2, qs, sc4):
     lo, hi = _nibbles_i32(qs)
     # bf16 contraction like q5_K: the 4-bit q × 6-bit scale product fits
     # bf16's mantissa budget at reference NMSE tolerance (backend-ops gate);
-    # halves the VMEM dequant temporaries and runs the MXU at bf16 rate
-    w_lo = (lo.astype(F32) * _expand(slo, 32)).astype(BF16)
-    w_hi = (hi.astype(F32) * _expand(shi, 32)).astype(BF16)
+    # halves the VMEM dequant temporaries and runs the MXU at bf16 rate.
+    # expand factor derives from the shapes (32, or 32/n_sub on the sub-K
+    # chunked path that slices qs along plane positions)
+    f = qs.shape[-1] // slo.shape[-1]
+    w_lo = (lo.astype(F32) * _expand(slo, f)).astype(BF16)
+    w_hi = (hi.astype(F32) * _expand(shi, f)).astype(BF16)
     acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
     # xs2 lanes = [lo-group sums | hi-group sums] = sc4's [mlo|mhi] order:
     # both min folds collapse into ONE GEMM against the scale block's tail
@@ -234,6 +237,7 @@ def _planes4(x4):
 def _body_q6_K(acc, x4c, xs4, a, b, h4, sc4):
     x1, x2, x3, x4 = _planes4(x4c)
     s1, s2, s3, s4 = _split4(sc4)
+    f = a.shape[-1] // s1.shape[-1]
     a = a.astype(jnp.int32)
     b = b.astype(jnp.int32)
     h = h4.astype(jnp.int32)
@@ -241,20 +245,21 @@ def _body_q6_K(acc, x4c, xs4, a, b, h4, sc4):
     q2 = (b & 0x0F) | (((h >> 2) & 3) << 4)
     q3 = ((a >> 4) & 0x0F) | (((h >> 4) & 3) << 4)
     q4 = ((b >> 4) & 0x0F) | (((h >> 6) & 3) << 4)
-    acc[...] += _dot_xt_w(x1, (q1.astype(F32) * _expand(s1, 16)).astype(BF16))
-    acc[...] += _dot_xt_w(x2, (q2.astype(F32) * _expand(s2, 16)).astype(BF16))
-    acc[...] += _dot_xt_w(x3, (q3.astype(F32) * _expand(s3, 16)).astype(BF16))
-    acc[...] += _dot_xt_w(x4, (q4.astype(F32) * _expand(s4, 16)).astype(BF16))
+    acc[...] += _dot_xt_w(x1, (q1.astype(F32) * _expand(s1, f)).astype(BF16))
+    acc[...] += _dot_xt_w(x2, (q2.astype(F32) * _expand(s2, f)).astype(BF16))
+    acc[...] += _dot_xt_w(x3, (q3.astype(F32) * _expand(s3, f)).astype(BF16))
+    acc[...] += _dot_xt_w(x4, (q4.astype(F32) * _expand(s4, f)).astype(BF16))
     # xs4 lanes follow sc4's plane concat: one fused fold GEMM
     acc[...] -= 32.0 * _dot_xt_w(xs4, sc4)
 
 
 def _body_q2_K(acc, x4c, xs4, qs, sc4, mn4):
     s1, s2, s3, s4 = _split4(sc4)
+    f = qs.shape[-1] // s1.shape[-1]
     q = qs.astype(jnp.int32)
     for p, (x, s) in enumerate(zip(_planes4(x4c), (s1, s2, s3, s4))):
         qp = (q >> (2 * p)) & 3
-        acc[...] += _dot_xt_w(x, (qp.astype(F32) * _expand(s, 16)).astype(BF16))
+        acc[...] += _dot_xt_w(x, (qp.astype(F32) * _expand(s, f)).astype(BF16))
     acc[...] -= _dot_xt_w(xs4, mn4)
 
 
@@ -331,9 +336,34 @@ _W_FIELDS = {
 # divisor of K for each x field's last dim (interleaved plane fields span
 # the full tile_k)
 _X_DIV = {"x": 1, "x2": 1, "x4": 1}
+_N_PLANES = {"x": 1, "x2": 2, "x4": 4}
+
+# Sub-K chunking (n_sub>1): the kernel runs the dequant+dot body n_sub
+# times over lane-slices of the positional fields, shrinking the bf16
+# dequant temporaries by n_sub so wide tile_n fits whole-K tiles in VMEM.
+# A slice [s*ps:(s+1)*ps) of a tile-transposed plane (positions e*G+g) is
+# a complete set of groups iff ps % G == 0, so the per-group scale expand
+# still holds with factor ps//G (the bodies derive it from shapes). The
+# affine-offset folds are linear in the activation group sums, so scaling
+# xs by 1/n_sub (exact for powers of two) and folding every sub-iteration
+# keeps the bodies unchanged. Bit-plane kinds (q5_0/1, q5_K, q3_K) pack 8
+# positions per byte in r*(P/8)+b order — lane slices of the packed field
+# are not position slices — and tab16's split-scale field complicates the
+# factor, so those kinds are excluded.
+_SUBK_W = {
+    GGMLType.Q8_0: ("qs",),
+    GGMLType.Q4_0: ("qs",),
+    GGMLType.Q4_1: ("qs",),
+    GGMLType.IQ4_NL: ("qs",),
+    GGMLType.IQ4_XS: ("qs",),
+    GGMLType.Q4_K: ("qs",),
+    GGMLType.Q6_K: ("qla", "qlb", "qh4"),
+    GGMLType.Q2_K: ("qs",),
+    **{kind: ("qs",) for kind in IQ_TABLES if kind not in _TAB16_KINDS},
+}
 
 
-def _kernel(kind, nk, *refs):
+def _kernel(kind, nk, n_sub, *refs):
     """Generic kernel: refs = (*x_refs, *w_refs, out_ref, acc_ref)."""
     out_ref = refs[-2]
     acc = refs[-1]
@@ -350,17 +380,50 @@ def _kernel(kind, nk, *refs):
     nx = len(_X_FIELDS[kind])
     vals[nx:] = [v.astype(F32) if v.dtype == BF16 else v for v in vals[nx:]]
     body = _BODIES[kind]
-    body(acc, *vals)
+    if n_sub == 1:
+        body(acc, *vals)
+        return _kernel_tail(out_ref, acc, k_idx, nk)
+    x_names = _X_FIELDS[kind]
+    w_names = _W_FIELDS[kind]
+    sub_w = _SUBK_W[kind]
+    xv = list(vals[:nx])
+    for i, name in enumerate(x_names):
+        if name.startswith("xs"):
+            xv[i] = xv[i] * (1.0 / n_sub)
+    for s in range(n_sub):
+        sv = []
+        for name, v in zip(x_names, xv):
+            if name.startswith("xs"):
+                sv.append(v)
+                continue
+            planes = _N_PLANES[name]
+            pl_len = v.shape[-1] // planes
+            ps = pl_len // n_sub
+            parts = [v[:, p * pl_len + s * ps : p * pl_len + (s + 1) * ps]
+                     for p in range(planes)]
+            sv.append(parts[0] if planes == 1 else jnp.concatenate(parts, -1))
+        for name, v in zip(w_names, vals[nx:]):
+            if name in sub_w:
+                ps = v.shape[-1] // n_sub
+                sv.append(v[:, s * ps:(s + 1) * ps])
+            else:
+                sv.append(v)
+        body(acc, *sv)
+    return _kernel_tail(out_ref, acc, k_idx, nk)
 
+
+def _kernel_tail(out_ref, acc, k_idx, nk):
     @pl.when(k_idx == nk - 1)
     def _():
         out_ref[...] = acc[...]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "n", "k", "tile_b", "tile_n", "tile_k")
+    jax.jit,
+    static_argnames=("kind", "n", "k", "tile_b", "tile_n", "tile_k", "n_sub"),
 )
-def _qmm_call(x_fields, w_fields, *, kind, n, k, tile_b, tile_n, tile_k):
+def _qmm_call(x_fields, w_fields, *, kind, n, k, tile_b, tile_n, tile_k,
+              n_sub=1):
     b = x_fields[0].shape[0]
     nb, nn, nk = b // tile_b, n // tile_n, k // tile_k
     x_names = _X_FIELDS[kind]
@@ -410,7 +473,7 @@ def _qmm_call(x_fields, w_fields, *, kind, n, k, tile_b, tile_n, tile_k):
 
     interpret = _interpret_mode()
     y = pl.pallas_call(
-        functools.partial(_kernel, kind, nk),
+        functools.partial(_kernel, kind, nk, n_sub),
         grid=(nb, nn, nk),
         interpret=interpret,
         in_specs=in_specs,
@@ -500,7 +563,7 @@ def qmm_fused(
     # K=14336 tn=256 fits (est 12.9M), tn=512 OOMs (est 24.8M).
     nk_est = max(k // tile_k, 1)
 
-    def _scoped_bytes(tn: int, tb: int) -> int:
+    def _scoped_bytes(tn: int, tb: int, ns: int = 1) -> int:
         wb = sum(
             tn * a.shape[2] * a.dtype.itemsize if a.ndim == 3
             else tn * (a.shape[1] // nk_est) * a.dtype.itemsize
@@ -509,18 +572,38 @@ def qmm_fused(
             tb * a.shape[2] * a.dtype.itemsize if a.ndim == 3
             else tb * (a.shape[1] // nk_est) * a.dtype.itemsize
             for a in x_fields)
-        temp = tn * tile_k * 2  # bf16 dequant intermediate (weight side)
+        # bf16 dequant intermediate (weight side); sub-K chunking divides it
+        temp = tn * tile_k * 2 // ns
         return 2 * (wb + xb) + temp + 2 * tn * tb * 4  # + out/acc f32
 
     budget = 15 * 2**20 + 2**19
-    while tile_n > 128 and _scoped_bytes(tile_n, tile_b) > budget:
+
+    # Sub-K chunking: whole-K big-K tiles are clamped to tile_n 256 by the
+    # dequant temporary; slicing the body into n_sub k-chunks shrinks the
+    # temp so 512-row tiles fit (fewer, larger grid-step DMAs — the K=14336
+    # down-proj ran ~525 GB/s vs the 680-712 the other kernels hit).
+    # LLAMA_TPU_SUBK=1 disables (A/B), =4 forces deeper chunking.
+    n_sub = 1
+    if tile_k >= 8192 and tile_b <= 8 and kw.kind in _SUBK_W:
+        import os
+
+        want_ns = int(os.environ.get("LLAMA_TPU_SUBK", 2))
+        want_tn = 512 if n_rows % 512 == 0 else tile_n
+        planes = _N_PLANES[_X_FIELDS[kw.kind][0]]
+        ps = tile_k // planes // max(want_ns, 1)
+        if (want_ns > 1 and want_tn > tile_n and ps % 128 == 0
+                and (tile_k // planes) % want_ns == 0
+                and _scoped_bytes(want_tn, tile_b, want_ns) <= budget):
+            tile_n, n_sub = want_tn, want_ns
+
+    while tile_n > 128 and _scoped_bytes(tile_n, tile_b, n_sub) > budget:
         tile_n //= 2
-    while tile_b > 8 and _scoped_bytes(tile_n, tile_b) > budget:
+    while tile_b > 8 and _scoped_bytes(tile_n, tile_b, n_sub) > budget:
         tile_b //= 2  # b_pad stays valid: halving keeps it a multiple
 
     y = _qmm_call(
         x_fields, w_fields, kind=kw.kind, n=n_rows, k=k,
-        tile_b=tile_b, tile_n=tile_n, tile_k=tile_k,
+        tile_b=tile_b, tile_n=tile_n, tile_k=tile_k, n_sub=n_sub,
     )
     return y[:b_real, :n].reshape(*lead, n)
 

@@ -32,7 +32,7 @@ RESULTS: dict = {}
 
 
 def _bench_py(*args: str) -> dict:
-    p = subprocess.run([sys.executable, "bench.py", *args],
+    p = subprocess.run([sys.executable, "bench.py", "--qtype", "q4_k", *args],
                        capture_output=True, text=True, timeout=7200)
     for line in p.stdout.splitlines():
         if line.startswith("{"):

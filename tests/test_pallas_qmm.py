@@ -187,3 +187,27 @@ def test_moe_forward_kernel_parity(rng, t):
     l2, _ = forward(kparams, cfg, jnp.asarray(toks), jnp.asarray(pos),
                     mask=jnp.asarray(mask), compute_dtype=jnp.float32)
     assert nmse(np.asarray(l2), np.asarray(l1)) < 2e-4
+
+
+@pytest.mark.parametrize("kind", [GGMLType.Q4_K, GGMLType.Q6_K,
+                                  GGMLType.Q4_0, GGMLType.Q8_0,
+                                  GGMLType.Q2_K])
+def test_subk_chunked_body_matches(rng, kind):
+    """n_sub>1 (sub-K chunked dequant, VMEM-saving path for whole-K wide
+    tiles) matches the single-pass kernel to accumulation-order noise."""
+    from llama_cpp_dsp_tpu.ops.pallas.layouts import prepare_x, to_kernel_layout
+    from llama_cpp_dsp_tpu.ops.pallas.qmm import _W_FIELDS, _qmm_call
+    from llama_cpp_dsp_tpu.tools.synth import synth_qtensor
+
+    n, k = 512, 8192
+    qt = synth_qtensor(np.random.default_rng(1), kind, (n, k))
+    kw = to_kernel_layout(qt, tile_k=k)
+    x = jnp.asarray(rng.standard_normal((8, k)), jnp.float32)
+    xf = prepare_x(x, kind, k)
+    wf = tuple(kw.arrays[name] for name in _W_FIELDS[kind])
+    y1 = np.asarray(_qmm_call(xf, wf, kind=kind, n=n, k=k, tile_b=8,
+                              tile_n=256, tile_k=k, n_sub=1))
+    for ns in (2, 4):
+        y = np.asarray(_qmm_call(xf, wf, kind=kind, n=n, k=k, tile_b=8,
+                                 tile_n=512, tile_k=k, n_sub=ns))
+        assert nmse(y, y1) < 1e-10, (kind, ns)
