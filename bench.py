@@ -104,8 +104,11 @@ def main() -> int:
           f"device(s) [{jax.devices()[0].platform}]", file=sys.stderr)
 
     if not args.n_ctx:
-        need = args.pp or (args.steps * 2 + args.warmup)
-        args.n_ctx = max(256, -(-need // 128) * 128)
+        # llama-bench sizes n_ctx to the workload (n_prompt + n_gen); the
+        # static-shape flash kernel streams the WHOLE capacity per step, so
+        # a larger capacity would overstate the per-token KV traffic
+        need = args.pp or (args.steps if args.scan else args.steps * 2 + args.warmup)
+        args.n_ctx = max(128, -(-need // 128) * 128)
 
     if args.tp > 1:
         return _bench_tp(args, cfg)
@@ -209,8 +212,14 @@ def main() -> int:
                 prof = True
             except Exception as e:  # noqa: BLE001 — relay may not support it
                 print(f"bench: profiler unavailable: {e}", file=sys.stderr)
+        # timed run = llama-bench's tg test: generate steps tokens into a
+        # FRESH empty context (the warm cache was donated). tokens+1 keeps
+        # the args distinct — the axon runtime memoizes identical
+        # (executable, args) executions.
+        cache = KVCache.create(cfg.n_layers, args.batch, args.n_ctx,
+                               cfg.n_kv_heads, cfg.head_dim)
         t0 = time.perf_counter()
-        cache, toks = decode_scan(params, cache, toks, jnp.int32(n_past + args.steps),
+        cache, toks = decode_scan(params, cache, tokens + 1, jnp.int32(n_past),
                                   args.steps)
         int(np.asarray(toks[0, 0]))
         dt = time.perf_counter() - t0
