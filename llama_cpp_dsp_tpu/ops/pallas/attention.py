@@ -125,6 +125,119 @@ def _decode_kernel(
     o_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
 
 
+def _decode_kernel_allh(
+    start_ref,  # SMEM [B] int32
+    len_ref,  # SMEM [B] int32
+    q_ref,  # VMEM [1, Hkv, rep, D]
+    k_hbm,  # ANY  [B, Hkv, S, D] (or [L, B, Hkv, S, D] with layer set)
+    v_hbm,  # ANY  same
+    o_ref,  # VMEM [1, Hkv, rep, D] f32
+    k_buf,  # VMEM [2, Hkv, CHUNK, D]
+    v_buf,  # VMEM [2, Hkv, CHUNK, D]
+    sem,  # DMA sems [2, 2]
+    *,
+    scale: float,
+    chunk: int,
+    softcap: float,
+    layer: int | None,
+    hkv: int,
+):
+    """All-kv-heads-per-program decode body: ONE (strided) DMA per S-chunk
+    covers every head, and the chunk double-buffer actually pipelines —
+    the per-(b,h) grid issues 2·Hkv serialized copies per step with no
+    overlap, which is DMA-latency-bound for MHA models (Hkv=32)."""
+    b = pl.program_id(0)
+    length = len_ref[b]
+    start = start_ref[b]
+    first = start // chunk
+    n_chunks = pl.cdiv(length, chunk)
+    pre = () if layer is None else (layer,)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # [Hkv, rep, D]
+    _, rep, d = q.shape
+    hr = hkv * rep
+    q2 = q.reshape(hr, d)
+
+    def k_dma(slot, ci):
+        return pltpu.make_async_copy(
+            k_hbm.at[(*pre, b, slice(None), pl.ds(ci * chunk, chunk), slice(None))],
+            k_buf.at[slot], sem.at[slot, 0]
+        )
+
+    def v_dma(slot, ci):
+        return pltpu.make_async_copy(
+            v_hbm.at[(*pre, b, slice(None), pl.ds(ci * chunk, chunk), slice(None))],
+            v_buf.at[slot], sem.at[slot, 1]
+        )
+
+    @pl.when(first < n_chunks)
+    def _():
+        k_dma(first % 2, first).start()
+        v_dma(first % 2, first).start()
+
+    def body(ci, carry):
+        m, l, acc = carry  # [HR,1], [HR,1], [HR,D] f32
+        slot = ci % 2
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            k_dma((ci + 1) % 2, ci + 1).start()
+            v_dma((ci + 1) % 2, ci + 1).start()
+
+        k_dma(slot, ci).wait()
+        v_dma(slot, ci).wait()
+
+        # per-head scores on the MXU (static unroll over kv heads)
+        s = jnp.concatenate([
+            jax.lax.dot_general(
+                q2[h * rep:(h + 1) * rep], k_buf[slot, h].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ) for h in range(hkv)
+        ], axis=0)  # [HR, CHUNK]
+        if softcap:
+            s = jnp.tanh(s / softcap) * softcap
+        col = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where((col < length) & (col >= start), s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)  # [HR, CHUNK]
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jnp.concatenate([
+            jax.lax.dot_general(
+                p[h * rep:(h + 1) * rep], v_buf[slot, h].astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ) for h in range(hkv)
+        ], axis=0)  # [HR, D]
+        acc = acc * alpha + pv
+        return m_new, l, acc
+
+    m0 = jnp.full((hr, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((hr, 1), jnp.float32)
+    acc0 = jnp.zeros((hr, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(first, n_chunks, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).reshape(hkv, rep, d)
+
+
+# VMEM budget for the all-heads K/V double buffers (2 tensors x 2 slots);
+# leaves room for q/o blocks and accumulators inside the 16MB scoped limit
+_ALLH_BUF_BYTES = 8 * 2**20
+
+
+def _allh_chunk(s: int, hkv: int, d: int, itemsize: int) -> int:
+    """Largest S-chunk whose all-heads double buffer fits the budget and
+    divides the capacity; 0 if even 128 doesn't fit (fall back to per-head)."""
+    cap = _ALLH_BUF_BYTES // (4 * hkv * d * itemsize)
+    chunk = min(512, s, cap)
+    while chunk >= 128 and s % chunk:
+        chunk //= 2
+    return chunk if chunk >= 128 else 0
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "chunk", "softcap", "interpret", "layer")
 )
@@ -142,15 +255,45 @@ def flash_decode(
     layer: int | None = None,  # static index into a stacked [L, ...] cache
 ) -> jax.Array:
     """Returns [B, H, D] f32 attention output."""
+    import os
+
     bsz, hq, d = q.shape
     hkv, s = (k.shape[1], k.shape[2]) if layer is None else (k.shape[2], k.shape[3])
     rep = hq // hkv
+    if starts is None:
+        starts = jnp.zeros_like(lengths)
+
+    allh = _allh_chunk(s, hkv, d, jnp.dtype(k.dtype).itemsize)
+    if hkv > 1 and allh and not os.environ.get("LLAMA_TPU_NO_ATTN_ALLH"):
+        qg = q.reshape(bsz, hkv, rep, d)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bsz,),
+            in_specs=[
+                pl.BlockSpec((1, hkv, rep, d), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, hkv, rep, d), lambda b, *_: (b, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, hkv, allh, d), k.dtype),
+                pltpu.VMEM((2, hkv, allh, d), v.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_decode_kernel_allh, scale=scale, chunk=allh,
+                              softcap=softcap, layer=layer, hkv=hkv),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
+            interpret=_resolve_interpret(interpret),
+        )(starts.astype(jnp.int32), lengths.astype(jnp.int32), qg, k, v)
+        return out.reshape(bsz, hq, d)
+
     chunk = min(chunk, s)
     while s % chunk:  # largest power-of-two-ish divisor of the capacity
         chunk //= 2
     assert chunk >= 8, (s, chunk)
-    if starts is None:
-        starts = jnp.zeros_like(lengths)
 
     qg = q.reshape(bsz, hkv, rep, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -303,6 +303,37 @@ def _():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@check("flash_decode_allh")
+def _():
+    """All-heads decode kernel (one strided DMA per S-chunk; MHA +
+    GQA shapes, bf16 KV, multi-chunk + SWA starts) vs the per-head
+    kernel forced with LLAMA_TPU_NO_ATTN_ALLH."""
+    import os
+
+    from llama_cpp_dsp_tpu.ops.pallas.attention import flash_decode
+
+    rng = np.random.default_rng(11)
+    for hq, hkv, d, s in ((32, 32, 128, 256), (32, 8, 128, 1024)):
+        b = 2
+        q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.bfloat16)
+        lengths = jnp.asarray([s // 3 + 1, s], jnp.int32)
+        starts = jnp.asarray([0, s // 4], jnp.int32)
+        got = np.asarray(flash_decode(q, k, v, lengths, starts,
+                                      scale=0.088388))
+        os.environ["LLAMA_TPU_NO_ATTN_ALLH"] = "1"
+        flash_decode.clear_cache()
+        try:
+            want = np.asarray(flash_decode(q, k, v, lengths, starts,
+                                           scale=0.088388))
+        finally:
+            del os.environ["LLAMA_TPU_NO_ATTN_ALLH"]
+            flash_decode.clear_cache()
+        err = nmse(got, want)
+        assert err < 1e-9, (hq, hkv, d, s, err)
+
+
 if "--skip-bench" not in sys.argv:
     for args in (["--steps", "32"], ["--pp", "512"], ["--batch", "4", "--steps", "32"]):
         print(f"bench {args}:", flush=True)

@@ -29,6 +29,35 @@ def _ref(q, k, v, lengths, scale, starts=None, softcap=0.0):
 
 @pytest.mark.parametrize("hq,hkv,d,s", [(8, 2, 64, 256), (4, 4, 128, 512), (8, 1, 32, 128)])
 def test_flash_decode_matches_ref(hq, hkv, d, s):
+    _flash_decode_case(hq, hkv, d, s)
+
+
+def test_flash_decode_mha_allheads_bf16():
+    """MHA shape (llama2-7b: rep=1, 32 kv heads) rides the all-heads kernel;
+    bf16 KV like the serving cache."""
+    _flash_decode_case(32, 32, 128, 256, kv_dtype=jnp.bfloat16, tol=8e-3)
+
+
+def test_flash_decode_allheads_matches_per_head(monkeypatch):
+    """LLAMA_TPU_NO_ATTN_ALLH forces the per-(b,h) kernel; both paths must
+    agree (same online-softmax arithmetic, different DMA batching)."""
+    rng = np.random.default_rng(5)
+    b, hq, hkv, d, s = 2, 8, 4, 64, 512
+    q = rng.standard_normal((b, hq, d)).astype(np.float32)
+    k = rng.standard_normal((b, hkv, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, hkv, s, d)).astype(np.float32)
+    lengths = np.array([s // 3, s], np.int32)
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lengths))
+    allh = flash_decode(*args, scale=0.125, interpret=True)
+    monkeypatch.setenv("LLAMA_TPU_NO_ATTN_ALLH", "1")
+    flash_decode.clear_cache()
+    per_head = flash_decode(*args, scale=0.125, interpret=True)
+    flash_decode.clear_cache()
+    np.testing.assert_allclose(np.asarray(allh), np.asarray(per_head),
+                               rtol=1e-6, atol=1e-6)
+
+
+def _flash_decode_case(hq, hkv, d, s, kv_dtype=None, tol=2e-5):
     rng = np.random.default_rng(0)
     b = 3
     q = rng.standard_normal((b, hq, d)).astype(np.float32)
@@ -37,12 +66,15 @@ def test_flash_decode_matches_ref(hq, hkv, d, s):
     lengths = np.array([1, s // 2 + 3, s], np.int32)[:b]
     scale = 1.0 / np.sqrt(d)
 
+    kj = jnp.asarray(k) if kv_dtype is None else jnp.asarray(k, kv_dtype)
+    vj = jnp.asarray(v) if kv_dtype is None else jnp.asarray(v, kv_dtype)
     out = flash_decode(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lengths),
+        jnp.asarray(q), kj, vj, jnp.asarray(lengths),
         scale=scale, chunk=128, interpret=True,
     )
-    ref = _ref(q, k, v, lengths, scale)
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+    ref = _ref(q, np.asarray(kj, np.float32), np.asarray(vj, np.float32),
+               lengths, scale)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=tol, atol=tol)
 
 
 def test_flash_decode_swa_and_softcap():
