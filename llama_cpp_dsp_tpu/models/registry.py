@@ -243,7 +243,12 @@ def _nemotron(get):
 
 
 def _dbrx(get):
-    return {"norm_type": "ln"}
+    # llm_build_dbrx: LayerNorm (no bias), fused wqkv clamped to
+    # ±f_clamp_kqv (llama-model.cpp:5353), SILU MoE with norm_w=true
+    return {
+        "norm_type": "ln",
+        "clamp_kqv": float(get("{arch}.attention.clamp_kqv", 0.0) or 0.0),
+    }
 
 
 def _chatglm(get):

@@ -464,6 +464,19 @@ _GLOBAL_MAP = {
     "embeddings.token_type_embeddings.weight": "token_types.weight",
     "emb_ln.weight": "token_embd_norm.weight",
     "emb_ln.bias": "token_embd_norm.bias",
+    # dbrx
+    "transformer.norm_f.weight": "output_norm.weight",
+}
+
+# dbrx per-block names (reference convert_hf_to_gguf.py DbrxModel +
+# gguf-py tensor_mapping.py dbrx rows); expert tensors are handled
+# separately — they arrive pre-stacked [E*ff, d] without .weight suffixes
+_DBRX_LAYER_MAP = {
+    "norm_attn_norm.norm_1.weight": "attn_norm.weight",
+    "norm_attn_norm.attn.Wqkv.weight": "attn_qkv.weight",
+    "norm_attn_norm.attn.out_proj.weight": "attn_output.weight",
+    "norm_attn_norm.norm_2.weight": "ffn_norm.weight",
+    "ffn.router.layer.weight": "ffn_gate_inp.weight",
 }
 
 _QUANT_TYPES = {
@@ -512,7 +525,7 @@ def _map_name(name: str, layer_map: dict) -> str | None:
     for prefix in ("model.layers.layers.",  # plamo (nested list)
                    "model.layers.", "transformer.h.", "backbone.layers.",
                    "transformer.layers.", "transformer.decoder_layer.",
-                   "encoder.layers."):
+                   "transformer.blocks.", "encoder.layers."):
         if name.startswith(prefix):
             rest = name[len(prefix):]
             idx, _, suffix = rest.partition(".")
@@ -634,6 +647,26 @@ def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
         w.add_uint32(f"{arch}.rope.dimension_count", g("head_dim"))
         w.add_uint32(f"{arch}.attention.key_length", g("head_dim"))
         w.add_uint32(f"{arch}.attention.value_length", g("head_dim"))
+        w.add_uint32(f"{arch}.vocab_size", g("vocab_size", default=0))
+        return
+    if arch == "dbrx":
+        # nested attn_config/ffn_config (reference DbrxModel
+        # set_gguf_parameters, convert_hf_to_gguf.py:2121-2142)
+        attn = cfg.get("attn_config") or {}
+        ffn = cfg.get("ffn_config") or {}
+        w.add_uint32(f"{arch}.block_count", g("n_layers"))
+        w.add_uint32(f"{arch}.context_length", g("max_seq_len", default=2048))
+        w.add_uint32(f"{arch}.embedding_length", g("d_model"))
+        w.add_uint32(f"{arch}.feed_forward_length", ffn["ffn_hidden_size"])
+        w.add_uint32(f"{arch}.attention.head_count", g("n_heads"))
+        w.add_uint32(f"{arch}.attention.head_count_kv", attn["kv_n_heads"])
+        w.add_float32(f"{arch}.rope.freq_base",
+                      attn.get("rope_theta", 10000.0))
+        if attn.get("clip_qkv"):
+            w.add_float32(f"{arch}.attention.clamp_kqv", attn["clip_qkv"])
+        w.add_uint32(f"{arch}.expert_count", ffn["moe_num_experts"])
+        w.add_uint32(f"{arch}.expert_used_count", ffn["moe_top_k"])
+        w.add_float32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
         w.add_uint32(f"{arch}.vocab_size", g("vocab_size", default=0))
         return
     if arch == "chatglm":
@@ -1306,7 +1339,8 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
     layer_map = {"gemma2": _GEMMA2_LAYER_MAP, "gemma3": _GEMMA2_LAYER_MAP,
                  "grok": _GROK_LAYER_MAP, "openelm": _OPENELM_LAYER_MAP,
                  "chatglm": _CHATGLM_LAYER_MAP, "arctic": _ARCTIC_LAYER_MAP,
-                 "nomic-bert": _NOMIC_LAYER_MAP}.get(arch, _LAYER_MAP)
+                 "nomic-bert": _NOMIC_LAYER_MAP,
+                 "dbrx": _DBRX_LAYER_MAP}.get(arch, _LAYER_MAP)
     # deci per-layer kv-head counts drive the per-layer k permutation
     kv_per_layer = None
     if arch == "deci":
@@ -1451,6 +1485,23 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
         if ".block_sparse_moe.output_linear.weight" in hf_name:
             il = hf_name.split("model.layers.")[1].split(".")[0]
             _emit(w, f"blk.{il}.ffn_down_exps.weight", arr, qtype)
+            n_written += 1
+            continue
+        if arch == "dbrx" and ".ffn.experts.mlp." in hf_name:
+            # pre-stacked flat [E*ff, d] without .weight suffix (reference
+            # DbrxModel.modify_tensors: view 3-D; w2 additionally permutes
+            # (0,2,1) so down rows are d-major like every other arch)
+            il = hf_name.split("transformer.blocks.")[1].split(".")[0]
+            e = cfg["ffn_config"]["moe_num_experts"]
+            ff = cfg["ffn_config"]["ffn_hidden_size"]
+            t = arr.reshape(e, ff, -1)
+            which = hf_name.rsplit(".", 1)[1]
+            if which == "w2":
+                _emit(w, f"blk.{il}.ffn_down_exps.weight",
+                      np.ascontiguousarray(t.transpose(0, 2, 1)), qtype)
+            else:
+                ggml = "ffn_gate_exps" if which == "w1" else "ffn_up_exps"
+                _emit(w, f"blk.{il}.{ggml}.weight", t, qtype)
             n_written += 1
             continue
         if arch == "openelm" and hf_name.endswith(".ffn.proj_1.weight"):

@@ -645,3 +645,18 @@ def test_convert_qwen2_5_vl_parity(tmp_path_factory):
         theirs = hf_model(input_ids=torch.tensor(toks, dtype=torch.long)).logits
     np.testing.assert_allclose(np.asarray(ours)[0], theirs[0].numpy(),
                                rtol=3e-3, atol=3e-3)
+
+
+def test_convert_dbrx_parity(tmp_path_factory):
+    """dbrx: transformer.blocks.* naming, fused clamped Wqkv, pre-stacked
+    flat expert tensors [E*ff, d] without .weight suffixes (w1/v1/w2; w2
+    transposes to d-major rows — reference DbrxModel.modify_tensors)."""
+    _parity_case(
+        tmp_path_factory, "dbrx", transformers.DbrxConfig,
+        transformers.DbrxForCausalLM, "dbrx",
+        dict(d_model=64, n_heads=4, n_layers=2, max_seq_len=64,
+             attn_config={"kv_n_heads": 2, "clip_qkv": 6.0,
+                          "rope_theta": 10000.0},
+             ffn_config={"ffn_hidden_size": 96, "moe_num_experts": 4,
+                         "moe_top_k": 2, "moe_jitter_eps": None},
+             tie_word_embeddings=False), tol=3e-4)
