@@ -260,6 +260,34 @@ _LAYER_MAP = {
     "mlp.shared_experts.gate_proj.weight": "ffn_gate_shexp.weight",
     "mlp.shared_experts.up_proj.weight": "ffn_up_shexp.weight",
     "mlp.shared_experts.down_proj.weight": "ffn_down_shexp.weight",
+    # qwen2moe singular spelling + sigmoid shared-expert gate
+    "mlp.shared_expert.gate_proj.weight": "ffn_gate_shexp.weight",
+    "mlp.shared_expert.up_proj.weight": "ffn_up_shexp.weight",
+    "mlp.shared_expert.down_proj.weight": "ffn_down_shexp.weight",
+    "mlp.shared_expert_gate.weight": "ffn_gate_inp_shexp.weight",
+    # phi2 output projection spelling
+    "self_attn.dense.weight": "attn_output.weight",
+    "self_attn.dense.bias": "attn_output.bias",
+    # bloom (transformer.h.N.*, fused per-head qkv reordered in convert())
+    "self_attention.query_key_value.weight": "attn_qkv.weight",
+    "self_attention.query_key_value.bias": "attn_qkv.bias",
+    "self_attention.dense.weight": "attn_output.weight",
+    "self_attention.dense.bias": "attn_output.bias",
+    "mlp.dense_h_to_4h.weight": "ffn_up.weight",
+    "mlp.dense_h_to_4h.bias": "ffn_up.bias",
+    "mlp.dense_4h_to_h.weight": "ffn_down.weight",
+    "mlp.dense_4h_to_h.bias": "ffn_down.bias",
+    # mpt (transformer.blocks.N.*)
+    "attn.Wqkv.weight": "attn_qkv.weight",
+    "attn.Wqkv.bias": "attn_qkv.bias",
+    "norm_1.weight": "attn_norm.weight",
+    "norm_1.bias": "attn_norm.bias",
+    "norm_2.weight": "ffn_norm.weight",
+    "norm_2.bias": "ffn_norm.bias",
+    "ffn.up_proj.weight": "ffn_up.weight",
+    "ffn.up_proj.bias": "ffn_up.bias",
+    "ffn.down_proj.weight": "ffn_down.weight",
+    "ffn.down_proj.bias": "ffn_down.bias",
     # gpt2-style fused blocks
     "attn.c_attn.weight": "attn_qkv.weight",
     "attn.c_attn.bias": "attn_qkv.bias",
@@ -464,8 +492,15 @@ _GLOBAL_MAP = {
     "embeddings.token_type_embeddings.weight": "token_types.weight",
     "emb_ln.weight": "token_embd_norm.weight",
     "emb_ln.bias": "token_embd_norm.bias",
-    # dbrx
+    # dbrx / mpt
     "transformer.norm_f.weight": "output_norm.weight",
+    # bloom
+    "transformer.word_embeddings.weight": "token_embd.weight",
+    "transformer.word_embeddings_layernorm.weight": "token_embd_norm.weight",
+    "transformer.word_embeddings_layernorm.bias": "token_embd_norm.bias",
+    # phi2
+    "model.final_layernorm.weight": "output_norm.weight",
+    "model.final_layernorm.bias": "output_norm.bias",
 }
 
 # dbrx per-block names (reference convert_hf_to_gguf.py DbrxModel +
@@ -667,6 +702,28 @@ def _write_hparams(w: GGUFWriter, arch: str, cfg: dict) -> None:
         w.add_uint32(f"{arch}.expert_count", ffn["moe_num_experts"])
         w.add_uint32(f"{arch}.expert_used_count", ffn["moe_top_k"])
         w.add_float32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+        w.add_uint32(f"{arch}.vocab_size", g("vocab_size", default=0))
+        return
+    if arch == "mpt":
+        # reference MPTModel.set_gguf_parameters (convert_hf_to_gguf.py:1156);
+        # ff from expansion_ratio (HF MptMLP) rather than the reference's
+        # hard-coded 4*d
+        attn = cfg.get("attn_config") or {}
+        c = g("d_model")
+        w.add_uint32(f"{arch}.block_count", g("n_layers"))
+        w.add_uint32(f"{arch}.context_length", g("max_seq_len", default=2048))
+        w.add_uint32(f"{arch}.embedding_length", c)
+        w.add_uint32(f"{arch}.feed_forward_length",
+                     int(g("expansion_ratio", default=4) * c))
+        w.add_uint32(f"{arch}.attention.head_count", g("n_heads"))
+        w.add_uint32(f"{arch}.attention.head_count_kv",
+                     attn.get("kv_n_heads") or g("n_heads"))
+        w.add_float32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+        if attn.get("clip_qkv"):
+            w.add_float32(f"{arch}.attention.clamp_kqv", attn["clip_qkv"])
+        w.add_float32(f"{arch}.attention.max_alibi_bias",
+                      attn.get("alibi_bias_max", 8.0)
+                      if attn.get("alibi", True) else 0.0)
         w.add_uint32(f"{arch}.vocab_size", g("vocab_size", default=0))
         return
     if arch == "chatglm":
@@ -1485,6 +1542,19 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> None:
         if ".block_sparse_moe.output_linear.weight" in hf_name:
             il = hf_name.split("model.layers.")[1].split(".")[0]
             _emit(w, f"blk.{il}.ffn_down_exps.weight", arr, qtype)
+            n_written += 1
+            continue
+        if arch == "bloom" and ".self_attention.query_key_value." in hf_name:
+            # per-head [q|k|v] interleave → q-then-k-then-v rows (reference
+            # BloomModel.modify_tensors, convert_hf_to_gguf.py:1110-1125)
+            il = hf_name.split("transformer.h.")[1].split(".")[0]
+            hd = arr.shape[0] // (3 * n_head)
+            suffix = hf_name.rsplit(".", 1)[1]  # weight | bias
+            qkv = arr.reshape(n_head, 3, hd, *arr.shape[1:])
+            out = np.concatenate([qkv[:, i].reshape(-1, *arr.shape[1:])
+                                  for i in range(3)], axis=0)
+            _emit(w, f"blk.{il}.attn_qkv.{suffix}",
+                  out.reshape(arr.shape), qtype)
             n_written += 1
             continue
         if arch == "dbrx" and ".ffn.experts.mlp." in hf_name:

@@ -43,11 +43,21 @@ LLAMA3_70B = LlamaConfig(
     rope=RopeParams(n_dims=128, mode="norm", freq_base=500000.0),
 )
 
+# mixtral-shaped MoE that fits one 16GB v5e chip at Q4_K (~4.4 GB weights;
+# the real 8x7B is ~29 GB — a single-chip MoE bench needs this scale)
+MOE_8X2B = LlamaConfig(
+    arch="llama", n_layers=24, n_embd=2048, n_heads=16, n_kv_heads=8,
+    head_dim=128, n_ff=5632, n_vocab=32000, n_ctx_train=32768, rms_eps=1e-5,
+    rope=RopeParams(n_dims=128, mode="norm", freq_base=1000000.0),
+    n_expert=8, n_expert_used=2,
+)
+
 CONFIGS = {
     "llama3-8b": LLAMA3_8B,
     "tinyllama-1.1b": TINYLLAMA_1B,
     "llama2-7b": LLAMA2_7B,
     "mixtral-8x7b": MIXTRAL_8X7B,
+    "mixtral-8x2b": MOE_8X2B,
     "llama3-70b": LLAMA3_70B,
 }
 

@@ -81,6 +81,12 @@ def main() -> int:
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
 
+    import os
+
+    if os.path.exists(args.out):  # resume: keep metrics already recorded
+        with open(args.out) as f:
+            RESULTS.update(json.load(f))
+
     from llama_cpp_dsp_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
@@ -95,8 +101,15 @@ def main() -> int:
     RESULTS["_meta"] = {"model": f"{name} Q4_K synth", "platform": platform,
                         "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
 
+    done_key = {"decode": "decode", "pp512": "pp512", "batch": "batch4",
+                "moe": "moe_decode", "ttft": "ttft_matrix",
+                "paged": "paged_vs_contiguous", "chunk": "decode_chunk8",
+                "q8kv": "q8_kv_decode", "spec": "spec_decode"}
+
     def want(key):
-        return only is None or key in only
+        if only is not None:
+            return key in only
+        return done_key.get(key, key) not in RESULTS  # resume skips recorded
 
     def record(key, val):
         RESULTS[key] = val
@@ -117,7 +130,9 @@ def main() -> int:
             record("batch8", _bench_py("--model", name, "--batch", "8",
                                        "--steps", "32"))
     if want("moe") and not args.quick:
-        record("moe_decode", _bench_py("--model", "mixtral-8x7b",
+        # mixtral-8x7b is ~29GB at Q4_K — beyond one 16GB v5e; the 8x2b
+        # synth exercises the same qmm_expert_rows decode path
+        record("moe_decode", _bench_py("--model", "mixtral-8x2b",
                                        "--steps", "32"))
 
     # -- engine-path metrics (host dispatch; the serving numbers) ------------

@@ -660,3 +660,97 @@ def test_convert_dbrx_parity(tmp_path_factory):
              ffn_config={"ffn_hidden_size": 96, "moe_num_experts": 4,
                          "moe_top_k": 2, "moe_jitter_eps": None},
              tie_word_embeddings=False), tol=3e-4)
+
+
+def test_convert_bloom_parity(tmp_path_factory):
+    """bloom: ALiBi positions, fused qkv (per-head [q|k|v] interleave),
+    embedding layernorm, tied embeddings."""
+    _parity_case(
+        tmp_path_factory, "bloom", transformers.BloomConfig,
+        transformers.BloomForCausalLM, "bloom",
+        dict(hidden_size=64, n_head=4, n_layer=2,
+             layer_norm_epsilon=1e-5, tie_word_embeddings=True))
+
+
+def test_convert_mpt_parity(tmp_path_factory):
+    """mpt: ALiBi, no biases, fused Wqkv, ln norms."""
+    _parity_case(
+        tmp_path_factory, "mpt", transformers.MptConfig,
+        transformers.MptForCausalLM, "mpt",
+        dict(d_model=64, n_heads=4, n_layers=2, expansion_ratio=2,
+             max_seq_len=64))
+
+
+def test_convert_gemma_parity(tmp_path_factory):
+    """gemma v1: embd scale sqrt(C), gelu_tanh gated FFN, (1+w) rms norms,
+    tied embeddings, head_dim independent of C/H."""
+    _parity_case(
+        tmp_path_factory, "gemma", transformers.GemmaConfig,
+        transformers.GemmaForCausalLM, "gemma",
+        dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=1, head_dim=16,
+             max_position_embeddings=64, rms_norm_eps=1e-6,
+             hidden_act="gelu_pytorch_tanh"))
+
+
+def test_convert_granite_parity(tmp_path_factory):
+    """granite: the four multipliers (embedding/residual/attention/logits)."""
+    _parity_case(
+        tmp_path_factory, "granite", transformers.GraniteConfig,
+        transformers.GraniteForCausalLM, "granite",
+        dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=2,
+             max_position_embeddings=64, rms_norm_eps=1e-6,
+             embedding_multiplier=2.0, residual_multiplier=0.5,
+             logits_scaling=4.0, attention_multiplier=0.1,
+             tie_word_embeddings=False))
+
+
+def test_convert_phi2_parity(tmp_path_factory):
+    """phi2: partial rotary, parallel residual, ln norms with bias,
+    fc biases, final lm_head bias."""
+    _parity_case(
+        tmp_path_factory, "phi", transformers.PhiConfig,
+        transformers.PhiForCausalLM, "phi2",
+        dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=4,
+             partial_rotary_factor=0.5, max_position_embeddings=64,
+             layer_norm_eps=1e-5, tie_word_embeddings=False))
+
+
+def test_convert_starcoder2_parity(tmp_path_factory):
+    """starcoder2: ln norms + biases everywhere, gelu non-gated FFN."""
+    _parity_case(
+        tmp_path_factory, "sc2", transformers.Starcoder2Config,
+        transformers.Starcoder2ForCausalLM, "starcoder2",
+        dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=2,
+             max_position_embeddings=64, norm_epsilon=1e-5,
+             sliding_window=None, tie_word_embeddings=False))
+
+
+def test_convert_qwen2moe_parity(tmp_path_factory):
+    """qwen2moe: shared expert with sigmoid(gate_inp_shexp) scaling,
+    router WITHOUT renorm, per-expert ff width."""
+    _parity_case(
+        tmp_path_factory, "q2moe", transformers.Qwen2MoeConfig,
+        transformers.Qwen2MoeForCausalLM, "qwen2moe",
+        dict(hidden_size=64, intermediate_size=128, moe_intermediate_size=48,
+             shared_expert_intermediate_size=96, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=2, num_experts=4,
+             num_experts_per_tok=2, decoder_sparse_step=1,
+             norm_topk_prob=False, max_position_embeddings=64,
+             rms_norm_eps=1e-6, tie_word_embeddings=False))
+
+
+def test_convert_cohere2_parity(tmp_path_factory):
+    """cohere2: SWA-every-4th pattern, rope only on SWA layers, ln norm,
+    parallel residual, logit scale, tied embeddings."""
+    _parity_case(
+        tmp_path_factory, "coh2", transformers.Cohere2Config,
+        transformers.Cohere2ForCausalLM, "cohere2",
+        dict(hidden_size=64, intermediate_size=128, num_hidden_layers=4,
+             num_attention_heads=4, num_key_value_heads=2,
+             max_position_embeddings=64, layer_norm_eps=1e-5,
+             sliding_window=8, sliding_window_pattern=4, logit_scale=0.25,
+             rope_theta=10000.0))
