@@ -88,7 +88,9 @@ def train_full(model, token_seqs, *, steps: int = 50, lr: float = 1e-4,
     opt = optax.adamw(lr, weight_decay=wd)
     state = opt.init(params)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step_fn(p, s):
         loss, grads = jax.value_and_grad(loss_fn)(p)
         updates, s = opt.update(grads, s, p)

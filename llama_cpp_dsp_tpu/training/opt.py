@@ -165,7 +165,9 @@ def _make_steps(apply_fn, loss_type: LossType):
     opt = optax.inject_hyperparams(optax.adamw)(
         learning_rate=1e-3, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, state, inputs, labels):
         (loss, ncorrect), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, inputs, labels)

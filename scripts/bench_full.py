@@ -104,7 +104,8 @@ def main() -> int:
     done_key = {"decode": "decode", "pp512": "pp512", "batch": "batch4",
                 "moe": "moe_decode", "ttft": "ttft_matrix",
                 "paged": "paged_vs_contiguous", "chunk": "decode_chunk8",
-                "q8kv": "q8_kv_decode", "spec": "spec_decode"}
+                "q8kv": "q8_kv_decode", "spec": "spec_decode",
+                "host_overhead": "host_overhead"}
 
     def want(key):
         if only is not None:
@@ -129,6 +130,18 @@ def main() -> int:
         if not args.quick:
             record("batch8", _bench_py("--model", name, "--batch", "8",
                                        "--steps", "32"))
+    if want("host_overhead"):
+        # device-loop rate vs per-step host dispatch: the delta is the
+        # host/relay cost per token for the non-chunked serving path
+        scan = RESULTS.get("decode") or _bench_py("--model", name,
+                                                  "--steps", steps)
+        host = _bench_py("--model", name, "--steps", "32", "--no-scan")
+        ms_dev = 1000.0 / scan["value"]
+        ms_host = 1000.0 / host["value"]
+        record("host_overhead", {
+            "device_ms_per_tok": round(ms_dev, 3),
+            "host_path_ms_per_tok": round(ms_host, 3),
+            "host_overhead_ms": round(ms_host - ms_dev, 3)})
     if want("moe") and not args.quick:
         # mixtral-8x7b is ~29GB at Q4_K — beyond one 16GB v5e; the 8x2b
         # synth exercises the same qmm_expert_rows decode path

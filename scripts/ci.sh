@@ -27,6 +27,12 @@ echo "== requantize f32 -> q4_0 and run =="
 python -m llama_cpp_dsp_tpu.tools.quantize "$TMP/tiny_f32.gguf" "$TMP/tiny_q4.gguf" Q4_0
 python -m llama_cpp_dsp_tpu.tools.cli -m "$TMP/tiny_q4.gguf" -p "ab" -n 8 --temp 0 -c 64 --no-display-prompt
 
+echo "== full-parameter finetune round trip =="
+printf 'the quick brown fox jumps %.0s' {1..60} > "$TMP/train.txt"
+python -m llama_cpp_dsp_tpu.tools.train -m "$TMP/tiny_f32.gguf" -f "$TMP/train.txt" \
+    -o "$TMP/tiny_tuned.gguf" --steps 4 --seq-len 16
+python -m llama_cpp_dsp_tpu.tools.cli -m "$TMP/tiny_tuned.gguf" -p "ab" -n 4 --temp 0 -c 64 --no-display-prompt
+
 echo "== perplexity sanity (runs, finite) =="
 python - <<EOF
 import sys; sys.path.insert(0, "tests")

@@ -11,11 +11,14 @@ from llama_cpp_dsp_tpu.runtime.kv_cache import KVCache, causal_mask
 from llama_cpp_dsp_tpu.tools.synth import CONFIGS, synth_params
 from llama_cpp_dsp_tpu.runtime.context import convert_params_to_kernel
 
-cfg = CONFIGS["llama3-8b"]
-params = synth_params(cfg, GGMLType.Q4_K, seed=0, tie=False)
+model = sys.argv[1] if len(sys.argv) > 1 else "llama3-8b"
+qt = GGMLType[(sys.argv[2] if len(sys.argv) > 2 else "q4_k").upper()]
+n_ctx = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+cfg = CONFIGS[model]
+params = synth_params(cfg, qt, seed=0, tie=False)
 params = convert_params_to_kernel(params)
 params = jax.tree.map(jnp.asarray, params)
-cache = KVCache.create(cfg.n_layers, 1, 1024, cfg.n_kv_heads, cfg.head_dim)
+cache = KVCache.create(cfg.n_layers, 1, n_ctx, cfg.n_kv_heads, cfg.head_dim)
 
 @functools.partial(jax.jit, static_argnames=("steps",), donate_argnums=(1,))
 def decode_scan(params, cache, tokens, n_past0, steps):
