@@ -56,6 +56,8 @@ def main() -> int:
     ap.add_argument("--vocab", type=int, default=0,
                     help="override vocab size (two vocabs separate the "
                          "lm_head share of the fixed per-token cost)")
+    ap.add_argument("--ffn", type=int, default=0,
+                    help="override FFN width (shape-alignment ablations)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel decode over N chips with the "
                          "fused kernels (shard_map; parallel/tp_kernels)")
@@ -93,13 +95,15 @@ def main() -> int:
     from llama_cpp_dsp_tpu.tools.synth import CONFIGS, synth_params
 
     cfg = CONFIGS[args.model]
-    if args.layers or args.vocab:
+    if args.layers or args.vocab or args.ffn:
         import dataclasses
 
         if args.layers:
             cfg = dataclasses.replace(cfg, n_layers=args.layers)
         if args.vocab:
             cfg = dataclasses.replace(cfg, n_vocab=args.vocab)
+        if args.ffn:
+            cfg = dataclasses.replace(cfg, n_ff=args.ffn)
     print(f"bench: {args.model} {args.qtype} synth, {len(jax.devices())} "
           f"device(s) [{jax.devices()[0].platform}]", file=sys.stderr)
 
@@ -218,8 +222,14 @@ def main() -> int:
         # (executable, args) executions.
         cache = KVCache.create(cfg.n_layers, args.batch, args.n_ctx,
                                cfg.n_kv_heads, cfg.head_dim)
+        for leaf in jax.tree.leaves(cache):
+            # force every zeros dispatch to FINISH before the clock starts
+            # (block_until_ready can return early through the relay; an
+            # element read cannot)
+            float(np.asarray(leaf[(0,) * leaf.ndim]))
+        toks1 = jnp.asarray(np.asarray(tokens) + 1)
         t0 = time.perf_counter()
-        cache, toks = decode_scan(params, cache, tokens + 1, jnp.int32(n_past),
+        cache, toks = decode_scan(params, cache, toks1, jnp.int32(n_past),
                                   args.steps)
         int(np.asarray(toks[0, 0]))
         dt = time.perf_counter() - t0

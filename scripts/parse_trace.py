@@ -10,19 +10,37 @@ with gzip.open(paths[0], "rt") as f:
     data = json.load(f)
 ev = [e for e in data.get("traceEvents", [])
       if e.get("ph") == "X" and e.get("dur")]
-# device events live on TPU pids; pick the pid with the most total dur
+# device events live on TPU pids — find them via process_name metadata
+# (python host frames contain '$file.py:line' names; exclude that pid)
+pnames = {e["pid"]: e["args"].get("name", "") for e in data.get("traceEvents", [])
+          if e.get("ph") == "M" and e.get("name") == "process_name"
+          and "args" in e}
 by_pid = collections.Counter()
 for e in ev:
     by_pid[e.get("pid")] += e["dur"]
-print("pids by total dur:", by_pid.most_common(5), file=sys.stderr)
-names = {}
-for e in ev:
-    # process_name metadata
-    pass
+print("pids:", [(p, pnames.get(p, "?"), round(d / 1e3)) for p, d in
+                by_pid.most_common(6)], file=sys.stderr)
+want_pid = None
+if len(sys.argv) > 2:
+    want_pid = int(sys.argv[2])
+else:
+    for p, _ in by_pid.most_common():
+        nm = pnames.get(p, "")
+        if "TPU" in nm or "/device" in nm.lower():
+            want_pid = p
+            break
+    if want_pid is None:  # fall back: top pid without python host frames
+        for p, _ in by_pid.most_common():
+            if not any(e["name"].startswith("$") for e in ev
+                       if e.get("pid") == p):
+                want_pid = p
+                break
+    if want_pid is None:
+        want_pid = by_pid.most_common(1)[0][0]
 agg = collections.Counter()
 cnt = collections.Counter()
 for e in ev:
-    if e.get("pid") != by_pid.most_common(1)[0][0]:
+    if e.get("pid") != want_pid:
         continue
     n = e["name"]
     agg[n] += e["dur"]
