@@ -508,7 +508,9 @@ def qmm_fused(
     b_real = 1
     for d in lead:
         b_real *= d
-    x2 = x.reshape(b_real, k)
+    x2 = x.reshape(b_real, x.shape[-1])
+    if x.shape[-1] < k:  # layout zero-padded K (layouts._k_pad_target)
+        x2 = jnp.pad(x2, ((0, 0), (0, k - x.shape[-1])))
 
     # K tiling is baked into the layout's position permutation
     tile_k = kw.tile_k
