@@ -754,3 +754,19 @@ def test_convert_cohere2_parity(tmp_path_factory):
              max_position_embeddings=64, layer_norm_eps=1e-5,
              sliding_window=8, sliding_window_pattern=4, logit_scale=0.25,
              rope_theta=10000.0))
+
+
+def test_convert_gemma3_parity(tmp_path_factory):
+    """gemma3: pre+post sublayer norms, qk rms-norm, SWA-5-of-6 pattern with
+    a separate local rope base (10k local / 1M full), (1+w) norms, tied
+    embeddings, query_pre_attn_scalar scaling."""
+    _parity_case(
+        tmp_path_factory, "g3", transformers.Gemma3TextConfig,
+        transformers.Gemma3ForCausalLM, "gemma3",
+        dict(hidden_size=64, intermediate_size=128, num_hidden_layers=7,
+             num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+             query_pre_attn_scalar=16, sliding_window=8,
+             max_position_embeddings=64, rms_norm_eps=1e-6,
+             rope_theta=1000000.0, rope_local_base_freq=10000.0,
+             attn_logit_softcapping=None, final_logit_softcapping=None),
+        tol=5e-3)
