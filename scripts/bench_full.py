@@ -105,7 +105,7 @@ def main() -> int:
                 "moe": "moe_decode", "ttft": "ttft_matrix",
                 "paged": "paged_vs_contiguous", "chunk": "decode_chunk8",
                 "q8kv": "q8_kv_decode", "spec": "spec_decode",
-                "host_overhead": "host_overhead"}
+                "host_overhead": "host_overhead", "pp1024_7b": "pp1024_7b"}
 
     def want(key):
         if only is not None:
@@ -130,6 +130,11 @@ def main() -> int:
         if not args.quick:
             record("batch8", _bench_py("--model", name, "--batch", "8",
                                        "--steps", "32"))
+    if want("pp1024_7b") and not args.quick:
+        # the BASELINE pp anchor row: pp1024 @ n_batch=1024, 7B Q4_0
+        # (examples/llama-bench/README.md:103, 2498.61 t/s)
+        record("pp1024_7b", _bench_py("--qtype", "q4_0", "--model",
+                                      "llama2-7b", "--pp", "1024"))
     if want("host_overhead"):
         # device-loop rate vs per-step host dispatch: the delta is the
         # host/relay cost per token for the non-chunked serving path

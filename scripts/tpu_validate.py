@@ -303,6 +303,32 @@ def _():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@check("qmm_kpad")
+def _():
+    """K-padded layouts (layouts._k_pad_target zero-pads misaligned big-K
+    weights to 4096 multiples) — exact vs XLA dequant on the chip."""
+    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
+    from llama_cpp_dsp_tpu.ops.qtensor import from_gguf_tensor
+    from llama_cpp_dsp_tpu.ops.pallas.layouts import to_kernel_layout
+    from llama_cpp_dsp_tpu.ops.pallas.qmm import qmm_fused
+    from llama_cpp_dsp_tpu.quant import quantize
+    from llama_cpp_dsp_tpu.quant.jax_dequant import dequant
+
+    rng = np.random.default_rng(7)
+    for kind, k in ((GGMLType.Q4_0, 11008), (GGMLType.Q4_K, 14336),
+                    (GGMLType.Q6_K, 14336)):
+        n = 256
+        w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+        qt = from_gguf_tensor(quantize(w, kind), kind, (n, k))
+        kw = to_kernel_layout(qt)
+        assert kw.shape[1] > k, (kind, kw.shape)  # pad actually applied
+        x = (rng.standard_normal((2, k)) * 0.3).astype(np.float32)
+        got = np.asarray(qmm_fused(jnp.asarray(x), kw))
+        want = x @ np.asarray(dequant(qt, jnp.float32)).T
+        err = nmse(got, want)
+        assert err < 5e-4, (kind, err)
+
+
 @check("flash_decode_allh")
 def _():
     """All-heads decode kernel (one strided DMA per S-chunk; MHA +
