@@ -246,13 +246,14 @@ def _k_pad_target(k: int, kind: GGMLType) -> int:
     Profiled on v5e (BENCH_FULL_r02 decode_device_breakdown): projections
     whose scale lanes are 128-aligned stream 652-674 GB/s; llama2-7b's
     ffn_down (K=11008 → 344 lanes) ran 438 GB/s and llama3-8b's (K=14336 →
-    448) 515-530. Padding K=11008→12288 measured 629 GB/s — +11.6% bytes at
-    +44% rate is a clear net win. Only applied when the byte overhead is
-    ≤20% and K ≥ 8192 (small K never hits the misaligned regime in models
-    we bench; tiny test shapes stay byte-exact)."""
+    448) 515-530. Padding K=11008→12288 measured 629 GB/s — +11.6% bytes
+    at +44% rate (7B tg128 140.2→144.7 t/s). K=14336→16384 (+14.3%)
+    measured a net LOSS on 8B Q4_K (tg64 113.8→109.1): the bigger whole-K
+    temp also degrades the VMEM-fit tiles. Gate: pad only when the byte
+    overhead is ≤12.5%."""
     if k >= 8192 and k % 4096:
         pad = -(-k // 4096) * 4096
-        if pad * 5 <= k * 6:  # ≤20% extra bytes
+        if pad * 8 <= k * 9:  # ≤12.5% extra bytes
             return pad
     return k
 

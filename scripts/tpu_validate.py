@@ -315,13 +315,14 @@ def _():
     from llama_cpp_dsp_tpu.quant.jax_dequant import dequant
 
     rng = np.random.default_rng(7)
-    for kind, k in ((GGMLType.Q4_0, 11008), (GGMLType.Q4_K, 14336),
-                    (GGMLType.Q6_K, 14336)):
+    for kind, k, padded in ((GGMLType.Q4_0, 11008, True),
+                            (GGMLType.Q4_K, 14336, False),  # >12.5% — skip
+                            (GGMLType.Q4_K, 11008, True)):
         n = 256
         w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
         qt = from_gguf_tensor(quantize(w, kind), kind, (n, k))
         kw = to_kernel_layout(qt)
-        assert kw.shape[1] > k, (kind, kw.shape)  # pad actually applied
+        assert (kw.shape[1] > k) == padded, (kind, kw.shape)
         x = (rng.standard_normal((2, k)) * 0.3).astype(np.float32)
         got = np.asarray(qmm_fused(jnp.asarray(x), kw))
         want = x @ np.asarray(dequant(qt, jnp.float32)).T
