@@ -49,6 +49,11 @@ def main() -> int:
     ap.add_argument("--pp", type=int, default=0,
                     help="measure prompt-processing throughput for one "
                          "prefill of this many tokens instead of decode")
+    ap.add_argument("--pp-tg", default="",
+                    help="combined row 'PP,TG' (llama-bench pp+tg mode): one "
+                         "PP-token prefill then TG decode steps into the same "
+                         "cache; reports (PP+TG)/total_time plus per-phase "
+                         "rates — pins decode cost at realistic KV lengths")
     ap.add_argument("--layers", type=int, default=0,
                     help="override layer count (two depths separate per-layer "
                          "streaming cost from fixed per-token overhead: "
@@ -111,7 +116,11 @@ def main() -> int:
         # llama-bench sizes n_ctx to the workload (n_prompt + n_gen); the
         # static-shape flash kernel streams the WHOLE capacity per step, so
         # a larger capacity would overstate the per-token KV traffic
-        need = args.pp or (args.steps if args.scan else args.steps * 2 + args.warmup)
+        if args.pp_tg:
+            need = sum(int(x) for x in args.pp_tg.split(","))
+        else:
+            need = args.pp or (args.steps if args.scan
+                               else args.steps * 2 + args.warmup)
         args.n_ctx = max(128, -(-need // 128) * 128)
 
     if args.tp > 1:
@@ -190,6 +199,56 @@ def main() -> int:
         cache, toks, _ = jax.lax.fori_loop(0, steps, body, (cache, tokens, n_past0))
         return cache, toks
 
+    if args.pp_tg:
+        # llama-bench's combined pp+tg mode: one PP prefill, then TG decode
+        # steps into the SAME cache — decode attention pays realistic KV
+        # lengths instead of the near-empty tg-only context.
+        import numpy as np
+
+        pp_n, tg_n = (int(x) for x in args.pp_tg.split(","))
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill(params, cache, tokens, positions):
+            mask = causal_mask(positions, cache.capacity, 0)
+            return forward(params, cfg, tokens, positions, cache, 0, mask)
+
+        toks_pp = jnp.zeros((args.batch, pp_n), jnp.int32)
+        pos_pp = jnp.broadcast_to(jnp.arange(pp_n, dtype=jnp.int32)[None],
+                                  (args.batch, pp_n))
+        logits, cache = prefill(params, cache, toks_pp, pos_pp)  # compile
+        nxt = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+        cache, toks = decode_scan(params, cache, nxt, jnp.int32(pp_n), tg_n)
+        int(np.asarray(toks[0, 0]))
+        best = None
+        for i in range(3):
+            cache2 = KVCache.create(cfg.n_layers, args.batch, args.n_ctx,
+                                    cfg.n_kv_heads, cfg.head_dim)
+            for leaf in jax.tree.leaves(cache2):
+                float(np.asarray(leaf[(0,) * leaf.ndim]))
+            tp = jnp.asarray(np.asarray(toks_pp) + i + 1)  # fresh args: the
+            int(np.asarray(tp[0, 0]))  # axon runtime memoizes identical calls
+            t0 = time.perf_counter()
+            logits, cache2 = prefill(params, cache2, tp, pos_pp)
+            float(np.asarray(logits[0, -1, 0]))
+            t1 = time.perf_counter()
+            nxt = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+            cache2, toks = decode_scan(params, cache2, nxt, jnp.int32(pp_n),
+                                       tg_n)
+            int(np.asarray(toks[0, 0]))
+            t2 = time.perf_counter()
+            comb = (pp_n + tg_n) * args.batch / (t2 - t0)
+            if best is None or comb > best["value"]:
+                best = {"value": round(comb, 2),
+                        "pp_tps": round(pp_n * args.batch / (t1 - t0), 2),
+                        "tg_tps": round(tg_n * args.batch / (t2 - t1), 2)}
+        print(json.dumps({
+            "metric": f"pp+tg tokens/s/chip ({args.model} {qtype.name}, "
+                      f"pp{pp_n}+tg{tg_n})",
+            "unit": "tokens/s", "vs_baseline": 0.0,  # no GPU pp+tg row in
+            **best,                                  # the reference README
+        }))
+        return 0
+
     tokens = jnp.zeros((args.batch, 1), jnp.int32)
 
     import numpy as np
@@ -228,6 +287,7 @@ def main() -> int:
             # element read cannot)
             float(np.asarray(leaf[(0,) * leaf.ndim]))
         toks1 = jnp.asarray(np.asarray(tokens) + 1)
+        int(np.asarray(toks1[0, 0]))  # force the upload before the clock too
         t0 = time.perf_counter()
         cache, toks = decode_scan(params, cache, toks1, jnp.int32(n_past),
                                   args.steps)

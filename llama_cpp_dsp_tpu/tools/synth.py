@@ -37,6 +37,11 @@ MIXTRAL_8X7B = LlamaConfig(
     rope=RopeParams(n_dims=128, mode="norm", freq_base=1000000.0),
     n_expert=8, n_expert_used=2,
 )
+LLAMA2_13B = LlamaConfig(
+    arch="llama", n_layers=40, n_embd=5120, n_heads=40, n_kv_heads=40, head_dim=128,
+    n_ff=13824, n_vocab=32000, n_ctx_train=4096, rms_eps=1e-5,
+    rope=RopeParams(n_dims=128, mode="norm", freq_base=10000.0),
+)
 LLAMA3_70B = LlamaConfig(
     arch="llama", n_layers=80, n_embd=8192, n_heads=64, n_kv_heads=8, head_dim=128,
     n_ff=28672, n_vocab=128256, n_ctx_train=8192, rms_eps=1e-5,
@@ -56,6 +61,7 @@ CONFIGS = {
     "llama3-8b": LLAMA3_8B,
     "tinyllama-1.1b": TINYLLAMA_1B,
     "llama2-7b": LLAMA2_7B,
+    "llama2-13b": LLAMA2_13B,
     "mixtral-8x7b": MIXTRAL_8X7B,
     "mixtral-8x2b": MOE_8X2B,
     "llama3-70b": LLAMA3_70B,

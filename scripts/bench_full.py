@@ -77,7 +77,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default="")
-    ap.add_argument("--out", default="BENCH_FULL_r02.json")
+    ap.add_argument("--out", default="BENCH_FULL_r03.json")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
 
@@ -101,7 +101,7 @@ def main() -> int:
     RESULTS["_meta"] = {"model": f"{name} Q4_K synth", "platform": platform,
                         "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
 
-    done_key = {"decode": "decode", "pp512": "pp512", "batch": "batch4",
+    done_key = {"decode": "decode", "pp512": "pp512",
                 "moe": "moe_decode", "ttft": "ttft_matrix",
                 "paged": "paged_vs_contiguous", "chunk": "decode_chunk8",
                 "q8kv": "q8_kv_decode", "spec": "spec_decode",
@@ -112,30 +112,67 @@ def main() -> int:
             return key in only
         return done_key.get(key, key) not in RESULTS  # resume skips recorded
 
+    def want_rec(key):  # per-recorded-key resume (batch4 vs batch8 etc.)
+        if only is not None:
+            return key.rstrip("048") in only or key in only
+        return key not in RESULTS
+
     def record(key, val):
         RESULTS[key] = val
         print(f"== {key}: {json.dumps(val)}", file=sys.stderr, flush=True)
         with open(args.out, "w") as f:  # checkpoint after every metric
             json.dump(RESULTS, f, indent=1)
 
+    def run(key, thunk):
+        """Record thunk() under key; a failed section must not kill the
+        rest of an hours-long unattended matrix run."""
+        try:
+            record(key, thunk())
+        except Exception as e:  # noqa: BLE001
+            print(f"== {key} FAILED: {e!r}", file=sys.stderr, flush=True)
+            RESULTS.setdefault("_errors", {})[key] = repr(e)[-400:]
+            with open(args.out, "w") as f:
+                json.dump(RESULTS, f, indent=1)
+
     # -- bench.py-based device-rate metrics ----------------------------------
     steps = "16" if args.quick else "64"
     if want("decode"):
-        record("decode", _bench_py("--model", name, "--steps", steps))
+        run("decode", lambda: _bench_py("--model", name, "--steps", steps))
     if want("pp512"):
-        record("pp512", _bench_py("--model", name, "--pp", "512"))
-    if want("batch"):
-        record("batch4", _bench_py("--model", name, "--batch", "4",
-                                   "--steps", "32"))
-        if not args.quick:
-            record("batch8", _bench_py("--model", name, "--batch", "8",
-                                       "--steps", "32"))
+        run("pp512", lambda: _bench_py("--model", name, "--pp", "512"))
+    if want_rec("batch4"):
+        run("batch4", lambda: _bench_py("--model", name, "--batch", "4",
+                                        "--steps", "32"))
+    if want_rec("batch8") and not args.quick:
+        run("batch8", lambda: _bench_py("--model", name, "--batch", "8",
+                                        "--steps", "32"))
+    # BASELINE.md throughput rows beyond the tg128 headline
+    # (examples/llama-bench/README.md:83-90): tg256 129.37, tg512 123.83,
+    # 13B tg128 82.17 — longer tg rows stress growing-KV attention.
+    def _baseline_row(model_name, extra, base):
+        r = _bench_py("--qtype", "q4_0", "--model", model_name, *extra)
+        if base:
+            r["vs_baseline"] = round(r["value"] / base, 4)
+        return r
+
+    if not args.quick:
+        for key, model_name, extra, base in (
+                ("tg128_7b", "llama2-7b", ("--steps", "128"), 132.19),
+                ("tg256_7b", "llama2-7b", ("--steps", "256"), 129.37),
+                ("tg512_7b", "llama2-7b", ("--steps", "512"), 123.83),
+                ("pp512_tg128_7b", "llama2-7b", ("--pp-tg", "512,128"), 0.0),
+                ("tg128_13b", "llama2-13b", ("--steps", "128"), 82.17),
+                ("tg512_13b", "llama2-13b", ("--steps", "512"), 78.08)):
+            if want_rec(key):
+                run(key, lambda m=model_name, e=extra, b=base:
+                    _baseline_row(m, e, b))
     if want("pp1024_7b") and not args.quick:
         # the BASELINE pp anchor row: pp1024 @ n_batch=1024, 7B Q4_0
         # (examples/llama-bench/README.md:103, 2498.61 t/s)
-        record("pp1024_7b", _bench_py("--qtype", "q4_0", "--model",
-                                      "llama2-7b", "--pp", "1024"))
-    if want("host_overhead"):
+        run("pp1024_7b", lambda: _bench_py("--qtype", "q4_0", "--model",
+                                           "llama2-7b", "--pp", "1024"))
+
+    def _host_overhead():
         # device-loop rate vs per-step host dispatch: the delta is the
         # host/relay cost per token for the non-chunked serving path
         scan = RESULTS.get("decode") or _bench_py("--model", name,
@@ -143,47 +180,51 @@ def main() -> int:
         host = _bench_py("--model", name, "--steps", "32", "--no-scan")
         ms_dev = 1000.0 / scan["value"]
         ms_host = 1000.0 / host["value"]
-        record("host_overhead", {
-            "device_ms_per_tok": round(ms_dev, 3),
-            "host_path_ms_per_tok": round(ms_host, 3),
-            "host_overhead_ms": round(ms_host - ms_dev, 3)})
+        return {"device_ms_per_tok": round(ms_dev, 3),
+                "host_path_ms_per_tok": round(ms_host, 3),
+                "host_overhead_ms": round(ms_host - ms_dev, 3)}
+
+    if want("host_overhead"):
+        run("host_overhead", _host_overhead)
     if want("moe") and not args.quick:
         # mixtral-8x7b is ~29GB at Q4_K — beyond one 16GB v5e; the 8x2b
         # synth exercises the same qmm_expert_rows decode path
-        record("moe_decode", _bench_py("--model", "mixtral-8x2b",
-                                       "--steps", "32"))
+        run("moe_decode", lambda: _bench_py("--model", "mixtral-8x2b",
+                                            "--steps", "32"))
 
     # -- engine-path metrics (host dispatch; the serving numbers) ------------
     cfg = CONFIGS[name]
     params = synth_params(cfg, GGMLType.Q4_K, seed=0, tie=False)
     model = LoadedModel(cfg, params, None, None, {})
 
-    if want("ttft"):
+    def _ttft():
         # B×PP×TG matrix with p50 TTFT — batched-bench role
         matrix = {}
         for b in ((1, 4) if not args.quick else (1,)):
-            r = _engine_decode_rate(model, n_slots=b, pp=512, tg=32)
-            matrix[f"B{b}_PP512_TG32"] = r
-        record("ttft_matrix", matrix)
-    if want("paged"):
+            matrix[f"B{b}_PP512_TG32"] = _engine_decode_rate(
+                model, n_slots=b, pp=512, tg=32)
+        return matrix
+
+    def _paged():
         base = _engine_decode_rate(model, n_slots=4, pp=128, tg=32)
         paged = _engine_decode_rate(model, n_slots=4, pp=128, tg=32,
                                     kv_layout="paged", page_size=128)
-        record("paged_vs_contiguous",
-               {"contiguous": base, "paged": paged,
-                "ratio": round(paged["decode_tps"] / base["decode_tps"], 3)})
+        return {"contiguous": base, "paged": paged,
+                "ratio": round(paged["decode_tps"] / base["decode_tps"], 3)}
+
+    if want("ttft"):
+        run("ttft_matrix", _ttft)
+    if want("paged"):
+        run("paged_vs_contiguous", _paged)
     if want("chunk"):
-        r = _engine_decode_rate(model, n_slots=4, pp=128, tg=64,
-                                decode_chunk=8)
-        record("decode_chunk8", r)
+        run("decode_chunk8", lambda: _engine_decode_rate(
+            model, n_slots=4, pp=128, tg=64, decode_chunk=8))
     if want("q8kv"):
-        r = _engine_decode_rate(model, n_slots=4, pp=128, tg=32,
-                                kv_dtype="q8_0")
-        record("q8_kv_decode", r)
+        run("q8_kv_decode", lambda: _engine_decode_rate(
+            model, n_slots=4, pp=128, tg=32, kv_dtype="q8_0"))
     if want("spec"):
-        r = _engine_decode_rate(model, n_slots=2, pp=64, tg=32,
-                                draft_model=model, n_draft=4)
-        record("spec_decode", r)
+        run("spec_decode", lambda: _engine_decode_rate(
+            model, n_slots=2, pp=64, tg=32, draft_model=model, n_draft=4))
 
     print(json.dumps(RESULTS, indent=1))
     return 0
