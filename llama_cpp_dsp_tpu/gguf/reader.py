@@ -310,5 +310,17 @@ class GGUFModel:
             gf.close()
 
     @property
+    def kv_types(self) -> dict[str, tuple[GGUFValueType, GGUFValueType | None]]:
+        """Recorded (value type, array element type) per key, merged across
+        shards the same way `kv` is — lets rewriters re-emit keys with their
+        original types (type-checked readers reject e.g. INT32 where the
+        source had UINT32)."""
+        out: dict[str, tuple[GGUFValueType, GGUFValueType | None]] = {}
+        for gf in self.files:
+            for k, v in gf.kv_types.items():
+                out.setdefault(k, v)
+        return out
+
+    @property
     def arch(self) -> str:
         return str(self.kv.get(Keys.General.ARCHITECTURE, "unknown"))

@@ -98,6 +98,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-tp", "--tensor-parallel", type=int, default=1,
                    help="shard weights/KV over N chips (TPU-native "
                         "split-mode ROW; XLA/GSPMD inserts the collectives)")
+    p.add_argument("--device", default=None,
+                   help="JAX platform to run on, e.g. cpu / tpu (reference "
+                        "--device; default: best available)")
     p.add_argument("-md", "--model-draft", default=None,
                    help="draft model GGUF for speculative decoding "
                         "(reference -md, examples/speculative)")
@@ -151,7 +154,7 @@ def main(argv=None) -> int:
                                for r in args.reverse_prompt]
     from ..utils.jax_setup import setup_jax
 
-    setup_jax()
+    setup_jax(platform=args.device)
     import jax.numpy as jnp
 
     if not os.path.exists(args.model):

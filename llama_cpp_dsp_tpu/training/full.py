@@ -163,9 +163,14 @@ def save_full(dst: str, src: str, model, trained, *,
 
     gm = GGUFModel.load(src)
     w = GGUFWriter(dst, gm.kv.get(Keys.General.ARCHITECTURE, "llama"))
+    kv_types = gm.kv_types
     for key, val in gm.kv.items():
         if key != Keys.General.ARCHITECTURE:
-            w.add_kv(key, val)
+            # re-emit with the source's recorded types: llama.cpp's readers
+            # type-check scalar keys (UINT32 context_length must not come
+            # back as inferred INT32)
+            vtype, etype = kv_types.get(key, (None, None))
+            w.add_kv(key, val, vtype, etype)
     replaced = 0
     for name, info in gm.tensors.items():
         val = _lookup(trained, name, model.cfg)
@@ -179,6 +184,10 @@ def save_full(dst: str, src: str, model, trained, *,
             _, il, _ = name.split(".", 2)
             gate = np.asarray(trained["layers"][int(il)]["ffn_gate"], np.float32)
             f32 = np.concatenate([gate, f32], axis=0)
+        if tuple(reversed(info.shape)) != f32.shape:
+            raise ValueError(
+                f"trained {name} shape {f32.shape} != source "
+                f"{tuple(reversed(info.shape))} — refusing to write")
         t = info.ggml_type
         if out_type is not None and f32.ndim >= 2:
             t = out_type

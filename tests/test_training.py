@@ -116,6 +116,11 @@ def test_save_full_requantizes_to_source_types(tmp_path):
     assert set(gm_dst.tensors) == set(gm_src.tensors)
     for name, info in gm_dst.tensors.items():
         assert info.ggml_type == gm_src.tensors[name].ggml_type, name
+    # KV metadata must keep its recorded types (llama.cpp readers
+    # type-check: UINT32 context_length re-inferred as INT32 won't load)
+    src_types, dst_types = gm_src.kv_types, gm_dst.kv_types
+    for key, vt in src_types.items():
+        assert dst_types[key] == vt, (key, vt, dst_types[key])
     gm_src.close()
     gm_dst.close()
     # and the requantized model still loads + runs
