@@ -116,6 +116,21 @@ def roundf(x: np.ndarray) -> np.ndarray:
     return np.trunc(x + np.copysign(F32(0.5), x)).astype(np.int32)
 
 
+def _seqsum(t: np.ndarray) -> np.ndarray:
+    """Strict left-to-right f32 accumulation along the LAST axis.
+
+    The reference accumulates `sumlx += w*x[i]*l` sequentially in f32
+    (ggml-quants.c make_qx_quants/make_qkx2_quants); numpy's pairwise-sum
+    rounds differently in the last ulp, which flips the knife-edge
+    `sumlx*sumlx > best*suml2` comparisons in the scale search and changes
+    packed bytes. Emulate the C order exactly (vectorized across groups)."""
+    t = np.asarray(t, dtype=np.float32)
+    acc = t[..., 0].copy()
+    for i in range(1, t.shape[-1]):
+        acc += t[..., i]
+    return acc
+
+
 def _f32(x) -> np.ndarray:
     return np.asarray(x, dtype=np.float32)
 
@@ -710,8 +725,8 @@ def make_qx_quants(x: np.ndarray, nmax: int, rmse_type: int = 1) -> tuple[np.nda
         l = np.clip(nearest_int(iscale[:, None] * x), -nmax, nmax - 1)
         w = x * x
         lf = l.astype(F32)
-        sumlx = (w * x * lf).sum(axis=1, dtype=np.float32)
-        suml2 = (w * lf * lf).sum(axis=1, dtype=np.float32)
+        sumlx = _seqsum((w * x) * lf)
+        suml2 = _seqsum((w * lf) * lf)
         return l, sumlx, suml2
 
     iscale0 = (F32(-nmax) / safe_max).astype(F32)
@@ -754,8 +769,8 @@ def make_qkx2_quants(
     G, n = x.shape
     mn = x.min(axis=1)
     mx = x.max(axis=1)
-    sum_w = w.sum(axis=1, dtype=np.float32)
-    sum_x = (w * x).sum(axis=1, dtype=np.float32)
+    sum_w = _seqsum(w)
+    sum_x = _seqsum(w * x)
     mn = np.minimum(mn, F32(0))
     flat = mx == mn  # all-equal (and min>0 clamped) → L=0, min=-mn, scale=0
 
@@ -766,7 +781,7 @@ def make_qkx2_quants(
     L = np.clip(nearest_int(iscale[:, None] * (x - mn[:, None])), 0, nmax)
     diff = scale[:, None] * L.astype(F32) + mn[:, None] - x
     diff = np.abs(diff) if use_mad else diff * diff
-    best_mad = (w * diff).sum(axis=1, dtype=np.float32)
+    best_mad = _seqsum(w * diff)
 
     # NOTE: the reference updates `min` whenever a candidate improves, and the
     # NEXT candidate quantizes relative to the updated min — keep that
@@ -777,9 +792,9 @@ def make_qkx2_quants(
         isc = ((F32(rmin) + F32(rdelta) * F32(is_) + F32(nmax)) / rng).astype(F32)
         laux = np.clip(nearest_int(isc[:, None] * (x - cur_min[:, None])), 0, nmax)
         lf = laux.astype(F32)
-        sum_l = (w * lf).sum(axis=1, dtype=np.float32)
-        sum_l2 = (w * lf * lf).sum(axis=1, dtype=np.float32)
-        sum_xl = (w * lf * x).sum(axis=1, dtype=np.float32)
+        sum_l = _seqsum(w * lf)
+        sum_l2 = _seqsum((w * lf) * lf)
+        sum_xl = _seqsum((w * lf) * x)
         D = sum_w * sum_l2 - sum_l * sum_l
         Dok = D > 0
         Dsafe = np.where(Dok, D, F32(1))
@@ -791,7 +806,7 @@ def make_qkx2_quants(
         this_min = np.where(pos, F32(0), this_min).astype(F32)
         diff = this_scale[:, None] * lf + this_min[:, None] - x
         diff = np.abs(diff) if use_mad else diff * diff
-        mad = (w * diff).sum(axis=1, dtype=np.float32)
+        mad = _seqsum(w * diff)
         better = Dok & (mad < best_mad)
         L = np.where(better[:, None], laux, L)
         best_mad = np.where(better, mad, best_mad).astype(F32)
@@ -819,7 +834,7 @@ def _pack_k4_scales(ls: np.ndarray, lm: np.ndarray) -> np.ndarray:
 def _qkx_weights_32(x256: np.ndarray) -> np.ndarray:
     """Per-32-group weights av_x + |x| used by q4_K/q5_K ref quantizers."""
     g = x256.reshape(-1, 8, 32)
-    sum_x2 = (g * g).sum(axis=2, dtype=np.float32)
+    sum_x2 = _seqsum(g * g)
     av_x = np.sqrt(sum_x2 / F32(32)).astype(F32)
     return (av_x[:, :, None] + np.abs(g)).reshape(-1, 32)
 
@@ -1008,26 +1023,32 @@ def make_q3_quants_rmse(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     dead = amax < GROUP_MAX_EPS
     iscale = (F32(-nmax) / np.where(dead, F32(1), mx)).astype(F32)
     L = np.clip(nearest_int(iscale[:, None] * x), -nmax, nmax - 1)
+    # all intermediate products must round in f32 like the C (int32 L would
+    # promote numpy products to f64 and flip knife-edge accept comparisons)
+    lf = L.astype(F32)
     w = x * x
-    sumlx = (w * x * L).sum(axis=1, dtype=np.float32)
-    suml2 = (w * L * L).sum(axis=1, dtype=np.float32)
+    sumlx = _seqsum((w * x) * lf)
+    suml2 = _seqsum((w * lf) * lf)
     # 5 greedy coordinate-descent sweeps; converged groups are fixpoints so
     # running all sweeps unconditionally matches the reference's early break
     for _ in range(5):
         for i in range(n):
             wi = w[:, i]
             xi = x[:, i]
-            li = L[:, i]
-            slx = sumlx - wi * xi * li
+            li = lf[:, i]
+            slx = sumlx - (wi * xi) * li
             ok = slx > 0
-            sl2 = suml2 - wi * li * li
+            sl2 = suml2 - (wi * li) * li
             slx_safe = np.where(ok, slx, F32(1))
             new_l = np.clip(nearest_int(xi * sl2 / slx_safe), -nmax, nmax - 1)
-            changed = ok & (new_l != li)
-            slx2 = slx + wi * xi * new_l
-            sl22 = sl2 + wi * new_l * new_l
-            accept = changed & (sl22 > 0) & (slx2 * slx2 * suml2 > sumlx * sumlx * sl22)
-            L[:, i] = np.where(accept, new_l, li)
+            new_lf = new_l.astype(F32)
+            changed = ok & (new_lf != li)
+            slx2 = slx + (wi * xi) * new_lf
+            sl22 = sl2 + (wi * new_lf) * new_lf
+            accept = changed & (sl22 > 0) & (
+                (slx2 * slx2) * suml2 > (sumlx * sumlx) * sl22)
+            L[:, i] = np.where(accept, new_l, L[:, i])
+            lf[:, i] = np.where(accept, new_lf, li)
             sumlx = np.where(accept, slx2, sumlx).astype(F32)
             suml2 = np.where(accept, sl22, suml2).astype(F32)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -1908,8 +1929,8 @@ def make_qx_quants_weighted(x: np.ndarray, w: np.ndarray, nmax: int):
     def fit(iscale):
         l = np.clip(nearest_int(iscale[:, None] * x), -nmax, nmax - 1)
         lf = l.astype(F32)
-        sumlx = (w * x * lf).sum(axis=1, dtype=np.float32)
-        suml2 = (w * lf * lf).sum(axis=1, dtype=np.float32)
+        sumlx = _seqsum((w * x) * lf)
+        suml2 = _seqsum((w * lf) * lf)
         return l, sumlx, suml2
 
     iscale0 = (F32(-nmax) / safe_max).astype(F32)
@@ -1938,7 +1959,7 @@ def quant_q4_0_weighted(x: np.ndarray, qw: np.ndarray, n_per_row: int) -> np.nda
     """quantize_row_q4_0_impl with quant_weights (ggml-quants.c)."""
     x = _f32(x).reshape(-1, n_per_row)
     rows, _ = x.shape
-    sigma2 = (x * x).sum(axis=1, dtype=np.float32) / F32(n_per_row)
+    sigma2 = _seqsum(x * x) / F32(n_per_row)
     xg = x.reshape(-1, 32)
     qwg = np.broadcast_to(qw.reshape(1, -1), x.shape).reshape(-1, 32)
     sig = np.repeat(sigma2, n_per_row // 32)
@@ -2010,7 +2031,7 @@ def quantize_weighted(
     if ggml_type in (GGMLType.Q4_K, GGMLType.Q5_K):
         nmax = 15 if ggml_type == GGMLType.Q4_K else 31
         rows = x.reshape(-1, n_per_row)
-        sigma2 = F32(2) * (rows * rows).sum(axis=1, dtype=np.float32) / F32(QK_K)
+        sigma2 = F32(2) * _seqsum(rows * rows) / F32(QK_K)
         xg = x.reshape(-1, 32)
         qwg = np.tile(qw.reshape(-1), rows.shape[0])[: xg.size].reshape(-1, 32)
         sig = np.repeat(sigma2, n_per_row // 32)

@@ -319,26 +319,32 @@ def main(argv=None) -> int:
                                   context_shift=not args.no_context_shift,
                                   n_keep=args.keep, ga_n=args.grp_attn_n,
                                   ga_w=args.grp_attn_w)
-        stops = args.reverse_prompt
+        # stream raw piece BYTES like the reference's main.cpp — decoding to
+        # str with errors="replace" would mangle byte tokens that form valid
+        # UTF-8 only once concatenated (and breaks byte-level A/B vs the
+        # reference binary)
+        stops = [r.encode("utf-8") for r in args.reverse_prompt]
         hold = max((len(r) for r in stops), default=1) - 1
-        buf = ""
+        buf = b""
+        sys.stdout.flush()
+        out = sys.stdout.buffer
         for t in stream:
             gen_ids.append(t)
-            piece = tok.token_to_piece(t, special=False)
-            buf += piece.decode("utf-8", errors="replace")
+            buf += tok.token_to_piece(t, special=False)
             hit = next((r for r in stops if r in buf), None)
             if hit:
                 # print up to the reverse prompt, drop it, stop (reference
                 # antiprompt check, examples/main/main.cpp)
-                sys.stdout.write(buf[: buf.index(hit)])
-                buf = ""
+                out.write(buf[: buf.index(hit)])
+                buf = b""
                 break
-            if len(buf) > hold:  # flush text that cannot start a stop match
+            if len(buf) > hold:  # flush bytes that cannot start a stop match
                 cut = len(buf) - hold
-                sys.stdout.write(buf[:cut])
+                out.write(buf[:cut])
                 buf = buf[cut:]
-            sys.stdout.flush()
-        sys.stdout.write(buf + "\n")
+            out.flush()
+        out.write(buf + b"\n")
+        out.flush()
         if args.prompt_cache and not cached:
             from ..runtime.state_io import save_state
 

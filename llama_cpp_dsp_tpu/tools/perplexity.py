@@ -119,13 +119,47 @@ def save_logits(model, tokens: list[int], path: str, *, n_ctx: int = 512,
                         tokens=np.asarray(tokens[: n_chunks * n_ctx], np.int32))
 
 
+def load_ref_logits(path: str):
+    """Parse the reference's --kl-divergence-base binary format
+    (perplexity.cpp log_softmax u16 compression: per scored position a
+    (scale, min_log_prob) f32 header + n_vocab u16 quantized log-probs;
+    positions [n_ctx/2, n_ctx-1) of each chunk are stored).
+
+    Returns (logprobs [C, n_token, V], tokens [C, n_ctx], first)."""
+    import struct
+
+    with open(path, "rb") as f:
+        if f.read(8) != b"_logits_":
+            raise ValueError(f"{path}: not a reference logits file")
+        n_ctx, n_vocab, n_chunk = struct.unpack("<iii", f.read(12))
+        tokens = np.frombuffer(f.read(4 * n_ctx * n_chunk), dtype=np.int32)
+        tokens = tokens.reshape(n_chunk, n_ctx)
+        first = n_ctx // 2
+        n_token = n_ctx - 1 - first
+        nv = 2 * ((n_vocab + 1) // 2) + 4
+        out = np.empty((n_chunk, n_token, n_vocab), np.float32)
+        for c in range(n_chunk):
+            buf = np.frombuffer(f.read(n_token * nv * 2), dtype=np.uint16)
+            buf = buf.reshape(n_token, nv)
+            hdr = buf[:, :4].copy().view(np.float32)  # scale, min_log_prob
+            q = buf[:, 4:4 + n_vocab].astype(np.float32)
+            out[c] = hdr[:, 0:1] * q + hdr[:, 1:2]
+    return out, tokens, first
+
+
 def kl_divergence(model, base_path: str, *, compute_dtype=None,
                   progress=True):
     """Mean KL(base ‖ model) per token + top-1 agreement vs a saved base run
-    (reference kl_divergence, perplexity.cpp:1685)."""
+    (reference kl_divergence, perplexity.cpp:1685). Reads both our .npz
+    format (save_logits) and the reference binary --kl-divergence-base
+    format."""
     import jax.numpy as jnp
 
     compute_dtype = compute_dtype or jnp.float32
+    with open(base_path, "rb") as f:
+        is_ref = f.read(8) == b"_logits_"
+    if is_ref:
+        return _kl_divergence_ref(model, base_path, compute_dtype, progress)
     data = np.load(base_path)
     base = data["logprobs"].astype(np.float32)  # [C, T, V]
     tokens = [int(t) for t in data["tokens"]]
@@ -141,6 +175,31 @@ def kl_divergence(model, base_path: str, *, compute_dtype=None,
         kl_sum += float(kl.sum())
         agree += int((b.argmax(-1) == lp.argmax(-1)).sum())
         n += n_ctx
+        if progress:
+            print(f"[{c+1}] mean KL {kl_sum/n:.6f}", file=sys.stderr, flush=True)
+    return kl_sum / n, agree / n
+
+
+def _kl_divergence_ref(model, base_path, compute_dtype, progress):
+    """KL vs a reference --kl-divergence-base file: evaluate each chunk with
+    the reference's BOS substitution and compare only the stored (scored)
+    positions."""
+    base, tokens, first = load_ref_logits(base_path)
+    bos = model.vocab.bos_id if model.vocab.add_bos else None
+    kl_sum = 0.0
+    n = 0
+    agree = 0
+    for c in range(base.shape[0]):
+        win = [int(t) for t in tokens[c]]
+        toks = list(win)
+        if bos is not None:
+            toks[0] = bos
+        lp = _eval_logprobs(model, toks, compute_dtype)[first:-1]
+        b = base[c]
+        kl = np.sum(np.exp(b) * (b - lp), axis=-1)
+        kl_sum += float(kl.sum())
+        agree += int((b.argmax(-1) == lp.argmax(-1)).sum())
+        n += b.shape[0]
         if progress:
             print(f"[{c+1}] mean KL {kl_sum/n:.6f}", file=sys.stderr, flush=True)
     return kl_sum / n, agree / n
@@ -218,7 +277,10 @@ def main(argv=None) -> int:
         return 0
 
     text = open(args.file, encoding="utf-8").read()
-    ids = model.tokenizer.encode(text, add_special=False)
+    # reference tokenizes the corpus WITH special tokens (perplexity.cpp:471
+    # common_tokenize(ctx, params.prompt, true)) — the leading BOS shifts
+    # every chunk boundary, so omitting it changes every scored position
+    ids = model.tokenizer.encode(text, add_special=True)
     if args.max_chunks:
         ids = ids[: args.max_chunks * args.ctx_size]
     print(f"tokenized {len(ids)} tokens; {len(ids)//args.ctx_size} chunks", file=sys.stderr)

@@ -252,6 +252,7 @@ def quantize_model(
     imatrix: dict[str, np.ndarray] | None = None,
     output_tensor_type: GGMLType | None = None,
     token_embedding_type: GGMLType | None = None,
+    pure: bool = False,
     nthread: int = 0,
 ) -> dict:
     gm = GGUFModel.load(src)
@@ -259,12 +260,14 @@ def quantize_model(
     qs = _QuantizeState(gm.kv, "output.weight" in gm.tensors, bool(imatrix))
 
     w = GGUFWriter(dst, gm.kv.get(Keys.General.ARCHITECTURE, "llama"))
+    kv_types = gm.kv_types
     for key, val in gm.kv.items():
         if key == Keys.General.ARCHITECTURE:
             continue
         if key == Keys.General.FILE_TYPE:
             continue
-        w.add_kv(key, val)
+        vtype, etype = kv_types.get(key, (None, None))
+        w.add_kv(key, val, vtype, etype)
     w.add_uint32(Keys.General.FILE_TYPE, int(ftype))
 
     stats = {"in_bytes": 0, "out_bytes": 0, "tensors": 0}
@@ -284,7 +287,7 @@ def quantize_model(
             new_type = output_tensor_type
         elif token_embedding_type is not None and name == "token_embd.weight":
             new_type = token_embedding_type
-        else:
+        elif not pure:  # --pure disables the k-quant mixture schedule
             new_type = tensor_get_type(qs, new_type, name, info.shape[0], ftype)
         if new_type == info.ggml_type:
             w.add_tensor(name, np.asarray(data), ggml_type=info.ggml_type,
@@ -313,6 +316,9 @@ def main(argv=None) -> int:
     ap.add_argument("--output-tensor-type", choices=[t.name for t in GGMLType], default=None)
     ap.add_argument("--token-embedding-type", choices=[t.name for t in GGMLType], default=None)
     ap.add_argument("--imatrix", help="imatrix file (from the imatrix tool)")
+    ap.add_argument("--pure", action="store_true",
+                    help="disable k-quant mixtures; quantize all tensors to "
+                         "the ftype's base type (reference --pure)")
     from ..utils.args import parse_with_env
 
     args = parse_with_env(ap, argv)
@@ -326,6 +332,7 @@ def main(argv=None) -> int:
         args.dst,
         FTYPE_NAMES[args.ftype],
         imatrix=imatrix,
+        pure=args.pure,
         output_tensor_type=GGMLType[args.output_tensor_type] if args.output_tensor_type else None,
         token_embedding_type=(
             GGMLType[args.token_embedding_type] if args.token_embedding_type else None
