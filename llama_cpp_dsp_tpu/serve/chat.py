@@ -92,6 +92,12 @@ def extract_reasoning(text: str) -> tuple[str | None, str]:
     reasoning-format=deepseek): returns (reasoning_content, content).
     Handles <think>...</think> and the bare leading ...</think> form (some
     templates pre-open the tag inside the prompt)."""
+    # command-r7b (reference common_chat_parse_command_r7b,
+    # common/chat.cpp:881-886): <|START_THINKING|>...<|END_THINKING|> prefix
+    m = _re.match(r"\s*<\|START_THINKING\|>(.*?)<\|END_THINKING\|>(.*)",
+                  text, _re.DOTALL)
+    if m:
+        return m.group(1).strip() or None, m.group(2)
     if "</think>" not in text:
         return None, text
     m = _re.match(r"\s*<think>(.*?)</think>\s*(.*)", text, _re.DOTALL)
@@ -205,6 +211,55 @@ def parse_tool_calls(text: str) -> tuple[str, list[dict]]:
                 r"```(?:json)?\n?(\{.*?\})\n?```<｜tool.call.end｜>",
                 _r1_sub, m.group(1), flags=_re.DOTALL),
             content, flags=_re.DOTALL)
+
+    # command-r7b: an EMPTY thinking pair is dropped from content (the
+    # reference keeps unparsed thinking tags only "if their insides aren't
+    # empty", common/chat.cpp:897-900)
+    content = _re.sub(r"<\|START_THINKING\|>\s*<\|END_THINKING\|>", "",
+                      content)
+    # command-r7b (common/chat.cpp:850-883): optional thinking prefix, then
+    # <|START_ACTION|>[{"tool_call_id","tool_name","parameters"},…]
+    # <|END_ACTION|>, or a <|START_RESPONSE|>…<|END_RESPONSE|> prose wrapper
+    m = _re.search(r"<\|START_ACTION\|>(.*?)<\|END_ACTION\|>", content,
+                   _re.DOTALL)
+    if m:
+        try:
+            arr = json.loads(m.group(1))
+        except json.JSONDecodeError:
+            arr = None
+        if (isinstance(arr, list)
+                and all(isinstance(o, dict) and "tool_name" in o
+                        and "parameters" in o for o in arr)):
+            for o in arr:
+                calls.append({
+                    "id": str(o.get("tool_call_id",
+                                    f"call_{_uuid.uuid4().hex[:12]}")),
+                    "type": "function",
+                    "function": {
+                        "name": str(o["tool_name"]),
+                        "arguments": json.dumps(o["parameters"],
+                                                ensure_ascii=False),
+                    },
+                })
+            content = content[: m.start()] + content[m.end():]
+    m = _re.match(r"\s*(?:<\|START_RESPONSE\|>)?(.*?)<\|END_RESPONSE\|>\s*",
+                  content, _re.DOTALL)
+    if m:
+        content = m.group(1)
+
+    # llama-3.x builtin tools (common/chat.cpp:940,1021-1046):
+    # <|python_tag|>NAME.call(arg=VALUE) — single positional kwarg whose
+    # value is a JSON literal
+    m = _re.match(r"\s*<\|python_tag\|>\s*([^.(]+)\s*\.\s*call\s*"
+                  r"\(\s*(\w+)\s*=\s*(.*)\)\s*$", content, _re.DOTALL)
+    if m:
+        try:
+            val = json.loads(m.group(3))
+        except json.JSONDecodeError:
+            val = None
+        if val is not None and add({"name": m.group(1).strip(),
+                                    "arguments": {m.group(2): val}}):
+            content = ""
 
     # bare JSON object that IS a call (llama3 style) — only if whole output
     stripped = content.strip()

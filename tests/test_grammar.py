@@ -141,3 +141,62 @@ def test_parse_tool_calls_formats():
     # plain text untouched
     content, calls = parse_tool_calls("just words { not a call")
     assert calls == [] and "just words" in content
+
+
+def test_parse_tool_calls_command_r7b():
+    """command-r7b format (reference tests/test-chat.cpp:593-620)."""
+    import json as _json
+
+    from llama_cpp_dsp_tpu.serve.chat import extract_reasoning, parse_tool_calls
+
+    # action block with tool_call_id preserved
+    text = ('<|START_ACTION|>[\n'
+            '    {"tool_call_id": "0", "tool_name": "special_function", '
+            '"parameters": {"arg1": 1}}\n]<|END_ACTION|>')
+    content, calls = parse_tool_calls(text)
+    assert content == ""
+    assert calls[0]["id"] == "0"
+    assert calls[0]["function"]["name"] == "special_function"
+    assert _json.loads(calls[0]["function"]["arguments"]) == {"arg1": 1}
+
+    # response wrapper unwrapped
+    content, calls = parse_tool_calls(
+        "<|START_RESPONSE|>Hello, world!\nWhat's up?<|END_RESPONSE|>")
+    assert calls == [] and content == "Hello, world!\nWhat's up?"
+
+    # bare ...<|END_RESPONSE|> (reference test-chat.cpp:600-604)
+    content, calls = parse_tool_calls("Hello, world!\nWhat's up?<|END_RESPONSE|>")
+    assert calls == [] and content == "Hello, world!\nWhat's up?"
+
+    # empty thinking pair dropped (test-chat.cpp:613-616)
+    content, calls = parse_tool_calls(
+        '<|START_THINKING|><|END_THINKING|><|START_ACTION|>[{"tool_call_id":'
+        ' "0", "tool_name": "f", "parameters": {}}]<|END_ACTION|>')
+    assert content == "" and calls[0]["function"]["name"] == "f"
+
+    # reasoning extraction
+    reasoning, rest = extract_reasoning(
+        "<|START_THINKING|>I'm thinking<|END_THINKING|>"
+        "<|START_RESPONSE|>Hello, world!\nWhat's up?<|END_RESPONSE|>")
+    assert reasoning == "I'm thinking"
+    content, calls = parse_tool_calls(rest)
+    assert content == "Hello, world!\nWhat's up?"
+
+
+def test_parse_tool_calls_llama3_python_tag():
+    """llama-3.x builtin tools (reference tests/test-chat.cpp:810-812)."""
+    import json as _json
+
+    from llama_cpp_dsp_tpu.serve.chat import parse_tool_calls
+
+    for name in ("code_interpreter", "python"):
+        content, calls = parse_tool_calls(
+            f"<|python_tag|>{name}.call(code=\"print('hey')\")")
+        assert content == ""
+        assert calls[0]["function"]["name"] == name
+        assert _json.loads(calls[0]["function"]["arguments"]) == {
+            "code": "print('hey')"}
+
+    # not a builtin call → untouched
+    content, calls = parse_tool_calls("<|python_tag|>print('hey')")
+    assert calls == []
