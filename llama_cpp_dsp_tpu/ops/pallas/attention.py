@@ -605,6 +605,7 @@ def _decode_kernel_q4(
     o_ref,
     kq_buf, kd_buf, vq_buf, vd_buf, sem,
     *, scale: float, chunk: int, softcap: float, layer: int | None,
+    groups: int,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -617,6 +618,14 @@ def _decode_kernel_q4(
     q = q_ref[0, 0].astype(jnp.float32) * scale
     rep, d = q.shape
     pre = () if layer is None else (layer,)
+    # lane masks select one 32-wide scale group per matmul (static lane
+    # slicing at 32-offsets would force Mosaic relayouts; a masked full-D
+    # dot keeps layouts untouched — the extra MXU passes are free, decode
+    # is DMA-bound)
+    gw = d // groups
+    lane_d = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
+    gmasks = [((lane_d >= g * gw) & (lane_d < (g + 1) * gw))
+              .astype(jnp.float32) for g in range(groups)]
 
     def dmas(slot, ci):
         return [
@@ -658,11 +667,11 @@ def _decode_kernel_q4(
         kq = kq_buf[slot].astype(jnp.int32)  # [CH2, D] packed bytes
         klo = ((kq & 15) - 8).astype(jnp.float32)  # rows 2j
         khi = ((kq >> 4) - 8).astype(jnp.float32)  # rows 2j+1
-        kd = kd_buf[slot]  # [2, CH2] parity-planar scales
+        kd = kd_buf[slot]  # [2G, CH2] parity-major group scales
 
-        def qk(km):
+        def qk(qm, km):
             return jax.lax.dot_general(
-                q, km, dimension_numbers=(((1,), (1,)), ((), ())),
+                qm, km, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
@@ -670,9 +679,12 @@ def _decode_kernel_q4(
         # even/odd halves stay SEPARATE [rep, CH2] matrices end-to-end —
         # the online softmax is order-invariant, and Mosaic cannot
         # concatenate vectors whose sublane offsets differ (the kd[1:2]
-        # row-slice carries offset 1: "result/input offset mismatch")
-        s_lo = qk(klo) * kd[0:1]  # keys 2j
-        s_hi = qk(khi) * kd[1:2]  # keys 2j+1
+        # row-slice carries offset 1: "result/input offset mismatch").
+        # Per-group partial dots fold each 32-group's scale into the score.
+        s_lo = sum(qk(q * gmasks[g], klo) * kd[g:g + 1]
+                   for g in range(groups))  # keys 2j
+        s_hi = sum(qk(q * gmasks[g], khi) * kd[groups + g:groups + g + 1]
+                   for g in range(groups))  # keys 2j+1
         if softcap:
             s_lo = jnp.tanh(s_lo / softcap) * softcap
             s_hi = jnp.tanh(s_hi / softcap) * softcap
@@ -690,7 +702,7 @@ def _decode_kernel_q4(
         alpha = jnp.exp(m - m_new)
         l = (l * alpha + jnp.sum(p_lo, axis=1, keepdims=True)
              + jnp.sum(p_hi, axis=1, keepdims=True))
-        vd = vd_buf[slot]  # [2, CH2]
+        vd = vd_buf[slot]  # [2G, CH2]
         vq = vq_buf[slot].astype(jnp.int32)
         vlo = ((vq & 15) - 8).astype(jnp.float32)
         vhi = ((vq >> 4) - 8).astype(jnp.float32)
@@ -702,8 +714,12 @@ def _decode_kernel_q4(
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        acc = (acc * alpha + pvdot(p_lo * vd[0:1], vlo)
-               + pvdot(p_hi * vd[1:2], vhi))
+        # per-group prob scaling: only group-g output lanes keep each dot
+        pv = sum(gmasks[g] * (pvdot(p_lo * vd[g:g + 1], vlo)
+                              + pvdot(p_hi * vd[groups + g:groups + g + 1],
+                                      vhi))
+                 for g in range(groups))
+        acc = acc * alpha + pv
         return m_new, l, acc
 
     m0 = jnp.full((rep, 1), NEG_INF, jnp.float32)
@@ -719,7 +735,7 @@ def _decode_kernel_q4(
 def flash_decode_q4(
     q: jax.Array,  # [B, H, D]
     k_qs: jax.Array,  # [B, Hkv, S/2, D] u8 row-pair packed
-    k_d: jax.Array,  # [B, Hkv, 2, S/2] f32 parity-planar scales
+    k_d: jax.Array,  # [B, Hkv, 2*G, S/2] f32 parity-major group scales
     v_qs: jax.Array,
     v_d: jax.Array,
     lengths: jax.Array,
@@ -736,6 +752,7 @@ def flash_decode_q4(
                else (k_qs.shape[2], k_qs.shape[3]))
     s = 2 * s2
     rep = hq // hkv
+    groups = k_d.shape[-2] // 2  # parity-major planes: 2*G
     # scale DMAs slice the S/2 lane dim — chunk/2 needs 128 alignment, so
     # chunk must be a 256-multiple divisor of s (dispatch gates capacity)
     chunk = min(chunk, s)
@@ -759,15 +776,15 @@ def flash_decode_q4(
         out_specs=pl.BlockSpec((1, 1, rep, d), lambda b, h, *_: (b, h, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, chunk // 2, d), jnp.uint8),
-            pltpu.VMEM((2, 2, chunk // 2), jnp.float32),
+            pltpu.VMEM((2, 2 * groups, chunk // 2), jnp.float32),
             pltpu.VMEM((2, chunk // 2, d), jnp.uint8),
-            pltpu.VMEM((2, 2, chunk // 2), jnp.float32),
+            pltpu.VMEM((2, 2 * groups, chunk // 2), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_decode_kernel_q4, scale=scale, chunk=chunk,
-                          softcap=softcap, layer=layer),
+                          softcap=softcap, layer=layer, groups=groups),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
         interpret=_resolve_interpret(interpret),

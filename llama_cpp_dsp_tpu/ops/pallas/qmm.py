@@ -593,7 +593,13 @@ def qmm_fused(
         want_tn = 512 if n_rows % 512 == 0 else tile_n
         planes = _N_PLANES[_X_FIELDS[kw.kind][0]]
         ps = tile_k // planes // max(want_ns, 1)
+        # 4096-multiple K only: the estimator under-models Mosaic's live
+        # temporaries on the sub-K body for ragged big K — K=13824 (13B
+        # ffn_down) allocated 21.5M scoped vs the ~15.5M estimate and OOMed
+        # the 16MB limit, while the validated shapes (12288, 16384) fit.
+        # Ragged K falls back to whole-K tile_n=256 (the 8B Q4_K config).
         if (want_ns > 1 and want_tn > tile_n and ps % 128 == 0
+                and tile_k % 4096 == 0
                 and (tile_k // planes) % want_ns == 0
                 and _scoped_bytes(want_tn, tile_b, want_ns) <= budget):
             tile_n, n_sub = want_tn, want_ns

