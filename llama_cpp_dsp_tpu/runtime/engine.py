@@ -457,10 +457,27 @@ class Engine:
                     compute_dtype=self.compute_dtype,
                 )
 
+            @partial(jax.jit, donate_argnums=(1,))
+            def _verify_argmax(params, cache, tokens, slot_ids, rows):
+                """Greedy verify: only [P] argmax ids leave the device.
+                The full-logits pull was the spec path's bottleneck through
+                the dev tunnel — P×V f32 is ~32 MB on an 8B vocab per
+                round vs P int32s (the same device-sampling trade as
+                Engine.step's _decode_argmax)."""
+                from ..models.llama import forward_packed
+
+                logits, cache = forward_packed(
+                    params, self.cfg, tokens, slot_ids, rows, cache,
+                    jnp.arange(tokens.shape[0], dtype=jnp.int32),
+                    compute_dtype=self.compute_dtype,
+                )
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
             self._draft_prefill_fn = _draft_prefill
             self._draft_step_fn = _draft_step
             self._draft_scan_fn = _draft_scan
             self._verify_fn = _verify
+            self._verify_argmax_fn = _verify_argmax
 
     # -- request API --------------------------------------------------------
     def submit(self, req: Request) -> Request:
@@ -927,10 +944,20 @@ class Engine:
                 i += 1
         self._ensure_pages(
             [(s.idx, s.n_past + 1 + len(drafted[s.idx])) for s in gen])
-        logits, self.cache = self._verify_fn(
-            self.params, self.cache, jnp.asarray(toks), jnp.asarray(sids),
-            jnp.asarray(rows))
-        logits_np = np.asarray(logits)
+        greedy_dev = (not any(s.req.n_probs for s in gen)
+                      and all(s.req.sampler is not None
+                              and s.req.sampler.is_greedy for s in gen))
+        if greedy_dev:
+            ids_v, self.cache = self._verify_argmax_fn(
+                self.params, self.cache, jnp.asarray(toks),
+                jnp.asarray(sids), jnp.asarray(rows))
+            ids_v_np = np.asarray(ids_v)
+            logits_np = None
+        else:
+            logits, self.cache = self._verify_fn(
+                self.params, self.cache, jnp.asarray(toks),
+                jnp.asarray(sids), jnp.asarray(rows))
+            logits_np = np.asarray(logits)
 
         # 4. per-slot acceptance walk with the slot's own sampler chain
         for s in gen:
@@ -946,8 +973,12 @@ class Engine:
             for j in range(ln):
                 if s.state != SlotState.GENERATING:
                     break  # a stop condition fired mid-acceptance
-                token = s.req.sampler.sample(logits_np[start + j])
-                self._record_probs(s.req, logits_np[start + j], token)
+                if logits_np is None:
+                    token = int(ids_v_np[start + j])
+                    s.req.sampler.accept(token)
+                else:
+                    token = s.req.sampler.sample(logits_np[start + j])
+                    self._record_probs(s.req, logits_np[start + j], token)
                 s.cache_tokens.append(s.last_token)
                 s.n_past += 1
                 if j < len(cand) and token == cand[j]:
