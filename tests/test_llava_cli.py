@@ -87,7 +87,7 @@ def test_eval_embd_matches_eval_tokens(tiny):
     np.testing.assert_allclose(l1, l2, rtol=2e-2, atol=2e-2)
 
 
-def test_llava_cli_end_to_end(tiny, tmp_path, capsys):
+def test_llava_cli_end_to_end(tiny, tmp_path, capsysbinary):
     from llama_cpp_dsp_tpu.tools.llava import main
 
     mmproj = str(tmp_path / "mmproj.gguf")
@@ -99,22 +99,22 @@ def test_llava_cli_end_to_end(tiny, tmp_path, capsys):
                "-p", "USER:<image>\ndescribe\nASSISTANT:", "-n", "4",
                "--temp", "0", "-c", "64"])
     assert rc == 0
-    out = capsys.readouterr()
-    assert "patch embeddings" in out.err
+    out = capsysbinary.readouterr()
+    assert b"patch embeddings" in out.err
 
 
-def test_cli_speculative_greedy_identical(tiny, tmp_path, capsys, monkeypatch):
+def test_cli_speculative_greedy_identical(tiny, tmp_path, capsysbinary, monkeypatch):
     """Greedy -md (draft = target) output must byte-match the plain run."""
     from llama_cpp_dsp_tpu.tools.cli import main
 
     base = ["-m", tiny, "-p", "hello", "-n", "8", "--temp", "0", "-c", "64",
             "--no-display-prompt"]
     assert main(base) == 0
-    plain = capsys.readouterr().out
+    plain = capsysbinary.readouterr().out
     assert main(base + ["-md", tiny, "--draft-max", "4"]) == 0
-    cap = capsys.readouterr()
+    cap = capsysbinary.readouterr()
     assert cap.out == plain
-    assert "drafted tokens accepted" in cap.err
+    assert b"drafted tokens accepted" in cap.err
 
 
 def test_infill_fim_tokens(tiny):

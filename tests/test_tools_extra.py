@@ -247,9 +247,10 @@ def test_cli_process_escapes():
     assert _process_escapes("no escapes") == "no escapes"
 
 
-def test_cli_reverse_prompt_stops_generation(tmp_path, capsys):
+def test_cli_reverse_prompt_stops_generation(tmp_path, capsysbinary):
     """-r stops at the reverse prompt and does not print it (reference
-    antiprompt, examples/main/main.cpp)."""
+    antiprompt, examples/main/main.cpp). capsysbinary: the CLI streams raw
+    piece bytes, so the stop string is picked from a valid-UTF-8 slice."""
     import sys as _sys
 
     _sys.path.insert(0, "tests")
@@ -262,13 +263,19 @@ def test_cli_reverse_prompt_stops_generation(tmp_path, capsys):
     # first run unconstrained to learn the greedy output
     assert main(["-m", path, "-p", "hi", "-n", "6", "--temp", "0",
                  "-c", "64", "--no-display-prompt"]) == 0
-    full = capsys.readouterr().out.rstrip("\n")
-    if len(full) < 2:
+    full = capsysbinary.readouterr().out.rstrip(b"\n")
+    stop = None
+    for i in range(len(full) // 2, max(len(full) - 2, 0)):
+        try:
+            stop = full[i:i + 3].decode("utf-8")
+            break
+        except UnicodeDecodeError:
+            continue
+    if len(full) < 2 or not stop:
         import pytest
 
         pytest.skip("degenerate tiny output")
-    stop = full[len(full) // 2:][:3]
     assert main(["-m", path, "-p", "hi", "-n", "6", "--temp", "0",
                  "-c", "64", "--no-display-prompt", "-r", stop]) == 0
-    out = capsys.readouterr().out.rstrip("\n")
-    assert stop not in out and full.startswith(out)
+    out = capsysbinary.readouterr().out.rstrip(b"\n")
+    assert stop.encode() not in out and full.startswith(out)

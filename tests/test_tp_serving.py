@@ -49,15 +49,17 @@ def test_engine_tp_matches_single(tiny):
     assert got.result_tokens == ref.result_tokens
 
 
-def test_cli_tp_flag(tiny, capsys):
+def test_cli_tp_flag(tiny, capsysbinary):
+    # capsysbinary: the CLI streams raw piece bytes (reference main.cpp
+    # behavior) which need not be valid UTF-8 on a random tiny model
     from llama_cpp_dsp_tpu.tools.cli import main
 
     base = ["-m", tiny, "-p", "hi", "-n", "4", "--temp", "0", "-c", "64",
             "--no-display-prompt"]
     assert main(base) == 0
-    ref = capsys.readouterr().out
+    ref = capsysbinary.readouterr().out
     assert main(base + ["-tp", "2"]) == 0
-    assert capsys.readouterr().out == ref
+    assert capsysbinary.readouterr().out == ref
 
 
 def test_engine_tp_speculative(tiny):
