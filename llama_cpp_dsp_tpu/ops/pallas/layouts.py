@@ -251,9 +251,15 @@ def _k_pad_target(k: int, kind: GGMLType) -> int:
     measured a net LOSS on 8B Q4_K (tg64 113.8→109.1): the bigger whole-K
     temp also degrades the VMEM-fit tiles. Gate: pad only when the byte
     overhead is ≤12.5%."""
+    import os
+
+    # LLAMA_TPU_KPAD_PCT widens the byte-overhead gate for A/B experiments
+    # (default 12.5%: K=11008→12288 measured +44% rate at +11.6% bytes;
+    # K=14336→16384 at +14.3% measured a net LOSS on 8B Q4_K tg64)
+    max_pct = float(os.environ.get("LLAMA_TPU_KPAD_PCT", 12.5))
     if k >= 8192 and k % 4096:
         pad = -(-k // 4096) * 4096
-        if pad * 8 <= k * 9:  # ≤12.5% extra bytes
+        if (pad - k) * 100 <= k * max_pct:
             return pad
     return k
 
