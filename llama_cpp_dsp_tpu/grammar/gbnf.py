@@ -591,6 +591,13 @@ def decode_utf8(piece: bytes, partial: tuple[int, int]) -> tuple[list[int], tupl
 
 
 def parse_gbnf(text: str) -> Grammar:
+    # the reference's llguidance dispatch (common/sampling.cpp:156): grammar
+    # strings beginning with %llguidance are Lark-dialect CFGs — translated
+    # to GBNF (grammar/lark.py) instead of binding the Rust library
+    if text.lstrip().startswith("%llguidance"):
+        from .lark import lark_to_gbnf
+
+        text = lark_to_gbnf(text)
     return GbnfParser().parse(text)
 
 
