@@ -516,6 +516,15 @@ def qmm_fused(
     tile_k = kw.tile_k
     if tile_b == 0:
         tile_b = 8 if b_real <= 8 else min(256, _round_up(b_real, 8))
+        if b_real < 8:
+            import os
+
+            # A/B knob: tile_b = b_real skips the per-call pad + shrinks the
+            # x relayout 8x for single-stream decode (Mosaic allows sublane
+            # counts < 8 when the block equals the array dim)
+            want_b = int(os.environ.get("LLAMA_TPU_TILE_B", 0))
+            if want_b and want_b >= b_real:
+                tile_b = want_b
     if tile_n == 0:
         # 512-row n-tiles keep the DMA pipeline at HBM speed-of-light on
         # v5e (679-712 GB/s measured vs ~490 at 256); whole-K tiles

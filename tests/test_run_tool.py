@@ -26,12 +26,14 @@ def test_resolve_missing_and_ollama():
         run.resolve_model("ollama://smollm:135m")
 
 
-def test_run_one_shot(tmp_path, capsys):
+def test_run_one_shot(tmp_path, capsysbinary):
+    # capsysbinary: llama-run streams raw piece bytes (may be invalid UTF-8
+    # on a random tiny model)
     path = tmp_path / "tiny.gguf"
     build_tiny_llama(str(path), qtype=0)
     rc = run.main([str(path), "hello", "world", "--temp", "0", "-c", "64"])
     assert rc == 0
-    assert capsys.readouterr().out  # generated something
+    assert capsysbinary.readouterr().out  # generated something
 
 
 def test_json_schema_cli(tmp_path, capsys):
