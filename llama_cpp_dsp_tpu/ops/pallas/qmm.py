@@ -555,15 +555,21 @@ def qmm_fused(
         while tile_b > cap:
             tile_b //= 2
 
-    b_pad = _round_up(b_real, tile_b)
-    if b_pad != b_real:
-        x2 = jnp.pad(x2, ((0, b_pad - b_real), (0, 0)))
-
     q8_group = 32
     if kw.kind == GGMLType.Q8_0:
         s_arr = kw.arrays["s"]  # [nk, N, K/g/nk]
         q8_group = k // (s_arr.shape[0] * s_arr.shape[2])
+    # permute BEFORE b-padding: the plane relayout acts on the K axis and
+    # row-zero-padding commutes with it exactly, so decode (b_real=1,
+    # tile_b=8) relayouts 1/8 the bytes and the group sums reduce 1/8 the
+    # rows; each field pads its own batch axis afterwards
     x_fields = prepare_x(x2, kw.kind, tile_k, q8_group)
+    b_pad = _round_up(b_real, tile_b)
+    if b_pad != b_real:
+        x_fields = tuple(
+            jnp.pad(a, ((0, 0), (0, b_pad - b_real), (0, 0))) if a.ndim == 3
+            else jnp.pad(a, ((0, b_pad - b_real), (0, 0)))
+            for a in x_fields)
     w_fields = tuple(kw.arrays[name] for name in _W_FIELDS[kw.kind])
 
     # VMEM-fit estimator (16MB scoped limit): double-buffered operand
