@@ -104,7 +104,8 @@ def main() -> int:
     done_key = {"decode": "decode", "pp512": "pp512",
                 "moe": "moe_decode", "ttft": "ttft_matrix",
                 "paged": "paged_vs_contiguous", "chunk": "decode_chunk8",
-                "q8kv": "q8_kv_decode", "spec": "spec_decode",
+                "q8kv": "q8_kv_decode", "q4kv": "q4_kv_decode",
+                "spec": "spec_decode",
                 "host_overhead": "host_overhead", "pp1024_7b": "pp1024_7b"}
 
     def want(key):
@@ -222,6 +223,9 @@ def main() -> int:
     if want("q8kv"):
         run("q8_kv_decode", lambda: _engine_decode_rate(
             model, n_slots=4, pp=128, tg=32, kv_dtype="q8_0"))
+    if want("q4kv"):
+        run("q4_kv_decode", lambda: _engine_decode_rate(
+            model, n_slots=4, pp=128, tg=32, kv_dtype="q4_0"))
     if want("spec"):
         run("spec_decode", lambda: _engine_decode_rate(
             model, n_slots=2, pp=64, tg=32, draft_model=model, n_draft=4))
