@@ -594,7 +594,9 @@ def parse_gbnf(text: str) -> Grammar:
     # the reference's llguidance dispatch (common/sampling.cpp:156): grammar
     # strings beginning with %llguidance are Lark-dialect CFGs — translated
     # to GBNF (grammar/lark.py) instead of binding the Rust library
-    if text.lstrip().startswith("%llguidance"):
+    from .lark import is_llguidance
+
+    if is_llguidance(text):
         from .lark import lark_to_gbnf
 
         text = lark_to_gbnf(text)

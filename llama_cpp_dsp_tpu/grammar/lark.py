@@ -225,12 +225,6 @@ class _Expansion:
                 break
         return atom
 
-    def _aux_rule(self, body: str, kind: str) -> str:
-        name = f"{self.rule}-{kind}{self.n_aux}"
-        self.n_aux += 1
-        self.aux.append((name, body))
-        return name
-
     def parse_atom(self) -> str:
         c = self._peek()
         if c == "(":
@@ -260,7 +254,11 @@ class _Expansion:
                 if len(s) != 1 or len(hi) != 1:
                     raise LarkUnsupported("range endpoints must be single "
                                           "characters")
-                return f"[{s}-{hi}]"
+
+                def esc(ch: str) -> str:  # GBNF char-class escaping
+                    return "\\" + ch if ch in "]\\^-" else ch
+
+                return f"[{esc(s)}-{esc(hi)}]"
             return _gbnf_literal(s)
         if c == "/":
             pat = self._regex()

@@ -295,7 +295,9 @@ def _q4_quant(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     mx = jnp.take_along_axis(xg, i, -1)  # signed max per group
     d = (mx / -8.0)[..., 0]
     inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
-    q = jnp.clip(jnp.round(xg * inv[..., None]) + 8, 0, 15)
+    # reference rounding is (int8_t)(x/d + 8.5f) — floor, i.e. round half
+    # UP (ggml-quants.c quantize_row_q4_0_ref), not jnp.round's half-even
+    q = jnp.clip(jnp.floor(xg * inv[..., None] + 8.5), 0, 15)
     return q.reshape(x.shape).astype(jnp.uint8), d
 
 

@@ -242,8 +242,12 @@ def parse_tool_calls(text: str) -> tuple[str, list[dict]]:
                     },
                 })
             content = content[: m.start()] + content[m.end():]
-    m = _re.match(r"\s*(?:<\|START_RESPONSE\|>)?(.*?)<\|END_RESPONSE\|>\s*",
-                  content, _re.DOTALL)
+    # fullmatch like the reference's std::regex_match (common/chat.cpp:885
+    # response_regex): nothing may follow the closing marker — an embedded
+    # <|END_RESPONSE|> in arbitrary prose must not truncate the content
+    m = _re.fullmatch(
+        r"\s*(?:<\|START_RESPONSE\|>)?(.*?)<\|END_RESPONSE\|>\s*",
+        content, _re.DOTALL)
     if m:
         content = m.group(1)
 

@@ -119,13 +119,18 @@ def main() -> int:
         data = np.load(base_path)
         base = data["logprobs"].astype(np.float64)
         tokens = data["tokens"].reshape(base.shape[0], -1)
+        # run_ours scores positions [first, n_ctx-1): drop the base's last
+        # row (its prediction target lies beyond the chunk) to align, and
+        # skip the reference's per-chunk BOS substitution — the npz base
+        # was evaluated on the raw token stream
+        base = base[:, :-1]
         first = 0
+        bos = None
     else:
         base, tokens, first = load_ref_logits(base_path)
 
     print("| KV type | ours: KL / top-1 | reference binary: KL / top-1 |")
     print("|---|---|---|")
-    rows = []
     for kv in ("f32", "bf16", "q8_0", "q4_0"):
         kl, t1 = run_ours(model, base, tokens, first, kv, bos)
         if have_ref and kv in ("q8_0", "q4_0", "f32"):
@@ -136,7 +141,6 @@ def main() -> int:
                 ref += " (f16 KV)"
         else:
             ref = "—"
-        rows.append((kv, kl, t1))
         print(f"| {kv} | {kl:.2e} / {t1 * 100:.1f}% | {ref} |")
     return 0
 
