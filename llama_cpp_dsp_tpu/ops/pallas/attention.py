@@ -417,6 +417,105 @@ def _decode_kernel_q8(
     o_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
 
 
+def _decode_kernel_q8_allh(
+    start_ref, len_ref, q_ref,
+    kq_hbm,  # ANY [B, Hkv, S, D] int8 (or [L, B, ...] with layer set)
+    kd_hbm,  # ANY [B, Hkv, 1, S] f32
+    vq_hbm, vd_hbm,
+    o_ref,
+    kq_buf,  # VMEM [2, Hkv, CHUNK, D] int8
+    kd_buf,  # VMEM [2, Hkv, 1, CHUNK] f32
+    vq_buf, vd_buf, sem,
+    *, scale: float, chunk: int, softcap: float, layer: int | None, hkv: int,
+):
+    """All-kv-heads q8 decode body (the bf16 `_decode_kernel_allh` structure
+    applied to the int8 cache): ONE strided async copy per S-chunk covers
+    every head for each of the 4 planes, double-buffered — the per-(b,h)
+    grid issued 4·Hkv serialized chunk DMAs per step with no overlap, which
+    cost q8 KV 13% vs bf16 KV at B=4 (BENCH_FULL_r03 q8_kv_decode)."""
+    b = pl.program_id(0)
+    length = len_ref[b]
+    start = start_ref[b]
+    first = start // chunk
+    n_chunks = pl.cdiv(length, chunk)
+    pre = () if layer is None else (layer,)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # [Hkv, rep, D]
+    _, rep, d = q.shape
+    hr = hkv * rep
+    q2 = q.reshape(hr, d)
+
+    def dmas(slot, ci):
+        sl = pl.ds(ci * chunk, chunk)
+        return [
+            pltpu.make_async_copy(
+                kq_hbm.at[(*pre, b, slice(None), sl, slice(None))],
+                kq_buf.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(
+                kd_hbm.at[(*pre, b, slice(None), slice(None), sl)],
+                kd_buf.at[slot], sem.at[slot, 1]),
+            pltpu.make_async_copy(
+                vq_hbm.at[(*pre, b, slice(None), sl, slice(None))],
+                vq_buf.at[slot], sem.at[slot, 2]),
+            pltpu.make_async_copy(
+                vd_hbm.at[(*pre, b, slice(None), slice(None), sl)],
+                vd_buf.at[slot], sem.at[slot, 3]),
+        ]
+
+    @pl.when(first < n_chunks)
+    def _():
+        for dma in dmas(first % 2, first):
+            dma.start()
+
+    def body(ci, carry):
+        m, l, acc = carry  # [HR,1], [HR,1], [HR,D] f32
+        slot = ci % 2
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            for dma in dmas((ci + 1) % 2, ci + 1):
+                dma.start()
+
+        for dma in dmas(slot, ci):
+            dma.wait()
+
+        s = jnp.concatenate([
+            jax.lax.dot_general(
+                q2[h * rep:(h + 1) * rep],
+                kq_buf[slot, h].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ) * kd_buf[slot, h] for h in range(hkv)
+        ], axis=0)  # [HR, CHUNK] — per-row K dequant folds into the score
+        if softcap:
+            s = jnp.tanh(s / softcap) * softcap
+        col = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where((col < length) & (col >= start), s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jnp.concatenate([
+            jax.lax.dot_general(
+                p[h * rep:(h + 1) * rep] * vd_buf[slot, h],
+                vq_buf[slot, h].astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ) for h in range(hkv)
+        ], axis=0)  # [HR, D] — V dequant folds into the probs
+        acc = acc * alpha + pv
+        return m_new, l, acc
+
+    m0 = jnp.full((hr, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((hr, 1), jnp.float32)
+    acc0 = jnp.zeros((hr, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(first, n_chunks, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).reshape(hkv, rep, d)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "chunk", "softcap", "interpret", "layer")
 )
@@ -435,6 +534,8 @@ def flash_decode_q8(
     interpret: bool | None = None,
     layer: int | None = None,
 ) -> jax.Array:
+    import os
+
     bsz, hq, d = q.shape
     hkv, s = ((k_qs.shape[1], k_qs.shape[2]) if layer is None
               else (k_qs.shape[2], k_qs.shape[3]))
@@ -446,6 +547,38 @@ def flash_decode_q8(
     assert chunk >= 128, (s, chunk)
     if starts is None:
         starts = jnp.zeros_like(lengths)
+
+    allh = _allh_chunk(s, hkv, d, 1)  # int8 planes; f32 scales add ~d/32
+    if hkv > 1 and allh and not os.environ.get("LLAMA_TPU_NO_ATTN_ALLH"):
+        qg = q.reshape(bsz, hkv, rep, d)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bsz,),
+            in_specs=[
+                pl.BlockSpec((1, hkv, rep, d), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, hkv, rep, d), lambda b, *_: (b, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, hkv, allh, d), jnp.int8),
+                pltpu.VMEM((2, hkv, 1, allh), jnp.float32),
+                pltpu.VMEM((2, hkv, allh, d), jnp.int8),
+                pltpu.VMEM((2, hkv, 1, allh), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 4)),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_decode_kernel_q8_allh, scale=scale, chunk=allh,
+                              softcap=softcap, layer=layer, hkv=hkv),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
+            interpret=_resolve_interpret(interpret),
+        )(starts.astype(jnp.int32), lengths.astype(jnp.int32), qg, k_qs, k_d,
+          v_qs, v_d)
+        return out.reshape(bsz, hq, d)
 
     qg = q.reshape(bsz, hkv, rep, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(

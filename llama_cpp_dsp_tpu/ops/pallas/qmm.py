@@ -26,6 +26,22 @@ F32 = jnp.float32
 BF16 = jnp.bfloat16
 
 
+import os as _os
+
+# Perf-ablation knob (diagnosis only — results are numerically WRONG):
+#   const → per-group scales replaced by 1.0 after the DMA (isolates the
+#           VPU lane-expand cost of misaligned-G repeats from the s DMA)
+#   splat → one-lane broadcast instead of the mod-G repeat (keeps the
+#           per-element multiply, drops the repeat)
+_ABLATE_SCALE = _os.environ.get("LLAMA_TPU_ABLATE_SCALE", "")
+
+
+def _expand_raw(s, factor: int):
+    if _interpret_mode():
+        return jnp.concatenate([s] * factor, axis=-1)
+    return pltpu.repeat(s, factor, 1)
+
+
 def _expand(s, factor: int):
     """[TN, G] → [TN, G*factor] via lane-tile repeat: position p → s[p mod G].
 
@@ -33,15 +49,17 @@ def _expand(s, factor: int):
     correct per-group broadcast; Mosaic lowers `pltpu.repeat` natively
     (element-order repeats/reshapes are unsupported shape casts).
     """
-    if _interpret_mode():
-        return jnp.concatenate([s] * factor, axis=-1)
-    return pltpu.repeat(s, factor, 1)
+    if _ABLATE_SCALE == "const":
+        return jnp.float32(1.0)
+    if _ABLATE_SCALE == "splat":
+        return s[:, :1] + jnp.zeros((1, s.shape[-1] * factor), s.dtype)
+    return _expand_raw(s, factor)
 
 
 def _unpack_bits(packed):
     """[TN, P/8] → [TN, P] of 0/1 int32; bit r of byte b is position
     r*(P/8)+b (see layouts._pack_bits_transposed)."""
-    rep = _expand(packed, 8).astype(jnp.int32)
+    rep = _expand_raw(packed, 8).astype(jnp.int32)
     pb = packed.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, rep.shape, rep.ndim - 1)
     return (rep >> (lane // pb)) & 1

@@ -239,3 +239,65 @@ def synth_params(cfg: LlamaConfig, kind: GGMLType, *, seed: int = 0, tie: bool =
     if not (tie or cfg.tie_embeddings):
         params["output"] = q(v, c)
     return params
+
+
+def chain_map(n_vocab: int, *, map_seed: int = 7, rho: float = 0.0,
+              rho_seed: int = 11) -> np.ndarray:
+    """Deterministic next-token map m: greedy(token t) == m[t].
+
+    rho=0 is a random permutation of the vocab; rho>0 remaps a ρ-fraction
+    of entries to OTHER random targets — a draft built with the perturbed
+    map disagrees with the target on ≈ρ of chain positions, which makes
+    speculative-decoding acceptance a *known* quantity measurable through
+    the real verify machinery (random synth weights give acceptance ≈ 0
+    for any draft ≠ target; see BENCH notes)."""
+    rng = np.random.default_rng(map_seed)
+    m = rng.permutation(n_vocab).astype(np.int64)
+    if rho > 0:
+        prng = np.random.default_rng(rho_seed)
+        hit = prng.random(n_vocab) < rho
+        m = m.copy()
+        m[hit] = prng.integers(0, n_vocab, int(hit.sum()))
+    return m
+
+
+def synth_params_chain(cfg: LlamaConfig, kind: GGMLType, *, seed: int = 0,
+                       next_map: np.ndarray | None = None):
+    """Synthetic weights whose GREEDY DECODE follows a known token chain.
+
+    Perf-representative speculative-decoding benches need a (target, draft)
+    pair with controllable agreement. Construction: every layer's residual
+    contribution is zeroed (attn_output / ffn_down scale fields = 0, so the
+    packed blocks dequantize to exactly 0 — the full weight bytes still
+    stream through the kernels, keeping per-step cost identical to
+    `synth_params`), hence the pre-head residual is exactly the token
+    embedding; the lm_head is built so emb[t] · head[v] peaks at
+    v == next_map[t] (head[v] = Σ_{t: m[t]=v} emb_dequant[t], diag margin
+    ‖emb‖² ≈ C·σ² vs off-diag ≈ σ²·√C). Mirrors the role of the reference
+    speculative example's model pairing (common/speculative.cpp:24-278)
+    without real weights (zero-egress environment)."""
+    from ..ops.qtensor import from_gguf_tensor
+    from ..quant import dequantize, quantize
+
+    params = synth_params(cfg, kind, seed=seed, tie=False)
+    for layer in params["layers"]:
+        for name in ("attn_output", "ffn_down", "ffn_down_exps",
+                     "ffn_down_shexp"):
+            qt = layer.get(name)
+            if qt is None:
+                continue
+            for f in ("d", "dmin", "m"):
+                if f in qt.arrays:
+                    qt.arrays[f] = np.zeros_like(qt.arrays[f])
+    v, c = cfg.n_vocab, cfg.n_embd
+    rng = np.random.default_rng(seed + 101)
+    emb_f = (rng.standard_normal((v, c)) * 0.05).astype(np.float32)
+    emb_raw = quantize(emb_f, kind)
+    params["token_embd"] = from_gguf_tensor(emb_raw, kind, (v, c))
+    emb_q = np.asarray(dequantize(emb_raw, kind, (v, c)), np.float32)
+    if next_map is None:
+        next_map = chain_map(v)
+    head = np.zeros((v, c), np.float32)
+    np.add.at(head, np.asarray(next_map, np.int64), emb_q)
+    params["output"] = from_gguf_tensor(quantize(head, kind), kind, (v, c))
+    return params

@@ -110,6 +110,42 @@ def _():
     assert err < 1e-4, err
 
 
+@check("flash_decode_q8_allh")
+def _():
+    # round-4 all-heads q8 decode body (one strided DMA per chunk covers
+    # every kv head); validate vs the dequantized-cache softmax reference
+    from llama_cpp_dsp_tpu.ops.pallas.attention import flash_decode_q8
+    from llama_cpp_dsp_tpu.runtime.kv_cache import QuantKVCache
+
+    rng = np.random.default_rng(7)
+    b, hq, hkv, d, s = 2, 8, 4, 128, 1024
+    q = rng.standard_normal((b, hq, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, hkv, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, hkv, d)).astype(np.float32)
+    cache = QuantKVCache.create(1, b, s, hkv, d)
+    cache = cache.write(0, jnp.asarray(k), jnp.asarray(v), 0)
+    lengths = np.array([900, 33], np.int32)
+    out = np.asarray(flash_decode_q8(
+        jnp.asarray(q), *cache.packed_layer(0), jnp.asarray(lengths),
+        scale=d ** -0.5, interpret=False))
+    kd, vd = cache.layer(0)
+    kd, vd = np.asarray(kd, np.float32), np.asarray(vd, np.float32)
+    ref = []
+    for bi in range(b):
+        hs = []
+        for h in range(hq):
+            kk = kd[bi, h * hkv // hq]
+            vv = vd[bi, h * hkv // hq]
+            sc = (q[bi, h] @ kk.T) * d ** -0.5
+            sc[lengths[bi]:] = -1e30
+            p = np.exp(sc - sc.max())
+            p /= p.sum()
+            hs.append(p @ vv)
+        ref.append(np.stack(hs))
+    err = nmse(out, np.stack(ref))
+    assert err < 1e-4, err
+
+
 @check("mla_flash_decode")
 def _():
     from llama_cpp_dsp_tpu.ops.pallas.attention import mla_flash_decode
