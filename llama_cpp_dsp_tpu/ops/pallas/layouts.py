@@ -138,30 +138,56 @@ def default_tile_k(k: int, kind: GGMLType, want: int = 0) -> int:
     return max(t, mult)
 
 
-def _tile_transpose_np(a: np.ndarray, tile_p: int, group: int) -> np.ndarray:
-    """[N, P_total] → per tile_p chunk, reorder [G, group] → [group, G]."""
+def split_g(g: int) -> int:
+    """Aligned prefix of a per-tile group count: G1 = ⌊G/128⌋·128.
+
+    When G (scale lanes per k-tile) is not a 128 multiple, the in-kernel
+    `pltpu.repeat` broadcast runs on a misaligned-width vector — measured
+    on 13B Q4_0 (K=5120/13824 → G=160/432) at −13% decode throughput
+    (LLAMA_TPU_ABLATE_SCALE=const ablation, round 4). The split-G layouts
+    order each tile's plane positions [e·G1+g | e·G2+g'] so the expansion
+    becomes one ALIGNED repeat over G1 (≥80% of lanes) plus a small
+    misaligned tail, with per-piece dots (no lane concat). Returns 0 when
+    no split applies (aligned already, G < 256, or G not sublane-clean)."""
+    g1 = g // 128 * 128
+    if g % 128 == 0 or g1 == 0 or g % 8:
+        return 0
+    return g1
+
+
+def _tile_transpose_np(a: np.ndarray, tile_p: int, group: int,
+                       split: bool = False) -> np.ndarray:
+    """[N, P_total] → per tile_p chunk, reorder [G, group] → [group, G];
+    with split=True and split_g(G) active, [group, G1] ++ [group, G2]."""
     n, p_total = a.shape
     g = tile_p // group
-    return (
-        a.reshape(n, p_total // tile_p, g, group)
-        .transpose(0, 1, 3, 2)
-        .reshape(n, p_total)
-        .copy()
-    )
+    t = a.reshape(n, p_total // tile_p, g, group)
+    g1 = split_g(g) if split else 0
+    if g1:
+        parts = [t[:, :, :g1, :].transpose(0, 1, 3, 2),
+                 t[:, :, g1:, :].transpose(0, 1, 3, 2)]
+        return np.concatenate(
+            [p.reshape(n, p_total // tile_p, -1) for p in parts], axis=2
+        ).reshape(n, p_total).copy()
+    return t.transpose(0, 1, 3, 2).reshape(n, p_total).copy()
 
 
-def tile_transpose_x(x, tile_p: int, group: int):
+def tile_transpose_x(x, tile_p: int, group: int, split: bool = False):
     """Runtime (jax) version of the same permutation for activations."""
-    import jax.numpy as jnp  # noqa: F401
+    import jax.numpy as jnp
 
     shp = x.shape[:-1]
     p_total = x.shape[-1]
     g = tile_p // group
-    return (
-        x.reshape(*shp, p_total // tile_p, g, group)
-        .swapaxes(-1, -2)
-        .reshape(*shp, p_total)
-    )
+    t = x.reshape(*shp, p_total // tile_p, g, group)
+    g1 = split_g(g) if split else 0
+    if g1:
+        parts = [t[..., :g1, :].swapaxes(-1, -2),
+                 t[..., g1:, :].swapaxes(-1, -2)]
+        return jnp.concatenate(
+            [p.reshape(*shp, p_total // tile_p, -1) for p in parts], axis=-1
+        ).reshape(*shp, p_total)
+    return t.swapaxes(-1, -2).reshape(*shp, p_total)
 
 
 def _pack_bits_transposed(bits: np.ndarray, tile_p: int) -> np.ndarray:
@@ -188,6 +214,9 @@ def _as_tiles(a: np.ndarray, nk: int) -> np.ndarray:
 _WIDE_KINDS = (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
                GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.IQ4_NL, GGMLType.IQ4_XS,
                *TABLE_KINDS)
+
+# table-carrier kinds with per-16 native scales (the "s2" split-scale field)
+TAB16_KINDS = (GGMLType.IQ2_XS, GGMLType.IQ2_S, GGMLType.IQ1_M)
 
 # max padded-rows overhead (percent) _maybe_pad_rows will accept
 PAD_ROWS_MAX_PCT = 1.0
@@ -302,7 +331,8 @@ def _to_kernel_layout_padded(qt: QTensor, tile_k: int | None = None) -> KernelWe
     nk = k // tile_k
     if kind == GGMLType.Q8_0:
         g = k // qt["d"].shape[-1]  # 32, or 16 for exact-IQ repacks
-        qs = _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_k, g)
+        qs = _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_k, g,
+                                split=True)
         s = _as_tiles(qt["d"].astype(np.float32), nk)
         return KernelWeights(kind, (n, k), {"qs": qs, "s": s}, tile_k)
 
@@ -312,9 +342,12 @@ def _to_kernel_layout_padded(qt: QTensor, tile_k: int | None = None) -> KernelWe
         # [lo-half | hi-half] per-32-block scales lane-concatenated per
         # k-tile, sliced back out in the body like Q4_K's sc4 halves)
         tile_p = tile_k // 2
-        qs = _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_p, 16)
         d = qt["d"].astype(np.float32)
         g = k // d.shape[-1]
+        # split-G only for the per-32 ("s") carriers — tab16's split-scale
+        # field has its own half-ordering the split would scramble
+        qs = _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_p, 16,
+                                split=(g == 32))
         out = {"qs": qs}
         if g == 32:
             out["s"] = _as_tiles(_scale(d), nk)
@@ -330,7 +363,8 @@ def _to_kernel_layout_padded(qt: QTensor, tile_k: int | None = None) -> KernelWe
         # per-32 effective values (see qtensor.repack) and the nonlinear
         # codebook is applied inside the kernel body
         tile_p = tile_k // 2
-        qs = _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_p, 16)
+        qs = _tile_transpose_np(np.ascontiguousarray(qt["qs"]), tile_p, 16,
+                                split=True)
         out = {"qs": qs, "s": _as_tiles(_scale(qt["d"].astype(np.float32)), nk)}
         if kind == GGMLType.Q4_1:
             out["m"] = _as_tiles(_scale(qt["m"].astype(np.float32)), nk)
@@ -486,7 +520,7 @@ def prepare_x(x, kind: GGMLType, tile_k: int, q8_group: int = 32):
     k = x.shape[-1]
     nk = k // tile_k
     if kind == GGMLType.Q8_0:
-        return (tile_transpose_x(xb, tile_k, q8_group),)
+        return (tile_transpose_x(xb, tile_k, q8_group, split=True),)
 
     def _xs(block: int, planes_shape, perm, out_lanes):
         # [b, nk, ...] group sums → [nk, b, lanes] matching the scale field
@@ -503,7 +537,11 @@ def prepare_x(x, kind: GGMLType, tile_k: int, q8_group: int = 32):
         # same op count but +50% device time — keep the minor-2 swap form,
         # which XLA:TPU lowers as a single clean relayout.)
         g = tile_k // 32
-        x2 = xb.reshape(*shp, nk, g, 32).swapaxes(-1, -2).reshape(*shp, k)
+        # split-G position ordering for the kinds whose kernel bodies run
+        # the per-piece aligned expand (q5's bit-planes and tab16's split
+        # scales keep the contiguous order)
+        do_split = kind not in (GGMLType.Q5_0, GGMLType.Q5_1, *TAB16_KINDS)
+        x2 = tile_transpose_x(xb, tile_k, 32, split=do_split)
         if kind not in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
                         GGMLType.Q5_1):
             return (x2,)  # codebook/table has no affine offset — no sum fold

@@ -95,12 +95,55 @@ def _dot_xt_w(x, w):
 # kernels are VPU-bound, not DMA-bound, so this is the hot-path win.
 
 
+from .layouts import split_g as _split_g
+
+
+def _pieces1(x, qs, s):
+    """Split-G pieces of a single-plane field (q8_0): yields
+    (x_piece, qs_piece, s_piece) — one triple when the layout is
+    contiguous, two ([:G1] aligned + misaligned tail) under the split-G
+    ordering (layouts.split_g). Slice offsets are all 128-lane multiples."""
+    g = s.shape[-1]
+    fac = qs.shape[-1] // g
+    g1 = _split_g(g)
+    if not g1:
+        yield x, qs, s
+        return
+    off = soff = 0
+    for gp in (g1, g - g1):
+        w = fac * gp
+        yield x[:, off:off + w], qs[:, off:off + w], s[:, soff:soff + gp]
+        off += w
+        soff += gp
+
+
+def _pieces2(x2, qs, s):
+    """Split-G pieces of the interleaved 2-plane nibble field: yields
+    (x_lo, x_hi, qs_piece, s_piece). Piece layout per tile is
+    [lo|hi of G1 groups | lo|hi of G2 groups] (layouts split ordering)."""
+    g = s.shape[-1]
+    g1 = _split_g(g)
+    if not g1:
+        tp = x2.shape[-1] // 2
+        yield x2[:, :tp], x2[:, tp:], qs, s
+        return
+    xoff = qoff = soff = 0
+    for gp in (g1, g - g1):
+        w = 16 * gp
+        yield (x2[:, xoff:xoff + w], x2[:, xoff + w:xoff + 2 * w],
+               qs[:, qoff:qoff + w], s[:, soff:soff + gp])
+        xoff += 2 * w
+        qoff += w
+        soff += gp
+
+
 def _body_q8_0(acc, x, qs, s):
     # group size derives from the field shapes (32, or 16 for exact-IQ
     # repacks whose native scales are per-16)
-    w = (qs.astype(jnp.int32).astype(F32)
-         * _expand(s, qs.shape[-1] // s.shape[-1])).astype(BF16)
-    acc[...] += _dot_xt_w(x, w)
+    fac = qs.shape[-1] // s.shape[-1]
+    for xp, qp, sp in _pieces1(x, qs, s):
+        w = (qp.astype(jnp.int32).astype(F32) * _expand(sp, fac)).astype(BF16)
+        acc[...] += _dot_xt_w(xp, w)
 
 
 def _nibbles_i32(qs):
@@ -117,22 +160,22 @@ def _planes2(x2):
 
 
 def _body_q4_0(acc, x2, xs, qs, s):
-    x_lo, x_hi = _planes2(x2)
-    sf = _expand(s, qs.shape[-1] // s.shape[-1])
-    lo, hi = _nibbles_i32(qs)
-    w_lo = (lo.astype(F32) * sf).astype(BF16)
-    w_hi = (hi.astype(F32) * sf).astype(BF16)
-    acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
+    for x_lo, x_hi, qp, sp in _pieces2(x2, qs, s):
+        sf = _expand(sp, qp.shape[-1] // sp.shape[-1])
+        lo, hi = _nibbles_i32(qp)
+        w_lo = (lo.astype(F32) * sf).astype(BF16)
+        w_hi = (hi.astype(F32) * sf).astype(BF16)
+        acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
     acc[...] -= 8.0 * _dot_xt_w(xs, s)
 
 
 def _body_q4_1(acc, x2, xs, qs, s, m):
-    x_lo, x_hi = _planes2(x2)
-    sf = _expand(s, 16)
-    lo, hi = _nibbles_i32(qs)
-    w_lo = (lo.astype(F32) * sf).astype(BF16)
-    w_hi = (hi.astype(F32) * sf).astype(BF16)
-    acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
+    for x_lo, x_hi, qp, sp in _pieces2(x2, qs, s):
+        sf = _expand(sp, qp.shape[-1] // sp.shape[-1])
+        lo, hi = _nibbles_i32(qp)
+        w_lo = (lo.astype(F32) * sf).astype(BF16)
+        w_hi = (hi.astype(F32) * sf).astype(BF16)
+        acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
     acc[...] += _dot_xt_w(xs, m)
 
 
@@ -182,22 +225,22 @@ def _iq4_map(q):
 
 
 def _body_iq4(acc, x2, qs, s):
-    x_lo, x_hi = _planes2(x2)
-    sf = _expand(s, qs.shape[-1] // s.shape[-1])
-    lo, hi = _nibbles_i32(qs)
-    w_lo = (_iq4_map(lo) * sf).astype(BF16)
-    w_hi = (_iq4_map(hi) * sf).astype(BF16)
-    acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
+    for x_lo, x_hi, qp, sp in _pieces2(x2, qs, s):
+        sf = _expand(sp, qp.shape[-1] // sp.shape[-1])
+        lo, hi = _nibbles_i32(qp)
+        w_lo = (_iq4_map(lo) * sf).astype(BF16)
+        w_hi = (_iq4_map(hi) * sf).astype(BF16)
+        acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
 
 
 def _body_tab32(table, acc, x2, qs, s):
     """Table carrier, per-32 scales (IQ2_XXS/IQ3_XXS/IQ3_S/IQ1_S/TQ*):
     w = s_group · table[nibble]; same geometry as _body_iq4."""
-    x_lo, x_hi = _planes2(x2)
-    sf = _expand(s, qs.shape[-1] // s.shape[-1])
-    lo, hi = _nibbles_i32(qs)
-    acc[...] += _dot_xt_w(x_lo, (_table_map(lo, table) * sf).astype(BF16))
-    acc[...] += _dot_xt_w(x_hi, (_table_map(hi, table) * sf).astype(BF16))
+    for x_lo, x_hi, qp, sp in _pieces2(x2, qs, s):
+        sf = _expand(sp, qp.shape[-1] // sp.shape[-1])
+        lo, hi = _nibbles_i32(qp)
+        acc[...] += _dot_xt_w(x_lo, (_table_map(lo, table) * sf).astype(BF16))
+        acc[...] += _dot_xt_w(x_hi, (_table_map(hi, table) * sf).astype(BF16))
 
 
 def _body_tab16(table, acc, x2, qs, s2):
@@ -296,7 +339,7 @@ from ..qtensor import IQ_TABLES
 
 # g=16 table-carrier kinds carry the "s2" split-scale field (per-16 native
 # scales); the rest of IQ_TABLES are per-32 ("s")
-_TAB16_KINDS = (GGMLType.IQ2_XS, GGMLType.IQ2_S, GGMLType.IQ1_M)
+from .layouts import TAB16_KINDS as _TAB16_KINDS  # noqa: E402
 
 _BODIES = {
     **{kind: functools.partial(

@@ -118,12 +118,33 @@ def _shift_q4(cache, src_idx, deltas, rope: RopeParams, freq_factors=None):
     return Q4KVCache(tuple(k_qs), tuple(k_d), tuple(v_qs), tuple(v_d))
 
 
+def _shift_mixed(cache, src_idx, deltas, rope: RopeParams, freq_factors=None):
+    """Mixed K/V-type cache surgery: dequant → gather/rotate → re-encode
+    each plane in its own format (control-path event, whole-cache
+    round-trip is fine)."""
+    from .kv_cache import MixedKVCache, _plane_encode_full
+
+    k_layers, v_layers = [], []
+    for i in range(cache.n_layers):
+        kf, vf = cache.layer(i)
+        kf = _rotate_cached_k(_gather_seq(kf.astype(jnp.float32), src_idx),
+                              deltas, rope, freq_factors)
+        vf = _gather_seq(vf, src_idx)
+        k_layers.append(_plane_encode_full(cache.k_fmt, kf))
+        v_layers.append(_plane_encode_full(cache.v_fmt, vf))
+    k_arrs = {key: tuple(d[key] for d in k_layers) for key in k_layers[0]}
+    v_arrs = {key: tuple(d[key] for d in v_layers) for key in v_layers[0]}
+    return MixedKVCache(cache.k_fmt, cache.v_fmt, k_arrs, v_arrs)
+
+
 def apply_seq_edit(cache, src_idx, deltas, rope: RopeParams, freq_factors=None):
     """Reorder cells (src_idx [B,S]: new row j takes old row src_idx[b,j])
     and rebase positions (deltas [B,S]: rope angle shift per NEW row)."""
-    from .kv_cache import Q4KVCache
+    from .kv_cache import MixedKVCache, Q4KVCache
 
-    if isinstance(cache, Q4KVCache):
+    if isinstance(cache, MixedKVCache):
+        fn = _shift_mixed
+    elif isinstance(cache, Q4KVCache):
         fn = _shift_q4
     else:
         fn = _shift_qkv if isinstance(cache, QuantKVCache) else _shift_kv

@@ -125,7 +125,9 @@ class LlamaContext:
         n_ctx: int = 2048,
         n_batch: int = 1,
         compute_dtype=jnp.bfloat16,
-        kv_dtype="bf16",  # 'f32'|'bf16'|'f16'|'q8_0' — reference --cache-type-k
+        kv_dtype="bf16",  # 'f32'|'bf16'|'f16'|'q8_0'|'q4_0'|'q4_1' — -ctk
+        kv_v_dtype=None,  # V-cache type when different from K (-ctv,
+        # reference common/arg.cpp:699); mixed pairs run the XLA attn path
         prefill_buckets: tuple[int, ...] = (32, 128, 512, 2048),
         device=None,
         use_pallas: bool | None = None,
@@ -168,7 +170,7 @@ class LlamaContext:
                         jnp.float16: "f16"}.get(kv_dtype, "bf16")
         self.cache = make_kv_cache(
             self.cfg.n_layers, n_batch, self.n_ctx, self.cfg.kv_cache_heads,
-            self.cfg.kv_cache_dim, kv_dtype,
+            self.cfg.kv_cache_dim, kv_dtype, v_type=kv_v_dtype,
         )
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

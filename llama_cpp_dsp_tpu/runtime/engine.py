@@ -103,6 +103,8 @@ class Engine:
         n_ctx_per_slot: int = 1024,
         compute_dtype=jnp.bfloat16,
         kv_dtype="bf16",
+        kv_v_dtype=None,  # split -ctv (reference common/arg.cpp:699);
+        # mixed K/V pairs use MixedKVCache on the XLA attention path
         prefill_buckets: tuple[int, ...] = (32, 128, 512),
         use_pallas: bool | None = None,
         context_shift: bool = True,  # per-slot shift when a slot fills
@@ -190,7 +192,7 @@ class Engine:
         else:
             self.cache = make_kv_cache(
                 cfg.n_layers, n_slots, n_ctx_per_slot, cfg.kv_cache_heads,
-                cfg.kv_cache_dim, kv_dtype,
+                cfg.kv_cache_dim, kv_dtype, v_type=kv_v_dtype,
             )
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -332,6 +332,21 @@ def _q4_deq_plane(qs: jax.Array, d: jax.Array) -> jax.Array:
     return out.reshape(rows.shape).astype(jnp.bfloat16)
 
 
+def _q4_merge_scales(d, new_d, start2, row_off, nb):
+    """Splice T new per-row group scales into a parity-major plane
+    [B,H,2G,S/2] at byte-row start2 (+ in-slab row offset row_off)."""
+    bsz, hkv, twog, _ = d.shape
+    g = twog // 2
+    dslab = jax.lax.dynamic_slice(d, (0, 0, 0, start2), (bsz, hkv, 2 * g, nb))
+    # plane p*G+g at lane s2 ↔ row-major [2nb, G]: [B,H,2,G,nb]→[B,H,nb,2,G]
+    drows = (dslab.reshape(bsz, hkv, 2, g, nb).transpose(0, 1, 4, 2, 3)
+             .reshape(bsz, hkv, 2 * nb, g))
+    drows = jax.lax.dynamic_update_slice(drows, new_d, (0, 0, row_off, 0))
+    dslab = (drows.reshape(bsz, hkv, nb, 2, g).transpose(0, 1, 3, 4, 2)
+             .reshape(bsz, hkv, 2 * g, nb))
+    return jax.lax.dynamic_update_slice(d, dslab, (0, 0, 0, start2))
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class Q4KVCache:
@@ -388,7 +403,6 @@ class Q4KVCache:
         `off` (traced): read the covering byte slab, unpack, splice, repack.
         new_q [B,H,T,D] u8 nibbles, new_d [B,H,T,G]."""
         bsz, hkv, t, dd = new_q.shape
-        g = new_d.shape[-1]
         s2 = qs.shape[2]
         nb = min(t // 2 + 1, s2)  # byte rows covering T rows at either parity
         # clamp so the slab never runs past the plane (dynamic_slice would
@@ -401,15 +415,7 @@ class Q4KVCache:
             rows, new_q.astype(jnp.int32), (0, 0, row_off, 0))
         qs = jax.lax.dynamic_update_slice(
             qs, _q4_pack_rows(rows.astype(jnp.uint8)), (0, 0, start2, 0))
-        dslab = jax.lax.dynamic_slice(d, (0, 0, 0, start2),
-                                      (bsz, hkv, 2 * g, nb))
-        # plane p*G+g at lane s2 ↔ row-major [2nb, G]: [B,H,2,G,nb]→[B,H,nb,2,G]
-        drows = (dslab.reshape(bsz, hkv, 2, g, nb).transpose(0, 1, 4, 2, 3)
-                 .reshape(bsz, hkv, 2 * nb, g))
-        drows = jax.lax.dynamic_update_slice(drows, new_d, (0, 0, row_off, 0))
-        dslab = (drows.reshape(bsz, hkv, nb, 2, g).transpose(0, 1, 3, 4, 2)
-                 .reshape(bsz, hkv, 2 * g, nb))
-        d = jax.lax.dynamic_update_slice(d, dslab, (0, 0, 0, start2))
+        d = _q4_merge_scales(d, new_d, start2, row_off, nb)
         return qs, d
 
     def write(self, layer: int, k_new: jax.Array, v_new: jax.Array, offset) -> "Q4KVCache":
@@ -519,14 +525,348 @@ class Q4KVCache:
         )
 
 
-def make_kv_cache(n_layers, n_batch, n_ctx, n_kv_heads, head_dim, kv_type="bf16"):
-    """kv_type: 'f32' | 'bf16' | 'f16' | 'q8_0' | 'q4_0' — mirrors
-    --cache-type-k."""
-    if kv_type in ("q8_0", "q8"):
+# -- independent K/V cache types (reference -ctk/-ctv, common/arg.cpp:699) ----
+#
+# One PLANE (K or V) of a MixedKVCache: format-tagged field dict whose
+# write/dequant paths reuse the same quant helpers as the homogeneous cache
+# classes above. Mixed combinations (e.g. q8_0 K + q4_0 V — more bits where
+# quantization hurts more) run attention on the XLA dequant path; the
+# homogeneous fast paths keep their dedicated fused kernels.
+
+
+def _q4_1_quant(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """[..., D] → (codes u8 ∈[0,15], d f32 [..., G], m f32 [..., G]):
+    reference quantize_row_q4_1 per 32-group (ggml-quants.c:82): d =
+    (max−min)/15, m = min, q = round((x−m)/d)."""
+    xf = x.astype(jnp.float32)
+    g = _q4_groups(x.shape[-1])
+    xg = xf.reshape(*x.shape[:-1], g, x.shape[-1] // g)
+    mn = jnp.min(xg, axis=-1)
+    mx = jnp.max(xg, axis=-1)
+    d = (mx - mn) / 15.0
+    inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+    q = jnp.clip(jnp.floor((xg - mn[..., None]) * inv[..., None] + 0.5), 0, 15)
+    return q.reshape(x.shape).astype(jnp.uint8), d, mn
+
+
+def _q4_1_deq_plane(qs: jax.Array, d: jax.Array, m: jax.Array) -> jax.Array:
+    """(byte plane [..., S/2, D], parity-major d/m [..., 2G, S/2]) →
+    [..., S, D] bf16: value = code·d + m."""
+    codes = (_q4_unpack_rows(qs) + 8).astype(jnp.float32)  # [..., S, D] 0..15
+
+    def rowmaj(a):
+        *lead, twog, s2 = a.shape
+        g = twog // 2
+        ar = jnp.moveaxis(a.reshape(*lead, 2, g, s2), -1, -3)
+        return ar.reshape(*lead, 2 * s2, g)
+
+    dr, mr = rowmaj(d), rowmaj(m)
+    grp = codes.reshape(*codes.shape[:-1], dr.shape[-1],
+                        codes.shape[-1] // dr.shape[-1])
+    out = grp * dr[..., None] + mr[..., None]
+    return out.reshape(codes.shape).astype(jnp.bfloat16)
+
+
+_DENSE_DTYPES = {"f32": jnp.float32, "f16": jnp.float16, "bf16": jnp.bfloat16}
+KV_PLANE_FORMATS = ("f32", "f16", "bf16", "q8_0", "q4_0", "q4_1")
+
+
+def _plane_create(fmt, n_layers, n_batch, n_ctx, n_kv_heads, head_dim):
+    if fmt in _DENSE_DTYPES:
+        shape = (n_batch, n_kv_heads, n_ctx, head_dim)
+        return {"x": tuple(jnp.zeros(shape, _DENSE_DTYPES[fmt])
+                           for _ in range(n_layers))}
+    if fmt == "q8_0":
+        shape = (n_batch, n_kv_heads, n_ctx, head_dim)
+        dshape = (n_batch, n_kv_heads, 1, n_ctx)
+        return {"qs": tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layers)),
+                "d": tuple(jnp.zeros(dshape, jnp.float32) for _ in range(n_layers))}
+    if fmt in ("q4_0", "q4_1"):
+        assert n_ctx % 2 == 0, n_ctx
+        shape = (n_batch, n_kv_heads, n_ctx // 2, head_dim)
+        dshape = (n_batch, n_kv_heads, 2 * _q4_groups(head_dim), n_ctx // 2)
+        out = {"qs": tuple(jnp.zeros(shape, jnp.uint8) for _ in range(n_layers)),
+               "d": tuple(jnp.zeros(dshape, jnp.float32) for _ in range(n_layers))}
+        if fmt == "q4_1":
+            out["m"] = tuple(jnp.zeros(dshape, jnp.float32)
+                             for _ in range(n_layers))
+        return out
+    raise ValueError(f"unknown KV plane format {fmt!r}")
+
+
+def _plane_capacity(fmt, arrs) -> int:
+    if fmt in ("q4_0", "q4_1"):
+        return arrs["qs"][0].shape[2] * 2
+    return arrs["x" if fmt in _DENSE_DTYPES else "qs"][0].shape[2]
+
+
+def _set_layer(arrs, layer, **news):
+    out = {}
+    for key, tup in arrs.items():
+        lst = list(tup)
+        if key in news:
+            lst[layer] = news[key]
+        out[key] = tuple(lst)
+    return out
+
+
+def _plane_write(fmt, arrs, layer, new, offset):
+    """new [B, H, T, D] (already head-major); offset scalar or [B] rows."""
+    off = jnp.asarray(offset, jnp.int32)
+    if fmt in _DENSE_DTYPES:
+        pl_ = arrs["x"][layer]
+        nn = new.astype(pl_.dtype)
+        if off.ndim == 1:
+            bi = jnp.arange(new.shape[0])
+            return _set_layer(arrs, layer,
+                              x=pl_.at[bi, :, off].set(nn[:, :, 0], mode="drop"))
+        zero = jnp.zeros((), jnp.int32)
+        return _set_layer(arrs, layer, x=jax.lax.dynamic_update_slice(
+            pl_, nn, (zero, zero, off, zero)))
+    if fmt == "q8_0":
+        qs, d = _q8_quant(new)
+        ql, dl = arrs["qs"][layer], arrs["d"][layer]
+        if off.ndim == 1:
+            bi = jnp.arange(new.shape[0])
+            return _set_layer(
+                arrs, layer,
+                qs=ql.at[bi, :, off].set(qs[:, :, 0], mode="drop"),
+                d=dl.at[bi, :, 0, off].set(d[:, :, 0], mode="drop"))
+        zero = jnp.zeros((), jnp.int32)
+        return _set_layer(
+            arrs, layer,
+            qs=jax.lax.dynamic_update_slice(ql, qs, (zero, zero, off, zero)),
+            d=jax.lax.dynamic_update_slice(dl, d[:, :, None],
+                                           (zero, zero, zero, off)))
+    # q4_0 / q4_1 row-pair packed planes
+    if fmt == "q4_0":
+        q, d = _q4_quant(new)
+        extras = {}
+    else:
+        q, d, m = _q4_1_quant(new)
+        extras = {"m": m}
+    ql, dl = arrs["qs"][layer], arrs["d"][layer]
+    s2 = ql.shape[2]
+    if off.ndim == 1:
+        bi = jnp.arange(new.shape[0])
+        r2 = off // 2
+        par = (off % 2)[:, None, None]
+        safe = jnp.clip(r2, 0, s2 - 1)
+        old = ql[bi, :, safe]
+        q1 = q[:, :, 0].astype(jnp.uint8)
+        byte = jnp.where(par == 0, (old & 0xF0) | q1, (old & 0x0F) | (q1 << 4))
+        ng = d.shape[-1]
+        planes = (off % 2)[:, None] * ng + jnp.arange(ng)[None, :]
+        news = {"qs": ql.at[bi, :, r2].set(byte, mode="drop"),
+                "d": dl.at[bi[:, None], :, planes, r2[:, None]].set(
+                    d[:, :, 0].transpose(0, 2, 1), mode="drop")}
+        for key, val in extras.items():
+            news[key] = arrs[key][layer].at[
+                bi[:, None], :, planes, r2[:, None]].set(
+                val[:, :, 0].transpose(0, 2, 1), mode="drop")
+        return _set_layer(arrs, layer, **news)
+    qs_new, d_new = Q4KVCache._merge_row(ql, dl, q, d, off)
+    news = {"qs": qs_new, "d": d_new}
+    if extras:
+        t = q.shape[2]
+        nb = min(t // 2 + 1, s2)
+        start2 = jnp.clip(off // 2, 0, s2 - nb)
+        news["m"] = _q4_merge_scales(arrs["m"][layer], extras["m"], start2,
+                                     off - 2 * start2, nb)
+    return _set_layer(arrs, layer, **news)
+
+
+def _plane_write_packed(fmt, arrs, layer, new, slot_ids, rows, capacity):
+    """Packed-ubatch scatter: new [P, H, D] at (slot_ids[p], rows[p])."""
+    if fmt in _DENSE_DTYPES:
+        pl_ = arrs["x"][layer]
+        return _set_layer(arrs, layer, x=pl_.at[slot_ids, :, rows].set(
+            new.astype(pl_.dtype), mode="drop"))
+    if fmt == "q8_0":
+        qs, d = _q8_quant(new)
+        return _set_layer(
+            arrs, layer,
+            qs=arrs["qs"][layer].at[slot_ids, :, rows].set(qs, mode="drop"),
+            d=arrs["d"][layer].at[slot_ids, :, 0, rows].set(d, mode="drop"))
+    if fmt == "q4_0":
+        q, d = _q4_quant(new)
+        extras = {}
+    else:
+        q, d, m = _q4_1_quant(new)
+        extras = {"m": m}
+    ql = arrs["qs"][layer]
+    s2 = ql.shape[2]
+    r2 = rows // 2
+    par = (rows % 2)[:, None, None]
+    safe = jnp.clip(r2, 0, s2 - 1)
+    sib = ((slot_ids[:, None] == slot_ids[None, :])
+           & ((rows[:, None] ^ 1) == rows[None, :])
+           & (rows[:, None] < capacity))
+    sibf = sib.astype(jnp.int32)
+    has_sib = sib.any(axis=1)[:, None, None]
+    qi = q.astype(jnp.int32)
+    old = ql[slot_ids, :, safe].astype(jnp.int32)
+    sib_q = jnp.einsum("ij,jhd->ihd", sibf, qi)
+    other = jnp.where(has_sib, sib_q,
+                      jnp.where(par == 0, old >> 4, old & 0x0F))
+    byte = jnp.where(par == 0, qi | (other << 4), other | (qi << 4))
+    ng = d.shape[-1]
+    planes = (rows % 2)[:, None] * ng + jnp.arange(ng)[None, :]
+    news = {"qs": ql.at[slot_ids, :, r2].set(byte.astype(jnp.uint8),
+                                             mode="drop"),
+            "d": arrs["d"][layer].at[slot_ids[:, None], :, planes,
+                                     r2[:, None]].set(
+                d.transpose(0, 2, 1), mode="drop")}
+    for key, val in extras.items():
+        news[key] = arrs[key][layer].at[slot_ids[:, None], :, planes,
+                                        r2[:, None]].set(
+            val.transpose(0, 2, 1), mode="drop")
+    return _set_layer(arrs, layer, **news)
+
+
+def _plane_layer(fmt, arrs, i):
+    """Dequantized [B, Hkv, S, D] for the XLA attention path."""
+    if fmt in _DENSE_DTYPES:
+        return arrs["x"][i]
+    if fmt == "q8_0":
+        return _q8_dequant(arrs["qs"][i], arrs["d"][i][:, :, 0, :],
+                           jnp.bfloat16)
+    if fmt == "q4_0":
+        return _q4_deq_plane(arrs["qs"][i], arrs["d"][i])
+    return _q4_1_deq_plane(arrs["qs"][i], arrs["d"][i], arrs["m"][i])
+
+
+@jax.tree_util.register_pytree_node_class
+class MixedKVCache:
+    """KV cache with INDEPENDENT K and V formats (reference -ctk/-ctv,
+    common/arg.cpp:699: the K and V cache types are separate options).
+    Any pair from KV_PLANE_FORMATS; attention runs on the XLA dequant path
+    (cache.layer() materializes bf16 views per layer), so this class trades
+    peak decode speed for the memory/quality operating points the
+    homogeneous fused caches don't cover (e.g. q8_0 K + q4_0 V, or q4_1)."""
+
+    def __init__(self, k_fmt: str, v_fmt: str, k_arrs: dict, v_arrs: dict):
+        self.k_fmt = k_fmt
+        self.v_fmt = v_fmt
+        self.k_arrs = k_arrs
+        self.v_arrs = v_arrs
+
+    def tree_flatten(self):
+        kk = tuple(sorted(self.k_arrs))
+        vk = tuple(sorted(self.v_arrs))
+        children = tuple(self.k_arrs[k] for k in kk) + tuple(
+            self.v_arrs[k] for k in vk)
+        return children, (self.k_fmt, self.v_fmt, kk, vk)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        k_fmt, v_fmt, kk, vk = aux
+        return cls(k_fmt, v_fmt,
+                   dict(zip(kk, children[:len(kk)])),
+                   dict(zip(vk, children[len(kk):])))
+
+    @classmethod
+    def create(cls, n_layers, n_batch, n_ctx, n_kv_heads, head_dim,
+               k_fmt="q8_0", v_fmt="q4_0"):
+        return cls(k_fmt, v_fmt,
+                   _plane_create(k_fmt, n_layers, n_batch, n_ctx,
+                                 n_kv_heads, head_dim),
+                   _plane_create(v_fmt, n_layers, n_batch, n_ctx,
+                                 n_kv_heads, head_dim))
+
+    @property
+    def n_layers(self) -> int:
+        return len(next(iter(self.k_arrs.values())))
+
+    @property
+    def capacity(self) -> int:
+        return _plane_capacity(self.k_fmt, self.k_arrs)
+
+    def write(self, layer, k_new, v_new, offset) -> "MixedKVCache":
+        kn = k_new.transpose(0, 2, 1, 3)  # [B,T,H,D] → [B,H,T,D]
+        vn = v_new.transpose(0, 2, 1, 3)
+        return MixedKVCache(
+            self.k_fmt, self.v_fmt,
+            _plane_write(self.k_fmt, self.k_arrs, layer, kn, offset),
+            _plane_write(self.v_fmt, self.v_arrs, layer, vn, offset))
+
+    def write_packed(self, layer, k_new, v_new, slot_ids, rows) -> "MixedKVCache":
+        cap = self.capacity
+        return MixedKVCache(
+            self.k_fmt, self.v_fmt,
+            _plane_write_packed(self.k_fmt, self.k_arrs, layer, k_new,
+                                slot_ids, rows, cap),
+            _plane_write_packed(self.v_fmt, self.v_arrs, layer, v_new,
+                                slot_ids, rows, cap))
+
+    def layer(self, i: int):
+        return (_plane_layer(self.k_fmt, self.k_arrs, i),
+                _plane_layer(self.v_fmt, self.v_arrs, i))
+
+    def _map(self, fn) -> "MixedKVCache":
+        return MixedKVCache(
+            self.k_fmt, self.v_fmt,
+            {k: tuple(fn(a) for a in tup) for k, tup in self.k_arrs.items()},
+            {k: tuple(fn(a) for a in tup) for k, tup in self.v_arrs.items()})
+
+    def slot_view(self, slot) -> "MixedKVCache":
+        sl = jnp.asarray(slot, jnp.int32)
+        return self._map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, sl, 1, axis=0))
+
+    def merge_slot(self, sub: "MixedKVCache", slot) -> "MixedKVCache":
+        sl = jnp.asarray(slot, jnp.int32)
+        out_k = {k: tuple(jax.lax.dynamic_update_slice_in_dim(a, s, sl, axis=0)
+                          for a, s in zip(tup, sub.k_arrs[k]))
+                 for k, tup in self.k_arrs.items()}
+        out_v = {k: tuple(jax.lax.dynamic_update_slice_in_dim(a, s, sl, axis=0)
+                          for a, s in zip(tup, sub.v_arrs[k]))
+                 for k, tup in self.v_arrs.items()}
+        return MixedKVCache(self.k_fmt, self.v_fmt, out_k, out_v)
+
+
+def _plane_encode_full(fmt, rows: jax.Array) -> dict:
+    """[B, Hkv, S, D] dense rows → one layer's plane arrays (cache-surgery
+    re-encode path, runtime/cache_ops.apply_seq_edit)."""
+    if fmt in _DENSE_DTYPES:
+        return {"x": rows.astype(_DENSE_DTYPES[fmt])}
+    if fmt == "q8_0":
+        qs, d = _q8_quant(rows)
+        return {"qs": qs, "d": d[:, :, None, :]}
+
+    def parity_major(d):
+        b, h, s, g = d.shape
+        return (d.reshape(b, h, s // 2, 2, g).transpose(0, 1, 3, 4, 2)
+                .reshape(b, h, 2 * g, s // 2))
+
+    if fmt == "q4_0":
+        q, d = _q4_quant(rows)
+        return {"qs": _q4_pack_rows(q), "d": parity_major(d)}
+    q, d, m = _q4_1_quant(rows)
+    return {"qs": _q4_pack_rows(q), "d": parity_major(d),
+            "m": parity_major(m)}
+
+
+def _norm_kv_type(t: str) -> str:
+    return {"q8": "q8_0", "q4": "q4_0"}.get(t, t)
+
+
+def make_kv_cache(n_layers, n_batch, n_ctx, n_kv_heads, head_dim,
+                  kv_type="bf16", v_type=None):
+    """kv_type/-ctk: 'f32' | 'bf16' | 'f16' | 'q8_0' | 'q4_0' | 'q4_1';
+    v_type/-ctv defaults to kv_type. Homogeneous f/q8/q4_0 pairs get the
+    dedicated fused-kernel cache classes; any other combination (split
+    K/V types, or q4_1) gets a MixedKVCache on the XLA attention path."""
+    kv_type = _norm_kv_type(kv_type)
+    v_type = _norm_kv_type(v_type or kv_type)
+    if v_type != kv_type or kv_type == "q4_1":
+        return MixedKVCache.create(n_layers, n_batch, n_ctx, n_kv_heads,
+                                   head_dim, kv_type, v_type)
+    if kv_type == "q8_0":
         return QuantKVCache.create(n_layers, n_batch, n_ctx, n_kv_heads, head_dim)
-    if kv_type in ("q4_0", "q4"):
+    if kv_type == "q4_0":
         return Q4KVCache.create(n_layers, n_batch, n_ctx, n_kv_heads, head_dim)
-    dt = {"f32": jnp.float32, "f16": jnp.float16, "bf16": jnp.bfloat16}[kv_type]
+    dt = _DENSE_DTYPES[kv_type]
     return KVCache.create(n_layers, n_batch, n_ctx, n_kv_heads, head_dim, dt)
 
 

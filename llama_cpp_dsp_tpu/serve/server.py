@@ -667,8 +667,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="paged = shared-prefix page-aliased KV cache")
     ap.add_argument("--kv-page-size", type=int, default=128)
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
-                    choices=("f32", "bf16", "f16", "q8_0", "q4_0"),
-                    help="KV cache data type (reference --cache-type-k)")
+                    choices=("f32", "bf16", "f16", "q8_0", "q4_0", "q4_1"),
+                    help="K cache data type (reference --cache-type-k)")
+    ap.add_argument("-ctv", "--cache-type-v", default=None,
+                    choices=("f32", "bf16", "f16", "q8_0", "q4_0", "q4_1"),
+                    help="V cache data type (reference --cache-type-v; "
+                         "defaults to -ctk)")
     ap.add_argument("--props", action="store_true",
                     help="enable changing global properties via POST /props")
     ap.add_argument("--slot-save-path", default=None,
@@ -724,6 +728,7 @@ def main(argv=None) -> int:
                     kv_layout=args.kv_layout,
                     page_size=args.kv_page_size,
                     kv_dtype=args.cache_type_k,
+                    kv_v_dtype=args.cache_type_v,
                     draft_model=draft, n_draft=args.draft_max,
                     p_min=args.draft_p_min, tp=args.tensor_parallel,
                     decode_chunk=args.decode_chunk)

@@ -85,8 +85,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-gaw", "--grp-attn-w", type=int, default=512,
                    help="self-extend window (reference --grp-attn-w)")
     p.add_argument("-ctk", "--cache-type-k", default="bf16",
-                   choices=["f32", "f16", "bf16", "q8_0", "q4_0"],
-                   help="KV cache data type (reference --cache-type-k)")
+                   choices=["f32", "f16", "bf16", "q8_0", "q4_0", "q4_1"],
+                   help="K cache data type (reference --cache-type-k)")
+    p.add_argument("-ctv", "--cache-type-v", default=None,
+                   choices=["f32", "f16", "bf16", "q8_0", "q4_0", "q4_1"],
+                   help="V cache data type (reference --cache-type-v; "
+                        "defaults to -ctk; mixed pairs run the XLA "
+                        "attention path)")
     p.add_argument("--lora", action="append", default=[],
                    help="LoRA adapter GGUF (repeatable, scale 1.0)")
     p.add_argument("--lora-scaled", nargs=2, action="append", default=[],
@@ -188,6 +193,7 @@ def main(argv=None) -> int:
         n_ctx=args.ctx_size,
         compute_dtype=jnp.float32 if args.compute_dtype == "float32" else jnp.bfloat16,
         kv_dtype=args.cache_type_k,
+        kv_v_dtype=args.cache_type_v,
         use_pallas=args.flash_attn,
         tp=args.tensor_parallel,
     )

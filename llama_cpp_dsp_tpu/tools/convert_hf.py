@@ -1663,14 +1663,130 @@ def _emit(w: GGUFWriter, name: str, arr: np.ndarray, qtype: GGMLType) -> None:
     w.add_tensor(name, raw, ggml_type=qtype, ne_shape=tuple(reversed(arr.shape)))
 
 
+def convert_lora(lora_dir: str, out_path: str, base_dir: str | None = None,
+                 outtype: str = "f16") -> None:
+    """HF-PEFT LoRA adapter → GGUF adapter (role of the reference
+    convert_lora_to_gguf.py:1-461): reads adapter_config.json +
+    adapter_model.safetensors, maps module names through the same HF→GGUF
+    tensor tables as `convert`, and emits `<base>.weight.lora_a` [r, K] /
+    `.lora_b` [N, r] pairs with general.type=adapter / adapter.type=lora /
+    adapter.lora.alpha — the convention `runtime/adapter.load_lora`
+    consumes. `base_dir` (or a config.json inside the adapter dir) supplies
+    the base model's arch/head counts for the q/k permutation: GGUF llama
+    q/k rows are interleaved-pairs-permuted, and ΔW = B·A permutes as
+    (P·B)·A, so lora_b follows `_permute_qk` while lora_a is untouched."""
+    lora_dir = Path(lora_dir)
+    acfg = json.loads((lora_dir / "adapter_config.json").read_text())
+    alpha = float(acfg.get("lora_alpha", acfg.get("alpha", 16.0)))
+    cfg_path = None
+    for d in (Path(base_dir) if base_dir else None, lora_dir):
+        if d is not None and (d / "config.json").exists():
+            cfg_path = d / "config.json"
+            break
+    if cfg_path is None:
+        raise FileNotFoundError(
+            "base model config.json required (pass --base DIR; the adapter "
+            f"dir {lora_dir} has none; base_model_name_or_path="
+            f"{acfg.get('base_model_name_or_path')!r} is not fetchable in "
+            "this environment)")
+    cfg = json.loads(cfg_path.read_text())
+    model_type = cfg.get("model_type", "llama")
+    arch_cls = (cfg.get("architectures") or [""])[0]
+    if arch_cls in _ARCH_CLS_TO_MODEL_TYPE:
+        model_type = _ARCH_CLS_TO_MODEL_TYPE[arch_cls]
+    arch = _MODEL_TYPE_TO_ARCH.get(model_type)
+    if arch is None:
+        raise ValueError(f"unsupported HF model_type {model_type!r}")
+    n_head = cfg.get("num_attention_heads", cfg.get("n_head", 1))
+    n_kv = cfg.get("num_key_value_heads", n_head)
+    permute = arch in ("llama", "internlm2", "granite", "chameleon",
+                       "baichuan", "xverse", "minicpm", "granitemoe",
+                       "olmo", "arctic", "deci")
+    layer_map = {"gemma2": _GEMMA2_LAYER_MAP, "gemma3": _GEMMA2_LAYER_MAP,
+                 "grok": _GROK_LAYER_MAP, "openelm": _OPENELM_LAYER_MAP,
+                 "chatglm": _CHATGLM_LAYER_MAP, "arctic": _ARCTIC_LAYER_MAP,
+                 "nomic-bert": _NOMIC_LAYER_MAP,
+                 "dbrx": _DBRX_LAYER_MAP}.get(arch, _LAYER_MAP)
+
+    # collect (A, B) pairs keyed by the module's HF name
+    pairs: dict[str, dict[str, np.ndarray]] = {}
+    for name, arr in _iter_hf_tensors(lora_dir):
+        if ".base_layer.weight" in name:
+            continue  # frozen base copies some PEFT configs include
+        orig = name
+        for prefix in ("base_model.model.", "base_model."):
+            if name.startswith(prefix):
+                name = name[len(prefix):]
+                break
+        part = None
+        for suffix, key in ((".lora_A.weight", "a"), (".lora_B.weight", "b"),
+                            (".lora_embedding_A", "a"),
+                            (".lora_embedding_B", "b")):
+            if name.endswith(suffix):
+                part = key
+                name = name[: -len(suffix)]
+                break
+        if part is None:
+            # DoRA magnitudes / modules_to_save are not LoRA (A, B) pairs —
+            # refuse loudly like the reference does rather than mis-convert
+            raise ValueError(f"unsupported non-LoRA tensor {orig!r} "
+                             "(DoRA/modules_to_save are not supported)")
+        pairs.setdefault(name, {})[part] = np.asarray(arr, np.float32)
+
+    w = GGUFWriter(out_path, arch)
+    w.add_string("general.type", "adapter")
+    w.add_string("adapter.type", "lora")
+    w.add_float32("adapter.lora.alpha", alpha)
+    qtype = _QUANT_TYPES[outtype]
+    if qtype not in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
+        qtype = GGMLType.F16  # adapters are skinny; block quants don't apply
+    n_written = 0
+    for hf_name, p in sorted(pairs.items()):
+        if set(p) != {"a", "b"}:
+            log.warning("lora: incomplete pair for %s — skipped", hf_name)
+            continue
+        mapped = _map_name(hf_name + ".weight", layer_map)
+        if mapped is None:
+            log.warning("lora: unmapped module %s — skipped", hf_name)
+            continue
+        base = mapped[: -len(".weight")] if mapped.endswith(".weight") else mapped
+        a, b = p["a"], p["b"]
+        if base == "token_embd":
+            # lora_embedding_A is [r, V]: ΔE = (B·A)ᵀ = Aᵀ·Bᵀ, so the roles
+            # swap and both transpose (reference convert_lora_to_gguf.py:437
+            # transposes token_embd.lora_a for llm_build_inp_embd)
+            a, b = b.T, a.T
+        if permute and base.endswith("attn_q"):
+            b = _permute_qk(b, n_head)
+        elif permute and base.endswith("attn_k"):
+            b = _permute_qk(b, n_kv)
+        dt = np.float32 if qtype == GGMLType.F32 else np.float16
+        w.add_tensor(f"{base}.weight.lora_a", a.astype(dt))
+        w.add_tensor(f"{base}.weight.lora_b", b.astype(dt))
+        n_written += 1
+    w.write()
+    log.info("wrote %d LoRA pairs (alpha=%g) to %s", n_written, alpha,
+             out_path)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("hf_dir")
+    ap.add_argument("hf_dir", help="HF model dir (or PEFT adapter dir "
+                                   "with --lora)")
     ap.add_argument("-o", "--outfile", required=True)
     ap.add_argument("--outtype", default="f16", choices=sorted(_QUANT_TYPES))
+    ap.add_argument("--lora", action="store_true",
+                    help="convert a PEFT LoRA adapter dir "
+                         "(adapter_config.json + adapter_model.safetensors) "
+                         "to a GGUF adapter")
+    ap.add_argument("--base", default=None,
+                    help="base model dir for --lora (supplies config.json)")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
-    convert(args.hf_dir, args.outfile, args.outtype)
+    if args.lora:
+        convert_lora(args.hf_dir, args.outfile, args.base, args.outtype)
+    else:
+        convert(args.hf_dir, args.outfile, args.outtype)
     return 0
 
 

@@ -770,3 +770,62 @@ def test_convert_gemma3_parity(tmp_path_factory):
              rope_theta=1000000.0, rope_local_base_freq=10000.0,
              attn_logit_softcapping=None, final_logit_softcapping=None),
         tol=5e-3)
+
+
+def test_convert_lora_roundtrip(converted, tmp_path):
+    """PEFT adapter dir → GGUF adapter (convert_lora, reference
+    convert_lora_to_gguf.py role) → load_lora/apply_lora: logits must match
+    the HF model with the deltas merged (incl. the q/k row permutation that
+    lora_b must follow)."""
+    from safetensors.numpy import save_file
+
+    from llama_cpp_dsp_tpu.runtime.adapter import apply_lora, load_lora
+    from llama_cpp_dsp_tpu.tools.convert_hf import convert_lora
+
+    d, gguf_path, hf_model = converted
+    rng = np.random.default_rng(5)
+    r, alpha = 4, 32.0
+    adapter = tmp_path / "peft"
+    adapter.mkdir()
+    (adapter / "adapter_config.json").write_text(json.dumps({
+        "peft_type": "LORA", "r": r, "lora_alpha": alpha,
+        "target_modules": ["q_proj", "k_proj", "v_proj", "gate_proj"],
+        "base_model_name_or_path": "tiny-llama-test"}))
+    tensors = {}
+    merged = {}
+    for li in (0, 1):
+        for mod, hf_full in (
+                ("self_attn.q_proj", f"model.layers.{li}.self_attn.q_proj"),
+                ("self_attn.k_proj", f"model.layers.{li}.self_attn.k_proj"),
+                ("self_attn.v_proj", f"model.layers.{li}.self_attn.v_proj"),
+                ("mlp.gate_proj", f"model.layers.{li}.mlp.gate_proj")):
+            w = hf_model.get_parameter(hf_full + ".weight")
+            out_d, in_d = w.shape
+            a = (rng.standard_normal((r, in_d)) * 0.05).astype(np.float32)
+            b = (rng.standard_normal((out_d, r)) * 0.05).astype(np.float32)
+            key = f"base_model.model.model.layers.{li}.{mod}"
+            tensors[key + ".lora_A.weight"] = a
+            tensors[key + ".lora_B.weight"] = b
+            merged[hf_full + ".weight"] = (alpha / r) * (b @ a)
+    save_file(tensors, str(adapter / "adapter_model.safetensors"))
+
+    out = str(tmp_path / "adapter.gguf")
+    convert_lora(str(adapter), out, base_dir=str(d))
+
+    model = load_model(gguf_path)
+    params = apply_lora(model.params, load_lora(out))
+    toks = np.array([[3, 45, 99, 7, 150]], np.int32)
+    n = toks.shape[1]
+    pos = np.arange(n, dtype=np.int32).reshape(1, n)
+    ours, _ = forward(params, model.cfg, jnp.asarray(toks), jnp.asarray(pos),
+                      mask=np.tril(np.ones((1, n, n), bool)),
+                      compute_dtype=jnp.float32)
+
+    import copy
+    hf2 = copy.deepcopy(hf_model)
+    with torch.no_grad():
+        for name, delta in merged.items():
+            hf2.get_parameter(name).add_(torch.tensor(delta))
+        theirs = hf2(torch.tensor(toks, dtype=torch.long)).logits
+    np.testing.assert_allclose(np.asarray(ours)[0], theirs[0].numpy(),
+                               rtol=4e-3, atol=4e-3)

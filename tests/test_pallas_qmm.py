@@ -211,3 +211,28 @@ def test_subk_chunked_body_matches(rng, kind):
         y = np.asarray(_qmm_call(xf, wf, kind=kind, n=n, k=k, tile_b=8,
                                  tile_n=512, tile_k=k, n_sub=ns))
         assert nmse(y, y1) < 1e-10, (kind, ns)
+
+
+@pytest.mark.parametrize("kind,k", [
+    (GGMLType.Q4_0, 5120),   # 13B qkv/o/gate_up K: G=160 → G1=128 + 32
+    (GGMLType.Q8_0, 5120),
+    (GGMLType.IQ4_NL, 5120),
+    (GGMLType.Q4_1, 6912),   # half the 13B ffn K: G=216 → G1=128 + 88
+])
+def test_qmm_split_g_layout(kind, k, rng):
+    """Split-G position ordering (layouts.split_g): K values whose per-tile
+    group count is not a 128 multiple (13B's K=5120/13824) reorder each
+    tile [e·G1+g | e·G2+g'] so the kernel's scale expand runs aligned.
+    Must be numerically identical to the contiguous layout's results."""
+    from llama_cpp_dsp_tpu.ops.pallas.layouts import split_g
+
+    assert split_g(k // 32) > 0  # the shapes here must actually split
+    n = 64
+    w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    qt = from_gguf_tensor(quantize(w, kind), kind, (n, k))
+    kw = to_kernel_layout(qt, tile_k=k)  # whole-K tile like the 13B config
+    x = rng.standard_normal((2, k)).astype(np.float32)
+    wd = np.asarray(dequant(qt, jnp.float32))
+    want = x @ wd.T
+    got = np.asarray(qmm_fused(jnp.asarray(x), kw, tile_b=8, tile_n=64))
+    assert nmse(got, want) < 5e-4, f"{kind.name}: {nmse(got, want)}"
