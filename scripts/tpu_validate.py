@@ -110,6 +110,32 @@ def _():
     assert err < 1e-4, err
 
 
+@check("qmm_split_g")
+def _():
+    # round-4 split-G layout (layouts.split_g): 13B-shape K values whose
+    # per-tile group count is not a 128 multiple; exactness vs XLA dequant
+    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
+    from llama_cpp_dsp_tpu.ops.qtensor import from_gguf_tensor
+    from llama_cpp_dsp_tpu.ops.pallas.layouts import split_g, to_kernel_layout
+    from llama_cpp_dsp_tpu.ops.pallas.qmm import qmm_fused
+    from llama_cpp_dsp_tpu.quant import quantize
+    from llama_cpp_dsp_tpu.quant.jax_dequant import dequant
+
+    rng = np.random.default_rng(9)
+    for kind, k in ((GGMLType.Q4_0, 5120), (GGMLType.Q4_0, 13824),
+                    (GGMLType.Q8_0, 5120)):
+        assert split_g(k // 32) > 0
+        n = 512
+        w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+        qt = from_gguf_tensor(quantize(w, kind), kind, (n, k))
+        kw = to_kernel_layout(qt, tile_k=k)
+        x = rng.standard_normal((2, k)).astype(np.float32)
+        want = x @ np.asarray(dequant(qt, jnp.float32)).T
+        got = np.asarray(qmm_fused(jnp.asarray(x), kw))
+        err = nmse(got, want)
+        assert err < 5e-4, (kind.name, k, err)
+
+
 @check("flash_decode_q8_allh")
 def _():
     # round-4 all-heads q8 decode body (one strided DMA per chunk covers
