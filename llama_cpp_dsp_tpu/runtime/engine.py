@@ -157,6 +157,10 @@ class Engine:
             kv_dtype = {jnp.float32: "f32", jnp.bfloat16: "bf16",
                         jnp.float16: "f16"}.get(kv_dtype, "bf16")
         if kv_layout == "paged":
+            if kv_v_dtype is not None and kv_v_dtype != kv_dtype:
+                raise ValueError(
+                    "paged KV does not support split -ctk/-ctv "
+                    f"({kv_dtype} vs {kv_v_dtype}); use kv_layout='slots'")
             from .paged_kv import (
                 PageAllocator, PagedKVCache, PagedQuantKVCache, PagedSeq,
             )

@@ -27,6 +27,47 @@ from ..runtime.sampling import make_chain
 
 log = logging.getLogger("server")
 
+BUILD_INFO = "llama_cpp_dsp_tpu (jax)"
+SYSTEM_FINGERPRINT = "b-llama_cpp_dsp_tpu"
+
+
+def _effective_settings(body: dict) -> dict:
+    """Effective sampler/generation settings echo (the reference's
+    `generation_settings` block, examples/server/server.cpp slot params
+    to_json): request values over defaults, for the implemented knobs."""
+    g = body.get
+    return {
+        "n_predict": g("n_predict", g("max_tokens", -1)),
+        "seed": g("seed", 0),
+        "temperature": g("temperature", 0.8),
+        "dynatemp_range": g("dynatemp_range", 0.0),
+        "dynatemp_exponent": g("dynatemp_exponent", 1.0),
+        "top_k": g("top_k", 40),
+        "top_p": g("top_p", 0.95),
+        "min_p": g("min_p", 0.05),
+        "typical_p": g("typical_p", 1.0),
+        "xtc_probability": g("xtc_probability", 0.0),
+        "xtc_threshold": g("xtc_threshold", 0.1),
+        "repeat_last_n": g("repeat_last_n", 64),
+        "repeat_penalty": g("repeat_penalty", 1.0),
+        "presence_penalty": g("presence_penalty", 0.0),
+        "frequency_penalty": g("frequency_penalty", 0.0),
+        "dry_multiplier": g("dry_multiplier", 0.0),
+        "dry_base": g("dry_base", 1.75),
+        "dry_allowed_length": g("dry_allowed_length", 2),
+        "dry_penalty_last_n": g("dry_penalty_last_n", -1),
+        "mirostat": g("mirostat", 0),
+        "mirostat_tau": g("mirostat_tau", 5.0),
+        "mirostat_eta": g("mirostat_eta", 0.1),
+        "stop": g("stop", []),
+        "n_keep": g("n_keep", 0),
+        "n_discard": g("n_discard", 0),
+        "ignore_eos": g("ignore_eos", False),
+        "stream": bool(g("stream", False)),
+        "n_probs": g("n_probs", 0),
+        "grammar": g("grammar", ""),
+    }
+
 
 def _sampler_from(body: dict, seed_default: int = 0, tokenizer=None):
     grammar = None
@@ -121,13 +162,31 @@ class Server:
 
     async def props(self, request: web.Request) -> web.Response:
         cfg = self.engine.cfg
+        tok = self.engine.tokenizer
+        vocab = self.engine.vocab
+
+        def piece(tid):
+            if tok is None or tid is None or tid < 0:
+                return ""
+            return tok.token_to_piece(int(tid), special=True).decode(
+                "utf-8", errors="replace")
+
         return web.json_response({
             "model": self.model_name,
+            "model_path": getattr(vocab, "path", None) or self.model_name,
             "n_ctx": self.engine.n_ctx,
             "n_slots": self.engine.n_slots,
+            "total_slots": self.engine.n_slots,  # reference /props key
             "arch": cfg.arch,
             "n_params_layers": cfg.n_layers,
             "chat_template": self._template or "",
+            "bos_token": piece(getattr(vocab, "bos_id", -1) if vocab else -1),
+            "eos_token": piece(getattr(vocab, "eos_id", -1) if vocab else -1),
+            "build_info": BUILD_INFO,
+            "default_generation_settings": {
+                "id_slot": -1, "n_ctx": self.engine.n_ctx,
+                "params": _effective_settings({}),
+            },
         })
 
     async def props_change(self, request: web.Request) -> web.Response:
@@ -172,10 +231,31 @@ class Server:
             content_type="text/html")
 
     async def models(self, request: web.Request) -> web.Response:
+        cfg = self.engine.cfg
+        n_params = 0
+        try:
+            from ..runtime.loader import LoadedModel
+
+            if isinstance(self.engine.model, LoadedModel):
+                n_params = self.engine.model.n_bytes
+        except Exception:  # noqa: BLE001
+            pass
+        vocab = self.engine.vocab
         return web.json_response({
             "object": "list",
             "data": [{"id": self.model_name, "object": "model", "created": int(self.t_start),
-                      "owned_by": "llama_cpp_dsp_tpu"}],
+                      "owned_by": "llama_cpp_dsp_tpu",
+                      # reference /v1/models meta block (server.cpp
+                      # handle_models: model hparams summary)
+                      "meta": {
+                          "vocab_type": str(getattr(vocab, "vocab_type", "")
+                                            or "none"),
+                          "n_vocab": cfg.n_vocab,
+                          "n_ctx_train": cfg.n_ctx_train,
+                          "n_embd": cfg.n_embd,
+                          "n_params": n_params,
+                          "size": n_params,
+                      }}],
         })
 
     async def slots(self, request: web.Request) -> web.Response:
@@ -420,7 +500,11 @@ class Server:
             if isinstance(prompt, list):
                 prompt = "".join(prompt)
             ids = self.engine.tokenizer.encode(prompt, add_special=True, parse_special=True)
-        return await self._run(request, body, ids, chat=False)
+        # /completion and /completions use the reference server's NATIVE
+        # response schema; only /v1/completions is OpenAI-shaped
+        # (examples/server/server.cpp routes)
+        native = not request.path.startswith("/v1/")
+        return await self._run(request, body, ids, chat=False, native=native)
 
     async def chat_completions(self, request: web.Request) -> web.StreamResponse:
         if not self._check_auth(request):
@@ -458,7 +542,45 @@ class Server:
                     for f in fns]}
         return await self._run(request, body, ids, chat=True)
 
-    async def _run(self, request, body, ids, *, chat: bool) -> web.StreamResponse:
+    def _native_payload(self, req, body, text, timings) -> dict:
+        """Reference native /completion response (server.cpp
+        server_task_result_cmpl_final::to_json_non_oaicompat)."""
+        pn, dn = req.n_prompt, len(req.result_tokens)
+        pms = timings["prompt_ms"]
+        dms = timings["predicted_ms"]
+        stop_type = {"length": "limit", "stop": "eos", "": "none"}.get(
+            req.stop_reason, "none")
+        return {
+            "index": 0,
+            "content": text,
+            "tokens": list(req.result_tokens),
+            "id_slot": -1,
+            "stop": True,
+            "model": self.model_name,
+            "tokens_predicted": dn,
+            "tokens_evaluated": pn,
+            "generation_settings": _effective_settings(body),
+            "prompt": self.engine.tokenizer.decode(req.prompt_tokens),
+            "has_new_line": text.endswith("\n"),
+            "truncated": False,
+            "stop_type": stop_type,
+            "stopping_word": "",
+            "tokens_cached": pn + dn - 1,
+            "timings": {
+                "prompt_n": pn,
+                "prompt_ms": pms,
+                "prompt_per_token_ms": round(pms / max(pn, 1), 3),
+                "prompt_per_second": round(pn / pms * 1000, 2) if pms else 0.0,
+                "predicted_n": dn,
+                "predicted_ms": dms,
+                "predicted_per_token_ms": round(dms / max(dn, 1), 3),
+                "predicted_per_second": (round(dn / dms * 1000, 2)
+                                         if dms else 0.0),
+            },
+        }
+
+    async def _run(self, request, body, ids, *, chat: bool,
+                   native: bool = False) -> web.StreamResponse:
         loop = asyncio.get_running_loop()
         stream = bool(body.get("stream", False))
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}" if chat else f"cmpl-{uuid.uuid4().hex[:12]}"
@@ -480,20 +602,47 @@ class Server:
                 except asyncio.CancelledError:
                     self.engine.cancel(req.rid)
                     raise
+                usage_now = {
+                    "prompt_tokens": req.n_prompt,
+                    "completion_tokens": len(req.result_tokens),
+                    "total_tokens": req.n_prompt + len(req.result_tokens),
+                }
                 if chat:
                     delta = {"content": ev["piece"]} if ev["piece"] else {}
                     chunk = {
                         "id": rid, "object": "chat.completion.chunk", "created": created,
                         "model": self.model_name,
+                        "system_fingerprint": SYSTEM_FINGERPRINT,
                         "choices": [{"index": 0, "delta": delta,
                                      "finish_reason": ev["finished"]}],
+                        "usage": usage_now,
                     }
+                elif native:
+                    # reference native stream chunks (to_json_partial):
+                    # per-piece {content, tokens, stop:false}; the final
+                    # chunk is the full native payload with stop:true
+                    if ev["finished"]:
+                        text = self.engine.tokenizer.decode(req.result_tokens)
+                        timings = {
+                            "prompt_ms": round(
+                                (req.t_first_token - req.t_start) * 1000, 2),
+                            "predicted_ms": round(
+                                (req.t_end - req.t_first_token) * 1000, 2),
+                        }
+                        chunk = self._native_payload(req, body, text, timings)
+                    else:
+                        chunk = {"index": 0, "content": ev["piece"],
+                                 "tokens": ([ev["token"]] if ev["piece"]
+                                            else []),
+                                 "stop": False}
                 else:
                     chunk = {
                         "id": rid, "object": obj, "created": created,
                         "model": self.model_name,
+                        "system_fingerprint": SYSTEM_FINGERPRINT,
                         "choices": [{"index": 0, "text": ev["piece"],
                                      "finish_reason": ev["finished"]}],
+                        "usage": usage_now,
                     }
                 try:
                     await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
@@ -502,6 +651,9 @@ class Server:
                     raise
                 if ev["finished"]:
                     break
+            if native:  # native stream ends on the stop:true payload
+                await resp.write_eof()
+                return resp
             # OpenAI stream_options.include_usage: a final chunk with empty
             # choices carrying the usage totals
             opts = body.get("stream_options") or {}
@@ -581,14 +733,20 @@ class Server:
             payload = {
                 "id": rid, "object": "chat.completion", "created": created,
                 "model": self.model_name,
+                "system_fingerprint": SYSTEM_FINGERPRINT,
                 "choices": [{"index": 0, "message": message,
                              "logprobs": lp_obj,
                              "finish_reason": finish}],
                 "usage": usage, "timings": timings,
             }
+        elif native:
+            payload = self._native_payload(req, body, text, timings)
+            if lp_obj is not None:
+                payload["completion_probabilities"] = lp_obj["content"]
         else:
             payload = {
                 "id": rid, "object": obj, "created": created, "model": self.model_name,
+                "system_fingerprint": SYSTEM_FINGERPRINT,
                 "choices": [{"index": 0, "text": text,
                              "logprobs": lp_obj,
                              "finish_reason": req.stop_reason}],
