@@ -542,9 +542,10 @@ def prepare_x(x, kind: GGMLType, tile_k: int, q8_group: int = 32):
         # scales keep the contiguous order)
         do_split = kind not in (GGMLType.Q5_0, GGMLType.Q5_1, *TAB16_KINDS)
         x2 = tile_transpose_x(xb, tile_k, 32, split=do_split)
-        if kind not in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
-                        GGMLType.Q5_1):
-            return (x2,)  # codebook/table has no affine offset — no sum fold
+        if kind not in (GGMLType.Q5_0, GGMLType.Q5_1):
+            # q4_0/q4_1 fold offsets against IN-KERNEL group sums
+            # (qmm._xsum_groups); tables have no affine offset at all
+            return (x2,)
         xs = _xs(32, (g,), (2,), g)
         return (x2, xs)
     if kind in (GGMLType.Q4_K, GGMLType.Q5_K):

@@ -117,24 +117,54 @@ def _pieces1(x, qs, s):
         soff += gp
 
 
-def _pieces2(x2, qs, s):
+def _pieces2(x2, qs, s, *extras):
     """Split-G pieces of the interleaved 2-plane nibble field: yields
-    (x_lo, x_hi, qs_piece, s_piece). Piece layout per tile is
-    [lo|hi of G1 groups | lo|hi of G2 groups] (layouts split ordering)."""
+    (x_lo, x_hi, qs_piece, s_piece, *extra_pieces). Piece layout per tile
+    is [lo|hi of G1 groups | lo|hi of G2 groups] (layouts split ordering);
+    `extras` are further per-group fields sliced like s (q4_1's m)."""
     g = s.shape[-1]
     g1 = _split_g(g)
     if not g1:
         tp = x2.shape[-1] // 2
-        yield x2[:, :tp], x2[:, tp:], qs, s
+        yield (x2[:, :tp], x2[:, tp:], qs, s,
+               *extras)
         return
     xoff = qoff = soff = 0
     for gp in (g1, g - g1):
         w = 16 * gp
         yield (x2[:, xoff:xoff + w], x2[:, xoff + w:xoff + 2 * w],
-               qs[:, qoff:qoff + w], s[:, soff:soff + gp])
+               qs[:, qoff:qoff + w], s[:, soff:soff + gp],
+               *(e[:, soff:soff + gp] for e in extras))
         xoff += 2 * w
         qoff += w
         soff += gp
+
+
+def _xsum_groups(x_lo, x_hi, g: int):
+    """Per-32-group activation sums [TB, G] computed IN-KERNEL from the
+    tile-transposed bf16 planes (replaces the per-call XLA "xs" operand:
+    its reduce+transpose+pad fusions and DMA were ~0.2-0.4 ms/step of pure
+    glue at 129-161 qmm calls per decode step). Group g's members sit at
+    lanes e·G+g — width-G slices at e·G offsets are lane-aligned when
+    G % 128 == 0; the split-G tail (G < 128·2) uses a one-hot MXU dot
+    instead (misaligned-offset lane slices would relayout per term)."""
+    fac = x_lo.shape[-1] // g
+    if g % 128 == 0:
+        tot = None
+        for e in range(fac):
+            part = (x_lo[:, e * g:(e + 1) * g].astype(F32)
+                    + x_hi[:, e * g:(e + 1) * g].astype(F32))
+            tot = part if tot is None else tot + part
+        return tot
+    # one-hot gather matrix M[e·G+g, g'] = (g == g'): xs = (xlo+xhi) @ M
+    rows = fac * g
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, g), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, g), 1)
+    m = (ri % g == ci).astype(F32)
+    xb = x_lo.astype(F32) + x_hi.astype(F32)
+    return jax.lax.dot_general(
+        xb, m, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=F32)
 
 
 def _body_q8_0(acc, x, qs, s):
@@ -159,24 +189,26 @@ def _planes2(x2):
     return x2[:, :tp], x2[:, tp:]
 
 
-def _body_q4_0(acc, x2, xs, qs, s):
+def _body_q4_0(acc, x2, qs, s):
     for x_lo, x_hi, qp, sp in _pieces2(x2, qs, s):
         sf = _expand(sp, qp.shape[-1] // sp.shape[-1])
         lo, hi = _nibbles_i32(qp)
         w_lo = (lo.astype(F32) * sf).astype(BF16)
         w_hi = (hi.astype(F32) * sf).astype(BF16)
         acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
-    acc[...] -= 8.0 * _dot_xt_w(xs, s)
+        xs = _xsum_groups(x_lo, x_hi, sp.shape[-1])
+        acc[...] -= 8.0 * _dot_xt_w(xs, sp)
 
 
-def _body_q4_1(acc, x2, xs, qs, s, m):
-    for x_lo, x_hi, qp, sp in _pieces2(x2, qs, s):
+def _body_q4_1(acc, x2, qs, s, m):
+    for x_lo, x_hi, qp, sp, mp in _pieces2(x2, qs, s, m):
         sf = _expand(sp, qp.shape[-1] // sp.shape[-1])
         lo, hi = _nibbles_i32(qp)
         w_lo = (lo.astype(F32) * sf).astype(BF16)
         w_hi = (hi.astype(F32) * sf).astype(BF16)
         acc[...] += _dot_xt_w(x_lo, w_lo) + _dot_xt_w(x_hi, w_hi)
-    acc[...] += _dot_xt_w(xs, m)
+        xs = _xsum_groups(x_lo, x_hi, sp.shape[-1])
+        acc[...] += _dot_xt_w(xs, mp)
 
 
 def _body_q5_0(acc, x2, xs, qs, s, hlo, hhi):
@@ -366,8 +398,10 @@ _BODIES = {
 _X_FIELDS = {
     **{kind: ("x2",) for kind in IQ_TABLES},
     GGMLType.Q8_0: ("x",),
-    GGMLType.Q4_0: ("x2", "xs"),
-    GGMLType.Q4_1: ("x2", "xs"),
+    # q4_0/q4_1 compute their group sums IN-KERNEL (_xsum_groups); only
+    # the bit-plane kinds still ship the "xs" operand
+    GGMLType.Q4_0: ("x2",),
+    GGMLType.Q4_1: ("x2",),
     GGMLType.Q5_0: ("x2", "xs"),
     GGMLType.Q5_1: ("x2", "xs"),
     GGMLType.Q4_K: ("x2", "xs2"),
