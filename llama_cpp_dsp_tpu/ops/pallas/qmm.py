@@ -48,11 +48,26 @@ def _expand(s, factor: int):
     The tile-transposed layouts (layouts.py) are arranged so this IS the
     correct per-group broadcast; Mosaic lowers `pltpu.repeat` natively
     (element-order repeats/reshapes are unsupported shape casts).
-    """
+
+    Narrow misaligned G (the split-G tail piece, G < 128 and not a lane
+    multiple) expands through a one-hot MXU dot instead: repeat on a
+    sub-vreg vector lowers to per-copy lane rotates, which left the 13B
+    tail piece VPU-bound (~20% of elements at several× the op cost); the
+    [G, G·factor] selection dot is exact (one-hot f32) and ~free on the
+    MXU."""
     if _ABLATE_SCALE == "const":
         return jnp.float32(1.0)
     if _ABLATE_SCALE == "splat":
         return s[:, :1] + jnp.zeros((1, s.shape[-1] * factor), s.dtype)
+    g = s.shape[-1]
+    if g % 128 and g < 128 and not _interpret_mode():
+        out = g * factor
+        ri = jax.lax.broadcasted_iota(jnp.int32, (g, out), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (g, out), 1)
+        e = (ci % g == ri).astype(F32)
+        return jax.lax.dot_general(
+            s.astype(F32), e, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=F32)
     return _expand_raw(s, factor)
 
 
