@@ -1019,6 +1019,94 @@ def _decode_kernel_paged(
     o_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
 
 
+def _decode_kernel_paged_allh(
+    tables_ref,  # SMEM [B, max_blocks] int32 page ids
+    len_ref, start_ref, q_ref,
+    k_hbm,  # ANY [P, Hkv, ps, D]
+    v_hbm,
+    o_ref,  # VMEM [1, Hkv, rep, D] f32
+    k_buf,  # VMEM [2, Hkv, ps, D]
+    v_buf, sem,
+    *, scale: float, page: int, softcap: float, layer: int | None, hkv: int,
+):
+    """All-kv-heads paged decode body: ONE strided page copy per chunk
+    covers every head (the per-(b,h) grid issued 2·Hkv serialized page
+    DMAs per chunk — measured as most of the paged-vs-contiguous decode
+    tax, BENCH_FULL_r03 ratio 0.916)."""
+    b = pl.program_id(0)
+    length = len_ref[b]
+    start = start_ref[b]
+    first = start // page
+    n_chunks = pl.cdiv(length, page)
+    pre = () if layer is None else (layer,)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # [Hkv, rep, D]
+    _, rep, d = q.shape
+    hr = hkv * rep
+    q2 = q.reshape(hr, d)
+
+    def k_dma(slot, ci):
+        return pltpu.make_async_copy(
+            k_hbm.at[(*pre, tables_ref[b, ci])], k_buf.at[slot],
+            sem.at[slot, 0])
+
+    def v_dma(slot, ci):
+        return pltpu.make_async_copy(
+            v_hbm.at[(*pre, tables_ref[b, ci])], v_buf.at[slot],
+            sem.at[slot, 1])
+
+    @pl.when(first < n_chunks)
+    def _():
+        k_dma(first % 2, first).start()
+        v_dma(first % 2, first).start()
+
+    def body(ci, carry):
+        m, l, acc = carry  # [HR,1], [HR,1], [HR,D] f32
+        slot = ci % 2
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            k_dma((ci + 1) % 2, ci + 1).start()
+            v_dma((ci + 1) % 2, ci + 1).start()
+
+        k_dma(slot, ci).wait()
+        v_dma(slot, ci).wait()
+
+        s = jnp.concatenate([
+            jax.lax.dot_general(
+                q2[h * rep:(h + 1) * rep], k_buf[slot, h].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ) for h in range(hkv)
+        ], axis=0)  # [HR, ps]
+        if softcap:
+            s = jnp.tanh(s / softcap) * softcap
+        col = ci * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where((col < length) & (col >= start), s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jnp.concatenate([
+            jax.lax.dot_general(
+                p[h * rep:(h + 1) * rep], v_buf[slot, h].astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ) for h in range(hkv)
+        ], axis=0)
+        acc = acc * alpha + pv
+        return m_new, l, acc
+
+    m0 = jnp.full((hr, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((hr, 1), jnp.float32)
+    acc0 = jnp.zeros((hr, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(first, n_chunks, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).reshape(hkv, rep, d)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "softcap", "interpret", "layer")
 )
@@ -1036,6 +1124,8 @@ def flash_decode_paged(
     layer: int | None = None,
 ) -> jax.Array:
     """Returns [B, H, D] f32 attention over paged KV."""
+    import os
+
     bsz, hq, d = q.shape
     n_pages, hkv, ps = (k_pages.shape[:3] if layer is None
                         else k_pages.shape[1:4])
@@ -1045,6 +1135,35 @@ def flash_decode_paged(
     # sentinel table entries (== n_pages) are never dereferenced for
     # ci < cdiv(length, ps), but clamp defensively for the DMA engine
     tables = jnp.minimum(tables, n_pages - 1)
+
+    itemsize = jnp.dtype(k_pages.dtype).itemsize
+    if (hkv > 1 and 4 * hkv * ps * d * itemsize <= _ALLH_BUF_BYTES
+            and not os.environ.get("LLAMA_TPU_NO_ATTN_ALLH")):
+        qg = q.reshape(bsz, hkv, rep, d)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # tables, lengths, starts
+            grid=(bsz,),
+            in_specs=[
+                pl.BlockSpec((1, hkv, rep, d), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, hkv, rep, d), lambda b, *_: (b, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, hkv, ps, d), k_pages.dtype),
+                pltpu.VMEM((2, hkv, ps, d), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_decode_kernel_paged_allh, scale=scale, page=ps,
+                              softcap=softcap, layer=layer, hkv=hkv),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
+            interpret=_resolve_interpret(interpret),
+        )(tables.astype(jnp.int32), lengths.astype(jnp.int32),
+          starts.astype(jnp.int32), qg, k_pages, v_pages)
+        return out.reshape(bsz, hq, d)
 
     qg = q.reshape(bsz, hkv, rep, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1155,6 +1274,98 @@ def _decode_kernel_paged_q8(
     o_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
 
 
+def _decode_kernel_paged_q8_allh(
+    tables_ref, len_ref, start_ref, q_ref,
+    kq_hbm,  # ANY [P, Hkv, ps, D] int8
+    kd_hbm,  # ANY [P, Hkv, 1, ps] f32
+    vq_hbm, vd_hbm,
+    o_ref,
+    kq_buf,  # VMEM [2, Hkv, ps, D] int8
+    kd_buf,  # VMEM [2, Hkv, 1, ps] f32
+    vq_buf, vd_buf, sem,
+    *, scale: float, page: int, softcap: float, layer: int | None, hkv: int,
+):
+    """All-heads q8 paged decode (one strided page copy per plane per
+    chunk; see _decode_kernel_paged_allh / _decode_kernel_q8_allh)."""
+    b = pl.program_id(0)
+    length = len_ref[b]
+    start = start_ref[b]
+    first = start // page
+    n_chunks = pl.cdiv(length, page)
+    pre = () if layer is None else (layer,)
+
+    q = q_ref[0].astype(jnp.float32) * scale
+    _, rep, d = q.shape
+    hr = hkv * rep
+    q2 = q.reshape(hr, d)
+
+    def dmas(slot, ci):
+        pg = tables_ref[b, ci]
+        return [
+            pltpu.make_async_copy(kq_hbm.at[(*pre, pg)], kq_buf.at[slot],
+                                  sem.at[slot, 0]),
+            pltpu.make_async_copy(kd_hbm.at[(*pre, pg)], kd_buf.at[slot],
+                                  sem.at[slot, 1]),
+            pltpu.make_async_copy(vq_hbm.at[(*pre, pg)], vq_buf.at[slot],
+                                  sem.at[slot, 2]),
+            pltpu.make_async_copy(vd_hbm.at[(*pre, pg)], vd_buf.at[slot],
+                                  sem.at[slot, 3]),
+        ]
+
+    @pl.when(first < n_chunks)
+    def _():
+        for dma in dmas(first % 2, first):
+            dma.start()
+
+    def body(ci, carry):
+        m, l, acc = carry
+        slot = ci % 2
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            for dma in dmas((ci + 1) % 2, ci + 1):
+                dma.start()
+
+        for dma in dmas(slot, ci):
+            dma.wait()
+
+        s = jnp.concatenate([
+            jax.lax.dot_general(
+                q2[h * rep:(h + 1) * rep],
+                kq_buf[slot, h].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ) * kd_buf[slot, h] for h in range(hkv)
+        ], axis=0)
+        if softcap:
+            s = jnp.tanh(s / softcap) * softcap
+        col = ci * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where((col < length) & (col >= start), s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jnp.concatenate([
+            jax.lax.dot_general(
+                p[h * rep:(h + 1) * rep] * vd_buf[slot, h],
+                vq_buf[slot, h].astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ) for h in range(hkv)
+        ], axis=0)
+        acc = acc * alpha + pv
+        return m_new, l, acc
+
+    m0 = jnp.full((hr, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((hr, 1), jnp.float32)
+    acc0 = jnp.zeros((hr, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(first, n_chunks, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).reshape(hkv, rep, d)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "softcap", "interpret", "layer")
 )
@@ -1176,6 +1387,8 @@ def flash_decode_paged_q8(
     """Paged + Q8-quantized decode attention: page pools stay int8 in HBM,
     per-row scales fold into score/prob scaling, block tables ride the
     scalar prefetch."""
+    import os
+
     bsz, hq, d = q.shape
     n_pages, hkv, ps = (k_qs.shape[:3] if layer is None
                         else k_qs.shape[1:4])
@@ -1183,6 +1396,38 @@ def flash_decode_paged_q8(
     if starts is None:
         starts = jnp.zeros_like(lengths)
     tables = jnp.minimum(tables, n_pages - 1)
+
+    if (hkv > 1 and 4 * hkv * ps * d <= _ALLH_BUF_BYTES
+            and not os.environ.get("LLAMA_TPU_NO_ATTN_ALLH")):
+        qg = q.reshape(bsz, hkv, rep, d)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(bsz,),
+            in_specs=[
+                pl.BlockSpec((1, hkv, rep, d), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, hkv, rep, d), lambda b, *_: (b, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, hkv, ps, d), jnp.int8),
+                pltpu.VMEM((2, hkv, 1, ps), jnp.float32),
+                pltpu.VMEM((2, hkv, ps, d), jnp.int8),
+                pltpu.VMEM((2, hkv, 1, ps), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 4)),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_decode_kernel_paged_q8_allh, scale=scale,
+                              page=ps, softcap=softcap, layer=layer, hkv=hkv),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((bsz, hkv, rep, d), jnp.float32),
+            interpret=_resolve_interpret(interpret),
+        )(tables.astype(jnp.int32), lengths.astype(jnp.int32),
+          starts.astype(jnp.int32), qg, k_qs, k_d, v_qs, v_d)
+        return out.reshape(bsz, hq, d)
 
     qg = q.reshape(bsz, hkv, rep, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
