@@ -233,6 +233,13 @@ def main() -> int:
     if want("q4kv"):
         run("q4_kv_decode", lambda: _engine_decode_rate(
             model, n_slots=4, pp=128, tg=32, kv_dtype="q4_0"))
+    if want_rec("mixed_kv_decode"):
+        # split -ctk/-ctv operating point (q8 K + q4 V, MixedKVCache on
+        # the XLA attention path) — records the cost of the mixed-type
+        # flexibility vs the fused homogeneous caches
+        run("mixed_kv_decode", lambda: _engine_decode_rate(
+            model, n_slots=4, pp=128, tg=32, kv_dtype="q8_0",
+            kv_v_dtype="q4_0"))
     if want("spec"):
         run("spec_decode", lambda: _engine_decode_rate(
             model, n_slots=2, pp=64, tg=32, draft_model=model, n_draft=4))

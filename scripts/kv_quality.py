@@ -35,7 +35,7 @@ WORDS = ["the", "fox", "jumps", "over", "lazy", "dog", "a", "quick",
          "brown", "and", "runs", "far", "then", "stops", "to", "rest"]
 
 
-def run_ours(model, base, tokens, first, kv: str, bos):
+def run_ours(model, base, tokens, first, kv: str, bos, kv_v: str | None = None):
     """Teacher-forced single-token decode (every position reads the
     accumulated quantized cache) scored on the reference's positions."""
     import numpy as np
@@ -47,7 +47,8 @@ def run_ours(model, base, tokens, first, kv: str, bos):
         toks = [int(t) for t in tokens[c]]
         if bos is not None:
             toks[0] = bos
-        ctx = LlamaContext(model, n_ctx=len(toks) + 2, kv_dtype=kv)
+        ctx = LlamaContext(model, n_ctx=len(toks) + 2, kv_dtype=kv,
+                           kv_v_dtype=kv_v)
         lps = []
         for t in toks:
             lg = np.asarray(ctx.eval_tokens([t]), np.float64)
@@ -61,10 +62,10 @@ def run_ours(model, base, tokens, first, kv: str, bos):
     return kl_sum / n, agree / n
 
 
-def run_ref(ref_bin, gguf, corpus, base_path, kv: str):
+def run_ref(ref_bin, gguf, corpus, base_path, kv: str, kv_v: str | None = None):
     p = subprocess.run(
         [os.path.join(ref_bin, "llama-perplexity"), "-m", gguf, "-f", corpus,
-         "-c", "64", "-ctk", kv, "-ctv", kv, "-fa",
+         "-c", "64", "-ctk", kv, "-ctv", kv_v or kv, "-fa",
          "--kl-divergence-base", base_path, "--kl-divergence"],
         capture_output=True, timeout=600)
     out = p.stdout + p.stderr
@@ -129,19 +130,26 @@ def main() -> int:
     else:
         base, tokens, first = load_ref_logits(base_path)
 
-    print("| KV type | ours: KL / top-1 | reference binary: KL / top-1 |")
-    print("|---|---|---|")
-    for kv in ("f32", "bf16", "q8_0", "q4_0"):
-        kl, t1 = run_ours(model, base, tokens, first, kv, bos)
-        if have_ref and kv in ("q8_0", "q4_0", "f32"):
+    print("| K type | V type | ours: KL / top-1 | reference binary: KL / top-1 |")
+    print("|---|---|---|---|")
+    # homogeneous rows + the split -ctk/-ctv operating points (q8 K + q4 V
+    # keeps more bits where quantization hurts more; q4_1 V adds the
+    # per-group min for one-sided V rows) — reference cache-type matrix,
+    # common/arg.cpp:699
+    for kv, kv_v in (("f32", None), ("bf16", None), ("q8_0", None),
+                     ("q4_0", None), ("q4_1", None),
+                     ("q8_0", "q4_0"), ("q8_0", "q4_1")):
+        kl, t1 = run_ours(model, base, tokens, first, kv, bos, kv_v)
+        ref_kv = "f16" if kv == "f32" else kv
+        if have_ref and ref_kv in ("q8_0", "q4_0", "q4_1", "f16"):
             rkl, rt1 = run_ref(args.ref_bin, args.gguf, corpus, base_path,
-                               "f16" if kv == "f32" else kv)
+                               ref_kv, kv_v)
             ref = f"{rkl:.2e} / {rt1 * 100:.1f}%"
             if kv == "f32":
                 ref += " (f16 KV)"
         else:
             ref = "—"
-        print(f"| {kv} | {kl:.2e} / {t1 * 100:.1f}% | {ref} |")
+        print(f"| {kv} | {kv_v or kv} | {kl:.2e} / {t1 * 100:.1f}% | {ref} |")
     return 0
 
 
