@@ -60,7 +60,10 @@ def _expand(s, factor: int):
     if _ABLATE_SCALE == "splat":
         return s[:, :1] + jnp.zeros((1, s.shape[-1] * factor), s.dtype)
     g = s.shape[-1]
-    if g % 128 and g < 128 and not _interpret_mode():
+    # small outputs only: the dot costs TN·g·(g·factor) MACs — fine for the
+    # split-G tails (≤768 lanes out) but a regression for Q4_K's 64-lane
+    # planes at factor 32 (2048 lanes → 67M MACs per plane per block)
+    if g % 128 and g < 128 and g * factor <= 1024 and not _interpret_mode():
         out = g * factor
         ri = jax.lax.broadcasted_iota(jnp.int32, (g, out), 0)
         ci = jax.lax.broadcasted_iota(jnp.int32, (g, out), 1)
@@ -703,7 +706,15 @@ def qmm_fused(
         temp = tn * tile_k * 2 // ns
         return 2 * (wb + xb) + temp + 2 * tn * tb * 4  # + out/acc f32
 
-    budget = 15 * 2**20 + 2**19
+    import os as _osq
+
+    # A/B knob: the estimator's bf16-temp term assumes one whole-tile
+    # dequant intermediate; the split-G piecewise bodies may peak lower
+    # (Mosaic liveness). Raising the modeled budget lets tile experiments
+    # (e.g. LLAMA_TPU_TILE_N_WIDE=1024 at K=5120) reach the compiler,
+    # which errors loudly on a real VMEM overflow.
+    budget = int(float(_osq.environ.get("LLAMA_TPU_VMEM_BUDGET_MB", "15.5"))
+                 * 2**20)
 
     # Sub-K chunking: whole-K big-K tiles are clamped to tile_n 256 by the
     # dequant temporary; slicing the body into n_sub k-chunks shrinks the

@@ -1,13 +1,6 @@
 #!/bin/bash
-# Wait for the TPU tunnel to come back (scripts/tpu_watch.sh writes
-# /tmp/tpu_status on success), then immediately run the queued validation
-# and benchmark passes so no chip time is wasted:
-#   1. scripts/tpu_validate.py — incl. qmm_split_g (exercises the round-4
-#      E-dot tail expand) and flash_decode_q8_allh
-#   2. bench.py 13B tg128 — the E-dot tail A/B (last pinned: 74.84 without)
-#   3. bench.py 7B tg128 headline re-pin
-# Logs to /tmp/tpu_return.log; writes /tmp/tpu_return_done when finished.
-# Usage: nohup bash scripts/on_tpu_return.sh &
+# Wait for the TPU tunnel (scripts/tpu_watch.sh writes /tmp/tpu_status),
+# then run the queued validation + benches. Logs /tmp/tpu_return.log.
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/tpu_return.log
@@ -18,15 +11,16 @@ while [ ! -f /tmp/tpu_status ]; do
 done
 echo "TPU BACK $(date -u +%FT%TZ)" >> "$LOG"
 {
-    echo "=== tpu_validate.py ==="
+    echo "=== tpu_validate (E-dot tail + paged allh + q8 allh) ==="
     timeout 3600 python scripts/tpu_validate.py --skip-bench
     echo "exit=$?"
-    echo "=== bench.py 13B tg128 (E-dot tail A/B; prev 74.84) ==="
+    echo "=== 13B tg128 (E-dot tail A/B; prev 74.84) ==="
     timeout 2400 python bench.py --model llama2-13b --qtype q4_0 --steps 128
-    echo "exit=$?"
-    echo "=== bench.py 7B tg128 headline ==="
+    echo "=== 13B tg128 tn=1024 experiment ==="
+    LLAMA_TPU_TILE_N_WIDE=1024 LLAMA_TPU_VMEM_BUDGET_MB=18 \
+      timeout 2400 python bench.py --model llama2-13b --qtype q4_0 --steps 128
+    echo "=== 7B tg128 headline ==="
     timeout 2400 python bench.py --model llama2-7b --qtype q4_0 --steps 128
-    echo "exit=$?"
 } >> "$LOG" 2>&1
 echo "done $(date -u +%FT%TZ)" >> "$LOG"
 touch /tmp/tpu_return_done
