@@ -610,6 +610,11 @@ def qmm_fused(
     tile_b: int = 0,
     tile_n: int = 0,
     tile_k: int = 0,
+    x_is_x2: bool = False,  # x is ALREADY in the kernel's plane-interleaved
+    # activation order (layouts.x2_position_order) — skip prepare_x. Only
+    # valid for kinds whose sole x field is "x2" (q4_0/q4_1: offsets fold
+    # against in-kernel group sums). The fused-FFN path pre-permutes the
+    # gate/up rows so h arrives in the down-proj's x2 order.
 ) -> jax.Array:
     """Fused y = x @ dequant(W)^T. Pads B to the tile, pads/validates N, K."""
     n, k = kw.shape
@@ -623,6 +628,7 @@ def qmm_fused(
         b_real *= d
     x2 = x.reshape(b_real, x.shape[-1])
     if x.shape[-1] < k:  # layout zero-padded K (layouts._k_pad_target)
+        assert not x_is_x2, "pre-permuted x must already cover padded K"
         x2 = jnp.pad(x2, ((0, 0), (0, k - x.shape[-1])))
 
     # K tiling is baked into the layout's position permutation
@@ -676,7 +682,11 @@ def qmm_fused(
     # row-zero-padding commutes with it exactly, so decode (b_real=1,
     # tile_b=8) relayouts 1/8 the bytes and the group sums reduce 1/8 the
     # rows; each field pads its own batch axis afterwards
-    x_fields = prepare_x(x2, kw.kind, tile_k, q8_group)
+    if x_is_x2:
+        assert _X_FIELDS[kw.kind] == ("x2",), kw.kind
+        x_fields = (x2.astype(BF16),)
+    else:
+        x_fields = prepare_x(x2, kw.kind, tile_k, q8_group)
     b_pad = _round_up(b_real, tile_b)
     if b_pad != b_real:
         x_fields = tuple(
