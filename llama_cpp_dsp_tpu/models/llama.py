@@ -278,6 +278,15 @@ def ffn_dense(x: jax.Array, layer: Params, cfg: LlamaConfig, compute_dtype,
         if tap is not None:
             tap(f"blk.{layer_idx}.{gate_key}.weight", x)
             tap(f"blk.{layer_idx}.{up_key}.weight", x)
+        import os as _os
+
+        if (_os.environ.get("LLAMA_TPU_MEGA_FFN") == "1"
+                and cfg.act in ("silu", "gelu") and tap is None):
+            from ..ops.pallas.qmm import qmm_ffn_fused
+
+            y = qmm_ffn_fused(x, fused, layer[down_key], act=cfg.act)
+            if y is not None:
+                return _psum_tp(y, cfg)
         gu = qmm(x, fused, compute_dtype=compute_dtype)
         h = (activate(gu[..., :ffp], cfg.act) * gu[..., ffp:]).astype(compute_dtype)
         # NOTE: h is x2-permuted — taps/probes over it would mislead;

@@ -280,3 +280,27 @@ def test_fused_ffn_x2_opt_out(rng, monkeypatch):
     params = synth_params(cfg, GGMLType.Q4_0, seed=1, tie=False)
     lay = convert_params_to_kernel(params)["layers"][0]
     assert "ffn_gateup_fused" in lay and "ffn_gateup_x2" not in lay
+
+
+def test_mega_ffn_kernel_parity(rng, monkeypatch):
+    """One-call FFN megakernel (qmm_ffn_fused): matches the 2-call
+    ffn_gateup_x2 path exactly on the same converted weights."""
+    monkeypatch.setenv("LLAMA_TPU_MEGA_FFN", "1")
+    from llama_cpp_dsp_tpu.models.llama import forward
+    from llama_cpp_dsp_tpu.models.registry import synth_config
+    from llama_cpp_dsp_tpu.runtime.context import convert_params_to_kernel
+    from llama_cpp_dsp_tpu.tools.synth import synth_params
+
+    cfg = synth_config("llama", n_embd=256, n_heads=4, n_kv_heads=2,
+                       head_dim=64, n_ff=512, n_vocab=128)
+    params = synth_params(cfg, GGMLType.Q4_0, seed=2, tie=False)
+    kparams = convert_params_to_kernel(params)
+    toks = np.asarray(rng.integers(0, 128, (1, 1)), np.int32)
+    pos = np.zeros((1, 1), np.int32)
+    mask = np.ones((1, 1, 1), bool)
+    l_mega, _ = forward(kparams, cfg, jnp.asarray(toks), jnp.asarray(pos),
+                        mask=jnp.asarray(mask), compute_dtype=jnp.float32)
+    monkeypatch.delenv("LLAMA_TPU_MEGA_FFN")
+    l_two, _ = forward(kparams, cfg, jnp.asarray(toks), jnp.asarray(pos),
+                       mask=jnp.asarray(mask), compute_dtype=jnp.float32)
+    assert nmse(np.asarray(l_mega), np.asarray(l_two)) < 1e-6
