@@ -154,3 +154,39 @@ def test_mixed_engine_e2e_and_seq_edit():
     assert isinstance(out, MixedKVCache)
     kd, vd = out.layer(0)
     assert np.isfinite(np.asarray(kd, np.float32)).all()
+
+
+def test_mixed_state_io_roundtrip(tmp_path):
+    """Session save/load through a MixedKVCache (dequantized export →
+    re-quantized import through the write path, state_io's layout-agnostic
+    protocol)."""
+    import jax.numpy as jnp
+
+    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
+    from llama_cpp_dsp_tpu.runtime.context import LlamaContext
+    from llama_cpp_dsp_tpu.runtime.loader import LoadedModel
+    from llama_cpp_dsp_tpu.runtime.state_io import load_state, save_state
+    from llama_cpp_dsp_tpu.tools.synth import (
+        chain_map, synth_params_chain, tiny_config,
+    )
+
+    cfg = tiny_config(n_layers=2, n_vocab=64)
+    nm = chain_map(64)
+    model = LoadedModel(cfg, synth_params_chain(cfg, GGMLType.Q4_0, seed=0,
+                                                next_map=nm), None, None, {})
+    ctx = LlamaContext(model, n_ctx=32, kv_dtype="q8_0", kv_v_dtype="q4_1",
+                       use_pallas=False, prefill_buckets=(8,))
+    toks = [3, 7, 11, 13]
+    ctx.eval_tokens(toks)
+    p = str(tmp_path / "mixed.state")
+    save_state(ctx, p, toks)
+
+    ctx2 = LlamaContext(model, n_ctx=32, kv_dtype="q8_0", kv_v_dtype="q4_1",
+                        use_pallas=False, prefill_buckets=(8,))
+    back = load_state(ctx2, p)
+    assert back == toks and ctx2.n_past == ctx.n_past
+    # continuation agrees with the original context (chain model: greedy
+    # next token is position-deterministic)
+    l1 = np.asarray(ctx.eval_tokens([int(nm[13])]))
+    l2 = np.asarray(ctx2.eval_tokens([int(nm[13])]))
+    assert int(l1.argmax()) == int(l2.argmax())
