@@ -46,7 +46,11 @@ def load_native(name: str) -> ctypes.CDLL | None:
     so = out_dir / f"{name}-{tag}.so"
     if not so.exists():
         cxx = os.environ.get("CXX", "g++")
+        # -ffp-contract=off: the k-quant encoders must round every f32
+        # product/sum exactly like the numpy oracle (GCC's default
+        # contraction fuses a*b+c and flips knife-edge scale-search ties)
         cmd = [cxx, "-O2", "-shared", "-fPIC", "-std=c++17",
+               "-ffp-contract=off", "-pthread",
                str(src), "-o", str(so) + ".tmp"]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)

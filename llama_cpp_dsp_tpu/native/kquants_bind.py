@@ -1,0 +1,63 @@
+"""ctypes binding for native/kquants.cpp — byte-exact k-quant encoders.
+
+`quantize_native(x, kind)` returns packed bytes or None (no compiler /
+unsupported kind). The numpy oracle (quant/ref_numpy.py) remains the
+semantics reference; tests/test_native_kquants.py pins byte identity."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_FNS = {
+    "Q4_K": ("quant_q4_K", 144),
+    "Q5_K": ("quant_q5_K", 176),
+    "Q6_K": ("quant_q6_K", 210),
+}
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("LLAMA_TPU_NO_NATIVE_QUANT"):
+        return None
+    from . import load_native
+
+    lib = load_native("kquants")
+    if lib is not None:
+        for fname, _ in _FNS.values():
+            fn = getattr(lib, fname)
+            fn.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                           ctypes.POINTER(ctypes.c_uint8)]
+            fn.restype = None
+    _lib = lib
+    return lib
+
+
+def quantize_native(x: np.ndarray, kind) -> np.ndarray | None:
+    """x: f32 array, total size divisible by 256. Returns packed uint8
+    bytes (reference block layout) or None when unavailable."""
+    name = getattr(kind, "name", str(kind))
+    if name not in _FNS:
+        return None
+    lib = _load()
+    if lib is None:
+        return None
+    fname, bs = _FNS[name]
+    xf = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
+    nb = xf.size // 256
+    if nb * 256 != xf.size:
+        return None
+    out = np.empty(nb * bs, dtype=np.uint8)
+    getattr(lib, fname)(
+        xf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(nb),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out

