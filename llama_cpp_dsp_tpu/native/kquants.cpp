@@ -274,6 +274,58 @@ void quant_k45_block(const float* xb, int nmax, float rmin, int nstep,
     }
 }
 
+// make_q3_quants (ggml-quants.c:448) n=16, nmax=4, do_rmse=true.
+// Writes L[16] biased +4 (0..7); returns scale.
+float make_q3_rmse(const float* x, int8_t* Lout) {
+    const int n = 16, nmax = 4;
+    float amax = 0, maxv = 0;
+    for (int i = 0; i < n; ++i) {
+        float ax = fabsf(x[i]);
+        if (ax > amax) { amax = ax; maxv = x[i]; }
+    }
+    if (amax < GROUP_MAX_EPS) {
+        for (int i = 0; i < n; ++i) Lout[i] = 0;
+        return 0.f;
+    }
+    float iscale = -(float)nmax / maxv;
+    int L[16];
+    float lf[16], w[16];
+    float sumlx = 0, suml2 = 0;
+    for (int i = 0; i < n; ++i) {
+        int l = nearest_int(iscale * x[i]);
+        l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
+        L[i] = l;
+        lf[i] = (float)l;
+        w[i] = x[i] * x[i];
+        sumlx += (w[i] * x[i]) * lf[i];
+        suml2 += (w[i] * lf[i]) * lf[i];
+    }
+    for (int pass = 0; pass < 5; ++pass) {
+        for (int i = 0; i < n; ++i) {
+            float slx = sumlx - (w[i] * x[i]) * lf[i];
+            if (slx > 0) {
+                float sl2 = suml2 - (w[i] * lf[i]) * lf[i];
+                int newl = nearest_int(x[i] * sl2 / slx);
+                newl = newl < -nmax ? -nmax : (newl > nmax - 1 ? nmax - 1 : newl);
+                float nlf = (float)newl;
+                if (nlf != lf[i]) {
+                    float slx2 = slx + (w[i] * x[i]) * nlf;
+                    float sl22 = sl2 + (w[i] * nlf) * nlf;
+                    if (sl22 > 0 &&
+                        (slx2 * slx2) * suml2 > (sumlx * sumlx) * sl22) {
+                        L[i] = newl;
+                        lf[i] = nlf;
+                        sumlx = slx2;
+                        suml2 = sl22;
+                    }
+                }
+            }
+        }
+    }
+    for (int i = 0; i < n; ++i) Lout[i] = (int8_t)(L[i] + nmax);
+    return sumlx / suml2;
+}
+
 // run fn(b0, b1) over [0, nb) on LLAMA_TPU_QUANT_THREADS threads
 // (default hardware_concurrency; blocks are independent)
 template <typename F>
@@ -396,6 +448,144 @@ void quant_q6_K(const float* x, int64_t nb, uint8_t* out) {
             }
         }
         std::memcpy(o + 208, &d16, 2);
+    }
+    });
+}
+
+// block_q2_K: scales[16], qs[64], d f16, dmin f16  (84 bytes)
+void quant_q2_K(const float* x, int64_t nb, uint8_t* out) {
+    parallel_blocks(nb, [=](int64_t b0, int64_t b1) {
+    for (int64_t b = b0; b < b1; ++b) {
+        const float* xb = x + b * QK_K;
+        uint8_t* o = out + b * 84;
+        uint8_t Lq[256];
+        float weights[256];
+        for (int i = 0; i < 256; ++i) weights[i] = fabsf(xb[i]);
+        float scales[16], mins[16];
+        for (int g = 0; g < 16; ++g)
+            scales[g] = make_qkx2(xb + 16 * g, weights + 16 * g, 16, 3,
+                                  -0.5f, 0.1f, 15, true, Lq + 16 * g,
+                                  &mins[g]);
+        float max_scale = scales[0], max_min = mins[0];
+        for (int g = 1; g < 16; ++g) {
+            if (scales[g] > max_scale) max_scale = scales[g];
+            if (mins[g] > max_min) max_min = mins[g];
+        }
+        uint8_t* sc_packed = o;
+        const float q4scale = 15.f;
+        if (max_scale > 0) {
+            float isc = q4scale / max_scale;
+            for (int g = 0; g < 16; ++g)
+                sc_packed[g] = (uint8_t)nearest_int(isc * scales[g]);
+        } else {
+            for (int g = 0; g < 16; ++g) sc_packed[g] = 0;
+        }
+        uint16_t d16 = max_scale > 0 ? fp32_to_fp16(max_scale / q4scale)
+                                     : fp32_to_fp16(0.f);
+        if (max_min > 0) {
+            float imn = q4scale / max_min;
+            for (int g = 0; g < 16; ++g)
+                sc_packed[g] |= (uint8_t)(nearest_int(imn * mins[g]) << 4);
+        }
+        uint16_t dmin16 = max_min > 0 ? fp32_to_fp16(max_min / q4scale)
+                                      : fp32_to_fp16(0.f);
+        std::memcpy(o + 80, &d16, 2);
+        std::memcpy(o + 82, &dmin16, 2);
+        float d = fp16_to_fp32(d16), dmin = fp16_to_fp32(dmin16);
+        uint8_t L[256];
+        for (int g = 0; g < 16; ++g) {
+            float dd = d * (float)(sc_packed[g] & 0x0F);
+            float dm = dmin * (float)(sc_packed[g] >> 4);
+            for (int i = 0; i < 16; ++i) {
+                if (dd == 0) {
+                    L[16 * g + i] = Lq[16 * g + i];
+                } else {
+                    int l = nearest_int((xb[16 * g + i] + dm) / dd);
+                    L[16 * g + i] = (uint8_t)(l < 0 ? 0 : (l > 3 ? 3 : l));
+                }
+            }
+        }
+        uint8_t* qs = o + 16;
+        for (int h = 0; h < 2; ++h)
+            for (int i = 0; i < 32; ++i)
+                qs[32 * h + i] =
+                    (uint8_t)(L[128 * h + i] | (L[128 * h + 32 + i] << 2) |
+                              (L[128 * h + 64 + i] << 4) |
+                              (L[128 * h + 96 + i] << 6));
+    }
+    });
+}
+
+// block_q3_K: hmask[32], qs[64], scales[12], d f16  (110 bytes)
+void quant_q3_K(const float* x, int64_t nb, uint8_t* out) {
+    parallel_blocks(nb, [=](int64_t b0, int64_t b1) {
+    for (int64_t b = b0; b < b1; ++b) {
+        const float* xb = x + b * QK_K;
+        uint8_t* o = out + b * 110;
+        int8_t Lq[256];
+        float scales[16];
+        for (int g = 0; g < 16; ++g)
+            scales[g] = make_q3_rmse(xb + 16 * g, Lq + 16 * g);
+        float amax = 0, max_scale = 0;
+        for (int g = 0; g < 16; ++g) {
+            float ax = fabsf(scales[g]);
+            if (ax > amax) { amax = ax; max_scale = scales[g]; }
+        }
+        uint8_t* packed = o + 96;
+        std::memset(packed, 0, 12);
+        uint16_t d16;
+        if (max_scale != 0) {
+            float iscale = -32.f / max_scale;
+            uint8_t l6[16];
+            for (int g = 0; g < 16; ++g) {
+                int l = nearest_int(iscale * scales[g]);
+                l = l < -32 ? -32 : (l > 31 ? 31 : l);
+                l6[g] = (uint8_t)(l + 32);
+            }
+            for (int j = 0; j < 8; ++j)
+                packed[j] = (uint8_t)((l6[j] & 0x0F) | ((l6[j + 8] & 0x0F) << 4));
+            for (int j = 0; j < 16; ++j)
+                packed[8 + (j % 4)] |= (uint8_t)((l6[j] >> 4) << (2 * (j / 4)));
+            d16 = fp32_to_fp16(1.f / iscale);
+        } else {
+            d16 = fp32_to_fp16(0.f);
+        }
+        std::memcpy(o + 108, &d16, 2);
+        float d = fp16_to_fp32(d16);
+        int Lf[256];
+        for (int g = 0; g < 16; ++g) {
+            int lo = g < 8 ? (packed[g] & 0x0F) : (packed[g - 8] >> 4);
+            int hi = (packed[8 + (g % 4)] >> (2 * (g / 4))) & 3;
+            int sc6 = (lo | (hi << 4)) - 32;
+            float dd = d * (float)sc6;
+            for (int i = 0; i < 16; ++i) {
+                if (dd == 0) {
+                    Lf[16 * g + i] = Lq[16 * g + i];
+                } else {
+                    int l = nearest_int(xb[16 * g + i] / dd);
+                    l = l < -4 ? -4 : (l > 3 ? 3 : l);
+                    Lf[16 * g + i] = l + 4;
+                }
+            }
+        }
+        uint8_t* hmask = o;
+        uint8_t* qs = o + 32;
+        std::memset(hmask, 0, 32);
+        uint8_t L2[256];
+        for (int j = 0; j < 256; ++j) {
+            int v = Lf[j];
+            if (v > 3) {
+                hmask[j % 32] |= (uint8_t)(1 << (j / 32));
+                v -= 4;
+            }
+            L2[j] = (uint8_t)v;
+        }
+        for (int h = 0; h < 2; ++h)
+            for (int i = 0; i < 32; ++i)
+                qs[32 * h + i] =
+                    (uint8_t)(L2[128 * h + i] | (L2[128 * h + 32 + i] << 2) |
+                              (L2[128 * h + 64 + i] << 4) |
+                              (L2[128 * h + 96 + i] << 6));
     }
     });
 }

@@ -12,6 +12,8 @@ import os
 import numpy as np
 
 _FNS = {
+    "Q2_K": ("quant_q2_K", 84),
+    "Q3_K": ("quant_q3_K", 110),
     "Q4_K": ("quant_q4_K", 144),
     "Q5_K": ("quant_q5_K", 176),
     "Q6_K": ("quant_q6_K", 210),

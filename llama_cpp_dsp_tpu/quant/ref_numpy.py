@@ -1905,7 +1905,8 @@ def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
     available (native/kquants.cpp — byte-exact twin, ~40× the numpy
     oracle's throughput; a 7B Q4_K requantize drops from ~2 h to minutes
     on this host). LLAMA_TPU_NO_NATIVE_QUANT=1 forces the oracle."""
-    if ggml_type in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K):
+    if ggml_type in (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+                     GGMLType.Q5_K, GGMLType.Q6_K):
         try:
             from ..native.kquants_bind import quantize_native
 

@@ -10,7 +10,8 @@ from llama_cpp_dsp_tpu.gguf.constants import GGMLType
 from llama_cpp_dsp_tpu.native.kquants_bind import quantize_native
 from llama_cpp_dsp_tpu.quant import ref_numpy
 
-KINDS = [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K]
+KINDS = [GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+         GGMLType.Q5_K, GGMLType.Q6_K]
 
 
 def _oracle(x, kind):
