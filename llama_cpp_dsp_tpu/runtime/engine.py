@@ -64,6 +64,8 @@ class Request:
     error_status: int = 400  # HTTP status the server maps `error` to
     # (400 = request rejected, 500 = engine fault mid-decode)
     stop_reason: str = ""
+    stop_word: str = ""  # the stop string that fired (reference stop_type
+    # "word" vs "eos" distinction, server.cpp stopping_word)
     cancelled: bool = False  # abort-callback role (reference llama.h:964)
     t_start: float = 0.0
     t_first_token: float = 0.0
@@ -185,6 +187,13 @@ class Engine:
                     cfg.kv_cache_heads, cfg.kv_cache_dim,
                     page_size=page_size,
                 )
+            elif kv_dtype not in ("f32", "bf16", "f16"):
+                # no silent bf16 fallback for e.g. q4_1 (4x the requested
+                # KV memory and wrong measurements); match the split-ctv
+                # error above
+                raise ValueError(
+                    f"paged KV does not support -ctk {kv_dtype}; "
+                    "use q8_0/q4_0 or kv_layout='slots'")
             else:
                 dt = {"f32": jnp.float32, "bf16": jnp.bfloat16,
                       "f16": jnp.float16}.get(kv_dtype, jnp.bfloat16)
@@ -1197,6 +1206,7 @@ class Engine:
                     cut = text.index(stop)
                     piece = text[slot.decoded_text_len : cut]
                     finished = "stop"
+                    req.stop_word = stop  # native stop_type "word"
                     break
             if not finished:
                 slot.decoded_text_len = len(text)

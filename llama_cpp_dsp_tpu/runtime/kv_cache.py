@@ -319,15 +319,28 @@ def _q4_unpack_rows(b: jax.Array) -> jax.Array:
     return inter.reshape(*shp[:-2], shp[-2] * 2, shp[-1])
 
 
+def _parity_to_rows(d: jax.Array) -> jax.Array:
+    """Parity-major group scales [..., 2G, S/2] → row-major [..., S, G]
+    (plane p·G+g at lane s2 holds the group-g scale of row 2·s2+p)."""
+    *lead, twog, s2 = d.shape
+    g = twog // 2
+    dr = jnp.moveaxis(d.reshape(*lead, 2, g, s2), -1, -3)
+    return dr.reshape(*lead, 2 * s2, g)
+
+
+def _rows_to_parity(d: jax.Array) -> jax.Array:
+    """Inverse of _parity_to_rows: [..., S, G] → [..., 2G, S/2]."""
+    *lead, s, g = d.shape
+    dr = d.reshape(*lead, s // 2, 2, g)
+    return jnp.moveaxis(dr, -3, -1).reshape(*lead, 2 * g, s // 2)
+
+
 def _q4_deq_plane(qs: jax.Array, d: jax.Array) -> jax.Array:
     """(byte plane [..., S/2, D], parity-major scales [..., 2G, S/2]) →
     dequantized rows [..., S, D] bf16."""
     rows = _q4_unpack_rows(qs).astype(jnp.float32)  # [..., S, D]
-    *lead, twog, s2 = d.shape
-    g = twog // 2
-    # [..., p, g, s2] → [..., s2, p, g] → rows-major [..., 2*s2, g]
-    dr = jnp.moveaxis(d.reshape(*lead, 2, g, s2), -1, -3)
-    dr = dr.reshape(*lead, 2 * s2, g)
+    dr = _parity_to_rows(d)
+    g = dr.shape[-1]
     out = rows.reshape(*rows.shape[:-1], g, rows.shape[-1] // g) * dr[..., None]
     return out.reshape(rows.shape).astype(jnp.bfloat16)
 
@@ -553,14 +566,7 @@ def _q4_1_deq_plane(qs: jax.Array, d: jax.Array, m: jax.Array) -> jax.Array:
     """(byte plane [..., S/2, D], parity-major d/m [..., 2G, S/2]) →
     [..., S, D] bf16: value = code·d + m."""
     codes = (_q4_unpack_rows(qs) + 8).astype(jnp.float32)  # [..., S, D] 0..15
-
-    def rowmaj(a):
-        *lead, twog, s2 = a.shape
-        g = twog // 2
-        ar = jnp.moveaxis(a.reshape(*lead, 2, g, s2), -1, -3)
-        return ar.reshape(*lead, 2 * s2, g)
-
-    dr, mr = rowmaj(d), rowmaj(m)
+    dr, mr = _parity_to_rows(d), _parity_to_rows(m)
     grp = codes.reshape(*codes.shape[:-1], dr.shape[-1],
                         codes.shape[-1] // dr.shape[-1])
     out = grp * dr[..., None] + mr[..., None]
@@ -833,18 +839,12 @@ def _plane_encode_full(fmt, rows: jax.Array) -> dict:
     if fmt == "q8_0":
         qs, d = _q8_quant(rows)
         return {"qs": qs, "d": d[:, :, None, :]}
-
-    def parity_major(d):
-        b, h, s, g = d.shape
-        return (d.reshape(b, h, s // 2, 2, g).transpose(0, 1, 3, 4, 2)
-                .reshape(b, h, 2 * g, s // 2))
-
     if fmt == "q4_0":
         q, d = _q4_quant(rows)
-        return {"qs": _q4_pack_rows(q), "d": parity_major(d)}
+        return {"qs": _q4_pack_rows(q), "d": _rows_to_parity(d)}
     q, d, m = _q4_1_quant(rows)
-    return {"qs": _q4_pack_rows(q), "d": parity_major(d),
-            "m": parity_major(m)}
+    return {"qs": _q4_pack_rows(q), "d": _rows_to_parity(d),
+            "m": _rows_to_parity(m)}
 
 
 def _norm_kv_type(t: str) -> str:

@@ -193,6 +193,20 @@ class LoadedModel:
             total += leaf.nbytes
         return total
 
+    @property
+    def n_params(self) -> int:
+        """Logical parameter count (QTensors count n*k elements, not their
+        packed bytes) — the reference /v1/models meta.n_params semantics."""
+        import numpy as np
+
+        total = 0
+        for leaf in _iter_params(self.params):
+            if isinstance(leaf, QTensor):
+                total += int(np.prod(leaf.shape)) * max(leaf.n_expert, 1)
+            else:
+                total += int(np.prod(getattr(leaf, "shape", ()) or (1,)))
+        return total
+
 
 def _iter_leaves(tree):
     if isinstance(tree, dict):
@@ -203,6 +217,18 @@ def _iter_leaves(tree):
             yield from _iter_leaves(v)
     elif isinstance(tree, QTensor):
         yield from tree.arrays.values()
+    elif tree is not None:
+        yield tree
+
+
+def _iter_params(tree):
+    """Like _iter_leaves but yields whole QTensors (for logical counts)."""
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _iter_params(v)
+    elif isinstance(tree, list):
+        for v in tree:
+            yield from _iter_params(v)
     elif tree is not None:
         yield tree
 

@@ -31,34 +31,43 @@ BUILD_INFO = "llama_cpp_dsp_tpu (jax)"
 SYSTEM_FINGERPRINT = "b-llama_cpp_dsp_tpu"
 
 
+# ONE defaults table shared by the sampler construction (_sampler_from)
+# and the generation_settings echo (_effective_settings) — two parallel
+# literal tables would silently drift (round-4 review finding)
+SAMPLER_DEFAULTS = {
+    "seed": 0,
+    "temperature": 0.8,
+    "dynatemp_range": 0.0,
+    "dynatemp_exponent": 1.0,
+    "top_k": 40,
+    "top_p": 0.95,
+    "min_p": 0.05,
+    "typical_p": 1.0,
+    "xtc_probability": 0.0,
+    "xtc_threshold": 0.1,
+    "top_n_sigma": -1.0,
+    "repeat_last_n": 64,
+    "repeat_penalty": 1.0,
+    "presence_penalty": 0.0,
+    "frequency_penalty": 0.0,
+    "dry_multiplier": 0.0,
+    "dry_base": 1.75,
+    "dry_allowed_length": 2,
+    "dry_penalty_last_n": -1,
+    "mirostat": 0,
+    "mirostat_tau": 5.0,
+    "mirostat_eta": 0.1,
+}
+
+
 def _effective_settings(body: dict) -> dict:
     """Effective sampler/generation settings echo (the reference's
     `generation_settings` block, examples/server/server.cpp slot params
     to_json): request values over defaults, for the implemented knobs."""
     g = body.get
-    return {
+    out = {k: g(k, d) for k, d in SAMPLER_DEFAULTS.items()}
+    out.update({
         "n_predict": g("n_predict", g("max_tokens", -1)),
-        "seed": g("seed", 0),
-        "temperature": g("temperature", 0.8),
-        "dynatemp_range": g("dynatemp_range", 0.0),
-        "dynatemp_exponent": g("dynatemp_exponent", 1.0),
-        "top_k": g("top_k", 40),
-        "top_p": g("top_p", 0.95),
-        "min_p": g("min_p", 0.05),
-        "typical_p": g("typical_p", 1.0),
-        "xtc_probability": g("xtc_probability", 0.0),
-        "xtc_threshold": g("xtc_threshold", 0.1),
-        "repeat_last_n": g("repeat_last_n", 64),
-        "repeat_penalty": g("repeat_penalty", 1.0),
-        "presence_penalty": g("presence_penalty", 0.0),
-        "frequency_penalty": g("frequency_penalty", 0.0),
-        "dry_multiplier": g("dry_multiplier", 0.0),
-        "dry_base": g("dry_base", 1.75),
-        "dry_allowed_length": g("dry_allowed_length", 2),
-        "dry_penalty_last_n": g("dry_penalty_last_n", -1),
-        "mirostat": g("mirostat", 0),
-        "mirostat_tau": g("mirostat_tau", 5.0),
-        "mirostat_eta": g("mirostat_eta", 0.1),
         "stop": g("stop", []),
         "n_keep": g("n_keep", 0),
         "n_discard": g("n_discard", 0),
@@ -66,7 +75,8 @@ def _effective_settings(body: dict) -> dict:
         "stream": bool(g("stream", False)),
         "n_probs": g("n_probs", 0),
         "grammar": g("grammar", ""),
-    }
+    })
+    return out
 
 
 def _sampler_from(body: dict, seed_default: int = 0, tokenizer=None):
@@ -94,28 +104,33 @@ def _sampler_from(body: dict, seed_default: int = 0, tokenizer=None):
     # "samplers": ["top_k", "infill", ...] — only the infill entry changes
     # the chain here (the default order already matches the reference's)
     use_infill = "infill" in (body.get("samplers") or [])
+    d = SAMPLER_DEFAULTS
+
+    def g(key):
+        return body.get(key, d[key])
+
     return make_chain(
         grammar=grammar,
         infill_tokenizer=tokenizer if use_infill else None,
         seed=int(body.get("seed", seed_default) or seed_default),
-        temp=float(body.get("temperature", 0.8)),
-        dynatemp_range=float(body.get("dynatemp_range", 0.0)),
-        dynatemp_exponent=float(body.get("dynatemp_exponent", 1.0)),
-        top_k=int(body.get("top_k", 40)),
-        top_p=float(body.get("top_p", 0.95)),
-        min_p=float(body.get("min_p", 0.05)),
-        typical_p=float(body.get("typical_p", 1.0)),
-        xtc_probability=float(body.get("xtc_probability", 0.0)),
-        xtc_threshold=float(body.get("xtc_threshold", 0.1)),
-        top_n_sigma=float(body.get("top_n_sigma", -1.0)),
-        penalty_last_n=int(body.get("repeat_last_n", 64)),
-        penalty_repeat=float(body.get("repeat_penalty", 1.0)),
-        penalty_freq=float(body.get("frequency_penalty", 0.0)),
-        penalty_present=float(body.get("presence_penalty", 0.0)),
-        dry_multiplier=float(body.get("dry_multiplier", 0.0)),
-        mirostat=int(body.get("mirostat", 0)),
-        mirostat_tau=float(body.get("mirostat_tau", 5.0)),
-        mirostat_eta=float(body.get("mirostat_eta", 0.1)),
+        temp=float(g("temperature")),
+        dynatemp_range=float(g("dynatemp_range")),
+        dynatemp_exponent=float(g("dynatemp_exponent")),
+        top_k=int(g("top_k")),
+        top_p=float(g("top_p")),
+        min_p=float(g("min_p")),
+        typical_p=float(g("typical_p")),
+        xtc_probability=float(g("xtc_probability")),
+        xtc_threshold=float(g("xtc_threshold")),
+        top_n_sigma=float(g("top_n_sigma")),
+        penalty_last_n=int(g("repeat_last_n")),
+        penalty_repeat=float(g("repeat_penalty")),
+        penalty_freq=float(g("frequency_penalty")),
+        penalty_present=float(g("presence_penalty")),
+        dry_multiplier=float(g("dry_multiplier")),
+        mirostat=int(g("mirostat")),
+        mirostat_tau=float(g("mirostat_tau")),
+        mirostat_eta=float(g("mirostat_eta")),
         logit_bias=lb,
     )
 
@@ -232,12 +247,13 @@ class Server:
 
     async def models(self, request: web.Request) -> web.Response:
         cfg = self.engine.cfg
-        n_params = 0
+        n_params = n_bytes = 0
         try:
             from ..runtime.loader import LoadedModel
 
             if isinstance(self.engine.model, LoadedModel):
-                n_params = self.engine.model.n_bytes
+                n_params = self.engine.model.n_params
+                n_bytes = self.engine.model.n_bytes
         except Exception:  # noqa: BLE001
             pass
         vocab = self.engine.vocab
@@ -254,7 +270,7 @@ class Server:
                           "n_ctx_train": cfg.n_ctx_train,
                           "n_embd": cfg.n_embd,
                           "n_params": n_params,
-                          "size": n_params,
+                          "size": n_bytes,
                       }}],
         })
 
@@ -546,10 +562,14 @@ class Server:
         """Reference native /completion response (server.cpp
         server_task_result_cmpl_final::to_json_non_oaicompat)."""
         pn, dn = req.n_prompt, len(req.result_tokens)
-        pms = timings["prompt_ms"]
-        dms = timings["predicted_ms"]
-        stop_type = {"length": "limit", "stop": "eos", "": "none"}.get(
-            req.stop_reason, "none")
+        pms = max(timings["prompt_ms"], 0.0)
+        dms = max(timings["predicted_ms"], 0.0)
+        if req.stop_reason == "length":
+            stop_type = "limit"
+        elif req.stop_reason == "stop":
+            stop_type = "word" if req.stop_word else "eos"
+        else:
+            stop_type = "none"  # error / cancelled / still running
         return {
             "index": 0,
             "content": text,
@@ -564,7 +584,7 @@ class Server:
             "has_new_line": text.endswith("\n"),
             "truncated": False,
             "stop_type": stop_type,
-            "stopping_word": "",
+            "stopping_word": req.stop_word,
             "tokens_cached": pn + dn - 1,
             "timings": {
                 "prompt_n": pn,
@@ -602,11 +622,16 @@ class Server:
                 except asyncio.CancelledError:
                     self.engine.cancel(req.rid)
                     raise
-                usage_now = {
-                    "prompt_tokens": req.n_prompt,
-                    "completion_tokens": len(req.result_tokens),
-                    "total_tokens": req.n_prompt + len(req.result_tokens),
-                }
+                # OpenAI stream schema: usage is null on every chunk except
+                # the final one (clients detect "the usage chunk" by
+                # usage != null; a running total would be double-counted)
+                usage_now = None
+                if ev["finished"]:
+                    usage_now = {
+                        "prompt_tokens": req.n_prompt,
+                        "completion_tokens": len(req.result_tokens),
+                        "total_tokens": req.n_prompt + len(req.result_tokens),
+                    }
                 if chat:
                     delta = {"content": ev["piece"]} if ev["piece"] else {}
                     chunk = {
@@ -621,7 +646,14 @@ class Server:
                     # reference native stream chunks (to_json_partial):
                     # per-piece {content, tokens, stop:false}; the final
                     # chunk is the full native payload with stop:true
-                    if ev["finished"]:
+                    if ev["finished"] in ("error", "cancelled"):
+                        # surface the failure explicitly — a success-shaped
+                        # stop:true payload would be indistinguishable from
+                        # a normal completion
+                        chunk = {"index": 0, "content": "", "tokens": [],
+                                 "stop": True,
+                                 "error": req.error or ev["finished"]}
+                    elif ev["finished"]:
                         text = self.engine.tokenizer.decode(req.result_tokens)
                         timings = {
                             "prompt_ms": round(

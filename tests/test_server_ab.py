@@ -212,5 +212,19 @@ def test_ab_sse_stream_framing(ref_server, our_server):
 
     ref_chunks = parse(ref_raw)
     our_chunks = parse(our_raw)
-    _assert_covers(our_chunks[0], ref_chunks[0], allow_missing=("timings",))
+    # shape-compare the UNION across chunks: usage is null until the final
+    # chunk (OpenAI stream schema), so per-chunk field sets differ by design
+    ref_union = set()
+    for c in ref_chunks:
+        ref_union |= _paths(c)
+    our_union = set()
+    for c in our_chunks:
+        our_union |= _paths(c)
+    missing = {p for p in ref_union - our_union
+               if not p.startswith("timings")}
+    assert not missing, f"stream fields the reference has: {sorted(missing)}"
     assert our_chunks[0]["object"] == "chat.completion.chunk"
+    # intermediate chunks must NOT carry a populated usage object (clients
+    # detect the usage chunk by usage != null)
+    for c in our_chunks[:-1]:
+        assert c.get("usage") is None
