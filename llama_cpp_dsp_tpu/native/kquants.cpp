@@ -199,6 +199,55 @@ float make_qx(const float* x, int n, int nmax, int8_t* Lout) {
     return scale;
 }
 
+// make_qx_quants with EXPLICIT weights (the reference's qw branch used by
+// the imatrix paths). Dead groups bias L to +nmax (the oracle's weighted
+// convention) instead of 0.
+float make_qx_w(const float* x, const float* w, int n, int nmax,
+                int8_t* Lout) {
+    float amax = 0, maxv = 0;
+    for (int i = 0; i < n; ++i) {
+        float ax = fabsf(x[i]);
+        if (ax > amax) { amax = ax; maxv = x[i]; }
+    }
+    if (amax < GROUP_MAX_EPS) {
+        for (int i = 0; i < n; ++i) Lout[i] = (int8_t)nmax;
+        return 0.f;
+    }
+    int8_t L[64], l2[64];
+    float iscale = -(float)nmax / maxv;
+    float sumlx = 0, suml2 = 0;
+    for (int i = 0; i < n; ++i) {
+        int l = nearest_int(iscale * x[i]);
+        l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
+        L[i] = (int8_t)l;
+        float lf = (float)l;
+        sumlx += (w[i] * x[i]) * lf;
+        suml2 += (w[i] * lf) * lf;
+    }
+    float scale = suml2 != 0 ? sumlx / suml2 : 0.f;
+    float best = scale * sumlx;
+    for (int is = -9; is <= 9; ++is) {
+        if (is == 0) continue;
+        iscale = -((float)nmax + 0.1f * (float)is) / maxv;
+        float sl = 0, s2 = 0;
+        for (int i = 0; i < n; ++i) {
+            int l = nearest_int(iscale * x[i]);
+            l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
+            l2[i] = (int8_t)l;
+            float lf = (float)l;
+            sl += (w[i] * x[i]) * lf;
+            s2 += (w[i] * lf) * lf;
+        }
+        if (s2 > 0 && sl * sl > best * s2) {
+            for (int i = 0; i < n; ++i) L[i] = l2[i];
+            scale = sl / s2;
+            best = scale * sl;
+        }
+    }
+    for (int i = 0; i < n; ++i) Lout[i] = (int8_t)(L[i] + nmax);
+    return scale;
+}
+
 inline void get_scale_min_k4(int j, const uint8_t* q, uint8_t* sc,
                              uint8_t* m) {
     if (j < 4) {
@@ -220,16 +269,23 @@ void qkx_weights_32(const float* xb, float* wout) {
     }
 }
 
-// shared q4_K/q5_K block body (they differ only in nmax/rmin/nstep + pack)
-void quant_k45_block(const float* xb, int nmax, float rmin, int nstep,
+// shared q4_K/q5_K block body (they differ only in nmax/rmin/nstep + pack);
+// `ext_weights` non-null = imatrix path (reference *_impl with
+// quant_weights: rmin -0.9, rdelta 0.05, nstep 36)
+void quant_k45_block(const float* xb, int nmax, float rmin, float rdelta,
+                     int nstep, const float* ext_weights,
                      uint8_t* Lq /*[256]*/, uint8_t* scales12,
                      uint16_t* d16, uint16_t* dmin16, uint8_t* Lfinal) {
-    float weights[256];
-    qkx_weights_32(xb, weights);
+    float wbuf[256];
+    const float* weights = ext_weights;
+    if (weights == nullptr) {
+        qkx_weights_32(xb, wbuf);
+        weights = wbuf;
+    }
     float scales[8], mins[8];
     for (int g = 0; g < 8; ++g)
         scales[g] = make_qkx2(xb + 32 * g, weights + 32 * g, 32, nmax, rmin,
-                              0.1f, nstep, false, Lq + 32 * g, &mins[g]);
+                              rdelta, nstep, false, Lq + 32 * g, &mins[g]);
     float max_scale = scales[0], max_min = mins[0];
     for (int g = 1; g < 8; ++g) {
         if (scales[g] > max_scale) max_scale = scales[g];
@@ -358,8 +414,8 @@ void quant_q4_K(const float* x, int64_t nb, uint8_t* out) {
         const float* xb = x + b * QK_K;
         uint8_t* o = out + b * 144;
         uint8_t Lq[256], L[256];
-        quant_k45_block(xb, 15, -1.f, 20, Lq, o + 4, (uint16_t*)o,
-                        (uint16_t*)(o + 2), L);
+        quant_k45_block(xb, 15, -1.f, 0.1f, 20, nullptr, Lq, o + 4,
+                        (uint16_t*)o, (uint16_t*)(o + 2), L);
         uint8_t* qs = o + 16;
         for (int n = 0; n < 4; ++n)
             for (int i = 0; i < 32; ++i)
@@ -376,8 +432,8 @@ void quant_q5_K(const float* x, int64_t nb, uint8_t* out) {
         const float* xb = x + b * QK_K;
         uint8_t* o = out + b * 176;
         uint8_t Lq[256], L[256];
-        quant_k45_block(xb, 31, -0.5f, 15, Lq, o + 4, (uint16_t*)o,
-                        (uint16_t*)(o + 2), L);
+        quant_k45_block(xb, 31, -0.5f, 0.1f, 15, nullptr, Lq, o + 4,
+                        (uint16_t*)o, (uint16_t*)(o + 2), L);
         uint8_t* qh = o + 16;
         uint8_t* qs = o + 48;
         std::memset(qh, 0, 32);
@@ -588,6 +644,156 @@ void quant_q3_K(const float* x, int64_t nb, uint8_t* out) {
                               (L2[128 * h + 96 + i] << 6));
     }
     });
+}
+
+// -- imatrix-weighted entry points (reference quantize_row_*_impl with
+// quant_weights; qw has n_per_row entries, reused for every row) ----------
+
+// block_q4_0 weighted: rows of n_per_row; w = qw * sqrt(sigma2_row + x^2)
+void quant_q4_0_w(const float* x, const float* qw, int64_t n_rows,
+                  int64_t n_per_row, uint8_t* out) {
+    int64_t bpr = n_per_row / 32;
+    parallel_blocks(n_rows, [=](int64_t r0, int64_t r1) {
+    std::vector<float> w(32);
+    for (int64_t r = r0; r < r1; ++r) {
+        const float* xr = x + r * n_per_row;
+        float sum2 = 0;
+        for (int64_t i = 0; i < n_per_row; ++i) sum2 += xr[i] * xr[i];
+        float sigma2 = sum2 / (float)n_per_row;
+        for (int64_t g = 0; g < bpr; ++g) {
+            const float* xg = xr + 32 * g;
+            for (int i = 0; i < 32; ++i)
+                w[i] = qw[32 * g + i] * sqrtf(sigma2 + xg[i] * xg[i]);
+            int8_t L[32];
+            float d = make_qx_w(xg, w.data(), 32, 8, L);
+            uint8_t* o = out + (r * bpr + g) * 18;
+            uint16_t d16 = fp32_to_fp16(d);
+            std::memcpy(o, &d16, 2);
+            for (int i = 0; i < 16; ++i)
+                o[2 + i] = (uint8_t)((uint8_t)L[i] | ((uint8_t)L[16 + i] << 4));
+        }
+    }
+    });
+}
+
+// block_q6_K weighted: weights are the qw values directly
+void quant_q6_K_w(const float* x, const float* qw, int64_t n_rows,
+                  int64_t n_per_row, uint8_t* out) {
+    int64_t bpr = n_per_row / QK_K;
+    parallel_blocks(n_rows * bpr, [=](int64_t b0, int64_t b1) {
+    for (int64_t b = b0; b < b1; ++b) {
+        const float* xb = x + b * QK_K;
+        const float* qwb = qw + (b % bpr) * QK_K;
+        uint8_t* o = out + b * 210;
+        int8_t Lq[256];
+        float scales[16];
+        for (int g = 0; g < 16; ++g)
+            scales[g] = make_qx_w(xb + 16 * g, qwb + 16 * g, 16, 32,
+                                  Lq + 16 * g);
+        float amax = 0, max_scale = 0;
+        for (int g = 0; g < 16; ++g) {
+            float ax = fabsf(scales[g]);
+            if (ax > amax) { amax = ax; max_scale = scales[g]; }
+        }
+        if (amax < GROUP_MAX_EPS) {
+            std::memset(o, 0, 210);
+            continue;
+        }
+        float iscale = -128.f / max_scale;
+        uint16_t d16 = fp32_to_fp16(1.f / iscale);
+        float d = fp16_to_fp32(d16);
+        int8_t* sc8 = (int8_t*)(o + 192);
+        for (int g = 0; g < 16; ++g) {
+            int l = nearest_int(iscale * scales[g]);
+            sc8[g] = (int8_t)(l > 127 ? 127 : l);
+        }
+        uint8_t L[256];
+        for (int g = 0; g < 16; ++g) {
+            float dd = d * (float)sc8[g];
+            for (int i = 0; i < 16; ++i) {
+                if (dd == 0) {
+                    L[16 * g + i] = (uint8_t)Lq[16 * g + i];
+                } else {
+                    int l = nearest_int(xb[16 * g + i] / dd);
+                    l = l < -32 ? -32 : (l > 31 ? 31 : l);
+                    L[16 * g + i] = (uint8_t)(l + 32);
+                }
+            }
+        }
+        uint8_t* ql = o;
+        uint8_t* qh = o + 128;
+        for (int h = 0; h < 2; ++h) {
+            const uint8_t* Lh = L + 128 * h;
+            for (int i = 0; i < 32; ++i) {
+                uint8_t q1 = Lh[i], q2 = Lh[32 + i], q3 = Lh[64 + i],
+                        q4 = Lh[96 + i];
+                ql[64 * h + i] = (uint8_t)((q1 & 0x0F) | ((q3 & 0x0F) << 4));
+                ql[64 * h + 32 + i] =
+                    (uint8_t)((q2 & 0x0F) | ((q4 & 0x0F) << 4));
+                qh[32 * h + i] = (uint8_t)((q1 >> 4) | ((q2 >> 4) << 2) |
+                                           ((q3 >> 4) << 4) | ((q4 >> 4) << 6));
+            }
+        }
+        std::memcpy(o + 208, &d16, 2);
+    }
+    });
+}
+
+// q4_K/q5_K weighted: sigma2 = 2*sum(row^2)/QK_K per row; qkx2 with
+// rmin -0.9, rdelta 0.05, nstep 36 (oracle _quant_k4_with_weights)
+static void quant_k45_w(const float* x, const float* qw, int64_t n_rows,
+                        int64_t n_per_row, uint8_t* out, int nmax) {
+    int64_t bpr = n_per_row / QK_K;
+    int bs = nmax == 15 ? 144 : 176;
+    parallel_blocks(n_rows, [=](int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; ++r) {
+        const float* xr = x + r * n_per_row;
+        float sum2 = 0;
+        for (int64_t i = 0; i < n_per_row; ++i) sum2 += xr[i] * xr[i];
+        float sigma2 = 2.f * sum2 / (float)QK_K;
+        for (int64_t blk = 0; blk < bpr; ++blk) {
+            const float* xb = xr + blk * QK_K;
+            const float* qwb = qw + blk * QK_K;
+            float weights[256];
+            for (int i = 0; i < 256; ++i)
+                weights[i] = qwb[i] * sqrtf(sigma2 + xb[i] * xb[i]);
+            uint8_t* o = out + (r * bpr + blk) * bs;
+            uint8_t Lq[256], L[256];
+            quant_k45_block(xb, nmax, -0.9f, 0.05f, 36, weights, Lq, o + 4,
+                            (uint16_t*)o, (uint16_t*)(o + 2), L);
+            if (nmax == 15) {
+                uint8_t* qs = o + 16;
+                for (int n = 0; n < 4; ++n)
+                    for (int i = 0; i < 32; ++i)
+                        qs[32 * n + i] = (uint8_t)(L[64 * n + i] |
+                                                   (L[64 * n + 32 + i] << 4));
+            } else {
+                uint8_t* qh = o + 16;
+                uint8_t* qs = o + 48;
+                std::memset(qh, 0, 32);
+                for (int n = 0; n < 4; ++n) {
+                    for (int i = 0; i < 32; ++i) {
+                        uint8_t a = L[64 * n + i], c = L[64 * n + 32 + i];
+                        qs[32 * n + i] =
+                            (uint8_t)((a & 0x0F) | ((c & 0x0F) << 4));
+                        qh[i] |= (uint8_t)(((a >> 4) & 1) << (2 * n));
+                        qh[i] |= (uint8_t)(((c >> 4) & 1) << (2 * n + 1));
+                    }
+                }
+            }
+        }
+    }
+    });
+}
+
+void quant_q4_K_w(const float* x, const float* qw, int64_t n_rows,
+                  int64_t n_per_row, uint8_t* out) {
+    quant_k45_w(x, qw, n_rows, n_per_row, out, 15);
+}
+
+void quant_q5_K_w(const float* x, const float* qw, int64_t n_rows,
+                  int64_t n_per_row, uint8_t* out) {
+    quant_k45_w(x, qw, n_rows, n_per_row, out, 31);
 }
 
 }  // extern "C"

@@ -19,6 +19,13 @@ _FNS = {
     "Q6_K": ("quant_q6_K", 210),
 }
 
+_WFNS = {
+    "Q4_0": ("quant_q4_0_w", 18, 32),
+    "Q4_K": ("quant_q4_K_w", 144, 256),
+    "Q5_K": ("quant_q5_K_w", 176, 256),
+    "Q6_K": ("quant_q6_K_w", 210, 256),
+}
+
 _lib = None
 _tried = False
 
@@ -37,6 +44,13 @@ def _load():
         for fname, _ in _FNS.values():
             fn = getattr(lib, fname)
             fn.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                           ctypes.POINTER(ctypes.c_uint8)]
+            fn.restype = None
+        for fname, _, _ in _WFNS.values():
+            fn = getattr(lib, fname)
+            fn.argtypes = [ctypes.POINTER(ctypes.c_float),
+                           ctypes.POINTER(ctypes.c_float),
+                           ctypes.c_int64, ctypes.c_int64,
                            ctypes.POINTER(ctypes.c_uint8)]
             fn.restype = None
     _lib = lib
@@ -61,5 +75,31 @@ def quantize_native(x: np.ndarray, kind) -> np.ndarray | None:
     getattr(lib, fname)(
         xf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int64(nb),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+def quantize_weighted_native(x: np.ndarray, qw: np.ndarray, kind,
+                             n_per_row: int) -> np.ndarray | None:
+    """imatrix-weighted encode (reference quantize_row_*_impl with
+    quant_weights). Returns packed bytes or None when unavailable."""
+    name = getattr(kind, "name", str(kind))
+    if name not in _WFNS:
+        return None
+    lib = _load()
+    if lib is None:
+        return None
+    fname, bs, block = _WFNS[name]
+    xf = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
+    if (xf.size % n_per_row or n_per_row % block
+            or qw.size != n_per_row):
+        return None
+    n_rows = xf.size // n_per_row
+    qwf = np.ascontiguousarray(qw, dtype=np.float32).reshape(-1)
+    out = np.empty(xf.size // block * bs, dtype=np.uint8)
+    getattr(lib, fname)(
+        xf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        qwf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(n_rows), ctypes.c_int64(n_per_row),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out

@@ -2039,6 +2039,16 @@ def quantize_weighted(
     if qw is None:
         return quantize(x, ggml_type)
     qw = np.ascontiguousarray(qw, dtype=np.float32)
+    if ggml_type in (GGMLType.Q4_0, GGMLType.Q4_K, GGMLType.Q5_K,
+                     GGMLType.Q6_K):
+        try:
+            from ..native.kquants_bind import quantize_weighted_native
+
+            out = quantize_weighted_native(x, qw, ggml_type, n_per_row)
+            if out is not None:
+                return out
+        except Exception:  # noqa: BLE001 — oracle fallback below
+            pass
     if ggml_type == GGMLType.Q4_0:
         return quant_q4_0_weighted(x, qw, n_per_row)
     if ggml_type == GGMLType.Q6_K:

@@ -62,3 +62,38 @@ def test_quantize_dispatch_uses_native(native_ok, monkeypatch):
     a = np.asarray(quantize(x, GGMLType.Q4_K)).view(np.uint8).reshape(-1)
     b = np.asarray(_oracle(x, GGMLType.Q4_K)).view(np.uint8).reshape(-1)
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("kind", [GGMLType.Q4_0, GGMLType.Q4_K,
+                                  GGMLType.Q5_K, GGMLType.Q6_K])
+def test_weighted_native_matches_oracle(native_ok, kind, monkeypatch):
+    """imatrix-weighted encoders byte-identical to the numpy weighted
+    oracle (reference quantize_row_*_impl with quant_weights)."""
+    from llama_cpp_dsp_tpu.native.kquants_bind import quantize_weighted_native
+
+    rng = np.random.default_rng(3)
+    n_per_row = 512
+    x = (rng.standard_normal((6, n_per_row)) * 0.3).astype(np.float32)
+    qw = (rng.random(n_per_row) + 0.01).astype(np.float32)
+    got = quantize_weighted_native(x, qw, kind, n_per_row)
+    assert got is not None
+    monkeypatch.setenv("LLAMA_TPU_NO_NATIVE_QUANT", "1")
+    import importlib
+
+    from llama_cpp_dsp_tpu.quant import ref_numpy as rn
+    if kind == GGMLType.Q4_0:
+        want = rn.quant_q4_0_weighted(x, qw, n_per_row)
+    elif kind == GGMLType.Q6_K:
+        want = rn.quant_q6_K_weighted(x, qw, n_per_row)
+    else:
+        nmax = 15 if kind == GGMLType.Q4_K else 31
+        rows = x.reshape(-1, n_per_row)
+        sigma2 = np.float32(2) * rn._seqsum(rows * rows) / np.float32(256)
+        xg = x.reshape(-1, 32)
+        qwg = np.tile(qw.reshape(-1), rows.shape[0])[: xg.size].reshape(-1, 32)
+        sig = np.repeat(sigma2, n_per_row // 32)
+        weights = qwg * np.sqrt(sig[:, None] + xg * xg).astype(np.float32)
+        want = rn._quant_k4_with_weights(x, weights, kind, nmax)
+    np.testing.assert_array_equal(
+        np.asarray(got).view(np.uint8).reshape(-1),
+        np.asarray(want).view(np.uint8).reshape(-1), err_msg=kind.name)
