@@ -379,11 +379,15 @@ def _bench_tp(args, cfg) -> int:
         float(np.asarray(logits[0, 0, 0]))
         dt = time.perf_counter() - t0
     tps = args.steps * args.batch / dt
+    # tp runs have no published reference row at batch>1; the single-stream
+    # per-config bars apply only when the workload matches a BASELINE row.
+    tp_bar = (BASELINE_ROWS.get((args.model, args.qtype, args.steps))
+              if args.batch == 1 else None)
     print(json.dumps({
         "metric": f"decode tokens/s ({args.model} {qtype.name}, tg{args.steps}, tp={tp})",
         "value": round(tps, 2),
         "unit": "tokens/s",
-        "vs_baseline": round(tps / BASELINE_TOKS, 4),
+        "vs_baseline": round(tps / tp_bar, 4) if tp_bar else 0.0,
     }))
     return 0
 

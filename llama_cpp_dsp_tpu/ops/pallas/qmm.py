@@ -34,6 +34,11 @@ import os as _os
 #   splat → one-lane broadcast instead of the mod-G repeat (keeps the
 #           per-element multiply, drops the repeat)
 _ABLATE_SCALE = _os.environ.get("LLAMA_TPU_ABLATE_SCALE", "")
+# one-hot-dot expansion of narrow misaligned scale vectors: measured a 7%
+# REGRESSION on 13B tg128 (74.84 → 69.5 t/s on chip) vs the lane-rotate
+# repeat it replaced — the MXU dot serializes against the dequant VPU work
+# instead of hiding under it. Opt-in for future A/Bs.
+_EDOT_EXPAND = _os.environ.get("LLAMA_TPU_EDOT_EXPAND") == "1"
 
 
 def _expand_raw(s, factor: int):
@@ -63,7 +68,8 @@ def _expand(s, factor: int):
     # small outputs only: the dot costs TN·g·(g·factor) MACs — fine for the
     # split-G tails (≤768 lanes out) but a regression for Q4_K's 64-lane
     # planes at factor 32 (2048 lanes → 67M MACs per plane per block)
-    if g % 128 and g < 128 and g * factor <= 1024 and not _interpret_mode():
+    if (_EDOT_EXPAND and g % 128 and g < 128 and g * factor <= 1024
+            and not _interpret_mode()):
         out = g * factor
         ri = jax.lax.broadcasted_iota(jnp.int32, (g, out), 0)
         ci = jax.lax.broadcasted_iota(jnp.int32, (g, out), 1)
