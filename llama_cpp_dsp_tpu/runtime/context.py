@@ -77,6 +77,13 @@ def convert_params_to_kernel(params: dict) -> dict:
         relayout, models/llama.ffn_dense). Exact: rows are independent
         blocks; padded rows produce silu(0)·0 = 0 at the down layout's
         zero-padded positions."""
+        # OPT-IN (LLAMA_TPU_FUSED_FFN=1): on-chip A/B read 7B Q4_0 tg128
+        # at 136.24 t/s fused vs 142.25 unfused — the x2-permuted gate_up
+        # output costs more than the down-proj relayout it saves. The
+        # mega-FFN kernel (LLAMA_TPU_MEGA_FFN=1) rides this path and
+        # therefore also requires the opt-in.
+        if os.environ.get("LLAMA_TPU_FUSED_FFN") != "1":
+            return None
         if os.environ.get("LLAMA_TPU_NO_FUSED_FFN"):
             return None
         down = layer.get("ffn_down")

@@ -153,7 +153,11 @@ def _():
     cfg = synth_config("llama", n_embd=256, n_heads=4, n_kv_heads=2,
                        head_dim=128, n_ff=512, n_vocab=256)
     params = synth_params(cfg, GGMLType.Q4_0, seed=2, tie=False)
-    kparams = convert_params_to_kernel(params)
+    os.environ["LLAMA_TPU_FUSED_FFN"] = "1"  # x2 packing is opt-in now
+    try:
+        kparams = convert_params_to_kernel(params)
+    finally:
+        del os.environ["LLAMA_TPU_FUSED_FFN"]
     rng = np.random.default_rng(11)
     toks = jnp.asarray(rng.integers(0, 256, (1, 1)), jnp.int32)
     pos = jnp.zeros((1, 1), jnp.int32)

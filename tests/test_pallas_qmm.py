@@ -239,7 +239,8 @@ def test_qmm_split_g_layout(kind, k, rng):
 
 
 @pytest.mark.parametrize("kind", [GGMLType.Q4_0, GGMLType.Q4_1])
-def test_fused_ffn_x2_forward_parity(rng, kind):
+def test_fused_ffn_x2_forward_parity(rng, kind, monkeypatch):
+    monkeypatch.setenv("LLAMA_TPU_FUSED_FFN", "1")
     """Fused-FFN row permutation (ffn_gateup_x2 + qmm x_is_x2): gate/up
     rows packed in the down-proj's activation order must match the XLA
     QTensor path end to end (decode T=1 and prefill T=24)."""
@@ -270,6 +271,8 @@ def test_fused_ffn_x2_forward_parity(rng, kind):
 
 
 def test_fused_ffn_x2_opt_out(rng, monkeypatch):
+    # the hard-off knob wins even when the opt-in is also set
+    monkeypatch.setenv("LLAMA_TPU_FUSED_FFN", "1")
     monkeypatch.setenv("LLAMA_TPU_NO_FUSED_FFN", "1")
     from llama_cpp_dsp_tpu.models.registry import synth_config
     from llama_cpp_dsp_tpu.runtime.context import convert_params_to_kernel
@@ -286,6 +289,7 @@ def test_mega_ffn_kernel_parity(rng, monkeypatch):
     """One-call FFN megakernel (qmm_ffn_fused): matches the 2-call
     ffn_gateup_x2 path exactly on the same converted weights."""
     monkeypatch.setenv("LLAMA_TPU_MEGA_FFN", "1")
+    monkeypatch.setenv("LLAMA_TPU_FUSED_FFN", "1")
     from llama_cpp_dsp_tpu.models.llama import forward
     from llama_cpp_dsp_tpu.models.registry import synth_config
     from llama_cpp_dsp_tpu.runtime.context import convert_params_to_kernel
