@@ -68,8 +68,7 @@ def _expand(s, factor: int):
     # small outputs only: the dot costs TN·g·(g·factor) MACs — fine for the
     # split-G tails (≤768 lanes out) but a regression for Q4_K's 64-lane
     # planes at factor 32 (2048 lanes → 67M MACs per plane per block)
-    if (_EDOT_EXPAND and g % 128 and g < 128 and g * factor <= 1024
-            and not _interpret_mode()):
+    if _EDOT_EXPAND and g % 128 and g < 128 and g * factor <= 1024:
         out = g * factor
         ri = jax.lax.broadcasted_iota(jnp.int32, (g, out), 0)
         ci = jax.lax.broadcasted_iota(jnp.int32, (g, out), 1)

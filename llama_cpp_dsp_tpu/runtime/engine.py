@@ -117,12 +117,17 @@ class Engine:
         n_draft: int = 8,
         p_min: float = 0.75,
         tp: int = 1,  # tensor-parallel serving (see LlamaContext tp)
-        decode_chunk: int = 1,  # >1: scan N decode steps per dispatch when
-        # all slots are generating on the device sampler (throughput mode;
-        # streamed tokens arrive in bursts of N)
+        decode_chunk: int | None = None,  # >1: scan N decode steps per
+        # dispatch when all slots are generating on the device sampler
+        # (streamed tokens arrive in bursts of N). None = auto: 8 on TPU
+        # (kills the ~1 ms/token host dispatch — the B=1 serving path was
+        # 4x slower than the CLI without it), 1 elsewhere (CPU test
+        # compiles of the scan body are minutes on one core)
     ):
         self.kv_layout = kv_layout
         self.context_shift = context_shift
+        if decode_chunk is None:
+            decode_chunk = 8 if jax.devices()[0].platform == "tpu" else 1
         self.decode_chunk = max(1, decode_chunk)
         from .context import _convert_to_kernel_weights
 

@@ -562,19 +562,122 @@ def _q4_1_quant(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     return q.reshape(x.shape).astype(jnp.uint8), d, mn
 
 
-def _q4_1_deq_plane(qs: jax.Array, d: jax.Array, m: jax.Array) -> jax.Array:
-    """(byte plane [..., S/2, D], parity-major d/m [..., 2G, S/2]) →
-    [..., S, D] bf16: value = code·d + m."""
-    codes = (_q4_unpack_rows(qs) + 8).astype(jnp.float32)  # [..., S, D] 0..15
-    dr, mr = _parity_to_rows(d), _parity_to_rows(m)
-    grp = codes.reshape(*codes.shape[:-1], dr.shape[-1],
-                        codes.shape[-1] // dr.shape[-1])
-    out = grp * dr[..., None] + mr[..., None]
-    return out.reshape(codes.shape).astype(jnp.bfloat16)
+def _q5_0_quant(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[..., D] → (codes u8 ∈[0,31], d f32 [..., G]): reference
+    quantize_row_q5_0_ref per 32-group (ggml-quants.c): d = signed_max/−16,
+    q = floor(x/d + 16.5) ∈ [0,31]; value = (q−16)·d."""
+    xf = x.astype(jnp.float32)
+    g = _q4_groups(x.shape[-1])
+    xg = xf.reshape(*x.shape[:-1], g, x.shape[-1] // g)
+    i = jnp.argmax(jnp.abs(xg), axis=-1, keepdims=True)
+    mx = jnp.take_along_axis(xg, i, -1)
+    d = (mx / -16.0)[..., 0]
+    inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+    q = jnp.clip(jnp.floor(xg * inv[..., None] + 16.5), 0, 31)
+    return q.reshape(x.shape).astype(jnp.uint8), d
+
+
+def _q5_1_quant(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """[..., D] → (codes u8 ∈[0,31], d, m): reference quantize_row_q5_1_ref
+    per 32-group: d = (max−min)/31, m = min, q = floor((x−m)/d + 0.5);
+    value = q·d + m."""
+    xf = x.astype(jnp.float32)
+    g = _q4_groups(x.shape[-1])
+    xg = xf.reshape(*x.shape[:-1], g, x.shape[-1] // g)
+    mn = jnp.min(xg, axis=-1)
+    mx = jnp.max(xg, axis=-1)
+    d = (mx - mn) / 31.0
+    inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+    q = jnp.clip(jnp.floor((xg - mn[..., None]) * inv[..., None] + 0.5), 0, 31)
+    return q.reshape(x.shape).astype(jnp.uint8), d, mn
+
+
+def _iq4nl_quant(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[..., D] → (codes u8 ∈[0,15], d f32 [..., G]): iq4_nl nonlinear
+    codebook per 32-group (ggml-quants.c kvalues_iq4nl). Fast path for KV
+    writes: d = signed_max/−127 (kvalues[0]) + nearest-codebook assignment;
+    the reference's offline ±ntry scale refine is skipped (the refine is a
+    weight-quantization nicety; KV rows are quantized once per token)."""
+    from ..quant.ref_numpy import KVALUES_IQ4NL
+
+    xf = x.astype(jnp.float32)
+    g = _q4_groups(x.shape[-1])
+    xg = xf.reshape(*x.shape[:-1], g, x.shape[-1] // g)
+    i = jnp.argmax(jnp.abs(xg), axis=-1, keepdims=True)
+    mx = jnp.take_along_axis(xg, i, -1)
+    d = (mx / -127.0)[..., 0]
+    inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+    scaled = xg * inv[..., None]
+    lut = jnp.asarray(KVALUES_IQ4NL, jnp.float32)
+    codes = jnp.argmin(jnp.abs(scaled[..., None] - lut), axis=-1)
+    return codes.reshape(x.shape).astype(jnp.uint8), d
+
+
+def _pack_bit_plane(bits: jax.Array) -> jax.Array:
+    """[..., D] 0/1 → [..., D/8] u8 (bit e%8 of byte e//8 holds elem e)."""
+    shp = bits.shape
+    b8 = bits.astype(jnp.int32).reshape(*shp[:-1], shp[-1] // 8, 8)
+    w = (1 << jnp.arange(8, dtype=jnp.int32))
+    return jnp.sum(b8 * w, axis=-1).astype(jnp.uint8)
+
+
+def _unpack_bit_plane(qh: jax.Array) -> jax.Array:
+    """[..., D/8] u8 → [..., D] int32 0/1 (inverse of _pack_bit_plane)."""
+    bits = (qh[..., None].astype(jnp.int32) >> jnp.arange(8)) & 1
+    return bits.reshape(*qh.shape[:-1], qh.shape[-1] * 8)
 
 
 _DENSE_DTYPES = {"f32": jnp.float32, "f16": jnp.float16, "bf16": jnp.bfloat16}
-KV_PLANE_FORMATS = ("f32", "f16", "bf16", "q8_0", "q4_0", "q4_1")
+# nibble-plane formats: row-pair packed low 4 bits + parity-major scales
+# (+ optional 5th-bit plane 'qh' and per-group min 'm')
+_PACKED_KV_FORMATS = ("q4_0", "q4_1", "q5_0", "q5_1", "iq4_nl")
+KV_PLANE_FORMATS = ("f32", "f16", "bf16", "q8_0") + _PACKED_KV_FORMATS
+
+
+def _plane_rowquant(fmt: str, x: jax.Array) -> dict:
+    """[..., D] dense rows → per-row plane fields for the packed formats:
+    'q' low-nibble codes u8 [..., D], 'd' scales [..., G], optional 'm'
+    mins [..., G], optional 'qh' 5th-bit plane u8 [..., D/8]."""
+    if fmt == "q4_0":
+        q, d = _q4_quant(x)
+        return {"q": q, "d": d}
+    if fmt == "q4_1":
+        q, d, m = _q4_1_quant(x)
+        return {"q": q, "d": d, "m": m}
+    if fmt == "iq4_nl":
+        q, d = _iq4nl_quant(x)
+        return {"q": q, "d": d}
+    if fmt == "q5_0":
+        q, d = _q5_0_quant(x)
+        return {"q": (q & 15).astype(jnp.uint8),
+                "qh": _pack_bit_plane(q >> 4), "d": d}
+    q, d, m = _q5_1_quant(x)
+    return {"q": (q & 15).astype(jnp.uint8),
+            "qh": _pack_bit_plane(q >> 4), "d": d, "m": m}
+
+
+def _packed_deq_plane(fmt: str, arrs: dict, i: int) -> jax.Array:
+    """One layer of a packed nibble plane → dequantized [B, Hkv, S, D]
+    bf16 (XLA attention path)."""
+    from ..quant.ref_numpy import KVALUES_IQ4NL
+
+    codes = _q4_unpack_rows(arrs["qs"][i]) + 8  # [..., S, D] raw 0..15
+    if "qh" in arrs:
+        qh_rows = _unpack_bit_plane(arrs["qh"][i])
+        codes = codes + (qh_rows << 4)  # 0..31
+    dr = _parity_to_rows(arrs["d"][i])
+    g = dr.shape[-1]
+    if fmt == "iq4_nl":
+        vals = jnp.asarray(KVALUES_IQ4NL, jnp.float32)[codes]
+    elif fmt in ("q4_1", "q5_1"):
+        vals = codes.astype(jnp.float32)
+    else:
+        vals = (codes - (8 if fmt == "q4_0" else 16)).astype(jnp.float32)
+    vg = vals.reshape(*vals.shape[:-1], g, vals.shape[-1] // g)
+    out = vg * dr[..., None]
+    if "m" in arrs:
+        out = out + _parity_to_rows(arrs["m"][i])[..., None]
+    return out.reshape(vals.shape).astype(jnp.bfloat16)
 
 
 def _plane_create(fmt, n_layers, n_batch, n_ctx, n_kv_heads, head_dim):
@@ -587,21 +690,26 @@ def _plane_create(fmt, n_layers, n_batch, n_ctx, n_kv_heads, head_dim):
         dshape = (n_batch, n_kv_heads, 1, n_ctx)
         return {"qs": tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layers)),
                 "d": tuple(jnp.zeros(dshape, jnp.float32) for _ in range(n_layers))}
-    if fmt in ("q4_0", "q4_1"):
+    if fmt in _PACKED_KV_FORMATS:
         assert n_ctx % 2 == 0, n_ctx
         shape = (n_batch, n_kv_heads, n_ctx // 2, head_dim)
         dshape = (n_batch, n_kv_heads, 2 * _q4_groups(head_dim), n_ctx // 2)
         out = {"qs": tuple(jnp.zeros(shape, jnp.uint8) for _ in range(n_layers)),
                "d": tuple(jnp.zeros(dshape, jnp.float32) for _ in range(n_layers))}
-        if fmt == "q4_1":
+        if fmt in ("q4_1", "q5_1"):
             out["m"] = tuple(jnp.zeros(dshape, jnp.float32)
                              for _ in range(n_layers))
+        if fmt in ("q5_0", "q5_1"):
+            assert head_dim % 8 == 0, head_dim
+            hshape = (n_batch, n_kv_heads, n_ctx, head_dim // 8)
+            out["qh"] = tuple(jnp.zeros(hshape, jnp.uint8)
+                              for _ in range(n_layers))
         return out
     raise ValueError(f"unknown KV plane format {fmt!r}")
 
 
 def _plane_capacity(fmt, arrs) -> int:
-    if fmt in ("q4_0", "q4_1"):
+    if fmt in _PACKED_KV_FORMATS:
         return arrs["qs"][0].shape[2] * 2
     return arrs["x" if fmt in _DENSE_DTYPES else "qs"][0].shape[2]
 
@@ -644,13 +752,9 @@ def _plane_write(fmt, arrs, layer, new, offset):
             qs=jax.lax.dynamic_update_slice(ql, qs, (zero, zero, off, zero)),
             d=jax.lax.dynamic_update_slice(dl, d[:, :, None],
                                            (zero, zero, zero, off)))
-    # q4_0 / q4_1 row-pair packed planes
-    if fmt == "q4_0":
-        q, d = _q4_quant(new)
-        extras = {}
-    else:
-        q, d, m = _q4_1_quant(new)
-        extras = {"m": m}
+    # row-pair packed nibble planes (q4_0/q4_1/q5_0/q5_1/iq4_nl)
+    f = _plane_rowquant(fmt, new)
+    q, d = f["q"], f["d"]
     ql, dl = arrs["qs"][layer], arrs["d"][layer]
     s2 = ql.shape[2]
     if off.ndim == 1:
@@ -666,19 +770,27 @@ def _plane_write(fmt, arrs, layer, new, offset):
         news = {"qs": ql.at[bi, :, r2].set(byte, mode="drop"),
                 "d": dl.at[bi[:, None], :, planes, r2[:, None]].set(
                     d[:, :, 0].transpose(0, 2, 1), mode="drop")}
-        for key, val in extras.items():
-            news[key] = arrs[key][layer].at[
+        if "m" in f:
+            news["m"] = arrs["m"][layer].at[
                 bi[:, None], :, planes, r2[:, None]].set(
-                val[:, :, 0].transpose(0, 2, 1), mode="drop")
+                f["m"][:, :, 0].transpose(0, 2, 1), mode="drop")
+        if "qh" in f:
+            news["qh"] = arrs["qh"][layer].at[bi, :, off].set(
+                f["qh"][:, :, 0], mode="drop")
         return _set_layer(arrs, layer, **news)
     qs_new, d_new = Q4KVCache._merge_row(ql, dl, q, d, off)
     news = {"qs": qs_new, "d": d_new}
-    if extras:
+    if "m" in f:
         t = q.shape[2]
         nb = min(t // 2 + 1, s2)
         start2 = jnp.clip(off // 2, 0, s2 - nb)
-        news["m"] = _q4_merge_scales(arrs["m"][layer], extras["m"], start2,
+        news["m"] = _q4_merge_scales(arrs["m"][layer], f["m"], start2,
                                      off - 2 * start2, nb)
+    if "qh" in f:
+        news["qh"] = jax.lax.dynamic_update_slice(
+            arrs["qh"][layer], f["qh"], (jnp.zeros((), jnp.int32),
+                                         jnp.zeros((), jnp.int32), off,
+                                         jnp.zeros((), jnp.int32)))
     return _set_layer(arrs, layer, **news)
 
 
@@ -694,12 +806,8 @@ def _plane_write_packed(fmt, arrs, layer, new, slot_ids, rows, capacity):
             arrs, layer,
             qs=arrs["qs"][layer].at[slot_ids, :, rows].set(qs, mode="drop"),
             d=arrs["d"][layer].at[slot_ids, :, 0, rows].set(d, mode="drop"))
-    if fmt == "q4_0":
-        q, d = _q4_quant(new)
-        extras = {}
-    else:
-        q, d, m = _q4_1_quant(new)
-        extras = {"m": m}
+    f = _plane_rowquant(fmt, new)
+    q, d = f["q"], f["d"]
     ql = arrs["qs"][layer]
     s2 = ql.shape[2]
     r2 = rows // 2
@@ -723,10 +831,13 @@ def _plane_write_packed(fmt, arrs, layer, new, slot_ids, rows, capacity):
             "d": arrs["d"][layer].at[slot_ids[:, None], :, planes,
                                      r2[:, None]].set(
                 d.transpose(0, 2, 1), mode="drop")}
-    for key, val in extras.items():
-        news[key] = arrs[key][layer].at[slot_ids[:, None], :, planes,
+    if "m" in f:
+        news["m"] = arrs["m"][layer].at[slot_ids[:, None], :, planes,
                                         r2[:, None]].set(
-            val.transpose(0, 2, 1), mode="drop")
+            f["m"].transpose(0, 2, 1), mode="drop")
+    if "qh" in f:
+        news["qh"] = arrs["qh"][layer].at[slot_ids, :, rows].set(
+            f["qh"], mode="drop")
     return _set_layer(arrs, layer, **news)
 
 
@@ -737,9 +848,7 @@ def _plane_layer(fmt, arrs, i):
     if fmt == "q8_0":
         return _q8_dequant(arrs["qs"][i], arrs["d"][i][:, :, 0, :],
                            jnp.bfloat16)
-    if fmt == "q4_0":
-        return _q4_deq_plane(arrs["qs"][i], arrs["d"][i])
-    return _q4_1_deq_plane(arrs["qs"][i], arrs["d"][i], arrs["m"][i])
+    return _packed_deq_plane(fmt, arrs, i)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -839,12 +948,13 @@ def _plane_encode_full(fmt, rows: jax.Array) -> dict:
     if fmt == "q8_0":
         qs, d = _q8_quant(rows)
         return {"qs": qs, "d": d[:, :, None, :]}
-    if fmt == "q4_0":
-        q, d = _q4_quant(rows)
-        return {"qs": _q4_pack_rows(q), "d": _rows_to_parity(d)}
-    q, d, m = _q4_1_quant(rows)
-    return {"qs": _q4_pack_rows(q), "d": _rows_to_parity(d),
-            "m": _rows_to_parity(m)}
+    f = _plane_rowquant(fmt, rows)
+    out = {"qs": _q4_pack_rows(f["q"]), "d": _rows_to_parity(f["d"])}
+    if "m" in f:
+        out["m"] = _rows_to_parity(f["m"])
+    if "qh" in f:
+        out["qh"] = f["qh"]
+    return out
 
 
 def _norm_kv_type(t: str) -> str:
@@ -853,13 +963,15 @@ def _norm_kv_type(t: str) -> str:
 
 def make_kv_cache(n_layers, n_batch, n_ctx, n_kv_heads, head_dim,
                   kv_type="bf16", v_type=None):
-    """kv_type/-ctk: 'f32' | 'bf16' | 'f16' | 'q8_0' | 'q4_0' | 'q4_1';
+    """kv_type/-ctk: any of KV_PLANE_FORMATS — the full reference type set
+    (common/arg.cpp:699-708: f32/f16/bf16/q8_0/q4_0/q4_1/q5_0/q5_1/iq4_nl);
     v_type/-ctv defaults to kv_type. Homogeneous f/q8/q4_0 pairs get the
     dedicated fused-kernel cache classes; any other combination (split
-    K/V types, or q4_1) gets a MixedKVCache on the XLA attention path."""
+    K/V types, or q4_1/q5_0/q5_1/iq4_nl) gets a MixedKVCache on the XLA
+    attention path."""
     kv_type = _norm_kv_type(kv_type)
     v_type = _norm_kv_type(v_type or kv_type)
-    if v_type != kv_type or kv_type == "q4_1":
+    if v_type != kv_type or kv_type in ("q4_1", "q5_0", "q5_1", "iq4_nl"):
         return MixedKVCache.create(n_layers, n_batch, n_ctx, n_kv_heads,
                                    head_dim, kv_type, v_type)
     if kv_type == "q8_0":

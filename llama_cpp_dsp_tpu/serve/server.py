@@ -857,10 +857,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="paged = shared-prefix page-aliased KV cache")
     ap.add_argument("--kv-page-size", type=int, default=128)
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
-                    choices=("f32", "bf16", "f16", "q8_0", "q4_0", "q4_1"),
+                    choices=("f32", "bf16", "f16", "q8_0", "q4_0", "q4_1", "q5_0", "q5_1", "iq4_nl"),
                     help="K cache data type (reference --cache-type-k)")
     ap.add_argument("-ctv", "--cache-type-v", default=None,
-                    choices=("f32", "bf16", "f16", "q8_0", "q4_0", "q4_1"),
+                    choices=("f32", "bf16", "f16", "q8_0", "q4_0", "q4_1", "q5_0", "q5_1", "iq4_nl"),
                     help="V cache data type (reference --cache-type-v; "
                          "defaults to -ctk)")
     ap.add_argument("--props", action="store_true",
@@ -874,10 +874,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--chat-template", default=None,
                     help="builtin template name (chatml, llama3, ...) or "
                          "jinja text overriding the model's template")
-    ap.add_argument("--decode-chunk", type=int, default=1,
-                    help=">1: throughput mode — scan N decode steps per "
-                         "device dispatch when all slots are generating "
-                         "(streamed tokens arrive in bursts of N)")
+    ap.add_argument("--decode-chunk", type=int, default=8,
+                    help=">1: scan N decode steps per device dispatch when "
+                         "all slots are generating (streamed tokens arrive "
+                         "in bursts of N; kills the ~1 ms/token host "
+                         "dispatch). 1 = per-token dispatch. Chunking "
+                         "auto-disables while prompt work is pending, in "
+                         "spec mode, and near context boundaries")
     # multi-host SPMD (the reference's rpc-server workflow dissolves into
     # jax.distributed — parallel/distributed.py): every host runs THIS
     # same command; host 0's HTTP endpoint serves

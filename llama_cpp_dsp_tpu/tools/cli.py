@@ -85,10 +85,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-gaw", "--grp-attn-w", type=int, default=512,
                    help="self-extend window (reference --grp-attn-w)")
     p.add_argument("-ctk", "--cache-type-k", default="bf16",
-                   choices=["f32", "f16", "bf16", "q8_0", "q4_0", "q4_1"],
+                   choices=["f32", "f16", "bf16", "q8_0", "q4_0", "q4_1", "q5_0", "q5_1", "iq4_nl"],
                    help="K cache data type (reference --cache-type-k)")
     p.add_argument("-ctv", "--cache-type-v", default=None,
-                   choices=["f32", "f16", "bf16", "q8_0", "q4_0", "q4_1"],
+                   choices=["f32", "f16", "bf16", "q8_0", "q4_0", "q4_1", "q5_0", "q5_1", "iq4_nl"],
                    help="V cache data type (reference --cache-type-v; "
                         "defaults to -ctk; mixed pairs run the XLA "
                         "attention path)")

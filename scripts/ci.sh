@@ -5,8 +5,27 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "== reference binaries (A/B oracle) =="
+# The byte-identity A/B vs the reference binaries is the project's
+# strongest correctness statement; it must not silently decay. Build the
+# persistent in-repo copy when absent, and FAIL if the A/B suites skip.
+REFBIN=${LLAMA_REF_BIN:-$PWD/.refbuild/bin}
+if [ ! -x "$REFBIN/llama-cli" ] || [ ! -x "$REFBIN/llama-server" ]; then
+    echo "reference binaries missing — building (one-time, slow on 1 core)"
+    bash scripts/build_reference.sh "$(dirname "$REFBIN")"
+fi
+test -x "$REFBIN/llama-cli" || { echo "FATAL: reference build failed"; exit 1; }
+export LLAMA_REF_BIN="$REFBIN"
+
 echo "== unit tests =="
 python -m pytest tests/ -q
+
+echo "== reference A/B suites must RUN (no silent skips) =="
+AB_OUT=$(python -m pytest tests/test_reference_ab.py tests/test_server_ab.py -q 2>&1 | tail -2)
+echo "$AB_OUT"
+if echo "$AB_OUT" | grep -qE "skipped|no tests ran"; then
+    echo "FATAL: reference A/B suites skipped — oracle is inert"; exit 1
+fi
 
 TMP=$(mktemp -d)
 trap 'rm -rf "$TMP"' EXIT

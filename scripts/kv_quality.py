@@ -76,8 +76,14 @@ def run_ref(ref_bin, gguf, corpus, base_path, kv: str, kv_v: str | None = None):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    default_bin = next(
+        (c for c in (os.path.join(repo, ".refbuild", "bin"),
+                     "/tmp/refbuild/bin")
+         if os.path.exists(os.path.join(c, "llama-cli"))),
+        os.path.join(repo, ".refbuild", "bin"))
     ap.add_argument("--ref-bin", default=os.environ.get(
-        "LLAMA_REF_BIN", "/tmp/refbuild/bin"))
+        "LLAMA_REF_BIN", default_bin))
     ap.add_argument("--gguf", default="/tmp/kv_quality_f32.gguf")
     args = ap.parse_args()
 
@@ -137,11 +143,13 @@ def main() -> int:
     # per-group min for one-sided V rows) — reference cache-type matrix,
     # common/arg.cpp:699
     for kv, kv_v in (("f32", None), ("bf16", None), ("q8_0", None),
-                     ("q4_0", None), ("q4_1", None),
+                     ("q4_0", None), ("q4_1", None), ("q5_0", None),
+                     ("q5_1", None), ("iq4_nl", None),
                      ("q8_0", "q4_0"), ("q8_0", "q4_1")):
         kl, t1 = run_ours(model, base, tokens, first, kv, bos, kv_v)
         ref_kv = "f16" if kv == "f32" else kv
-        if have_ref and ref_kv in ("q8_0", "q4_0", "q4_1", "f16"):
+        if have_ref and ref_kv in ("q8_0", "q4_0", "q4_1", "q5_0", "q5_1",
+                                   "iq4_nl", "f16"):
             rkl, rt1 = run_ref(args.ref_bin, args.gguf, corpus, base_path,
                                ref_kv, kv_v)
             ref = f"{rkl:.2e} / {rt1 * 100:.1f}%"

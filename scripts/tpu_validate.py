@@ -11,6 +11,8 @@ Checks, in order (each prints PASS/FAIL and continues):
 
 from __future__ import annotations
 
+import contextlib
+import os
 import subprocess
 import sys
 import time
@@ -26,6 +28,21 @@ import numpy as np
 
 print(f"devices: {jax.devices()}", flush=True)
 assert jax.devices()[0].platform == "tpu", "not on TPU"
+
+
+@contextlib.contextmanager
+def _env(key, value):
+    """Set an env var for the block, restoring the caller's prior value."""
+    prev = os.environ.get(key)
+    os.environ[key] = value
+    try:
+        yield
+    finally:
+        if prev is None:
+            os.environ.pop(key, None)
+        else:
+            os.environ[key] = prev
+
 
 results = {}
 
@@ -153,21 +170,15 @@ def _():
     cfg = synth_config("llama", n_embd=256, n_heads=4, n_kv_heads=2,
                        head_dim=128, n_ff=512, n_vocab=256)
     params = synth_params(cfg, GGMLType.Q4_0, seed=2, tie=False)
-    os.environ["LLAMA_TPU_FUSED_FFN"] = "1"  # x2 packing is opt-in now
-    try:
+    with _env("LLAMA_TPU_FUSED_FFN", "1"):  # x2 packing is opt-in now
         kparams = convert_params_to_kernel(params)
-    finally:
-        del os.environ["LLAMA_TPU_FUSED_FFN"]
     rng = np.random.default_rng(11)
     toks = jnp.asarray(rng.integers(0, 256, (1, 1)), jnp.int32)
     pos = jnp.zeros((1, 1), jnp.int32)
     mask = jnp.ones((1, 1, 1), bool)
-    os.environ["LLAMA_TPU_MEGA_FFN"] = "1"
-    try:
+    with _env("LLAMA_TPU_MEGA_FFN", "1"):
         l1, _ = forward(kparams, cfg, toks, pos, mask=mask,
                         compute_dtype=jnp.float32)
-    finally:
-        del os.environ["LLAMA_TPU_MEGA_FFN"]
     l2, _ = forward(kparams, cfg, toks, pos, mask=mask,
                     compute_dtype=jnp.float32)
     err = nmse(np.asarray(l1), np.asarray(l2))
@@ -449,13 +460,12 @@ def _():
         starts = jnp.asarray([0, s // 4], jnp.int32)
         got = np.asarray(flash_decode(q, k, v, lengths, starts,
                                       scale=0.088388))
-        os.environ["LLAMA_TPU_NO_ATTN_ALLH"] = "1"
         flash_decode.clear_cache()
         try:
-            want = np.asarray(flash_decode(q, k, v, lengths, starts,
-                                           scale=0.088388))
+            with _env("LLAMA_TPU_NO_ATTN_ALLH", "1"):
+                want = np.asarray(flash_decode(q, k, v, lengths, starts,
+                                               scale=0.088388))
         finally:
-            del os.environ["LLAMA_TPU_NO_ATTN_ALLH"]
             flash_decode.clear_cache()
         err = nmse(got, want)
         assert err < 1e-9, (hq, hkv, d, s, err)

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import pytest
 
 from llama_cpp_dsp_tpu.runtime.kv_cache import (
-    KVCache, MixedKVCache, Q4KVCache, QuantKVCache, _q4_1_deq_plane,
+    KVCache, MixedKVCache, Q4KVCache, QuantKVCache, _packed_deq_plane,
     _q4_1_quant, make_kv_cache,
 )
 
@@ -26,6 +26,8 @@ def test_make_kv_cache_routing():
 
 @pytest.mark.parametrize("k_fmt,v_fmt", [
     ("q8_0", "q4_0"), ("bf16", "q4_1"), ("q4_1", "q4_1"), ("f32", "q8_0"),
+    ("q5_0", "q5_0"), ("q5_1", "q5_1"), ("iq4_nl", "iq4_nl"),
+    ("q5_0", "iq4_nl"), ("q8_0", "q5_1"),
 ])
 def test_mixed_write_layer_roundtrip(k_fmt, v_fmt):
     rng = np.random.default_rng(3)
@@ -41,7 +43,8 @@ def test_mixed_write_layer_roundtrip(k_fmt, v_fmt):
     vt = v.transpose(0, 2, 1, 3)
     for got, want, fmt in ((kd, kt, k_fmt), (vd, vt, v_fmt)):
         tol = {"f32": 1e-6, "bf16": 0.01, "f16": 1e-3,
-               "q8_0": 0.02, "q4_0": 0.2, "q4_1": 0.2}[fmt]
+               "q8_0": 0.02, "q4_0": 0.2, "q4_1": 0.2,
+               "q5_0": 0.1, "q5_1": 0.1, "iq4_nl": 0.2}[fmt]
         assert np.abs(got - want).max() < tol * np.abs(want).max() * 3, fmt
     # rows outside the write must stay zero
     assert np.asarray(cache.layer(0)[0], np.float32)[:, :, :4].max() == 0
@@ -82,6 +85,56 @@ def test_mixed_write_packed_sibling_rows():
     assert vd[1, :, 15].max() == 0  # OOB row dropped
 
 
+def test_q5_bit_plane_write_paths():
+    """q5_0/q5_1's 5th-bit plane (qh) through all three write paths:
+    scalar-offset prefill, per-slot vector offsets (idle slot dropped),
+    and the packed sibling-row scatter."""
+    rng = np.random.default_rng(7)
+    b, h, s, d, t = 2, 2, 16, 64, 4
+    for fmt in ("q5_0", "q5_1"):
+        cache = MixedKVCache.create(1, b, s, h, d, fmt, fmt)
+        k = rng.standard_normal((b, t, h, d)).astype(np.float32)
+        cache = cache.write(0, jnp.asarray(k), jnp.asarray(k), 2)
+        kd = np.asarray(cache.layer(0)[0], np.float32)
+        kt = k.transpose(0, 2, 1, 3)
+        assert np.abs(kd[:, :, 2:2 + t] - kt).max() < 0.15, fmt
+        # vector offsets: slot 1 idle (off == capacity) must be untouched
+        before = kd.copy()
+        one = rng.standard_normal((b, 1, h, d)).astype(np.float32)
+        cache = cache.write(0, jnp.asarray(one), jnp.asarray(one),
+                            jnp.asarray([6, s], jnp.int32))
+        after = np.asarray(cache.layer(0)[0], np.float32)
+        np.testing.assert_array_equal(after[1], before[1])
+        assert np.abs(after[0, :, 6] - one[0, 0]).max() < 0.15, fmt
+        # packed scatter incl. a sibling byte pair
+        rows_new = rng.standard_normal((3, h, d)).astype(np.float32)
+        cache = cache.write_packed(
+            0, jnp.asarray(rows_new), jnp.asarray(rows_new),
+            jnp.asarray([1, 1, 0], jnp.int32),
+            jnp.asarray([8, 9, 12], jnp.int32))
+        vd = np.asarray(cache.layer(0)[1], np.float32)
+        assert np.abs(vd[1, :, 8] - rows_new[0]).max() < 0.15, fmt
+        assert np.abs(vd[1, :, 9] - rows_new[1]).max() < 0.15, fmt
+        assert np.abs(vd[0, :, 12] - rows_new[2]).max() < 0.15, fmt
+
+
+def test_q5_halves_q4_error():
+    """One extra bit should roughly halve the max quantization error;
+    iq4_nl's nonlinear codebook must beat q4_0 on gaussian data."""
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 8, 2, 64)).astype(np.float32)  # [B,T,H,D]
+
+    def err(fmt):
+        c = MixedKVCache.create(1, 2, 8, 2, 64, fmt, fmt)
+        c = c.write(0, jnp.asarray(x), jnp.asarray(x), 0)
+        return np.abs(np.asarray(c.layer(0)[0], np.float32)
+                      - x.transpose(0, 2, 1, 3)).mean()
+
+    e4, e5, enl = err("q4_0"), err("q5_0"), err("iq4_nl")
+    assert e5 < e4 * 0.62, (e5, e4)
+    assert enl < e4, (enl, e4)
+
+
 def test_q4_1_beats_q4_0_on_biased_data():
     """q4_1's per-group min makes one-sided data (e.g. post-ReLU V rows)
     quantize better than q4_0's symmetric code — the reason -ctv q4_1
@@ -98,9 +151,10 @@ def test_q4_1_beats_q4_0_on_biased_data():
         return (d.reshape(b, h, s // 2, 2, g).transpose(0, 1, 3, 4, 2)
                 .reshape(b, h, 2 * g, s // 2))
 
-    deq1 = np.asarray(_q4_1_deq_plane(
-        _q4_pack_rows(q), parity_major(np.asarray(dsc)),
-        parity_major(np.asarray(m))), np.float32)
+    deq1 = np.asarray(_packed_deq_plane("q4_1", {
+        "qs": (_q4_pack_rows(q),),
+        "d": (jnp.asarray(parity_major(np.asarray(dsc))),),
+        "m": (jnp.asarray(parity_major(np.asarray(m))),)}, 0), np.float32)
     q0, d0 = _q4_quant(jnp.asarray(x))
     deq0 = np.asarray(_q4_deq_plane(_q4_pack_rows(q0), parity_major(
         np.asarray(d0))), np.float32)

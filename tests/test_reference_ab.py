@@ -36,7 +36,20 @@ from model_builder import build_tiny_llama  # noqa: E402
 from llama_cpp_dsp_tpu.gguf.constants import GGMLType  # noqa: E402
 from llama_cpp_dsp_tpu.gguf.reader import GGUFModel  # noqa: E402
 
-REF_BIN = os.environ.get("LLAMA_REF_BIN", "/tmp/refbuild/bin")
+def _ref_bin_dir() -> str:
+    """LLAMA_REF_BIN, else the persistent in-repo build (.refbuild/bin —
+    survives /tmp wipes between sessions), else the legacy /tmp path."""
+    env = os.environ.get("LLAMA_REF_BIN")
+    if env:
+        return env
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cand in (os.path.join(repo, ".refbuild", "bin"), "/tmp/refbuild/bin"):
+        if os.path.exists(os.path.join(cand, "llama-cli")):
+            return cand
+    return os.path.join(repo, ".refbuild", "bin")
+
+
+REF_BIN = _ref_bin_dir()
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(os.path.join(REF_BIN, "llama-cli")),

@@ -25,7 +25,9 @@ from llama_cpp_dsp_tpu.serve.server import Server
 
 from model_builder import build_tiny_llama
 
-REF_BIN = os.environ.get("LLAMA_REF_BIN", "/tmp/refbuild/bin")
+from test_reference_ab import _ref_bin_dir
+
+REF_BIN = _ref_bin_dir()
 REF_SERVER = os.path.join(REF_BIN, "llama-server")
 
 pytestmark = pytest.mark.skipif(
