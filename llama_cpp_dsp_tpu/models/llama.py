@@ -464,15 +464,89 @@ def self_attention(
     # row index used for masking/flash lengths
 ):
     """QKV → rope → cached attention → output proj. Returns (out, cache)."""
+    b, t = x.shape[:2]
+    (h, hkv), d = cfg.layer_heads(layer_idx), cfg.head_dim
+    if flash and t == 1 and tap is None:
+        res = _try_attn_fused(x, layer, cfg, positions, cache, layer_idx,
+                              n_past, rope_positions, h, hkv, d)
+        if res is not None:
+            attn, cache = res
+            attn = attn.reshape(b, 1, h * d).astype(compute_dtype)
+            if cfg.sub_norms:
+                attn = norm(attn, layer, "attn_sub_norm", cfg)
+            return (_psum_tp(_mm(attn, layer, "attn_output", compute_dtype),
+                             cfg), cache)
     q, k, v = _project_qkv(
         x, layer, cfg, positions, rope_positions, layer_idx, compute_dtype, tap
     )
-    b, t = x.shape[:2]
-    (h, hkv), d = cfg.layer_heads(layer_idx), cfg.head_dim
     return _cached_attention(
         q, k, v, layer, cfg, positions, cache, layer_idx, n_past, mask,
         compute_dtype, tap, flash,
     )
+
+
+def _try_attn_fused(x, layer, cfg, positions, cache, layer_idx, n_past,
+                    rope_positions, h, hkv, d):
+    """Single-kernel decode attention (ops/pallas/attn_fused: qkv + rope +
+    KV-write + flash in one pallas_call) for the plain-llama decode shape.
+    Returns (attn [B, H, D] f32, cache') or None to fall back. Opt-in via
+    LLAMA_TPU_FUSED_ATTN=1 until chip-validated."""
+    import os
+
+    if os.environ.get("LLAMA_TPU_FUSED_ATTN") != "1":
+        return None
+    from ..ops.pallas.layouts import KernelWeights
+    from ..runtime.kv_cache import KVCache
+
+    fused = layer.get("attn_qkv_fused")
+    if not isinstance(fused, KernelWeights):
+        return None
+    if "attn_q_bias" in layer or any(
+            layer.get(p + "_lora_a") is not None
+            for p in ("attn_q", "attn_k", "attn_v")):
+        return None
+    if (cfg.clamp_kqv or cfg.qk_norm or cfg.qk_norm_weightless
+            or cfg.attn_temp_scale or cfg.mrope_sections or cfg.n_kv_heads_l
+            or cfg.pos_embd_type != "rope"):
+        return None
+    if cfg.nope_step and (layer_idx + 1) % cfg.nope_step == 0:
+        return None
+    if not (cfg.rope_on_full_layers or cfg.is_swa_layer(layer_idx)):
+        return None
+    rp = _layer_rope(cfg, layer_idx)
+    if rp.mode != "norm" or rp.n_dims != d or d != 128:
+        return None
+    if not isinstance(cache, KVCache) or cache.dtype != jnp.bfloat16:
+        return None
+    if hkv != cfg.kv_cache_heads or h % hkv or cache.capacity % 128:
+        return None
+    from ..ops.pallas.attn_fused import attn_decode_fused
+    from ..ops.rope import _rope_angles
+
+    bsz = x.shape[0]
+    rpos = positions if rope_positions is None else rope_positions
+    cos, sin = _rope_angles(rpos[:, 0], rp, layer.get("rope_freqs"))
+    cs = jnp.repeat(cos, 2, axis=-1).astype(jnp.float32)
+    sn = jnp.repeat(sin, 2, axis=-1).astype(jnp.float32)
+    lengths = positions[:, 0] + 1
+    starts = None
+    if cfg.is_swa_layer(layer_idx):
+        if cfg.attn_chunk:
+            starts = (positions[:, 0] // cfg.attn_chunk) * cfg.attn_chunk
+        else:
+            starts = jnp.maximum(lengths - cfg.swa_window, 0)
+    write_pos = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1),
+                                 (bsz,))
+    scale0 = cfg.attn_scale if cfg.attn_scale else 1.0 / (d**0.5)
+    res = attn_decode_fused(
+        x[:, 0], fused, cache.k[layer_idx], cache.v[layer_idx], cs, sn,
+        lengths, starts, write_pos=write_pos,
+        n_heads=h, n_kv_heads=hkv, scale=float(scale0),
+        softcap=float(cfg.attn_logit_softcap))
+    if res is None:
+        return None
+    attn, k_new, v_new = res
+    return attn, cache._replace_layer(layer_idx, k_new, v_new)
 
 
 def _project_qkv(
