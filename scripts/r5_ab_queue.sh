@@ -24,10 +24,14 @@ B7="python bench.py --model llama2-7b --qtype q4_0 --steps 128"
     LLAMA_TPU_TILE_N_WIDE=1024 LLAMA_TPU_VMEM_BUDGET_MB=18 timeout 2400 $B13
     echo "--- 13B default #3 (interleave) ---"
     timeout 2400 $B13
+    echo "--- 13B FUSED_ATTN=1 (new fused qkv+rope+write+flash kernel) ---"
+    LLAMA_TPU_FUSED_ATTN=1 timeout 2400 $B13
     echo "--- 7B default (headline re-pin) #1 ---"
     timeout 2400 $B7
     echo "--- 7B FUSED_FFN=1 + MEGA_FFN=1 ---"
     LLAMA_TPU_FUSED_FFN=1 LLAMA_TPU_MEGA_FFN=1 timeout 2400 $B7
+    echo "--- 7B FUSED_ATTN=1 ---"
+    LLAMA_TPU_FUSED_ATTN=1 timeout 2400 $B7
     echo "--- 7B default #2 (interleave) ---"
     timeout 2400 $B7
     echo "--- 13B tg512 row (bar 78.08; r03 pinned 63.95 pre-split-G) ---"

@@ -471,6 +471,68 @@ def _():
         assert err < 1e-9, (hq, hkv, d, s, err)
 
 
+@check("attn_decode_fused")
+def _():
+    # round-5 fused qkv+rope+KV-write+flash decode kernel vs the unfused
+    # composition on the production kernel layout (MHA + GQA shapes)
+    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
+    from llama_cpp_dsp_tpu.ops.pallas.attn_fused import attn_decode_fused
+    from llama_cpp_dsp_tpu.ops.pallas.attention import flash_decode
+    from llama_cpp_dsp_tpu.ops.pallas.layouts import to_kernel_layout
+    from llama_cpp_dsp_tpu.ops.pallas.qmm import qmm_fused
+    from llama_cpp_dsp_tpu.ops.qtensor import from_gguf_tensor
+    from llama_cpp_dsp_tpu.ops.rope import RopeParams, _rope_angles, apply_rope
+    from llama_cpp_dsp_tpu.quant import quantize
+
+    rng = np.random.default_rng(17)
+    for b, hq, hkv, k_dim, s_total, n_past in (
+            (1, 8, 8, 1024, 256, 37),     # MHA (7B/13B class)
+            (2, 8, 2, 512, 256, 129)):    # GQA, >1 chunk
+        d = 128
+        n_rows = (hq + 2 * hkv) * d
+        w = (rng.standard_normal((n_rows, k_dim)) * 0.05).astype(np.float32)
+        qt = from_gguf_tensor(quantize(w, GGMLType.Q4_0), GGMLType.Q4_0,
+                              (n_rows, k_dim))
+        kw = to_kernel_layout(qt, tile_k=k_dim)
+        x = (rng.standard_normal((b, k_dim)) * 0.3).astype(np.float32)
+        kc = (rng.standard_normal((b, hkv, s_total, d)) * 0.2)
+        vc = (rng.standard_normal((b, hkv, s_total, d)) * 0.2)
+        kc[:, :, n_past:] = 0
+        vc[:, :, n_past:] = 0
+        kcj = jnp.asarray(kc, jnp.bfloat16)
+        vcj = jnp.asarray(vc, jnp.bfloat16)
+        rp = RopeParams(n_dims=d, mode="norm")
+        pos = jnp.full((b,), n_past, jnp.int32)
+        cos, sin = _rope_angles(pos, rp, None)
+        cs = jnp.repeat(cos, 2, -1).astype(jnp.float32)
+        sn = jnp.repeat(sin, 2, -1).astype(jnp.float32)
+        scale = 1.0 / d**0.5
+        res = attn_decode_fused(jnp.asarray(x), kw, kcj, vcj, cs, sn,
+                                pos + 1, None, n_heads=hq, n_kv_heads=hkv,
+                                scale=scale)
+        assert res is not None
+        out_f, kc_f, vc_f = res
+        qkv = qmm_fused(jnp.asarray(x), kw, tile_b=8, tile_n=256)
+        q = qkv[:, :hq * d].reshape(b, 1, hq, d)
+        kn = qkv[:, hq * d:(hq + hkv) * d].reshape(b, 1, hkv, d)
+        vn = qkv[:, (hq + hkv) * d:].reshape(b, 1, hkv, d)
+        q = apply_rope(q, pos[:, None], rp).astype(jnp.bfloat16)
+        kn = apply_rope(kn, pos[:, None], rp).astype(jnp.bfloat16)
+        bi = jnp.arange(b)
+        kc_u = kcj.at[bi, :, pos].set(kn[:, 0], mode="drop")
+        vc_u = vcj.at[bi, :, pos].set(vn[:, 0].astype(jnp.bfloat16),
+                                      mode="drop")
+        out_u = flash_decode(q[:, 0].astype(jnp.float32), kc_u, vc_u,
+                             pos + 1, None, scale=scale)
+        np.testing.assert_array_equal(np.asarray(kc_f, np.float32),
+                                      np.asarray(kc_u, np.float32))
+        np.testing.assert_array_equal(np.asarray(vc_f, np.float32),
+                                      np.asarray(vc_u, np.float32))
+        err = np.abs(np.asarray(out_f, np.float32).reshape(b, hq, d)
+                     - np.asarray(out_u, np.float32)).max()
+        assert err < 2e-2, (b, hq, hkv, err)
+
+
 if "--skip-bench" not in sys.argv:
     for args in (["--steps", "32"], ["--pp", "512"], ["--batch", "4", "--steps", "32"]):
         print(f"bench {args}:", flush=True)
