@@ -45,7 +45,8 @@ NEG_INF = float("-inf")
 def _roll_lanes(x, shift: int):
     if _interpret_mode():
         return jnp.roll(x, shift, axis=-1)
-    return pltpu.roll(x, shift, axis=x.ndim - 1)
+    # pltpu.roll rejects negative shifts; roll(-s) == roll(d - s)
+    return pltpu.roll(x, shift % x.shape[-1], axis=x.ndim - 1)
 
 
 def _rope_norm(x, cs, sn):
