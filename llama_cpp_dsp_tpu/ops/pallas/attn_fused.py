@@ -75,8 +75,10 @@ def _attn_kernel(
     k_out,  # ANY (same buffer as k_in)
     v_out,  # ANY
     qkv_rows,  # VMEM scratch [R, TB, D] f32 (R = (H+2Hkv) rows of D lanes)
-    kn_scr,  # VMEM scratch [Hkv, 1, D] bf16 — new k row (DMA source)
-    vn_scr,  # VMEM scratch [Hkv, 1, D] bf16
+    kn_scr,  # VMEM scratch [Hkv, 8, D] bf16 — aligned write slab (Mosaic
+    # DMA slices must be 8-row aligned in the sublane dim, so the single
+    # new row rides a read-splice-write of its covering 8-row slab)
+    vn_scr,  # VMEM scratch [Hkv, 8, D] bf16
     k_buf,  # VMEM scratch [2, Hkv, CHUNK, D] bf16
     v_buf,  # VMEM scratch [2, Hkv, CHUNK, D] bf16
     sem,  # DMA sems [2, 2]
@@ -111,6 +113,20 @@ def _attn_kernel(
         wp = wp_ref[b]  # row the engine wants written (capacity = drop)
         rep = hq // hkv
 
+        valid = (wp >= 0) & (wp < s_total)  # idle slots must not write
+        safe_wp = jnp.where(valid, wp, 0)
+        slab0 = pl.multiple_of((safe_wp // 8) * 8, 8)
+        r_in = safe_wp - slab0  # new row's index within the 8-row slab
+
+        @pl.when(valid)
+        def _():  # prefetch the covering slab; latency hides under rope
+            pltpu.make_async_copy(
+                k_in.at[b, :, pl.ds(slab0, 8), :], kn_scr, wsem.at[0]
+            ).start()
+            pltpu.make_async_copy(
+                v_in.at[b, :, pl.ds(slab0, 8), :], vn_scr, wsem.at[1]
+            ).start()
+
         rows = qkv_rows[:, pl.ds(b, 1), :].reshape(
             qkv_rows.shape[0], d)  # [R, D] f32
         cs = cs_ref[pl.ds(b, 1), :].astype(F32)
@@ -122,18 +138,24 @@ def _attn_kernel(
         # what future steps will read back from the bf16 cache
         kq = k.astype(BF16)
         vq = v.astype(BF16)
-        kn_scr[:, 0, :] = kq
-        vn_scr[:, 0, :] = vq
-
-        valid = (wp >= 0) & (wp < s_total)  # idle slots must not write
 
         @pl.when(valid)
-        def _():
+        def _():  # splice the new row into the slab, write the slab back.
+            # Rows != r_in are written back byte-identical, so the chunk
+            # stream racing over the same region still reads valid data.
             pltpu.make_async_copy(
-                kn_scr, k_out.at[b, :, pl.ds(wp, 1), :], wsem.at[0]
+                k_in.at[b, :, pl.ds(slab0, 8), :], kn_scr, wsem.at[0]
+            ).wait()
+            pltpu.make_async_copy(
+                v_in.at[b, :, pl.ds(slab0, 8), :], vn_scr, wsem.at[1]
+            ).wait()
+            kn_scr[:, pl.ds(r_in, 1), :] = kq.reshape(hkv, 1, d)
+            vn_scr[:, pl.ds(r_in, 1), :] = vq.reshape(hkv, 1, d)
+            pltpu.make_async_copy(
+                kn_scr, k_out.at[b, :, pl.ds(slab0, 8), :], wsem.at[0]
             ).start()
             pltpu.make_async_copy(
-                vn_scr, v_out.at[b, :, pl.ds(wp, 1), :], wsem.at[1]
+                vn_scr, v_out.at[b, :, pl.ds(slab0, 8), :], wsem.at[1]
             ).start()
 
         qs = (q.astype(BF16).astype(F32) * scale).reshape(hkv, rep, d)
@@ -213,10 +235,10 @@ def _attn_kernel(
         @pl.when(valid)
         def _():
             pltpu.make_async_copy(
-                kn_scr, k_out.at[b, :, pl.ds(wp, 1), :], wsem.at[0]
+                kn_scr, k_out.at[b, :, pl.ds(slab0, 8), :], wsem.at[0]
             ).wait()
             pltpu.make_async_copy(
-                vn_scr, v_out.at[b, :, pl.ds(wp, 1), :], wsem.at[1]
+                vn_scr, v_out.at[b, :, pl.ds(slab0, 8), :], wsem.at[1]
             ).wait()
 
 
@@ -261,8 +283,8 @@ def _attn_fused_call(starts, lengths, write_pos, x2, qs, s, cs, sn,
         ],
         scratch_shapes=[
             pltpu.VMEM((n_rows // d, tb, d), F32),  # qkv rows
-            pltpu.VMEM((hkv, 1, d), k_cache.dtype),
-            pltpu.VMEM((hkv, 1, d), v_cache.dtype),
+            pltpu.VMEM((hkv, 8, d), k_cache.dtype),
+            pltpu.VMEM((hkv, 8, d), v_cache.dtype),
             pltpu.VMEM((2, hkv, chunk, d), k_cache.dtype),
             pltpu.VMEM((2, hkv, chunk, d), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
