@@ -67,14 +67,16 @@ def _attn_kernel(
     x2_ref,  # VMEM [TB, 2K] interleaved activation planes (prepare_x)
     qs_ref,  # VMEM [TN, K/2] qkv weight nibble tile
     s_ref,  # VMEM [1, TN, G] qkv weight scales
-    cs_ref,  # VMEM [B, D] per-lane rope cos
-    sn_ref,  # VMEM [B, D] per-lane rope sin
+    cs_ref,  # VMEM [1, D] per-lane rope cos (blocked per phase-B row)
+    sn_ref,  # VMEM [1, D] per-lane rope sin
     k_in,  # ANY [B, Hkv, S, D] bf16 (aliased with k_out)
     v_in,  # ANY
     o_ref,  # VMEM [1, Hkv, rep, D] f32 out block (phase-B rows)
     k_out,  # ANY (same buffer as k_in)
     v_out,  # ANY
-    qkv_rows,  # VMEM scratch [R, TB, D] f32 (R = (H+2Hkv) rows of D lanes)
+    qkv_rows,  # VMEM scratch [TB, R, D] f32 (R = (H+2Hkv) rows of D
+    # lanes; TB leading so the phase-B per-b read indexes a LEADING dim —
+    # dynamic sublane indices are not statically 8-aligned for Mosaic)
     kn_scr,  # VMEM scratch [Hkv, 8, D] bf16 — aligned write slab (Mosaic
     # DMA slices must be 8-row aligned in the sublane dim, so the single
     # new row rides a read-splice-write of its covering 8-row slab)
@@ -102,7 +104,7 @@ def _attn_kernel(
         s = s_ref[0].astype(F32) if s_ref.dtype == BF16 else s_ref[0]
         tile = _q4_tile_dot(x2_ref[...], qs_ref[...], s)  # [TB, tn]
         for j in range(rpt):
-            qkv_rows[i * rpt + j] = tile[:, j * d:(j + 1) * d]
+            qkv_rows[:, i * rpt + j, :] = tile[:, j * d:(j + 1) * d]
 
     @pl.when(i >= nn)
     def _():  # phase B: rope + cache write + flash stream for batch row b
@@ -127,10 +129,9 @@ def _attn_kernel(
                 v_in.at[b, :, pl.ds(slab0, 8), :], vn_scr, wsem.at[1]
             ).start()
 
-        rows = qkv_rows[:, pl.ds(b, 1), :].reshape(
-            qkv_rows.shape[0], d)  # [R, D] f32
-        cs = cs_ref[pl.ds(b, 1), :].astype(F32)
-        sn = sn_ref[pl.ds(b, 1), :].astype(F32)
+        rows = qkv_rows[b]  # [R, D] f32 (dynamic LEADING index)
+        cs = cs_ref[...].astype(F32)  # [1, D] — block already selects b
+        sn = sn_ref[...].astype(F32)
         q = _rope_norm(rows[:hq], cs, sn)
         k = _rope_norm(rows[hq:hq + hkv], cs, sn)
         v = rows[hq + hkv:]
@@ -149,8 +150,12 @@ def _attn_kernel(
             pltpu.make_async_copy(
                 v_in.at[b, :, pl.ds(slab0, 8), :], vn_scr, wsem.at[1]
             ).wait()
-            kn_scr[:, pl.ds(r_in, 1), :] = kq.reshape(hkv, 1, d)
-            vn_scr[:, pl.ds(r_in, 1), :] = vq.reshape(hkv, 1, d)
+            # splice via select — a dynamic sublane store is not
+            # statically alignment-provable for Mosaic
+            rowsel = jax.lax.broadcasted_iota(
+                jnp.int32, (hkv, 8, d), 1) == r_in
+            kn_scr[...] = jnp.where(rowsel, kq[:, None, :], kn_scr[...])
+            vn_scr[...] = jnp.where(rowsel, vq[:, None, :], vn_scr[...])
             pltpu.make_async_copy(
                 kn_scr, k_out.at[b, :, pl.ds(slab0, 8), :], wsem.at[0]
             ).start()
@@ -268,9 +273,9 @@ def _attn_fused_call(starts, lengths, write_pos, x2, qs, s, cs, sn,
             pl.BlockSpec((1, tn, s.shape[2]),
                          lambda i, *_: (0, jnp.minimum(i, nn - 1), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bsz, d), lambda i, *_: (0, 0),
+            pl.BlockSpec((1, d), lambda i, *_: (jnp.maximum(i - nn, 0), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bsz, d), lambda i, *_: (0, 0),
+            pl.BlockSpec((1, d), lambda i, *_: (jnp.maximum(i - nn, 0), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -282,7 +287,7 @@ def _attn_fused_call(starts, lengths, write_pos, x2, qs, s, cs, sn,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_rows // d, tb, d), F32),  # qkv rows
+            pltpu.VMEM((tb, n_rows // d, d), F32),  # qkv rows
             pltpu.VMEM((hkv, 8, d), k_cache.dtype),
             pltpu.VMEM((hkv, 8, d), v_cache.dtype),
             pltpu.VMEM((2, hkv, chunk, d), k_cache.dtype),
