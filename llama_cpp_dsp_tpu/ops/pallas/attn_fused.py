@@ -67,8 +67,8 @@ def _attn_kernel(
     x2_ref,  # VMEM [TB, 2K] interleaved activation planes (prepare_x)
     qs_ref,  # VMEM [TN, K/2] qkv weight nibble tile
     s_ref,  # VMEM [1, TN, G] qkv weight scales
-    cs_ref,  # VMEM [1, D] per-lane rope cos (blocked per phase-B row)
-    sn_ref,  # VMEM [1, D] per-lane rope sin
+    cs_ref,  # VMEM [1, 1, D] per-lane rope cos (blocked per phase-B row)
+    sn_ref,  # VMEM [1, 1, D] per-lane rope sin
     k_in,  # ANY [B, Hkv, S, D] bf16 (aliased with k_out)
     v_in,  # ANY
     o_ref,  # VMEM [1, Hkv, rep, D] f32 out block (phase-B rows)
@@ -130,8 +130,8 @@ def _attn_kernel(
             ).start()
 
         rows = qkv_rows[b]  # [R, D] f32 (dynamic LEADING index)
-        cs = cs_ref[...].astype(F32)  # [1, D] — block already selects b
-        sn = sn_ref[...].astype(F32)
+        cs = cs_ref[0].astype(F32)  # [1, D] — block already selects b
+        sn = sn_ref[0].astype(F32)
         q = _rope_norm(rows[:hq], cs, sn)
         k = _rope_norm(rows[hq:hq + hkv], cs, sn)
         v = rows[hq + hkv:]
@@ -273,9 +273,11 @@ def _attn_fused_call(starts, lengths, write_pos, x2, qs, s, cs, sn,
             pl.BlockSpec((1, tn, s.shape[2]),
                          lambda i, *_: (0, jnp.minimum(i, nn - 1), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, *_: (jnp.maximum(i - nn, 0), 0),
+            pl.BlockSpec((1, 1, d),
+                         lambda i, *_: (jnp.maximum(i - nn, 0), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, *_: (jnp.maximum(i - nn, 0), 0),
+            pl.BlockSpec((1, 1, d),
+                         lambda i, *_: (jnp.maximum(i - nn, 0), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -313,7 +315,8 @@ def _attn_fused_call(starts, lengths, write_pos, x2, qs, s, cs, sn,
         ),
         interpret=interpret,
     )(starts.astype(jnp.int32), lengths.astype(jnp.int32),
-      write_pos.astype(jnp.int32), x2, qs, s, cs, sn, k_cache, v_cache)
+      write_pos.astype(jnp.int32), x2, qs, s,
+      cs.reshape(bsz, 1, -1), sn.reshape(bsz, 1, -1), k_cache, v_cache)
     return out.reshape(bsz, hq, d), k_new, v_new
 
 
