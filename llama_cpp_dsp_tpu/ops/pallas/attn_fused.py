@@ -83,8 +83,10 @@ def _attn_kernel(
     # DMA slices must be 8-row aligned in the sublane dim, so the single
     # new row rides a read-splice-write of its covering 8-row slab)
     vn_scr,  # VMEM scratch [Hkv, 8, D] bf16
-    k_buf,  # VMEM scratch [2, Hkv, CHUNK, D] bf16
-    v_buf,  # VMEM scratch [2, Hkv, CHUNK, D] bf16
+    k_buf,  # VMEM scratch [NB, Hkv, CHUNK, D] bf16 (NB=1 when the whole
+    # capacity is one chunk — double-buffering buys nothing and the 2.6MB
+    # freed keeps the phase-A weight pipeline fully double-buffered)
+    v_buf,  # VMEM scratch [NB, Hkv, CHUNK, D] bf16
     sem,  # DMA sems [2, 2]
     wsem,  # DMA sems [2] (row writes)
     *,
@@ -183,6 +185,7 @@ def _attn_kernel(
             vq.astype(F32)[:, None, :], (hkv, rep, d)).reshape(hr, d)
 
         q2 = qs.reshape(hr, d)
+        n_bufs = k_buf.shape[0]
         n_chunks = pl.cdiv(pos, chunk)  # stream rows [start, pos) only
         first = start // chunk
 
@@ -198,17 +201,24 @@ def _attn_kernel(
 
         @pl.when(first < n_chunks)
         def _():
-            k_dma(first % 2, first).start()
-            v_dma(first % 2, first).start()
+            k_dma(first % n_bufs, first).start()
+            v_dma(first % n_bufs, first).start()
 
         def body(ci, carry):
             m, l, acc = carry
-            slot = ci % 2
+            slot = ci % n_bufs
 
-            @pl.when(ci + 1 < n_chunks)
-            def _():
-                k_dma((ci + 1) % 2, ci + 1).start()
-                v_dma((ci + 1) % 2, ci + 1).start()
+            if n_bufs > 1:  # static: double-buffered prefetch
+                @pl.when(ci + 1 < n_chunks)
+                def _():
+                    k_dma((ci + 1) % n_bufs, ci + 1).start()
+                    v_dma((ci + 1) % n_bufs, ci + 1).start()
+            else:  # static: NB==1 implies n_chunks <= 1, but stay correct
+                # if a later change lets multiple chunks through: serialize
+                @pl.when(ci != first)
+                def _():
+                    k_dma(0, ci).start()
+                    v_dma(0, ci).start()
 
             k_dma(slot, ci).wait()
             v_dma(slot, ci).wait()
@@ -300,8 +310,10 @@ def _attn_fused_call(starts, lengths, write_pos, x2, qs, s, cs, sn,
             pltpu.VMEM((n_rows // d, tb, d), F32),  # qkv rows
             pltpu.VMEM((hkv, 8, d), k_cache.dtype),
             pltpu.VMEM((hkv, 8, d), v_cache.dtype),
-            pltpu.VMEM((2, hkv, chunk, d), k_cache.dtype),
-            pltpu.VMEM((2, hkv, chunk, d), v_cache.dtype),
+            pltpu.VMEM((1 if chunk >= s_total else 2, hkv, chunk, d),
+                       k_cache.dtype),
+            pltpu.VMEM((1 if chunk >= s_total else 2, hkv, chunk, d),
+                       v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
