@@ -74,11 +74,12 @@ def _attn_kernel(
     o_ref,  # VMEM [1, Hkv, rep, D] f32 out block (phase-B rows)
     k_out,  # ANY (same buffer as k_in)
     v_out,  # ANY
-    qkv_rows,  # VMEM scratch [R, TB, D] f32 (R = (H+2Hkv) rows of D
-    # lanes). Layout-matched to the phase-A tile slices ([TB, 128] value →
-    # [TB, D] block at row r: sublane/lane dims line up, no relayout per
-    # store). Phase B reads row b via a static index (B == 1) or a one-hot
-    # sublane reduce — a dynamic sublane index is not 8-aligned-provable.
+    qkv_rows,  # VMEM scratch [TB, R, D] f32 (R = (H+2Hkv) rows of D
+    # lanes; TB leading so the phase-B per-b read indexes a LEADING dim —
+    # dynamic sublane indices are not statically 8-aligned for Mosaic).
+    # Measured on chip vs the [R, TB, D] + one-hot-select alternative:
+    # this layout is +5 t/s on 7B tg128 (151.4 vs 146.0) — the sublane
+    # stores it implies lower better than the select read costs.
     kn_scr,  # VMEM scratch [Hkv, 8, D] bf16 — aligned write slab (Mosaic
     # DMA slices must be 8-row aligned in the sublane dim, so the single
     # new row rides a read-splice-write of its covering 8-row slab)
@@ -109,7 +110,7 @@ def _attn_kernel(
         s = s_ref[0].astype(F32) if s_ref.dtype == BF16 else s_ref[0]
         tile = _q4_tile_dot(x2_ref[...], qs_ref[...], s)  # [TB, tn]
         for j in range(rpt):
-            qkv_rows[i * rpt + j] = tile[:, j * d:(j + 1) * d]
+            qkv_rows[:, i * rpt + j, :] = tile[:, j * d:(j + 1) * d]
 
     @pl.when(i >= nn)
     def _():  # phase B: rope + cache write + flash stream for batch row b
@@ -134,12 +135,7 @@ def _attn_kernel(
                 v_in.at[b, :, pl.ds(slab0, 8), :], vn_scr, wsem.at[1]
             ).start()
 
-        if bsz == 1:
-            rows = qkv_rows[:, 0, :]  # static sublane index
-        else:
-            sel = (jax.lax.broadcasted_iota(
-                jnp.int32, (1, qkv_rows.shape[1], 1), 1) == b).astype(F32)
-            rows = jnp.sum(qkv_rows[...] * sel, axis=1)  # [R, D]
+        rows = qkv_rows[b]  # [R, D] f32 (dynamic LEADING index)
         cs = cs_ref[0].astype(F32)  # [1, D] — block already selects b
         sn = sn_ref[0].astype(F32)
         q = _rope_norm(rows[:hq], cs, sn)
@@ -307,7 +303,7 @@ def _attn_fused_call(starts, lengths, write_pos, x2, qs, s, cs, sn,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_rows // d, tb, d), F32),  # qkv rows
+            pltpu.VMEM((tb, n_rows // d, d), F32),  # qkv rows
             pltpu.VMEM((hkv, 8, d), k_cache.dtype),
             pltpu.VMEM((hkv, 8, d), v_cache.dtype),
             pltpu.VMEM((1 if chunk >= s_total else 2, hkv, chunk, d),
