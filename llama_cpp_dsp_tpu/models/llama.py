@@ -489,11 +489,18 @@ def _try_attn_fused(x, layer, cfg, positions, cache, layer_idx, n_past,
                     rope_positions, h, hkv, d):
     """Single-kernel decode attention (ops/pallas/attn_fused: qkv + rope +
     KV-write + flash in one pallas_call) for the plain-llama decode shape.
-    Returns (attn [B, H, D] f32, cache') or None to fall back. Opt-in via
-    LLAMA_TPU_FUSED_ATTN=1 until chip-validated."""
+    Returns (attn [B, H, D] f32, cache') or None to fall back.
+
+    DEFAULT ON for scale-aligned qkv weights (K % 4096 == 0): chip A/B
+    7B Q4_0 tg128 151.3-151.5 fused vs 142.3-142.7 unfused (+6.3%,
+    three same-window pairs). Misaligned-G shapes (13B K=5120) measured
+    −2% across three kernel variants — auto-off there.
+    LLAMA_TPU_FUSED_ATTN=1 forces on, =0 (or LLAMA_TPU_NO_FUSED_ATTN)
+    forces off."""
     import os
 
-    if os.environ.get("LLAMA_TPU_FUSED_ATTN") != "1":
+    env = os.environ.get("LLAMA_TPU_FUSED_ATTN", "")
+    if env == "0" or os.environ.get("LLAMA_TPU_NO_FUSED_ATTN"):
         return None
     from ..ops.pallas.layouts import KernelWeights
     from ..runtime.kv_cache import KVCache
@@ -501,6 +508,8 @@ def _try_attn_fused(x, layer, cfg, positions, cache, layer_idx, n_past,
     fused = layer.get("attn_qkv_fused")
     if not isinstance(fused, KernelWeights):
         return None
+    if env != "1" and fused.shape[1] % 4096:
+        return None  # misaligned scale lanes: measured −2% (13B) — opt-in
     if "attn_q_bias" in layer or any(
             layer.get(p + "_lora_a") is not None
             for p in ("attn_q", "attn_k", "attn_v")):

@@ -677,7 +677,10 @@ def qmm_fused(
                                  GGMLType.Q5_1, GGMLType.Q4_K, GGMLType.Q5_K,
                                  GGMLType.IQ4_NL, GGMLType.IQ4_XS,
                                  *IQ_TABLES)
-            default_wide = 1024 if (nibble and tile_k <= 4096) else 0
+            # ≤ 5120 covers the 13B K (chip A/B: tg128 74.7 → 76.2 with
+            # 1024-row tiles on the K=5120 matrices); the piece-aware
+            # VMEM estimate below lets them through the budget
+            default_wide = 1024 if (nibble and tile_k <= 5120) else 0
             wide = int(os.environ.get("LLAMA_TPU_TILE_N_WIDE", default_wide))
             if wide and n_rows % wide == 0:
                 tile_n = wide
@@ -727,8 +730,19 @@ def qmm_fused(
             tb * a.shape[2] * a.dtype.itemsize if a.ndim == 3
             else tb * (a.shape[1] // nk_est) * a.dtype.itemsize
             for a in x_fields)
-        # bf16 dequant intermediate (weight side); sub-K chunking divides it
-        temp = tn * tile_k * 2 // ns
+        # bf16 dequant intermediate (weight side); sub-K chunking divides
+        # it. Split-G layouts dequant per PIECE, so the live temp peaks at
+        # the largest piece, not the whole tile (the whole-tile estimate
+        # blocked the measured-faster 1024-row tiles on 13B's K=5120).
+        piece_k = tile_k
+        if ns == 1:
+            from .layouts import split_g
+
+            g = tile_k // 32
+            g1 = split_g(g)
+            if g1:
+                piece_k = g1 * 32
+        temp = tn * piece_k * 2 // ns
         return 2 * (wb + xb) + temp + 2 * tn * tb * 4  # + out/acc f32
 
     import os as _osq
