@@ -343,6 +343,9 @@ _BUF_BYTES = 6 * 2**20
 def _pick_chunk(s: int, hkv: int, d: int, itemsize: int) -> int:
     cap = _BUF_BYTES // (4 * hkv * d * itemsize)
     chunk = min(512, s, cap)
+    # round down to a power of two first: a non-pow2 cap (e.g. 192 at
+    # Hkv=32) would otherwise halve past the 128 that divides s exactly
+    chunk = 1 << (chunk.bit_length() - 1) if chunk > 0 else 0
     while chunk >= 128 and s % chunk:
         chunk //= 2
     return chunk if chunk >= 128 else 0
