@@ -34,11 +34,6 @@ import os as _os
 #   splat → one-lane broadcast instead of the mod-G repeat (keeps the
 #           per-element multiply, drops the repeat)
 _ABLATE_SCALE = _os.environ.get("LLAMA_TPU_ABLATE_SCALE", "")
-# one-hot-dot expansion of narrow misaligned scale vectors: measured a 7%
-# REGRESSION on 13B tg128 (74.84 → 69.5 t/s on chip) vs the lane-rotate
-# repeat it replaced — the MXU dot serializes against the dequant VPU work
-# instead of hiding under it. Opt-in for future A/Bs.
-_EDOT_EXPAND = _os.environ.get("LLAMA_TPU_EDOT_EXPAND") == "1"
 
 
 def _expand_raw(s, factor: int):
@@ -54,28 +49,14 @@ def _expand(s, factor: int):
     correct per-group broadcast; Mosaic lowers `pltpu.repeat` natively
     (element-order repeats/reshapes are unsupported shape casts).
 
-    Narrow misaligned G (the split-G tail piece, G < 128 and not a lane
-    multiple) expands through a one-hot MXU dot instead: repeat on a
-    sub-vreg vector lowers to per-copy lane rotates, which left the 13B
-    tail piece VPU-bound (~20% of elements at several× the op cost); the
-    [G, G·factor] selection dot is exact (one-hot f32) and ~free on the
-    MXU."""
+    (A one-hot-MXU-dot expansion of narrow misaligned tails was tried in
+    round 4 and DELETED after a measured 7% regression on 13B tg128
+    (74.84 → 69.5 on chip): the selection dot serializes against the
+    dequant VPU work instead of hiding under it.)"""
     if _ABLATE_SCALE == "const":
         return jnp.float32(1.0)
     if _ABLATE_SCALE == "splat":
         return s[:, :1] + jnp.zeros((1, s.shape[-1] * factor), s.dtype)
-    g = s.shape[-1]
-    # small outputs only: the dot costs TN·g·(g·factor) MACs — fine for the
-    # split-G tails (≤768 lanes out) but a regression for Q4_K's 64-lane
-    # planes at factor 32 (2048 lanes → 67M MACs per plane per block)
-    if _EDOT_EXPAND and g % 128 and g < 128 and g * factor <= 1024:
-        out = g * factor
-        ri = jax.lax.broadcasted_iota(jnp.int32, (g, out), 0)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (g, out), 1)
-        e = (ci % g == ri).astype(F32)
-        return jax.lax.dot_general(
-            s.astype(F32), e, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=F32)
     return _expand_raw(s, factor)
 
 

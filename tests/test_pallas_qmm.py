@@ -239,33 +239,6 @@ def test_qmm_split_g_layout(kind, k, rng):
     assert nmse(got, want) < 5e-4, f"{kind.name}: {nmse(got, want)}"
 
 
-@pytest.mark.parametrize("kind,k", [
-    (GGMLType.Q4_0, 5120),   # split-G tail G2=32 → E-dot eligible
-    (GGMLType.Q4_1, 6912),   # tail G2=88
-])
-def test_qmm_edot_expand_parity(kind, k, rng, monkeypatch):
-    """LLAMA_TPU_EDOT_EXPAND=1 (one-hot MXU dot expansion of narrow
-    misaligned scale vectors, qmm._expand) must match the default
-    lane-rotate repeat path bit-for-bit on split-G tail pieces. The flag
-    is read at import, so patch the module attribute directly."""
-    from llama_cpp_dsp_tpu.ops.pallas import qmm as qmm_mod
-
-    n = 64
-    w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
-    qt = from_gguf_tensor(quantize(w, kind), kind, (n, k))
-    kw = to_kernel_layout(qt, tile_k=k)
-    x = rng.standard_normal((2, k)).astype(np.float32)
-    want = np.asarray(qmm_fused(jnp.asarray(x), kw, tile_b=8, tile_n=64))
-    monkeypatch.setattr(qmm_mod, "_EDOT_EXPAND", True)
-    jax.clear_caches()  # force a retrace so the patched flag is seen
-    try:
-        got = np.asarray(qmm_fused(jnp.asarray(x), kw, tile_b=8,
-                                   tile_n=64))
-    finally:
-        jax.clear_caches()
-    np.testing.assert_allclose(got, want, rtol=0, atol=0)
-
-
 @pytest.mark.parametrize("kind", [GGMLType.Q4_0, GGMLType.Q4_1])
 def test_fused_ffn_x2_forward_parity(rng, kind, monkeypatch):
     """Fused-FFN row permutation (ffn_gateup_x2 + qmm x_is_x2): gate/up
