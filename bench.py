@@ -40,9 +40,8 @@ def _synth_cached(args, cfg, qtype, synth_params):
     13B materialization is ~450 s on this host's single core; same-window
     A/B protocols (CLAUDE.md) need many back-to-back bench invocations, so
     regenerating identical bytes per run dominates wall-clock. The cache
-    holds PRE-conversion params — kernel layouts depend on env gates
-    (e.g. LLAMA_TPU_FUSED_FFN changes x2 packing), so conversion still
-    runs per-process."""
+    holds PRE-conversion params — kernel layouts can depend on env gates,
+    so conversion still runs per-process."""
     import os
     import pickle
 

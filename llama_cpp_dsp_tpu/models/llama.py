@@ -267,32 +267,6 @@ def ffn_dense(x: jax.Array, layer: Params, cfg: LlamaConfig, compute_dtype,
     """Dense FFN — reference build_ffn (src/llama-graph.cpp): gated
     (SwiGLU/GeGLU) or plain up→act→down, with optional biases."""
     gate_key, up_key, down_key = (f"ffn_gate{suffix}", f"ffn_up{suffix}", f"ffn_down{suffix}")
-    if not suffix and "ffn_gateup_x2" in layer:
-        # fused-FFN path: gate/up rows were packed in the down-proj's
-        # activation ("x2") order (context.convert_params_to_kernel), so
-        # h = act(g)·u feeds the down kernel with NO per-call activation
-        # relayout (qmm x_is_x2). Padded rows yield exact zeros at the
-        # down layout's zero-padded positions.
-        fused = layer["ffn_gateup_x2"]
-        ffp = fused.sections[0]
-        if tap is not None:
-            tap(f"blk.{layer_idx}.{gate_key}.weight", x)
-            tap(f"blk.{layer_idx}.{up_key}.weight", x)
-        import os as _os
-
-        if (_os.environ.get("LLAMA_TPU_MEGA_FFN") == "1"
-                and cfg.act in ("silu", "gelu") and tap is None):
-            from ..ops.pallas.qmm import qmm_ffn_fused
-
-            y = qmm_ffn_fused(x, fused, layer[down_key], act=cfg.act)
-            if y is not None:
-                return _psum_tp(y, cfg)
-        gu = qmm(x, fused, compute_dtype=compute_dtype)
-        h = (activate(gu[..., :ffp], cfg.act) * gu[..., ffp:]).astype(compute_dtype)
-        # NOTE: h is x2-permuted — taps/probes over it would mislead;
-        # down taps intentionally skipped on this path
-        return _psum_tp(qmm(h, layer[down_key], compute_dtype=compute_dtype,
-                            x_is_x2=True), cfg)
     if not suffix and "ffn_gateup_fused" in layer:
         fused = layer["ffn_gateup_fused"]
         ng = fused.sections[0]

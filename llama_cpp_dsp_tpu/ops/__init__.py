@@ -18,21 +18,18 @@ from .qtensor import QTensor
 Weight = QTensor | jax.Array
 
 
-def qmm(x: jax.Array, w: Weight, *, compute_dtype=jnp.bfloat16,
-        x_is_x2: bool = False) -> jax.Array:
+def qmm(x: jax.Array, w: Weight, *, compute_dtype=jnp.bfloat16) -> jax.Array:
     """y = x @ W^T — ggml_mul_mat semantics (W is [N, K] row-major).
 
     KernelWeights → fused Pallas dequant-matmul (packed weights streamed
     from HBM); QTensor → XLA dequantize-then-contract; dense → plain MXU.
-    x_is_x2: x already carries the kernel's activation-plane ordering
     (fused-FFN path; see qmm_fused).
     """
     from .pallas.layouts import KernelWeights
     from .pallas.qmm import qmm_fused
 
     if isinstance(w, KernelWeights):
-        return qmm_fused(x, w, x_is_x2=x_is_x2)
-    assert not x_is_x2, "pre-permuted activations require a kernel layout"
+        return qmm_fused(x, w)
     if isinstance(w, QTensor):
         wmat = dequant(w, compute_dtype)
     else:

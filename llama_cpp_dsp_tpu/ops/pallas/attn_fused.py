@@ -4,8 +4,8 @@ flash attention in ONE pallas_call.
 The unfused decode layer issues (per layer, per token) a qkv qmm kernel, an
 XLA rope fusion, two cache dynamic-update-slices, and a flash-decode kernel
 — every boundary drains the weight-streaming DMA pipeline and pays an XLA
-fusion-launch. This kernel chains them on a single 1-D grid (the
-qmm_ffn_fused idiom): phase A streams the fused-qkv weight n-tiles
+fusion-launch. This kernel chains them on a single 1-D grid
+(phase-chained grid): phase A streams the fused-qkv weight n-tiles
 (BlockSpec pipeline, same `_q4_tile_dot` body as qmm); phase B (one program
 per batch row) ropes q/k from VMEM scratch, DMAs the new k/v row into the
 cache (input_output_aliased operands — the caller's `cache.write` is

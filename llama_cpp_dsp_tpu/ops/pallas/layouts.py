@@ -313,18 +313,6 @@ def _pad_cols(qt: QTensor, k_pad: int) -> QTensor:
     return QTensor(qt.kind, (qt.shape[0], k_pad), arrays, qt.n_expert)
 
 
-def x2_position_order(kind: GGMLType, k: int, tile_k: int) -> np.ndarray:
-    """perm[l] = source position feeding lane l of the kernel's activation
-    field ("x2") for `kind` at `tile_k` — i.e. prepare_x as an explicit
-    permutation. Used to PRE-PERMUTE a producing weight's rows so its
-    output lands directly in the consumer's activation layout (fused
-    FFN: gate/up rows reordered to the down-proj's x2 order, so the
-    down qmm skips its per-call activation relayout entirely)."""
-    assert kind in (GGMLType.Q4_0, GGMLType.Q4_1), kind  # 2-plane nibble
-    pos = np.arange(k, dtype=np.int64)[None, :]
-    return _tile_transpose_np(pos, tile_k, 32, split=True)[0]
-
-
 def permute_rows(qt: QTensor, perm: np.ndarray) -> QTensor:
     """Row-reorder a QTensor (every field carries N on axis 0). Rows are
     independent blocks in all GGUF layouts, so this is exact."""

@@ -195,7 +195,8 @@ def _planes2(x2):
 
 def _q4_tile_dot(x2, qs, s, m=None):
     """One q4_0/q4_1 dequant-dot tile as a VALUE [TB, TN] f32 (shared by
-    the grid-accumulating bodies and the fused-FFN megakernel)."""
+    the grid-accumulating bodies and the fused-attention kernel's
+    qkv phase, ops/pallas/attn_fused.py)."""
     out = None
     pieces = _pieces2(x2, qs, s) if m is None else _pieces2(x2, qs, s, m)
     for piece in pieces:
@@ -606,11 +607,6 @@ def qmm_fused(
     tile_b: int = 0,
     tile_n: int = 0,
     tile_k: int = 0,
-    x_is_x2: bool = False,  # x is ALREADY in the kernel's plane-interleaved
-    # activation order (layouts.x2_position_order) — skip prepare_x. Only
-    # valid for kinds whose sole x field is "x2" (q4_0/q4_1: offsets fold
-    # against in-kernel group sums). The fused-FFN path pre-permutes the
-    # gate/up rows so h arrives in the down-proj's x2 order.
 ) -> jax.Array:
     """Fused y = x @ dequant(W)^T. Pads B to the tile, pads/validates N, K."""
     n, k = kw.shape
@@ -624,7 +620,6 @@ def qmm_fused(
         b_real *= d
     x2 = x.reshape(b_real, x.shape[-1])
     if x.shape[-1] < k:  # layout zero-padded K (layouts._k_pad_target)
-        assert not x_is_x2, "pre-permuted x must already cover padded K"
         x2 = jnp.pad(x2, ((0, 0), (0, k - x.shape[-1])))
 
     # K tiling is baked into the layout's position permutation
@@ -681,11 +676,7 @@ def qmm_fused(
     # row-zero-padding commutes with it exactly, so decode (b_real=1,
     # tile_b=8) relayouts 1/8 the bytes and the group sums reduce 1/8 the
     # rows; each field pads its own batch axis afterwards
-    if x_is_x2:
-        assert _X_FIELDS[kw.kind] == ("x2",), kw.kind
-        x_fields = (x2.astype(BF16),)
-    else:
-        x_fields = prepare_x(x2, kw.kind, tile_k, q8_group)
+    x_fields = prepare_x(x2, kw.kind, tile_k, q8_group)
     b_pad = _round_up(b_real, tile_b)
     if b_pad != b_real:
         x_fields = tuple(
@@ -907,145 +898,6 @@ def qmm_expert_rows(x: jax.Array, kw: KernelWeights, sel: jax.Array,
     w_fields = tuple(kw.arrays[name] for name in _W_FIELDS[kw.kind])
     return _qmm_expert_call(sel, x_fields, w_fields, kind=kw.kind, n=n, k=k,
                             tile_n=tile_n, tile_k=tile_k)
-
-
-# -- fused FFN megakernel (gate_up → act·mul → down in ONE pallas_call) ------
-#
-# The two-call FFN pays a kernel boundary per layer: the down call's first
-# weight DMA cannot start until the gate_up call retires, exposing one
-# pipeline fill per layer (~40-161 boundaries/step on 13B decode). Here one
-# 1-D grid runs gate_up n-tiles then down n-tiles; the gate_up blocks'
-# index map freezes during the down phase (Pallas skips refetch on
-# revisited blocks) and the down block 0 prefetches during the gate_up
-# phase, so the weight-stream DMA pipeline never drains. The intermediate
-# stays in VMEM scratch: gate/up rows are pre-permuted to the down
-# layout's x2 order (layouts.x2_position_order), so h = act(g)·u IS the
-# down kernel's activation operand — no relayout anywhere.
-
-
-def _ffn_kernel(act_fn, nn1, tn1, ffp, *refs):
-    """refs = (x2, gu_qs, gu_s, dn_qs, dn_s, out, gu_acc, h_buf)."""
-    x2, gu_qs, gu_s, dn_qs, dn_s, out_ref, gu_acc, h_buf = refs
-    i = pl.program_id(0)
-
-    @pl.when(i < nn1)
-    def _():
-        qs = gu_qs[...]
-        s = gu_s[0].astype(F32) if gu_s.dtype == BF16 else gu_s[0]
-        tile = _q4_tile_dot(x2[...], qs, s)  # [TB, tn1]
-        gu_acc[:, pl.ds(i * tn1, tn1)] = tile
-
-    @pl.when(i == nn1)
-    def _():
-        g = gu_acc[:, :ffp]
-        u = gu_acc[:, ffp:]
-        h_buf[...] = (act_fn(g) * u).astype(BF16)
-
-    @pl.when(i >= nn1)
-    def _():
-        qs = dn_qs[...]
-        s = dn_s[0].astype(F32) if dn_s.dtype == BF16 else dn_s[0]
-        out_ref[...] = _q4_tile_dot(h_buf[...], qs, s)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("act", "n1", "k1", "n2", "ffp", "tile_b", "tn1", "tn2"),
-)
-def _qmm_ffn_call(x2, gu_fields, dn_fields, *, act, n1, k1, n2, ffp,
-                  tile_b, tn1, tn2):
-    nn1, nn2 = n1 // tn1, n2 // tn2
-    s_steps = nn1 + nn2
-    gu_qs, gu_s = gu_fields
-    dn_qs, dn_s = dn_fields
-    nn1m, nn2m = nn1 - 1, 0
-
-    in_specs = [
-        pl.BlockSpec((tile_b, k1), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tn1, gu_qs.shape[1]),
-                     lambda i: (jnp.minimum(i, nn1m), 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tn1, gu_s.shape[2]),
-                     lambda i: (0, jnp.minimum(i, nn1m), 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tn2, dn_qs.shape[1]),
-                     lambda i: (jnp.maximum(i - nn1, nn2m), 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tn2, dn_s.shape[2]),
-                     lambda i: (0, jnp.maximum(i - nn1, nn2m), 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_spec = pl.BlockSpec((tile_b, tn2),
-                            lambda i: (0, jnp.maximum(i - nn1, nn2m)),
-                            memory_space=pltpu.VMEM)
-    from .. import gelu as _gelu, silu as _silu
-
-    act_fn = {"silu": _silu, "gelu": _gelu}[act]
-    bytes_accessed = (sum(a.size * a.dtype.itemsize for a in gu_fields)
-                      + sum(a.size * a.dtype.itemsize for a in dn_fields)
-                      + x2.nbytes)
-    y = pl.pallas_call(
-        functools.partial(_ffn_kernel, act_fn, nn1, tn1, ffp),
-        grid=(s_steps,),
-        interpret=_interpret_mode(),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((tile_b, n2), F32),
-        scratch_shapes=[
-            pltpu.VMEM((tile_b, n1), F32),
-            pltpu.VMEM((tile_b, ffp), BF16),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * tile_b * (n1 * k1 + n2 * ffp),
-            bytes_accessed=int(bytes_accessed), transcendentals=0,
-        ),
-    )(x2, gu_qs, gu_s, dn_qs, dn_s)
-    return y
-
-
-def qmm_ffn_fused(x: jax.Array, kw_gu: KernelWeights, kw_down: KernelWeights,
-                  act: str = "silu") -> jax.Array:
-    """One-call FFN: y = act(x@Wgᵀ)·(x@Wuᵀ) @ Wdᵀ with Wg/Wu rows packed in
-    Wd's activation order (context.convert_params_to_kernel ffn_gateup_x2).
-    Decode-sized only (B ≤ 8, whole-K tiles both sides); returns None when
-    the shapes don't qualify so the caller falls back to the 2-call path."""
-    n1, k1 = kw_gu.shape
-    n2, k2 = kw_down.shape
-    ffp = n1 // 2
-    lead = x.shape[:-1]
-    b_real = 1
-    for d in lead:
-        b_real *= d
-    if (b_real > 8 or kw_gu.tile_k != k1 or kw_down.tile_k != k2
-            or k2 != ffp or kw_gu.kind != GGMLType.Q4_0
-            or kw_down.kind != GGMLType.Q4_0):
-        return None
-    n1_rows = kw_gu.arrays["qs"].shape[0]
-    n2_rows = kw_down.arrays["qs"].shape[0]
-    if n1_rows != n1 or x.shape[-1] > k1:
-        return None  # row padding would break the ds() store offsets
-    tn1 = 512 if n1 % 512 == 0 else _largest_tile(n1, 256)
-    tn2 = 256 if n2_rows % 256 == 0 else _largest_tile(n2_rows, 128)
-    if n1 % tn1 or n2_rows % tn2:
-        return None
-    x2 = x.reshape(b_real, x.shape[-1])
-    if x.shape[-1] < k1:
-        x2 = jnp.pad(x2, ((0, 0), (0, k1 - x.shape[-1])))
-    x_fields = prepare_x(x2, kw_gu.kind, k1)
-    xf = x_fields[0]
-    tile_b = 8
-    if b_real < tile_b:
-        xf = jnp.pad(xf, ((0, tile_b - b_real), (0, 0)))
-    y = _qmm_ffn_call(
-        xf, (kw_gu.arrays["qs"], kw_gu.arrays["s"]),
-        (kw_down.arrays["qs"], kw_down.arrays["s"]),
-        act=act, n1=n1, k1=k1, n2=n2_rows, ffp=ffp, tile_b=tile_b,
-        tn1=tn1, tn2=tn2)
-    return y[:b_real, :n2].reshape(*lead, n2)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -65,45 +65,6 @@ def convert_params_to_kernel(params: dict) -> dict:
     import os
 
     from ..gguf.constants import GGMLType
-    from ..ops.pallas.layouts import (
-        _k_pad_target, default_tile_k, pad_rows_to, permute_rows,
-        x2_position_order,
-    )
-
-    def try_ffn_x2(layer, ws):
-        """Fused-FFN row permutation: reorder gate/up rows into the
-        down-proj's activation ("x2") order, so the down qmm consumes
-        silu(g)·u DIRECTLY (x_is_x2=True — no per-call activation
-        relayout, models/llama.ffn_dense). Exact: rows are independent
-        blocks; padded rows produce silu(0)·0 = 0 at the down layout's
-        zero-padded positions."""
-        # OPT-IN (LLAMA_TPU_FUSED_FFN=1): on-chip A/B read 7B Q4_0 tg128
-        # at 136.24 t/s fused vs 142.25 unfused — the x2-permuted gate_up
-        # output costs more than the down-proj relayout it saves. The
-        # mega-FFN kernel (LLAMA_TPU_MEGA_FFN=1) rides this path and
-        # therefore also requires the opt-in.
-        if os.environ.get("LLAMA_TPU_FUSED_FFN") != "1":
-            return None
-        if os.environ.get("LLAMA_TPU_NO_FUSED_FFN"):
-            return None
-        down = layer.get("ffn_down")
-        if (not isinstance(down, QTensor)
-                or down.kind not in (GGMLType.Q4_0, GGMLType.Q4_1)
-                or down.n_expert or "ffn_sub_norm" in layer
-                or "ffn_down_lora_a" in layer
-                or "ffn_up_bias" in layer or "ffn_down_bias" in layer):
-            return None
-        ff = down.shape[1]
-        ffp = _k_pad_target(ff, down.kind)
-        tile_k_down = default_tile_k(ffp, down.kind)
-        perm = x2_position_order(down.kind, ffp, tile_k_down)
-        cat = concat_qtensors([
-            permute_rows(pad_rows_to(w, ffp), perm) for w in ws])
-        if cat is None:
-            return None
-        kw = to_kernel_layout(cat)
-        kw.sections = (ffp, ffp)
-        return kw
 
     params = dict(params)
     new_layers = []
@@ -116,13 +77,6 @@ def convert_params_to_kernel(params: dict) -> dict:
             ws = fusable(layer, names)
             if ws is None:
                 continue
-            if fused_key == "ffn_gateup_fused":
-                kw = try_ffn_x2(layer, ws)
-                if kw is not None:
-                    layer["ffn_gateup_x2"] = kw
-                    for nm in names:
-                        del layer[nm]
-                    continue
             cat = concat_qtensors(ws)
             if cat is None:
                 continue

@@ -19,12 +19,6 @@ echo "TPU BACK $(date -u +%FT%TZ)" >> "$LOG"
     echo "=== 13B tg128 tn=1024 experiment ==="
     LLAMA_TPU_TILE_N_WIDE=1024 LLAMA_TPU_VMEM_BUDGET_MB=18 \
       timeout 2400 python bench.py --model llama2-13b --qtype q4_0 --steps 128
-    echo "=== 13B tg128 WITH fused FFN (attribution A/B vs default-off) ==="
-    LLAMA_TPU_FUSED_FFN=1 \
-      timeout 2400 python bench.py --model llama2-13b --qtype q4_0 --steps 128
-    echo "=== 13B tg128 MEGA_FFN=1 (requires fused-FFN x2 packing) ==="
-    LLAMA_TPU_FUSED_FFN=1 LLAMA_TPU_MEGA_FFN=1 \
-      timeout 2400 python bench.py --model llama2-13b --qtype q4_0 --steps 128
     echo "=== 7B tg128 headline ==="
     timeout 2400 python bench.py --model llama2-7b --qtype q4_0 --steps 128
 } >> "$LOG" 2>&1

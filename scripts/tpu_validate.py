@@ -153,38 +153,6 @@ def _():
         assert err < 5e-4, (kind.name, k, err)
 
 
-@check("mega_ffn")
-def _():
-    # round-4 one-call FFN megakernel (gate_up→act·mul→down) vs the
-    # 2-call x2 path on the same converted weights
-    import os
-
-    import jax.numpy as jnp
-
-    from llama_cpp_dsp_tpu.gguf.constants import GGMLType
-    from llama_cpp_dsp_tpu.models.llama import forward
-    from llama_cpp_dsp_tpu.models.registry import synth_config
-    from llama_cpp_dsp_tpu.runtime.context import convert_params_to_kernel
-    from llama_cpp_dsp_tpu.tools.synth import synth_params
-
-    cfg = synth_config("llama", n_embd=256, n_heads=4, n_kv_heads=2,
-                       head_dim=128, n_ff=512, n_vocab=256)
-    params = synth_params(cfg, GGMLType.Q4_0, seed=2, tie=False)
-    with _env("LLAMA_TPU_FUSED_FFN", "1"):  # x2 packing is opt-in now
-        kparams = convert_params_to_kernel(params)
-    rng = np.random.default_rng(11)
-    toks = jnp.asarray(rng.integers(0, 256, (1, 1)), jnp.int32)
-    pos = jnp.zeros((1, 1), jnp.int32)
-    mask = jnp.ones((1, 1, 1), bool)
-    with _env("LLAMA_TPU_MEGA_FFN", "1"):
-        l1, _ = forward(kparams, cfg, toks, pos, mask=mask,
-                        compute_dtype=jnp.float32)
-    l2, _ = forward(kparams, cfg, toks, pos, mask=mask,
-                    compute_dtype=jnp.float32)
-    err = nmse(np.asarray(l1), np.asarray(l2))
-    assert err < 1e-6, err
-
-
 @check("flash_decode_q8_allh")
 def _():
     # round-4 all-heads q8 decode body (one strided DMA per chunk covers

@@ -237,75 +237,3 @@ def test_qmm_split_g_layout(kind, k, rng):
     want = x @ wd.T
     got = np.asarray(qmm_fused(jnp.asarray(x), kw, tile_b=8, tile_n=64))
     assert nmse(got, want) < 5e-4, f"{kind.name}: {nmse(got, want)}"
-
-
-@pytest.mark.parametrize("kind", [GGMLType.Q4_0, GGMLType.Q4_1])
-def test_fused_ffn_x2_forward_parity(rng, kind, monkeypatch):
-    """Fused-FFN row permutation (ffn_gateup_x2 + qmm x_is_x2): gate/up
-    rows packed in the down-proj's activation order must match the XLA
-    QTensor path end to end (decode T=1 and prefill T=24)."""
-    monkeypatch.setenv("LLAMA_TPU_FUSED_FFN", "1")
-    from llama_cpp_dsp_tpu.models.llama import forward
-    from llama_cpp_dsp_tpu.models.registry import synth_config
-    from llama_cpp_dsp_tpu.ops.pallas.layouts import KernelWeights
-    from llama_cpp_dsp_tpu.runtime.context import convert_params_to_kernel
-    from llama_cpp_dsp_tpu.tools.synth import synth_params
-
-    cfg = synth_config("llama", n_embd=256, n_heads=4, n_kv_heads=2,
-                       head_dim=64, n_ff=512, n_vocab=128)
-    params = synth_params(cfg, kind, seed=1, tie=False)
-    kparams = convert_params_to_kernel(params)
-    lay = kparams["layers"][0]
-    assert "ffn_gateup_x2" in lay and "ffn_gateup_fused" not in lay
-    assert isinstance(lay["ffn_gateup_x2"], KernelWeights)
-    assert lay["ffn_gateup_x2"].sections == (cfg.n_ff, cfg.n_ff)
-
-    for t in (1, 24):
-        toks = np.asarray(rng.integers(0, 128, (1, t)), np.int32)
-        pos = np.arange(t, dtype=np.int32)[None]
-        mask = np.tril(np.ones((1, t, t), bool))
-        l1, _ = forward(params, cfg, jnp.asarray(toks), jnp.asarray(pos),
-                        mask=jnp.asarray(mask), compute_dtype=jnp.float32)
-        l2, _ = forward(kparams, cfg, jnp.asarray(toks), jnp.asarray(pos),
-                        mask=jnp.asarray(mask), compute_dtype=jnp.float32)
-        assert nmse(np.asarray(l2), np.asarray(l1)) < 2e-4, t
-
-
-def test_fused_ffn_x2_opt_out(rng, monkeypatch):
-    # the hard-off knob wins even when the opt-in is also set
-    monkeypatch.setenv("LLAMA_TPU_FUSED_FFN", "1")
-    monkeypatch.setenv("LLAMA_TPU_NO_FUSED_FFN", "1")
-    from llama_cpp_dsp_tpu.models.registry import synth_config
-    from llama_cpp_dsp_tpu.runtime.context import convert_params_to_kernel
-    from llama_cpp_dsp_tpu.tools.synth import synth_params
-
-    cfg = synth_config("llama", n_embd=256, n_heads=4, n_kv_heads=2,
-                       head_dim=64, n_ff=512, n_vocab=128)
-    params = synth_params(cfg, GGMLType.Q4_0, seed=1, tie=False)
-    lay = convert_params_to_kernel(params)["layers"][0]
-    assert "ffn_gateup_fused" in lay and "ffn_gateup_x2" not in lay
-
-
-def test_mega_ffn_kernel_parity(rng, monkeypatch):
-    """One-call FFN megakernel (qmm_ffn_fused): matches the 2-call
-    ffn_gateup_x2 path exactly on the same converted weights."""
-    monkeypatch.setenv("LLAMA_TPU_MEGA_FFN", "1")
-    monkeypatch.setenv("LLAMA_TPU_FUSED_FFN", "1")
-    from llama_cpp_dsp_tpu.models.llama import forward
-    from llama_cpp_dsp_tpu.models.registry import synth_config
-    from llama_cpp_dsp_tpu.runtime.context import convert_params_to_kernel
-    from llama_cpp_dsp_tpu.tools.synth import synth_params
-
-    cfg = synth_config("llama", n_embd=256, n_heads=4, n_kv_heads=2,
-                       head_dim=64, n_ff=512, n_vocab=128)
-    params = synth_params(cfg, GGMLType.Q4_0, seed=2, tie=False)
-    kparams = convert_params_to_kernel(params)
-    toks = np.asarray(rng.integers(0, 128, (1, 1)), np.int32)
-    pos = np.zeros((1, 1), np.int32)
-    mask = np.ones((1, 1, 1), bool)
-    l_mega, _ = forward(kparams, cfg, jnp.asarray(toks), jnp.asarray(pos),
-                        mask=jnp.asarray(mask), compute_dtype=jnp.float32)
-    monkeypatch.delenv("LLAMA_TPU_MEGA_FFN")
-    l_two, _ = forward(kparams, cfg, jnp.asarray(toks), jnp.asarray(pos),
-                       mask=jnp.asarray(mask), compute_dtype=jnp.float32)
-    assert nmse(np.asarray(l_mega), np.asarray(l_two)) < 1e-6
