@@ -384,6 +384,11 @@ def attn_decode_fused(
     if not chunk:
         return None
     tn = 512 if n_rows % 512 == 0 else _largest_tile(n_rows, 256, 128)
+    import os as _os
+
+    tn_env = int(_os.environ.get("LLAMA_TPU_ATTN_TN", 0))  # A/B knob
+    if tn_env and n_rows % tn_env == 0:
+        tn = tn_env
     if n_rows % tn or tn % d:
         return None
     if starts is None:
